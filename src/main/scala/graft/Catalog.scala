@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry over the driver-provided parquet fixtures.
+  *
+  * The reference engine (mdhasanmeraj/Real-time-database-monitoring-system)
+  * declares its schemas out-of-band (reference `myapp/models.py:1-119` is fully
+  * commented out; `README.md:15`) and accesses columns positionally. We instead
+  * centralize all table access here so every operator reads through one place
+  * and schema discipline (ns-timestamp normalization, column pruning) is
+  * applied uniformly.
+  *
+  * `events` is the stand-in for the reference's append-only metric time series
+  * (`admin.system_metrics`, reference `myapp/models.py:35-46`): monotonic id +
+  * event-time timestamp + numeric measure + entity key.
+  */
+object Catalog {
+
+  /** All fixture tables, by basename under the sf directory. */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Plain parquet read; filters/projections push down to the scan. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case other    => spark.read.parquet(path(dir, other))
+    }
+
+  /** The events (metric stream) table.
+    *
+    * The fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a
+    * long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+    * microseconds — exactly what DuckDB does when it coerces ns → its native
+    * µs TIMESTAMP — so both engines see identical values. The conf is set
+    * idempotently at read time so it works under any session (driver-created
+    * sessions included).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Pinned "now" for every time-relative predicate.
+    *
+    * The reference's activity queries all depend on `now()` (reference
+    * `myapp/views.py:402,405,414,419`); for deterministic, oracle-checkable
+    * results our queries take an as-of instant pinned just after the fixture's
+    * event horizon (events span 2024-01-01 .. 2024-01-30). SURVEY.md §7.4.
+    */
+  val AsOf = "2024-02-01 00:00:00"
+}

@@ -1,0 +1,96 @@
+package graft.expressions
+
+import java.util.Locale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftshim.Shims
+
+/** Shared formatting kernels, called both from interpreted eval and from
+  * whole-stage-generated Java (a static call keeps the expression inside
+  * WholeStageCodegen instead of falling back to CodegenFallback).
+  */
+object Fmt {
+  private val units = Array("B", "KB", "MB", "GB", "TB", "PB", "EB")
+
+  /** Human-readable byte size, 1024-based, one decimal above bytes.
+    * Mirrors the intent of PostgreSQL's `pg_size_pretty` used by the
+    * reference's storage queries (reference `myapp/views.py:427-428,464`);
+    * exact unit ladder documented here because Spark has no built-in.
+    */
+  def sizePretty(bytes: Long): UTF8String = {
+    val neg = bytes < 0
+    var v = math.abs(bytes.toDouble)
+    var i = 0
+    while (v >= 1024.0 && i < units.length - 1) { v /= 1024.0; i += 1 }
+    val s =
+      if (i == 0) s"${bytes.abs} ${units(0)}"
+      else String.format(Locale.ROOT, "%.1f %s", Double.box(v), units(i))
+    UTF8String.fromString(if (neg) "-" + s else s)
+  }
+
+  /** Render a duration in whole seconds as `H:MM:SS` (hours unbounded),
+    * mirroring how the reference displays `now() - query_start` intervals
+    * (reference `myapp/views.py:402,414`). Negative durations render with a
+    * leading minus, matching PG interval text.
+    */
+  def formatDuration(seconds: Long): UTF8String = {
+    val neg = seconds < 0
+    val s = math.abs(seconds)
+    val h = s / 3600
+    val m = (s % 3600) / 60
+    val sec = s % 60
+    UTF8String.fromString(
+      (if (neg) "-" else "") + f"$h%d:$m%02d:$sec%02d")
+  }
+}
+
+/** `size_pretty(bytes LONG): STRING` — custom scalar Catalyst expression with
+  * whole-stage codegen (SURVEY.md §4 custom item 1).
+  */
+case class SizePretty(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT input, got ${child.dataType.catalogString}")
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Fmt.sizePretty(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Fmt.sizePretty($c)")
+  override protected def withNewChildInternal(newChild: Expression): SizePretty =
+    copy(child = newChild)
+  override def prettyName: String = "size_pretty"
+}
+
+/** `format_duration(seconds LONG): STRING` — custom scalar Catalyst expression
+  * with whole-stage codegen (SURVEY.md §4 custom item 2).
+  */
+case class FormatDuration(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT input, got ${child.dataType.catalogString}")
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Fmt.formatDuration(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Fmt.formatDuration($c)")
+  override protected def withNewChildInternal(newChild: Expression): FormatDuration =
+    copy(child = newChild)
+  override def prettyName: String = "format_duration"
+}
+
+/** Column-level entry points for the custom expressions. */
+object functions {
+  def size_pretty(c: Column): Column =
+    Shims.column(SizePretty(Shims.expression(c)))
+  def format_duration(c: Column): Column =
+    Shims.column(FormatDuration(Shims.expression(c)))
+}

@@ -1,0 +1,403 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Catalog
+import graft.expressions.functions.{format_duration, size_pretty}
+
+/** The reference's monitoring workload (SURVEY.md §2), re-expressed
+  * Spark-first over the fixture tables. `events` plays the role of the
+  * append-only metric/activity stream (`admin.system_metrics` /
+  * `pg_stat_activity`), `customer ⋈ nation ⋈ region` plays the role of the
+  * user/role dimension joins, `orders`/`lineitem` provide the top-k and
+  * ratio-aggregate volume.
+  *
+  * Every query is deterministic: pinned as-of instead of `now()`
+  * (SURVEY.md §7.4), total output order, exact-decimal internal arithmetic
+  * for sums so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object Monitoring {
+
+  import Q.{AsOfMid, AsOfEnd}
+
+  private def asOfSec(asOf: String): Column =
+    unix_timestamp(lit(asOf).cast("timestamp"))
+
+  /** Whole-seconds duration between the pinned as-of and an event time —
+    * the engine's representation of PG's `now() - query_start` interval
+    * (reference `myapp/views.py:402,405`): epoch-seconds internally,
+    * formatted at the edge (SURVEY.md §7.4).
+    */
+  private def durSec(asOf: String): Column =
+    asOfSec(asOf) - unix_timestamp(col("ts"))
+
+  // ---------------------------------------------------------------------
+  // P3/T1 — slow queries (reference myapp/views.py:396-407): sessions whose
+  // start is > 15 min before now, projected with IST display time and a
+  // formatted duration, longest first.
+  // ---------------------------------------------------------------------
+  def slowQueries(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .filter(durSec(AsOfMid) > 15 * 60)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        date_format(from_utc_timestamp(col("ts"), "Asia/Kolkata"),
+          "yyyy-MM-dd HH:mm:ss").as("started_ist"),
+        durSec(AsOfMid).as("duration_s"),
+        format_duration(durSec(AsOfMid)).as("duration_txt"))
+      .orderBy(col("duration_s").desc, col("event_id"))
+
+  val slowQueriesSql: String =
+    s"""SELECT event_id, user_id, event_type,
+       | strftime(ts + INTERVAL '330 minutes', '%Y-%m-%d %H:%M:%S') AS started_ist,
+       | CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS duration_s,
+       | CAST((CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)) // 3600 AS VARCHAR)
+       |   || ':' || lpad(CAST(((CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)) % 3600) // 60 AS VARCHAR), 2, '0')
+       |   || ':' || lpad(CAST((CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)) % 60 AS VARCHAR), 2, '0') AS duration_txt
+       |FROM events
+       |WHERE CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) > 900
+       |ORDER BY duration_s DESC, event_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // P4/T1 — idle sessions (reference myapp/views.py:411-421): conjunctive
+  // predicate state = 'idle' AND idle for > 1 hour, longest-idle first.
+  // ---------------------------------------------------------------------
+  def idleSessions(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .filter(col("event_type") === "view" && durSec(AsOfMid) > 3600)
+      .select(
+        col("event_id"), col("user_id"),
+        durSec(AsOfMid).as("idle_s"),
+        format_duration(durSec(AsOfMid)).as("idle_txt"))
+      .orderBy(col("idle_s").desc, col("event_id"))
+
+  val idleSessionsSql: String =
+    s"""SELECT event_id, user_id,
+       | CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS idle_s,
+       | CAST((CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)) // 3600 AS VARCHAR)
+       |   || ':' || lpad(CAST(((CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)) % 3600) // 60 AS VARCHAR), 2, '0')
+       |   || ':' || lpad(CAST((CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)) % 60 AS VARCHAR), 2, '0') AS idle_txt
+       |FROM events
+       |WHERE event_type = 'view'
+       |  AND CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) > 3600
+       |ORDER BY idle_s DESC, event_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // A1 — filtered global count (reference myapp/views.py:506-513 — active
+  // users with non-null client_addr): distinct users with click activity.
+  // ---------------------------------------------------------------------
+  def activeUsers(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .filter(col("props").isNotNull && col("event_type") === "click")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+
+  val activeUsersSql: String =
+    "SELECT count(DISTINCT user_id) AS active_users FROM events " +
+      "WHERE props IS NOT NULL AND event_type = 'click'"
+
+  // ---------------------------------------------------------------------
+  // A2 — global count (reference myapp/views.py:566-571 total sessions).
+  // ---------------------------------------------------------------------
+  def totalSessions(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir).agg(count(lit(1)).as("total_sessions"))
+
+  val totalSessionsSql: String =
+    "SELECT count(*) AS total_sessions FROM events"
+
+  // ---------------------------------------------------------------------
+  // A3/J7 — derived ratio over a global agg with a NULLIF guard (reference
+  // myapp/views.py:517-520 connection load vs max_connections).
+  // 1500 stands in for the max_connections setting lookup.
+  // ---------------------------------------------------------------------
+  def connectionLoad(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .agg((lit(100.0) - count(lit(1)).cast("double") /
+        nullif(lit(1500.0), lit(0.0)) * 100.0).as("connection_headroom_pct"))
+
+  val connectionLoadSql: String =
+    "SELECT 100.0 - CAST(count(*) AS DOUBLE) / nullif(1500.0, 0.0) * 100.0 " +
+      "AS connection_headroom_pct FROM events"
+
+  // ---------------------------------------------------------------------
+  // A4 — multi-SUM ratio with NULLIF (reference myapp/views.py:527-531
+  // cache-hit ratio). Sums run over exact decimals (value is a 2-decimal
+  // measure) so both engines produce the identical double at the end.
+  // ---------------------------------------------------------------------
+  def cacheHitRatio(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
+    Catalog.events(spark, dir)
+      .agg((sum(when(col("event_type") === "click", v)).cast("double") /
+        nullif(
+          (sum(when(col("event_type") === "click", v)) +
+            sum(when(col("event_type") === "view", v))).cast("double"),
+          lit(0.0)) * 100.0).as("hit_ratio_pct"))
+  }
+
+  val cacheHitRatioSql: String =
+    "SELECT CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) / " +
+      "nullif(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) + " +
+      "sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) * 100.0 " +
+      "AS hit_ratio_pct FROM events"
+
+  // ---------------------------------------------------------------------
+  // A5 — rate over elapsed time with a CASE guard (reference
+  // myapp/views.py:551-562 transactions/sec since stats_reset).
+  // ---------------------------------------------------------------------
+  def transactionsPerSecond(spark: SparkSession, dir: String): DataFrame = {
+    val elapsed = asOfSec(AsOfEnd) - unix_timestamp(min(col("ts")))
+    Catalog.events(spark, dir)
+      .agg(
+        count(when(col("event_type").isin("purchase", "error"), lit(1))).as("xacts"),
+        elapsed.as("elapsed_s"))
+      .select(
+        when(col("elapsed_s") > 0,
+          col("xacts").cast("double") / col("elapsed_s").cast("double"))
+          .otherwise(0.0).as("tps"))
+  }
+
+  val transactionsPerSecondSql: String =
+    s"""SELECT CASE WHEN elapsed_s > 0 THEN CAST(xacts AS DOUBLE) / CAST(elapsed_s AS DOUBLE) ELSE 0.0 END AS tps FROM (
+       | SELECT count(CASE WHEN event_type IN ('purchase','error') THEN 1 END) AS xacts,
+       |  CAST(floor(epoch(TIMESTAMP '$AsOfEnd')) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS elapsed_s
+       | FROM events) t""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // J1/E2 — chained left-outer dim joins + COALESCE fallback (reference
+  // myapp/views.py:48-56 users ⟕ user_groups ⟕ groups). Both dim sides are
+  // broadcast (nation/region are tiny at every scale).
+  // ---------------------------------------------------------------------
+  def usersWithRoles(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.customer(spark, dir)
+    val n = broadcast(Catalog.nation(spark, dir))
+    val r = broadcast(Catalog.region(spark, dir))
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+      .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .select(
+        c("c_custkey").as("user_id"),
+        c("c_name").as("user_name"),
+        coalesce(n("n_name"), lit("No Nation Assigned")).as("nation"),
+        coalesce(r("r_name"), lit("No Region Assigned")).as("region"))
+      .orderBy(col("user_id"))
+  }
+
+  val usersWithRolesSql: String =
+    """SELECT c_custkey AS user_id, c_name AS user_name,
+      | coalesce(n_name, 'No Nation Assigned') AS nation,
+      | coalesce(r_name, 'No Region Assigned') AS region
+      |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      | LEFT JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY user_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // J2/P6/T4 — 3-table inner join with negated predicate (reference
+  // myapp/views.py:447-456 blocked locks ⋈ pg_class ⋈ pg_stat_activity,
+  // WHERE NOT granted, ORDER BY query_start ASC).
+  // ---------------------------------------------------------------------
+  def blockedSessions(spark: SparkSession, dir: String): DataFrame = {
+    val o = Catalog.orders(spark, dir)
+    val c = Catalog.customer(spark, dir)
+    val n = broadcast(Catalog.nation(spark, dir))
+    o.filter(!(o("o_orderstatus") === "F"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .select(
+        o("o_orderkey").as("order_key"),
+        c("c_name").as("user_name"),
+        n("n_name").as("nation"),
+        o("o_orderstatus").as("status"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("order_date"), col("order_key"))
+  }
+
+  val blockedSessionsSql: String =
+    """SELECT o_orderkey AS order_key, c_name AS user_name, n_name AS nation,
+      | o_orderstatus AS status, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT (o_orderstatus = 'F')
+      |ORDER BY order_date, order_key""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // J4/E1 — minute-bucket correlation join + DISTINCT (reference
+  // myapp/views.py:793-799: TO_CHAR(created_at,'YYYY:MM:DD HH24:MI') equality
+  // across metric and process tables). The bucket-equality key makes this a
+  // plain hash join — the canonical approximate-time join.
+  // ---------------------------------------------------------------------
+  def minuteBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.events(spark, dir)
+    val a = ev.filter(col("event_type") === "error")
+      .select(date_trunc("minute", col("ts")).as("minute"),
+        col("user_id").as("err_user"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(date_trunc("minute", col("ts")).as("minute"),
+        col("user_id").as("buy_user"))
+    a.join(b, "minute")
+      .select(col("minute"), col("err_user"), col("buy_user"))
+      .distinct()
+      .orderBy(col("minute"), col("err_user"), col("buy_user"))
+  }
+
+  val minuteBucketJoinSql: String =
+    """SELECT DISTINCT a.minute AS minute, a.user_id AS err_user, b.user_id AS buy_user
+      |FROM (SELECT date_trunc('minute', ts) AS minute, user_id FROM events WHERE event_type = 'error') a
+      |JOIN (SELECT date_trunc('minute', ts) AS minute, user_id FROM events WHERE event_type = 'purchase') b
+      | USING (minute)
+      |ORDER BY minute, err_user, buy_user""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // W1 — LAG delta over an ordered log (reference myapp/views.py:656-664
+  // backup size growth). Per-user partitioning generalizes the reference's
+  // single global series so the window parallelizes at scale.
+  // ---------------------------------------------------------------------
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Catalog.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(
+        col("user_id"), col("event_id"),
+        col("value"),
+        (col("value") - col("prev_value")).as("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val lagDeltaSql: String =
+    """SELECT user_id, event_id, value,
+      | value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // W2/T3 — time decimation: latest point per 5-minute bucket, newest 25
+  // buckets (reference myapp/templates/myapp/index_resource.html:230-245 —
+  // client-side JS in the reference, a windowed aggregate here so the chart
+  // density control runs distributed instead of in the browser).
+  // ---------------------------------------------------------------------
+  def decimate(spark: SparkSession, dir: String): DataFrame = {
+    val byBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Catalog.events(spark, dir)
+      .withColumn("bucket", window(col("ts"), "5 minutes").getField("start"))
+      .withColumn("rn", row_number().over(byBucket))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("bucket").desc)
+      .limit(25)
+  }
+
+  val decimateSql: String =
+    """SELECT bucket, event_id, event_type, value FROM (
+      | SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket, event_id, event_type, value,
+      |  row_number() OVER (PARTITION BY time_bucket(INTERVAL '5 minutes', ts) ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events) t
+      |WHERE rn = 1 ORDER BY bucket DESC LIMIT 25""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // W3 — latest row per key (reference myapp/views.py:585-614,667-671:
+  // ORDER BY id DESC LIMIT 1 per table, generalized per-key so it scales
+  // without a global sort).
+  // ---------------------------------------------------------------------
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Catalog.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val latestPerUserSql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      | SELECT user_id, event_id, event_type, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // T2/P2 — top-k with computed projection (reference myapp/views.py:484-498
+  // resource-consuming statements: ROUND((blks*8)::numeric/calls, 2) … LIMIT
+  // 20). Exact-decimal arithmetic; Spark plans TakeOrderedAndProject.
+  // ---------------------------------------------------------------------
+  def topResourceConsumers(spark: SparkSession, dir: String): DataFrame =
+    Catalog.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice").cast("decimal(18,2)") * 8 /
+          nullif(col("l_quantity").cast("decimal(18,2)"), lit(0)), 2)
+          .cast("double").as("blks_per_call"),
+        round(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")), 2)
+          .cast("double").as("net_price"))
+      .orderBy(col("net_price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  val topResourceConsumersSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 8 / nullif(CAST(l_quantity AS DECIMAL(18,2)), 0), 2) AS DOUBLE) AS blks_per_call,
+      | CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price
+      |FROM lineitem
+      |ORDER BY net_price DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // F1 — size_pretty custom expression over table-size-style data (reference
+  // myapp/views.py:425-433 bloat report via pg_size_pretty). The oracle
+  // mirrors the documented unit ladder arithmetically.
+  // ---------------------------------------------------------------------
+  def tableSizesPretty(spark: SparkSession, dir: String): DataFrame =
+    Catalog.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 1024).cast("long").as("bytes"))
+      .withColumn("pretty", size_pretty(col("bytes")))
+      .orderBy(col("bytes").desc, col("o_orderkey"))
+      .limit(20)
+
+  val tableSizesPrettySql: String =
+    """SELECT o_orderkey, bytes,
+      | CASE WHEN bytes < 1024 THEN CAST(bytes AS VARCHAR) || ' B'
+      |  WHEN bytes < 1048576 THEN printf('%.1f KB', bytes / 1024.0)
+      |  WHEN bytes < 1073741824 THEN printf('%.1f MB', bytes / 1048576.0)
+      |  WHEN bytes < 1099511627776 THEN printf('%.1f GB', bytes / 1073741824.0)
+      |  ELSE printf('%.1f TB', bytes / 1099511627776.0) END AS pretty
+      |FROM (SELECT o_orderkey, CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 1024) AS BIGINT) AS bytes FROM orders) t
+      |ORDER BY bytes DESC, o_orderkey LIMIT 20""".stripMargin.replace('\n', ' ')
+
+  /** Registry of this module's catalogued queries. */
+  val all: Seq[Q] = Seq(
+    Q("p3_slow_queries", slowQueries, Some(slowQueriesSql),
+      "interval-threshold filter + IST display + format_duration (views.py:396-407)"),
+    Q("p4_idle_sessions", idleSessions, Some(idleSessionsSql),
+      "conjunctive predicate + duration sort (views.py:411-421)"),
+    Q("a1_active_users", activeUsers, Some(activeUsersSql),
+      "filtered global count (views.py:506-513)"),
+    Q("a2_total_sessions", totalSessions, Some(totalSessionsSql),
+      "global count (views.py:566-571)"),
+    Q("a3_connection_load", connectionLoad, Some(connectionLoadSql),
+      "ratio over global agg with NULLIF (views.py:517-520)"),
+    Q("a4_cache_hit_ratio", cacheHitRatio, Some(cacheHitRatioSql),
+      "multi-SUM ratio with NULLIF (views.py:527-531)"),
+    Q("a5_tps", transactionsPerSecond, Some(transactionsPerSecondSql),
+      "CASE-guarded rate over elapsed time (views.py:551-562)"),
+    Q("j1_users_roles", usersWithRoles, Some(usersWithRolesSql),
+      "chained left joins + COALESCE (views.py:48-56)"),
+    Q("j2_blocked_sessions", blockedSessions, Some(blockedSessionsSql),
+      "3-table inner join, negated predicate (views.py:447-456)"),
+    Q("j4_minute_bucket_join", minuteBucketJoin, Some(minuteBucketJoinSql),
+      "minute-bucket time-correlation join + DISTINCT (views.py:793-799)"),
+    Q("w1_lag_delta", lagDelta, Some(lagDeltaSql),
+      "LAG analytic over ordered log (views.py:656-664)"),
+    Q("w2_decimate", decimate, Some(decimateSql),
+      "5-minute decimation, newest 25 buckets (index_resource.html:230-245)"),
+    Q("w3_latest_per_user", latestPerUser, Some(latestPerUserSql),
+      "latest-row-per-key (views.py:585-614)"),
+    Q("t2_top_consumers", topResourceConsumers, Some(topResourceConsumersSql),
+      "top-k with computed decimal projection (views.py:484-498)"),
+    Q("f1_size_pretty", tableSizesPretty, Some(tableSizesPrettySql),
+      "custom size_pretty Catalyst expression (views.py:425-433)"))
+}
