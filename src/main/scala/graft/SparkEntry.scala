@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.Monitoring
+import graft.operators.{Monitoring, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.operators.Monitoring
 object SparkEntry {
 
   /** All catalogued queries across operator modules. */
-  def registry: Seq[operators.Q] = Monitoring.all
+  def registry: Seq[operators.Q] = Monitoring.all ++ Relational.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

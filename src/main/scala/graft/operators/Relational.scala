@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Catalog
+
+/** The reference's remaining relational operator inventory (SURVEY.md §2):
+  * anti-joins, scalar subqueries, pattern/membership/dynamic predicates,
+  * pagination, string aggregation, set difference — plus the grouped
+  * aggregates the downsampler implies (SURVEY.md §2.4 note).
+  *
+  * Scale notes: dimension sides of every join here are broadcast; grouped
+  * aggregates run partial (map-side) automatically; top-k and pagination
+  * plan as TakeOrderedAndProject — no global sort materializes the full
+  * relation.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------------
+  // J6 — anti-join via NOT IN subquery (reference myapp/apps.py:55-69:
+  // users with no role assignment). Customers with no finished order.
+  // Catalyst rewrites NOT IN to LeftAnti; we declare left_anti directly —
+  // the subquery side is pre-filtered and deduplicated before the shuffle.
+  // ---------------------------------------------------------------------
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.customer(spark, dir)
+    val o = Catalog.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // J7 — scalar subquery embedded in a predicate (reference
+  // myapp/views.py:518-520: max_connections setting lookup). Orders priced
+  // above the global average. Catalyst plans a ScalarSubquery (one-row
+  // broadcast), not a cross join.
+  // ---------------------------------------------------------------------
+  def ordersAboveAverage(spark: SparkSession, dir: String): DataFrame = {
+    Catalog.orders(spark, dir).createOrReplaceTempView("graft_orders_j7")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        |FROM graft_orders_j7
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+        | (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |  FROM graft_orders_j7)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val ordersAboveAverageSql: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+      | (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // P8 — LIKE pattern predicate (reference myapp/views.py:474:
+  // schema_name NOT LIKE 'pg_%').
+  // ---------------------------------------------------------------------
+  def partsNotLikePromo(spark: SparkSession, dir: String): DataFrame =
+    Catalog.part(spark, dir)
+      .filter(!col("p_type").like("PROMO%") && col("p_brand").like("Brand#1%"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  val partsNotLikePromoSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type FROM part
+      |WHERE p_type NOT LIKE 'PROMO%' AND p_brand LIKE 'Brand#1%'
+      |ORDER BY p_partkey""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // P10/T6 — dynamic predicate assembly + pagination (reference
+  // myapp/views.py:839-862 cpu grid filters; cpu_usage_grid.html:174-199
+  // 10-row pages). Filters fold onto the base scan so every predicate
+  // pushes down to the parquet reader; page 3 of the filtered grid.
+  // ---------------------------------------------------------------------
+  def gridQuery(filters: Seq[Column], page: Int, pageSize: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val base = Catalog.events(spark, dir)
+    filters.foldLeft(base)((d, p) => d.filter(p))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+      .offset(page * pageSize)
+      .limit(pageSize)
+  }
+
+  def gridPage(spark: SparkSession, dir: String): DataFrame =
+    gridQuery(
+      Seq(col("event_type") === "click", col("value") > 50.0),
+      page = 3, pageSize = 10)(spark, dir)
+
+  val gridPageSql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_type = 'click' AND value > 50.0
+      |ORDER BY event_id LIMIT 10 OFFSET 30""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // P11 — membership predicate (reference myapp/views.py:89-92 role IN (…)).
+  // ---------------------------------------------------------------------
+  def eventsOfKinds(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .filter(col("event_type").isin("signup", "error"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      .orderBy(col("event_type"))
+
+  val eventsOfKindsSql: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+      |FROM events WHERE event_type IN ('signup','error')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // P12 — case-insensitive substring search across all columns (reference
+  // cpu_usage_grid.html:201-214 JS rowText.includes(filter)), distributed
+  // instead of in the browser.
+  // ---------------------------------------------------------------------
+  def searchAllColumns(needle: String)(spark: SparkSession, dir: String): DataFrame = {
+    val df = Catalog.part(spark, dir)
+    val rowText = lower(concat_ws("\u0001", df.columns.map(col): _*))
+    df.filter(rowText.contains(needle.toLowerCase))
+      .orderBy(col("p_partkey"))
+  }
+
+  def searchParts(spark: SparkSession, dir: String): DataFrame =
+    searchAllColumns("red widget")(spark, dir)
+
+  val searchPartsSql: String =
+    """SELECT * FROM part
+      |WHERE contains(lower(concat_ws(chr(1), p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)), 'red widget')
+      |ORDER BY p_partkey""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // A6 — string aggregation with deterministic order (reference
+  // myapp/views.py:966-971 STRING_AGG(column_name, ', ')); sorted
+  // collect_list for cross-engine determinism (SURVEY.md §2.4 A6 caveat).
+  // ---------------------------------------------------------------------
+  def nationsPerRegion(spark: SparkSession, dir: String): DataFrame = {
+    val n = Catalog.nation(spark, dir)
+    val r = broadcast(Catalog.region(spark, dir))
+    n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(concat_ws(", ", array_sort(collect_list(col("n_name")))).as("nations"))
+      .orderBy(col("region"))
+  }
+
+  val nationsPerRegionSql: String =
+    """SELECT r_name AS region, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY region""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // E2 — set difference (reference myapp/apps.py:55-69 semantics):
+  // (user, day) pairs with a view but no purchase, as a true EXCEPT.
+  // ---------------------------------------------------------------------
+  def viewersNotBuyers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.events(spark, dir)
+    def byDay(kind: String) = ev.filter(col("event_type") === kind)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    byDay("view").except(byDay("purchase"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val viewersNotBuyersSql: String =
+    """SELECT user_id, day FROM (
+      | SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+      | EXCEPT
+      | SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase') t
+      |ORDER BY user_id, day""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // G1 — grouped multi-aggregate (the TPC-H Q1 shape; SURVEY.md §2.4 notes
+  // the reference's aggs are all global — grouped variants are our scale
+  // path: partial map-side agg, 4 output rows from 600k inputs). Exact
+  // decimal sums so both engines agree bit-for-bit.
+  // ---------------------------------------------------------------------
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Catalog.lineitem(spark, dir)
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val tax = col("l_tax").cast("decimal(18,2)")
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).as("sum_qty"),
+        sum(price).as("sum_base_price"),
+        sum((price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)")).as("sum_disc_price"),
+        sum((price * (lit(1).cast("decimal(18,2)") - disc) * (lit(1).cast("decimal(18,2)") + tax)).cast("decimal(28,6)")).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      | sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS sum_disc_price,
+      | sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS sum_charge,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // G2 — join + grouped agg + top-k (the TPC-H Q3 shape): revenue per
+  // order for a market segment. Exercises broadcast dim filter → shuffle
+  // agg → TakeOrderedAndProject, the canonical 100 TB plan shape.
+  // ---------------------------------------------------------------------
+  def segmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = broadcast(
+      Catalog.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")))
+    val o = Catalog.orders(spark, dir)
+    val l = Catalog.lineitem(spark, dir)
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey"), o("o_orderdate"))
+      .agg(sum((price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)")).as("revenue"))
+      .select(
+        col("o_orderkey").as("order_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("order_key"))
+      .limit(10)
+  }
+
+  val segmentRevenueSql: String =
+    """SELECT o_orderkey AS order_key, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      | sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue
+      |FROM orders
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, order_key LIMIT 10""".stripMargin.replace('\n', ' ')
+
+  /** Registry of this module's catalogued queries. */
+  val all: Seq[Q] = Seq(
+    Q("j6_anti_join", customersWithoutOrders, Some(customersWithoutOrdersSql),
+      "NOT IN anti-join (apps.py:55-69)"),
+    Q("j7_scalar_subquery", ordersAboveAverage, Some(ordersAboveAverageSql),
+      "scalar subquery in predicate (views.py:518-520)"),
+    Q("p8_like_pattern", partsNotLikePromo, Some(partsNotLikePromoSql),
+      "LIKE / NOT LIKE predicates (views.py:474)"),
+    Q("p10_grid_page", gridPage, Some(gridPageSql),
+      "dynamic filter assembly + limit/offset pagination (views.py:839-862)"),
+    Q("p11_membership", eventsOfKinds, Some(eventsOfKindsSql),
+      "IN membership + grouped count (views.py:89-92)"),
+    Q("p12_search_all", searchParts, Some(searchPartsSql),
+      "substring search across all columns (cpu_usage_grid.html:201-214)"),
+    Q("a6_string_agg", nationsPerRegion, Some(nationsPerRegionSql),
+      "ordered string aggregation (views.py:966-971)"),
+    Q("e2_except", viewersNotBuyers, Some(viewersNotBuyersSql),
+      "set difference (apps.py:55-69)"),
+    Q("g1_pricing_summary", pricingSummary, Some(pricingSummarySql),
+      "grouped multi-aggregate, map-side partial (SURVEY §2.4 grouped extension)"),
+    Q("g2_segment_revenue", segmentRevenue, Some(segmentRevenueSql),
+      "broadcast-filtered join + grouped agg + top-k (SURVEY §2.4 grouped extension)"))
+}
