@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Monitoring, Relational}
+import graft.operators.{Dedup, Monitoring, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,9 @@ import graft.operators.{Monitoring, Relational}
 object SparkEntry {
 
   /** All catalogued queries across operator modules. */
-  def registry: Seq[operators.Q] = Monitoring.all ++ Relational.all
+  def registry: Seq[operators.Q] =
+    Monitoring.all ++ Relational.all ++ TextOps.all ++ Dedup.all ++
+      Similarity.all ++ operators.Multimodal.all ++ lifecycle.Lifecycle.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,99 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Vector kernels shared by interpreted eval and generated code.
+  *
+  * Accumulation is sequential left-to-right in double precision — the same
+  * order DuckDB's list_cosine_similarity uses, so oracle comparisons agree
+  * to the last ulp (and certainly at the 6-decimal rounding the similarity
+  * operators emit).
+  */
+object VecKernels {
+
+  /** Cosine similarity of two float vectors; 0.0 when either norm is 0. */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Dot product of two float vectors (double accumulation). */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+}
+
+private[expressions] trait FloatVectorBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<FLOAT>, got ${l.catalogString}, ${r.catalogString}")
+    }
+}
+
+/** `cosine_sim(array<float>, array<float>): double` — codegen'd cosine
+  * similarity, the hot kernel of brute-force ANN (builder prompt
+  * similarity-search extension).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends FloatVectorBinary {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.VecKernels.cosineFF($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** `dot_product(array<float>, array<float>): double` — codegen'd dot
+  * product (LSH hyperplane projections, IVF centroid scoring).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends FloatVectorBinary {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.VecKernels.dotFF($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_product"
+}
+
+object VectorFunctions {
+  def cosine_sim(a: Column, b: Column): Column =
+    Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
+}

@@ -1,0 +1,173 @@
+package graft.lifecycle
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Catalog
+
+/** Mutation lifecycle over immutable parquet (SURVEY.md §2.1 S7-S16):
+  * append, idempotent upsert (anti-join-append — the reference's
+  * `ON CONFLICT DO NOTHING`, myapp/views.py:33-44), delete/update as
+  * rewrite-on-write, archive/restore/retention, truncate, and small-file
+  * compaction (the VACUUM analogue, myapp/views.py:887-907).
+  *
+  * Every op is deterministic and idempotent (re-running changes nothing) —
+  * the property the reference gets from PG constraints and we get from
+  * anti-joins; pinned timestamps (Catalog.AsOf) replace CURRENT_TIMESTAMP
+  * for testability (SURVEY.md §7.4).
+  *
+  * Scale notes: upsert shuffles only on the key column; delete/update
+  * rewrite is partition-parallel; at 100 TB these ops would run per
+  * date-partition (the partition pruning keeps rewrites local) — the
+  * fixture tables are unpartitioned so the ops here rewrite whole tables.
+  */
+object Lifecycle {
+
+  /** S7 — plain append. */
+  def append(table: DataFrame, path: String): Unit =
+    table.write.mode(SaveMode.Append).parquet(path)
+
+  /** S9 — idempotent upsert: insert only rows whose key is absent
+    * (`ON CONFLICT DO NOTHING`). One shuffle on the key.
+    */
+  def upsert(existingPath: String, delta: DataFrame, keys: Seq[String])(
+      implicit spark: SparkSession): Unit = {
+    val existing = spark.read.parquet(existingPath)
+    val fresh = delta.join(existing.select(keys.map(col): _*), keys, "left_anti")
+    fresh.write.mode(SaveMode.Append).parquet(existingPath)
+  }
+
+  /** S10 — DELETE WHERE pred: rewrite keeping the complement. */
+  def delete(path: String, pred: org.apache.spark.sql.Column)(
+      implicit spark: SparkSession): Unit =
+    rewrite(path)(_.filter(!pred))
+
+  /** S11 — UPDATE SET col = value WHERE pred. */
+  def update(path: String, column: String, value: org.apache.spark.sql.Column,
+      pred: org.apache.spark.sql.Column)(implicit spark: SparkSession): Unit =
+    rewrite(path)(df => df.withColumn(column,
+      when(pred, value).otherwise(col(column))))
+
+  /** S13/S15a — archive: stamp every live row with an archive timestamp
+    * (schema evolution: + archive_ts column) and append to the archive
+    * path, then S14-truncate the live table.
+    */
+  def archive(livePath: String, archivePath: String, asOf: String)(
+      implicit spark: SparkSession): Unit = {
+    val live = spark.read.parquet(livePath)
+    live.withColumn("archive_ts", lit(asOf).cast("timestamp"))
+      .write.mode(SaveMode.Append).parquet(archivePath)
+    truncate(livePath)
+  }
+
+  /** S15b — restore: move archive rows stamped before the cutoff back to
+    * the live table (dropping the stamp), delete them from the archive.
+    */
+  def restoreOlderThan(livePath: String, archivePath: String, cutoff: String)(
+      implicit spark: SparkSession): Unit = {
+    val arch = spark.read.parquet(archivePath)
+    val toRestore = arch.filter(col("archive_ts") < lit(cutoff).cast("timestamp"))
+    toRestore.drop("archive_ts")
+      .write.mode(SaveMode.Append).parquet(livePath)
+    rewriteAt(archivePath)(
+      _.filter(col("archive_ts") >= lit(cutoff).cast("timestamp")))
+  }
+
+  /** S14 — TRUNCATE: overwrite with the empty relation, schema kept. */
+  def truncate(path: String)(implicit spark: SparkSession): Unit =
+    rewrite(path)(df => df.limit(0))
+
+  /** S16 — compaction (VACUUM analogue): rewrite to k output files. */
+  def compact(path: String, numFiles: Int)(implicit spark: SparkSession): Unit =
+    rewrite(path)(_.repartition(numFiles))
+
+  /** Rewrite-on-write with a staging copy (parquet can't be read and
+    * overwritten in one job): transform → stage → swap.
+    */
+  private def rewrite(path: String)(f: DataFrame => DataFrame)(
+      implicit spark: SparkSession): Unit = rewriteAt(path)(f)
+
+  private def rewriteAt(path: String)(f: DataFrame => DataFrame)(
+      implicit spark: SparkSession): Unit = {
+    val staged = path.stripSuffix("/") + ".staged"
+    f(spark.read.parquet(path)).write.mode(SaveMode.Overwrite).parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle-checkable pipeline: runs the full S9→S10→S11 write path in a
+  // scratch dir seeded from the fixture, then returns the resulting table.
+  // The DuckDB oracle expresses the same final state as pure SQL over the
+  // original fixture — equivalence proves the write path correct.
+  // ---------------------------------------------------------------------
+  def mutationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val scratch = Files.createTempDirectory("graft_lifecycle_").toString
+    val events = s"$scratch/events"
+    Catalog.events(spark, dir).write.parquet(events)
+    // S9: upsert a delta — 'signup' rows re-keyed +10_000_000 (fresh) plus
+    // the original error rows unchanged (conflicting → dropped).
+    val delta = Catalog.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .unionByName(Catalog.events(spark, dir).filter(col("event_type") === "error"))
+    upsert(events, delta, Seq("event_id"))
+    // upsert twice: idempotence is part of the contract (SURVEY.md §7.4)
+    upsert(events, delta, Seq("event_id"))
+    // S10: delete clicks
+    delete(events, col("event_type") === "click")
+    // S11: zero the value of view events
+    update(events, "value", lit(0.0), col("event_type") === "view")
+    spark.read.parquet(events)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val mutationPipelineSql: String =
+    """SELECT event_id, user_id, event_type,
+      | CASE WHEN event_type = 'view' THEN 0.0 ELSE value END AS value
+      |FROM (
+      | SELECT event_id, user_id, event_type, value FROM events
+      | UNION ALL
+      | SELECT event_id + 10000000, user_id, event_type, value
+      | FROM events WHERE event_type = 'signup')
+      |WHERE event_type <> 'click'
+      |ORDER BY event_id""".stripMargin.replace('\n', ' ')
+
+  /** Archive → restore round-trip returning the final live table; the
+    * oracle is the identity (a full cycle with cutoff after the stamp
+    * restores everything).
+    */
+  def archiveRestorePipeline(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val scratch = Files.createTempDirectory("graft_archive_").toString
+    val live = s"$scratch/events"
+    val arch = s"$scratch/events_archive"
+    Catalog.events(spark, dir).write.parquet(live)
+    archive(live, arch, Catalog.AsOf)
+    // S16 on the emptied live table is a no-op; compact the archive
+    compact(arch, 4)
+    restoreOlderThan(live, arch, "2024-03-01 00:00:00")
+    spark.read.parquet(live)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val archiveRestorePipelineSql: String =
+    """SELECT event_id, event_type, value FROM events
+      |ORDER BY event_id""".stripMargin.replace('\n', ' ')
+
+  val all: Seq[graft.operators.Q] = Seq(
+    graft.operators.Q("s9_mutation_pipeline", mutationPipeline,
+      Some(mutationPipelineSql),
+      "upsert (×2, idempotent) + delete + update write path (views.py:33-44,113,168-170)"),
+    graft.operators.Q("s15_archive_restore", archiveRestorePipeline,
+      Some(archiveRestorePipelineSql),
+      "archive/truncate/compact/restore round-trip (views.py:913-994)"))
+}

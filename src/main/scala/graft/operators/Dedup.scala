@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Catalog
+import graft.expressions.HashFunctions.{shingle_hash60, simhash60}
+
+/** Deduplication operators for training-data pipelines (builder prompt
+  * north-star): exact/prefix dedup, MinHash+LSH, SimHash, and exact n-gram
+  * Jaccard — all over the `documents` fixture.
+  *
+  * Scale design: every pipeline is shuffle-bounded by the *inverted index*
+  * (shingle-hash → doc) or the *LSH bucket* (band signature → doc), never by
+  * an n² cross join. Shingle hashes are 60-bit BIGINTs ([[TextOps.hash60]])
+  * so shuffles move fixed-width keys, not strings. The exact-Jaccard verify
+  * step touches only candidate pairs.
+  */
+object Dedup {
+
+  import TextOps.{hash60, hash60Sql}
+
+  /** Distinct shingle hashes per document (the dedup feature set) — one
+    * codegen'd kernel pass ([[graft.expressions.ShingleHash60]]); the
+    * equivalent `transform`/`element_at` expression tree is interpreted and
+    * re-splits the text per element (O(tokens²) regex work per row).
+    */
+  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), shingle_hash60(col("text"), 3).as("hs"))
+
+  /** DuckDB mirror of [[docShingleHashes]] as a WITH-clause body. */
+  private def shingleCteSql: String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(w) >= 3
+       |    THEN [${hash60Sql("array_to_string(w[i:i+2], ' ')")} for i in range(1, len(w) - 1)]
+       |    ELSE [] END) AS hs
+       |  FROM toks)""".stripMargin.replace('\n', ' ')
+
+  /** Exploded (doc_id, shingle-hash) inverted-index relation. */
+  private def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    docShingleHashes(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+
+  /** Exact pairwise shingle-Jaccard for candidate pairs, computed from the
+    * inverted index: |A∩B| via a groupBy on the (da, db) join, set sizes
+    * joined in (broadcast at the candidate scale). No cross join anywhere.
+    */
+  private def jaccardPairs(
+      spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
+    val sizes = docShingleHashes(spark, dir)
+      .select(col("doc_id"), size(col("hs")).as("n"))
+    val inter = invertedIndex(spark, dir).as("a")
+      .join(invertedIndex(spark, dir).as("b"), col("a.h") === col("b.h"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .join(candidates, Seq("da", "db"), "left_semi")
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // D1 — exact (prefix-fingerprint) dedup: hash-groupBy on the normalized
+  // 50-char-prefix fingerprint, keep the lowest doc_id per group. The
+  // hash-partitioned groupBy is the canonical exact-dedup plan at 100 TB
+  // (one shuffle on a 8-byte key).
+  // ---------------------------------------------------------------------
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val key = hash60(substring(
+      regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 50))
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), key.as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val exactDedupSql: String = {
+    val n = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    s"""SELECT min(doc_id) AS doc_id, ${hash60Sql(s"substr($n, 1, 50)")} AS fp
+       |FROM documents GROUP BY fp ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
+  // D2 — MinHash + LSH near-dup pairs. K=32 signature, 16 bands × 2 rows
+  // (s-curve threshold ≈ 0.25, far below the 0.5 verify threshold, so
+  // recall at J ≥ 0.5 is ≈ 1). Band buckets bound the join; exact Jaccard
+  // verifies candidates. Output = verified pairs — identical to the
+  // brute-force oracle as long as LSH misses nothing, which the fixture's
+  // J ≥ 0.88 near-dup pairs guarantee (P(miss) < 1e-11).
+  // ---------------------------------------------------------------------
+  val MinhashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val MinhashK: Int = 32
+  val BandRows: Int = 2
+  /** Deterministic affine constants (a must be non-zero mod P). */
+  val MinhashA: Seq[Long] = (1 to MinhashK).map(i => (2L * i * i * i + 3L * i + 5L) % MinhashP)
+  val MinhashB: Seq[Long] = (1 to MinhashK).map(i => (7L * i * i + 11L * i + 13L) % MinhashP)
+  val JaccardThreshold = 0.5
+
+  /** MinHash signatures: one row per doc, K signature columns s0..s{K-1}. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val ex = invertedIndex(spark, dir)
+    val hModP = col("h") % MinhashP
+    val sigCols = (0 until MinhashK).map { i =>
+      min((hModP * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"s$i")
+    }
+    ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val nBands = MinhashK / BandRows
+    // band key: (band index, the band's signature rows) packed to a string
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until nBands).map { b =>
+        concat_ws(":", (lit(b) +: (0 until BandRows).map(r => col(s"s${b * BandRows + r}"))): _*)
+      }: _*)).as("band"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    jaccardPairs(spark, dir, candidates)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Brute-force oracle: exact Jaccard over all pairs (the LSH candidate
+    * step is a pure optimization — output sets must coincide).
+    */
+  val minhashLshSql: String =
+    s"""WITH $shingleCteSql
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       | round(len(list_intersect(a.hs, b.hs))::DOUBLE
+       |   / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.hs, b.hs))::DOUBLE
+       |   / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= $JaccardThreshold
+       |ORDER BY da, db""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // D4 — exact n-gram Jaccard pairs via the inverted index (no LSH, no
+  // false negatives): candidates = pairs sharing ≥ 1 shingle, which is a
+  // superset of any pair with J > 0. Same verified output as D2 but exact
+  // by construction.
+  // ---------------------------------------------------------------------
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = invertedIndex(spark, dir)
+    val candidates = ex.as("a")
+      .join(ex.as("b"), col("a.h") === col("b.h"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    jaccardPairs(spark, dir, candidates)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val ngramJaccardSql: String = minhashLshSql
+
+  // ---------------------------------------------------------------------
+  // D3 — SimHash near-dup pairs: 60-bit fingerprint per doc (custom
+  // codegen'd Catalyst expression), pairs at Hamming distance ≤ 3 found
+  // via 4-band pigeonhole (distance ≤ 3 ⇒ at least one 15-bit band equal —
+  // exact, not probabilistic). Verify step recomputes the true distance.
+  // ---------------------------------------------------------------------
+  val SimhashBands = 4
+  val SimhashBandBits = 15
+  val HammingMax = 3
+
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    docShingleHashes(spark, dir)
+      .select(col("doc_id"), simhash60(col("hs")).as("fp"))
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = simhashFingerprints(spark, dir)
+    val banded = fps.select(
+      col("doc_id"), col("fp"),
+      explode(array((0 until SimhashBands).map { b =>
+        concat_ws(":", lit(b),
+          shiftrightunsigned(col("fp"), b * SimhashBandBits) % (1L << SimhashBandBits))
+      }: _*)).as("band"))
+    banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Oracle: recompute the identical SimHash in SQL (bit votes over the
+    * distinct shingle-hash set), then brute-force Hamming.
+    */
+  val simhashPairsSql: String =
+    s"""WITH $shingleCteSql,
+       |votes AS (
+       | SELECT doc_id, j,
+       |  CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |   THEN 1::BIGINT << j ELSE 0 END AS bitv
+       | FROM (SELECT doc_id, unnest(hs) AS h FROM sh), range(60) r(j)
+       | GROUP BY doc_id, j),
+       |fps AS (SELECT doc_id, sum(bitv)::BIGINT AS fp FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       | bit_count(xor(a.fp::UBIGINT, b.fp::UBIGINT))::INT AS hamming
+       |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp::UBIGINT, b.fp::UBIGINT)) <= $HammingMax
+       |ORDER BY da, db""".stripMargin.replace('\n', ' ')
+
+  /** Registry of this module's catalogued queries. */
+  val all: Seq[Q] = Seq(
+    Q("d1_exact_dedup", exactDedup, Some(exactDedupSql),
+      "prefix-fingerprint exact dedup, hash-groupBy keep-first (training-data extension)"),
+    Q("d2_minhash_lsh", minhashLsh, Some(minhashLshSql),
+      "MinHash 32-sig / 16-band LSH near-dup pairs, exact-Jaccard verified (training-data extension)"),
+    Q("d3_simhash", simhashPairs, Some(simhashPairsSql),
+      "SimHash60 fingerprints, Hamming<=3 pairs via 4-band pigeonhole (training-data extension)"),
+    Q("d4_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql),
+      "exact 3-gram Jaccard pairs via inverted index (training-data extension)"))
+}

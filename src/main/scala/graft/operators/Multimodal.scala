@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Catalog
+
+/** Multimodal-column plumbing for training-data pipelines (builder prompt
+  * north-star): media as opaque `binary` columns + typed metadata, with
+  * decode / feature-extract / resize as partition-mapped batch functions.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB (parses our own synthetic header) —
+  * the Spark-side contract (schema, batching, partition mapping, metadata
+  * propagation) is real and oracle-checked. Swapping the stub for a JNI /
+  * external-process decoder changes no plan shape: `mapPartitions` is the
+  * Scala analogue of Python's `mapInPandas` batch contract.
+  */
+object Multimodal {
+
+  /** Synthetic "media" bytes derived from the documents fixture: a 16-byte
+    * header (magic, width, height, channels — all derived deterministically
+    * from doc_id) followed by the utf-8 text as payload. Stands in for a
+    * real image blob; the header mimics how PNG/JPEG carry dimensions.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir).select(
+      col("doc_id"),
+      col("source"),
+      // header: 'G','R', width16, height16, channels8, pad — then payload
+      concat(
+        lit(Array[Byte]('G', 'R')),
+        encode(lpad(conv((col("doc_id") % 64 + 16).cast("string"), 10, 16), 4, "0"), "utf-8"),
+        encode(lpad(conv((col("doc_id") % 48 + 16).cast("string"), 10, 16), 4, "0"), "utf-8"),
+        encode(col("text"), "utf-8")).as("media"))
+
+  /** Decoded-frame metadata schema — what a real decoder would emit. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("payload_bytes", IntegerType),
+    StructField("mean_byte", DoubleType)))
+
+  /** STUB decode kernel: parses the synthetic header and computes payload
+    * statistics. A real implementation would call an image codec here —
+    * everything around this function is production plumbing.
+    */
+  private def decodeStub(docId: Long, source: String, media: Array[Byte]): Row = {
+    def hex4(off: Int): Int =
+      Integer.parseInt(new String(media, off, 4, "UTF-8"), 16)
+    val width = hex4(2)
+    val height = hex4(6)
+    val payload = media.length - 10
+    var sum = 0L
+    var i = 10
+    while (i < media.length) { sum += media(i) & 0xff; i += 1 }
+    val mean = if (payload > 0) sum.toDouble / payload else 0.0
+    Row(docId, source, width, height, payload, mean)
+  }
+
+  /** Decode via mapPartitions: one decoder instance per partition (the
+    * expensive-initialization pattern for codec / model handles), rows
+    * streamed through without materializing the partition.
+    */
+  def decodeFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir)
+    val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(frameSchema)
+    val out = media.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map(r => decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    }(enc)
+    // round at the edge (HALF_UP in both engines), not in the kernel
+    out.withColumn("mean_byte", round(col("mean_byte"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the stub's arithmetic expressed in SQL over the same fixture —
+    * proves header encoding, payload accounting, and partition mapping
+    * produce exactly the declared metadata.
+    */
+  val decodeFramesSql: String =
+    """SELECT doc_id, source,
+      | (doc_id % 64 + 16)::INT AS width,
+      | (doc_id % 48 + 16)::INT AS height,
+      | octet_length(encode(text))::INT AS payload_bytes,
+      | round(list_aggregate([ascii(c) for c in split(text,'')], 'sum')::DOUBLE
+      |   / octet_length(encode(text)), 6) AS mean_byte
+      |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  /** "Resize" planning: bucket frames into target resolutions and count —
+    * the shuffle/partition shape of a real resize fan-out without codecs.
+    */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame =
+    decodeFrames(spark, dir)
+      .withColumn("target",
+        when(col("width") >= 64, lit("64x48"))
+          .when(col("width") >= 32, lit("32x24"))
+          .otherwise(lit("16x12")))
+      .groupBy(col("target"))
+      .agg(count(lit(1)).as("n_frames"),
+        round(avg(col("payload_bytes")), 6).as("avg_payload"))
+      .orderBy(col("target"))
+
+  val resizePlanSql: String =
+    """SELECT CASE WHEN width >= 64 THEN '64x48' WHEN width >= 32 THEN '32x24' ELSE '16x12' END AS target,
+      | count(*) AS n_frames, round(avg(payload_bytes), 6) AS avg_payload
+      |FROM (SELECT (doc_id % 64 + 16)::INT AS width, octet_length(encode(text))::INT AS payload_bytes FROM documents) t
+      |GROUP BY 1 ORDER BY target""".stripMargin.replace('\n', ' ')
+
+  val all: Seq[Q] = Seq(
+    Q("m1_decode_frames", decodeFrames, Some(decodeFramesSql),
+      "binary media decode via mapPartitions, stub kernel, real plumbing (training-data extension)"),
+    Q("m2_resize_plan", resizePlan, Some(resizePlanSql),
+      "resize bucketing fan-out over decoded metadata (training-data extension)"))
+}

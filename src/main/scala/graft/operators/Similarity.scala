@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Catalog
+import graft.expressions.VectorFunctions.{cosine_sim, dot_product}
+
+/** Similarity search over the `embeddings` fixture (builder prompt
+  * north-star): brute-force cosine top-k as the exactness baseline, a
+  * random-hyperplane LSH bucketing as the 100 TB scale path, and exact
+  * high-cosine pair mining.
+  *
+  * The cosine kernel is a custom codegen'd Catalyst expression
+  * ([[graft.expressions.CosineSimilarity]]) — the whole scoring loop stays
+  * inside WholeStageCodegen instead of interpreted higher-order functions.
+  */
+object Similarity {
+
+  val TopK = 10
+  val NQueries = 5
+  val PairThreshold = 0.4
+
+  // ---------------------------------------------------------------------
+  // N1 — brute-force ANN: the NQueries lowest vec_ids are the query set;
+  // each scores against every other vector (broadcast queries × scan — one
+  // pass over the corpus, no shuffle until the per-query top-k), top-10 by
+  // cosine. Ties break on candidate id; scores rounded to 6 dp so both
+  // engines rank identically.
+  // ---------------------------------------------------------------------
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.embeddings(spark, dir)
+    val queries = broadcast(
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.join(queries, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("embedding")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annBruteForceSql: String =
+    s"""SELECT query_id, vec_id, cosine, rank FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rank
+       | FROM embeddings q JOIN embeddings c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id) t
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // N2 — exact high-cosine pair mining (embedding near-dup dedup): all
+  // pairs with cosine ≥ 0.4. Block-nested self-join; the codegen'd kernel
+  // makes the O(n²/2) scoring CPU-bound rather than interpreter-bound.
+  // (The LSH path below is the subquadratic variant.)
+  // ---------------------------------------------------------------------
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(cosine_sim(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= PairThreshold)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val cosinePairsSql: String =
+    s"""SELECT va, vb, cosine FROM (
+       | SELECT a.vec_id AS va, b.vec_id AS vb,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+       | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+       |WHERE cosine >= $PairThreshold ORDER BY va, vb""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // N3 — LSH-bucketed ANN (the scale path): 32 deterministic pseudo-random
+  // hyperplanes grouped AND-OR style into 8 bands × 4 planes (the classic
+  // amplification construction); a vector is a candidate for a query iff
+  // any band signature matches. Approximate (recall pinned in the test
+  // suite against N1), so no SQL oracle — the driver records a rows-only
+  // check. At 100 TB each band join probes a 1/16th bucket on average
+  // instead of scanning the corpus.
+  // ---------------------------------------------------------------------
+  val LshPlanes = 32
+  val LshBands = 8
+  val PlanesPerBand: Int = LshPlanes / LshBands // 4 → 16 buckets per band
+  val Dim = 64
+
+  /** Deterministic hyperplane component p,d — an LCG over (p*Dim + d),
+    * centered to [-0.5, 0.5). Same arithmetic on every executor, no
+    * broadcast of random state needed.
+    */
+  private def planeComponent(p: Int, d: Int): Float = {
+    val x = (1103515245L * (p * Dim + d) + 12345L) & 0x7fffffffL
+    (x.toDouble / 0x80000000L.toDouble - 0.5).toFloat
+  }
+
+  private lazy val planes: Seq[Seq[Float]] =
+    (0 until LshPlanes).map(p => (0 until Dim).map(d => planeComponent(p, d)))
+
+  /** One row per (vector, band) with the band's bit-signature — the LSH
+    * index relation a 100 TB pipeline would persist, bucketed by band key.
+    */
+  def lshBands(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.embeddings(spark, dir)
+    val bandKeys = (0 until LshBands).map { b =>
+      val bits = (0 until PlanesPerBand).map { r =>
+        val plane = planes(b * PlanesPerBand + r)
+        when(dot_product(col("embedding"), typedLit(plane)) >= 0, 1L << r)
+          .otherwise(0L)
+      }
+      concat_ws(":", lit(b), bits.reduce(_ + _))
+    }
+    e.select(col("vec_id"), col("embedding"),
+      explode(array(bandKeys: _*)).as("band"))
+  }
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(spark, dir)
+    val queriesDf = broadcast(
+      lshBands(spark, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("band")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    bands.join(queriesDf,
+        bands("band") === queriesDf("band") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("embedding"))
+      .distinct() // a pair may collide in several bands
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("embedding")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Registry of this module's catalogued queries. */
+  val all: Seq[Q] = Seq(
+    Q("n1_ann_brute", annBruteForce, Some(annBruteForceSql),
+      "brute-force cosine top-k, codegen'd kernel (training-data extension)"),
+    Q("n2_cosine_pairs", cosinePairs, Some(cosinePairsSql),
+      "exact high-cosine pair mining (training-data extension)"),
+    Q("n3_ann_lsh", annLsh, None,
+      "random-hyperplane LSH bucketed ANN, approximate — recall tested vs n1 (training-data extension)"))
+}

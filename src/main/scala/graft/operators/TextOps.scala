@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Catalog
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder prompt north-star; not present in the reference, which has no
+  * text processing — these extend the engine over the `documents` fixture).
+  *
+  * All functions are pure column expressions (whole-stage codegen'd, no
+  * UDFs) so they stream through a 100 TB corpus with zero shuffle — the
+  * only shuffles below are the final ORDER BYs for oracle determinism.
+  */
+object TextOps {
+
+  /** Lower-cased whitespace tokens — the shared tokenization all text and
+    * dedup operators agree on (DuckDB mirror: string_split_regex(lower(text),'\s+')).
+    */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word k-shingles as strings ("w1 w2 w3") — the unit of near-dup
+    * detection. Empty when the document has fewer than k tokens.
+    */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** 60-bit content hash shared bit-for-bit with the DuckDB oracle:
+    * first 15 hex chars of md5 → BIGINT. 60 bits keeps every value positive
+    * in both engines' signed 64-bit space.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[hash60]]. */
+  def hash60Sql(s: String): String =
+    s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+
+  // ---------------------------------------------------------------------
+  // X1 — token counting: whitespace tokens + a BPE-ish subword regex count
+  // (letters runs / digit runs / single punctuation, the pre-tokenizer
+  // shape of GPT-style BPE vocabularies).
+  // ---------------------------------------------------------------------
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_measured"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id, length(text) AS n_chars_measured,
+       | len(string_split_regex(lower(trim(text)), '\\s+')) AS n_ws_tokens,
+       | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // X2 — quality scoring: length, punctuation density, stopword ratio,
+  // mean word length — the standard cheap pre-filter for web corpora
+  // (C4/Gopher-style rules). Flags are config, mirroring how the
+  // reference treats alert thresholds as config (SURVEY.md §6).
+  // ---------------------------------------------------------------------
+  private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
+    Catalog.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(stopHits.cast("double") / nTok.cast("double"), 6).as("stopword_ratio"),
+        round(punct.cast("double") / length(col("text")).cast("double"), 6).as("punct_ratio"),
+        round(length(col("text")).cast("double") / nTok.cast("double"), 6).as("mean_token_len"),
+        (nTok >= 20 && nTok <= 100000).as("len_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoresSql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       | len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+       | round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN ($stopList)))::DOUBLE
+       |   / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stopword_ratio,
+       | round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |   / length(text), 6) AS punct_ratio,
+       | round(length(text)::DOUBLE / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS mean_token_len,
+       | len(string_split_regex(lower(trim(text)), '\\s+')) BETWEEN 20 AND 100000 AS len_ok
+       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
+  // X3 — language identification: marker-stopword scoring, the classic
+  // n-gram-free heuristic (argmax of per-language marker hits; ties break
+  // to the alphabetically-first language, 'und' when nothing matches).
+  // Declared as one deterministic expression tree in both engines.
+  // ---------------------------------------------------------------------
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    }
+    // argmax by (score desc, lang asc): fold over languages in order keeps
+    // the first language on ties; 'und' when the best score is 0.
+    val (bestLang, bestScore) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) {
+      case ((accLang, accScore), (lang, score)) =>
+        (when(score > accScore, lit(lang)).otherwise(accLang),
+          when(score > accScore, score).otherwise(accScore))
+    }
+    Catalog.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        when(bestScore > 0, bestLang).otherwise(lit("und")).as("detected_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val scoreExprs = LangMarkers.map { case (lang, markers) =>
+      val lst = markers.map(m => s"'$m'").mkString(", ")
+      lang -> s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN ($lst)))"
+    }
+    // same fold shape as the Spark side: strict > keeps earlier lang on ties
+    val caseExpr = scoreExprs.tail.foldLeft(
+      (s"'${scoreExprs.head._1}'", scoreExprs.head._2)) {
+      case ((accLang, accScore), (lang, score)) =>
+        (s"CASE WHEN $score > $accScore THEN '$lang' ELSE $accLang END",
+          s"greatest($score, $accScore)")
+    }
+    s"""SELECT doc_id, lang AS labeled_lang,
+       | CASE WHEN ${caseExpr._2} > 0 THEN ${caseExpr._1} ELSE 'und' END AS detected_lang
+       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
+  // X4 — document fingerprinting: full-content hash + prefix hash (the
+  // cheap URL/boilerplate-dedup key). hash60 keeps fingerprints joinable
+  // as BIGINT at 100 TB (no string shuffles).
+  // ---------------------------------------------------------------------
+  private def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        hash60(norm(col("text"))).as("content_fp"),
+        hash60(substring(norm(col("text")), 1, 50)).as("prefix50_fp"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintsSql: String = {
+    val n = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    s"""SELECT doc_id,
+       | ${hash60Sql(n)} AS content_fp,
+       | ${hash60Sql(s"substr($n, 1, 50)")} AS prefix50_fp
+       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Registry of this module's catalogued queries. */
+  val all: Seq[Q] = Seq(
+    Q("x1_token_count", tokenCounts, Some(tokenCountsSql),
+      "whitespace + BPE-ish token counting (training-data extension)"),
+    Q("x2_quality_score", qualityScores, Some(qualityScoresSql),
+      "C4/Gopher-style quality signals (training-data extension)"),
+    Q("x3_lang_id", langId, Some(langIdSql),
+      "marker-stopword language ID (training-data extension)"),
+    Q("x4_fingerprint", fingerprints, Some(fingerprintsSql),
+      "content + prefix fingerprints via shared 60-bit md5 hash (training-data extension)"))
+}

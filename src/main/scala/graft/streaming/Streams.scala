@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface (SURVEY.md §2.9): micro-batch ingest of the
+  * metric stream honoring the reference's <1 s logging-latency claim
+  * (report §4.4.1 via BASELINE.md), and streaming variants of the windowed
+  * operators with explicit late-data semantics the reference never defined
+  * (arrival order, silently dropping unmatched rows — we watermark instead).
+  */
+object Streams {
+
+  /** The events/metric record schema (FIXTURES.md §1). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val ValidEventTypes: Seq[String] = Seq("click", "view", "signup", "purchase", "error")
+
+  /** Ingest validation — the CHECK constraint of the reference's
+    * `user_roles` DDL (myapp/db_helpers.py:7-12) generalized to the write
+    * path: rows violating the domain are dropped before the sink.
+    */
+  def validate(df: DataFrame): DataFrame =
+    df.filter(col("event_id").isNotNull && col("ts").isNotNull &&
+      col("event_type").isin(ValidEventTypes.map(lit(_)): _*))
+
+  /** File-source ingest: watch a directory of JSON lines, validate, append
+    * to a parquet table with a 1-second micro-batch trigger (BASELINE.md
+    * ingest-latency target).
+    */
+  def ingest(spark: SparkSession, srcDir: String, sinkDir: String,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    val raw = spark.readStream
+      .schema(eventSchema)
+      .json(srcDir)
+    validate(raw).writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .outputMode("append")
+  }
+
+  /** Streaming W2 — 5-minute decimation with a 10-minute watermark: the
+    * latest event per tumbling window, emitted once the window closes.
+    * Late rows beyond the watermark are dropped — the explicit version of
+    * the reference's "late data is ignored" minute-join semantics
+    * (SURVEY.md §2.9).
+    */
+  def streamingDecimate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(
+        max_by(
+          struct(col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("latest"),
+        count(lit(1)).as("n_in_bucket"))
+      .select(
+        col("w.start").as("bucket"),
+        col("latest.event_id").as("event_id"),
+        col("latest.event_type").as("event_type"),
+        col("latest.value").as("value"),
+        col("n_in_bucket"))
+
+  /** Streaming gauges (A1/A2-style always-on aggregates, complete mode). */
+  def streamingGauges(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+}
+
+/** S5 — CSV export sink (reference template JS CSV builders,
+  * index.html:338-371 et al. — server-side here).
+  */
+object Sinks {
+  def csvExport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write
+      .option("header", "true")
+      .mode("overwrite")
+      .csv(path)
+}

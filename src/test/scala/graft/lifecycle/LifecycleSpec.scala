@@ -1,0 +1,80 @@
+package graft.lifecycle
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, SparkSuite}
+
+/** Write-path invariants (SURVEY.md §2.1 S7-S16, §7.4 idempotence). */
+class LifecycleSpec extends SparkSuite {
+
+  private def scratchEvents(): String = {
+    val d = Files.createTempDirectory("graft_lct_").toString + "/events"
+    Catalog.events(spark, sfDir).write.parquet(d)
+    d
+  }
+
+  test("upsert is idempotent and inserts only fresh keys") {
+    implicit val s: SparkSession = spark
+    val path = scratchEvents()
+    val before = spark.read.parquet(path).count()
+    val delta = Catalog.events(spark, sfDir).limit(10) // all conflicting
+    Lifecycle.upsert(path, delta, Seq("event_id"))
+    assert(spark.read.parquet(path).count() == before, "conflicting rows inserted")
+    val fresh = delta.withColumn("event_id", col("event_id") + 5000000L)
+    Lifecycle.upsert(path, fresh, Seq("event_id"))
+    Lifecycle.upsert(path, fresh, Seq("event_id")) // again: no-op
+    assert(spark.read.parquet(path).count() == before + 10)
+  }
+
+  test("delete removes exactly the matching rows") {
+    implicit val s: SparkSession = spark
+    val path = scratchEvents()
+    val clicks = spark.read.parquet(path)
+      .filter(col("event_type") === "click").count()
+    val total = spark.read.parquet(path).count()
+    Lifecycle.delete(path, col("event_type") === "click")
+    val after = spark.read.parquet(path)
+    assert(after.count() == total - clicks)
+    assert(after.filter(col("event_type") === "click").count() == 0)
+  }
+
+  test("update rewrites only matching rows, schema unchanged") {
+    implicit val s: SparkSession = spark
+    val path = scratchEvents()
+    val schemaBefore = spark.read.parquet(path).schema
+    Lifecycle.update(path, "value", lit(-1.0), col("event_type") === "error")
+    val after = spark.read.parquet(path)
+    assert(after.schema == schemaBefore)
+    assert(after.filter(col("event_type") === "error" && col("value") =!= -1.0).count() == 0)
+    assert(after.filter(col("event_type") =!= "error" && col("value") === -1.0).count() == 0)
+  }
+
+  test("archive → restore round-trip preserves content; truncate empties") {
+    implicit val s: SparkSession = spark
+    val live = scratchEvents()
+    val arch = live.stripSuffix("events") + "events_archive"
+    val before = spark.read.parquet(live).orderBy("event_id").collect()
+    Lifecycle.archive(live, arch, Catalog.AsOf)
+    assert(spark.read.parquet(live).count() == 0, "live not truncated")
+    assert(spark.read.parquet(arch).columns.contains("archive_ts"))
+    Lifecycle.restoreOlderThan(live, arch, "2024-03-01 00:00:00")
+    val after = spark.read.parquet(live).orderBy("event_id").collect()
+    assert(after.sameElements(before))
+  }
+
+  test("compaction preserves content and reduces file count") {
+    implicit val s: SparkSession = spark
+    val path = scratchEvents()
+    // fragment: rewrite as many files
+    Lifecycle.compact(path, 16)
+    val frag = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    val content = spark.read.parquet(path).orderBy("event_id").collect()
+    Lifecycle.compact(path, 2)
+    val files = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files < frag && files <= 2)
+    assert(spark.read.parquet(path).orderBy("event_id").collect().sameElements(content))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Invariants for the training-data extension operators (dedup families +
+  * similarity search) beyond the DuckDB oracle gate.
+  */
+class DedupSimilaritySpec extends SparkSuite {
+
+  test("d2 MinHash-LSH output equals exact d4 inverted-index output") {
+    // LSH is a candidate pruner; after the exact-Jaccard verify step the
+    // two pipelines must agree (recall 1.0 on the fixture's J>=0.88 pairs).
+    val lsh = Dedup.minhashLsh(spark, sfDir).collect().toSeq
+    val exact = Dedup.ngramJaccard(spark, sfDir).collect().toSeq
+    assert(lsh == exact)
+  }
+
+  test("d1 exact dedup keeps the minimum doc_id per fingerprint") {
+    val out = Dedup.exactDedup(spark, sfDir)
+    assert(out.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+    val total = graft.Catalog.documents(spark, sfDir).count()
+    assert(out.count() <= total && out.count() > 0)
+  }
+
+  test("d3 simhash pairs all within Hamming bound; fingerprints are 60-bit") {
+    val fps = Dedup.simhashFingerprints(spark, sfDir)
+    assert(fps.filter(col("fp") < 0 || col("fp") >= (1L << 60)).count() == 0)
+    val pairs = Dedup.simhashPairs(spark, sfDir).collect()
+    assert(pairs.forall(_.getInt(2) <= Dedup.HammingMax))
+  }
+
+  test("d2/d4 report true Jaccard >= threshold") {
+    Dedup.ngramJaccard(spark, sfDir).collect().foreach { r =>
+      assert(r.getDouble(2) >= Dedup.JaccardThreshold)
+    }
+  }
+
+  test("n1 brute-force ANN: k rows per query, descending cosine") {
+    val rows = Similarity.annBruteForce(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    assert(rows.size == Similarity.NQueries)
+    rows.foreach { case (_, rs) =>
+      assert(rs.length == Similarity.TopK)
+      val cosines = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("n3 LSH ANN is a true-positive subset with pinned recall (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.annBruteForce(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lsh = Similarity.annLsh(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, ids) =>
+      lsh.get(q).map(c => (ids & c).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // deterministic planes + deterministic fixture → exact value is stable;
+    // measured 0.64 mean recall, assert a safety floor
+    assert(mean >= 0.5, s"mean recall $mean")
+  }
+
+  test("x4 fingerprints are stable across runs and within 60 bits") {
+    val a = TextOps.fingerprints(spark, sfDir).collect()
+    val b = TextOps.fingerprints(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 60)))
+  }
+}

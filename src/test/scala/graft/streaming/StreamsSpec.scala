@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Structured Streaming semantics (SURVEY.md §2.9): micro-batch ingest with
+  * validation, windowed decimation with watermark late-row dropping.
+  */
+class StreamsSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  test("streaming decimation emits latest-per-5min-bucket, drops late rows") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val out = Streams.streamingDecimate(mem.toDF())
+    val q = out.writeStream.format("memory")
+      .queryName("decimate_test").outputMode("append").start()
+    try {
+      // batch 1: two buckets
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0, null),
+        Ev(2, ts("2024-01-01 00:03:00"), 1, "view", 2.0, null),
+        Ev(3, ts("2024-01-01 00:07:00"), 2, "click", 3.0, null))
+      q.processAllAvailable()
+      // batch 2: advance watermark far past both buckets → they finalize
+      mem.addData(Ev(9, ts("2024-01-01 01:00:00"), 3, "click", 9.0, null))
+      q.processAllAvailable()
+      val rows = spark.table("decimate_test")
+        .select("bucket", "event_id", "n_in_bucket").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", 2L, 2L),   // latest of bucket 00:00
+        ("2024-01-01 00:05:00.0", 3L, 1L)))  // latest of bucket 00:05
+      // batch 3: a row 55+ min late — behind the watermark, must be dropped
+      mem.addData(Ev(4, ts("2024-01-01 00:02:00"), 1, "purchase", 4.0, null))
+      mem.addData(Ev(10, ts("2024-01-01 01:10:00"), 3, "click", 1.0, null))
+      q.processAllAvailable()
+      val after = spark.table("decimate_test")
+        .filter(col("bucket") === "2024-01-01 00:00:00").collect()
+      assert(after.length == 1 && after.head.getAs[Long]("event_id") == 2L,
+        "late row re-opened a finalized bucket")
+    } finally q.stop()
+  }
+
+  test("ingest validation drops malformed and out-of-domain rows") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val q = Streams.validate(mem.toDF()).writeStream.format("memory")
+      .queryName("validate_test").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0, null),
+        Ev(2, ts("2024-01-01 00:00:01"), 1, "teleport", 1.0, null), // bad type
+        Ev(3, null, 1, "view", 1.0, null))                          // null ts
+      q.processAllAvailable()
+      val ids = spark.table("validate_test").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L))
+    } finally q.stop()
+  }
+
+  test("file-source ingest appends to parquet with 1s micro-batches") {
+    val root = Files.createTempDirectory("graft_stream_").toString
+    val src = s"$root/src"; val sink = s"$root/sink"; val chk = s"$root/chk"
+    new java.io.File(src).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$src/a.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:00:00.000Z","user_id":7,"event_type":"click","value":1.5,"props":null}
+        |{"event_id":2,"ts":"2024-01-01T00:00:01.000Z","user_id":8,"event_type":"bogus","value":2.5,"props":null}
+        |""".stripMargin)
+    val q = Streams.ingest(spark, src, sink, chk).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.read.parquet(sink).collect()
+    assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(1L))
+    assert(rows.head.getAs[Long]("user_id") == 7L)
+  }
+
+  test("CSV sink exports header + rows") {
+    val dir = Files.createTempDirectory("graft_csv_").toString + "/out"
+    Sinks.csvExport(graft.Catalog.nation(spark, sfDir), dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1, "expected a single coalesced csv")
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines.head.startsWith("n_nationkey"))
+    assert(lines.length > 1)
+  }
+}
