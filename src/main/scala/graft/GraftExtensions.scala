@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions._
+
+/** Session-extension entry point: registers every custom Catalyst
+  * expression as a SQL function, so `spark.sql("SELECT size_pretty(b) …")`
+  * works cluster-wide via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * For sessions created without the conf (tests, notebooks), call
+  * [[GraftExtensions.registerAll]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.1.2", "", "scala_udf")
+
+  private def one(f: Expression => Expression): Seq[Expression] => Expression =
+    es => f(es.head)
+
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("size_pretty", info("size_pretty",
+      "size_pretty(bytes) - human-readable 1024-based size"),
+      one(SizePretty)),
+    ("format_duration", info("format_duration",
+      "format_duration(seconds) - H:MM:SS rendering"),
+      one(FormatDuration)),
+    ("simhash60", info("simhash60",
+      "simhash60(array<bigint>) - 60-bit SimHash of feature hashes"),
+      one(SimHash60)),
+    ("shingle_hash60", info("shingle_hash60",
+      "shingle_hash60(text[, k]) - distinct 60-bit k-word-shingle hashes"),
+      es => es match {
+        case Seq(text) => ShingleHash60(text, 3)
+        case Seq(text, k) => ShingleHash60(text,
+          k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "shingle_hash60 expects (text) or (text, k)")
+      }),
+    ("cosine_sim", info("cosine_sim",
+      "cosine_sim(array<float>, array<float>) - cosine similarity"),
+      es => CosineSimilarity(es(0), es(1))),
+    ("dot_product", info("dot_product",
+      "dot_product(array<float>, array<float>) - dot product"),
+      es => DotProduct(es(0), es(1))))
+
+  /** Imperative registration for an existing session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    definitions.foreach { case (name, i, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      val _ = i
+    }
+  }
+}

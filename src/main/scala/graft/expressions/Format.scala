@@ -17,6 +17,13 @@ import org.apache.spark.sql.graftshim.Shims
 object Fmt {
   private val units = Array("B", "KB", "MB", "GB", "TB", "PB", "EB")
 
+  /** Integral input types the formatting expressions accept (generated
+    * Java widens them to long at the static call site).
+    */
+  val integralTypes: Set[DataType] = Set[DataType](
+    org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType, LongType)
+
   /** Human-readable byte size, 1024-based, one decimal above bytes.
     * Mirrors the intent of PostgreSQL's `pg_size_pretty` used by the
     * reference's storage queries (reference `myapp/views.py:427-428,464`);
@@ -55,12 +62,12 @@ object Fmt {
 case class SizePretty(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    if (Fmt.integralTypes(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires BIGINT input, got ${child.dataType.catalogString}")
+      s"$prettyName requires an integral input, got ${child.dataType.catalogString}")
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    Fmt.sizePretty(input.asInstanceOf[Long])
+    Fmt.sizePretty(input.asInstanceOf[Number].longValue())
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.Fmt.sizePretty($c)")
   override protected def withNewChildInternal(newChild: Expression): SizePretty =
@@ -74,12 +81,12 @@ case class SizePretty(child: Expression) extends UnaryExpression {
 case class FormatDuration(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    if (Fmt.integralTypes(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires BIGINT input, got ${child.dataType.catalogString}")
+      s"$prettyName requires an integral input, got ${child.dataType.catalogString}")
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    Fmt.formatDuration(input.asInstanceOf[Long])
+    Fmt.formatDuration(input.asInstanceOf[Number].longValue())
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.Fmt.formatDuration($c)")
   override protected def withNewChildInternal(newChild: Expression): FormatDuration =

@@ -49,6 +49,40 @@ object Hash {
     ArrayData.toArrayData(out)
   }
 
+  /** Marker-stopword language scoring in one tokenization pass — the
+    * kernel behind [[graft.operators.TextOps.langId]]. Languages are scored
+    * by marker hits over whitespace tokens; argmax with earlier-language-
+    * wins tie-breaking (the exact fold the SQL oracle mirrors); "und" when
+    * no marker hits. The interpreted expression-tree variant re-splits the
+    * text once per language per reference — O(langs × text) regex work.
+    */
+  def langId(text: UTF8String, langs: Array[String],
+      markers: Array[Array[String]]): UTF8String = {
+    val toks = Ws.split(text.trim().toLowerCase().toString)
+    val scores = new Array[Int](langs.length)
+    var t = 0
+    while (t < toks.length) {
+      var l = 0
+      while (l < langs.length) {
+        val ms = markers(l)
+        var m = 0
+        while (m < ms.length) {
+          if (ms(m) == toks(t)) { scores(l) += 1; m = ms.length }
+          else m += 1
+        }
+        l += 1
+      }
+      t += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < langs.length) {
+      if (scores(l) > scores(best)) best = l
+      l += 1
+    }
+    UTF8String.fromString(if (scores(best) > 0) langs(best) else "und")
+  }
+
   /** First 60 bits of md5(utf8(s)) — first 15 hex chars as a BIGINT. */
   def md5Prefix60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -128,8 +162,37 @@ case class ShingleHash60(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hash60"
 }
 
+/** `lang_id(text): string` — marker-stopword language identification in a
+  * single codegen'd pass (see [[Hash.langId]]). The marker table is bound
+  * at construction and referenced from generated code.
+  */
+case class LangIdExpr(child: Expression, langs: Seq[String],
+    markers: Seq[Seq[String]]) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  @transient private lazy val langsArr = langs.toArray
+  @transient private lazy val markersArr = markers.map(_.toArray).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    Hash.langId(input.asInstanceOf[UTF8String], langsArr, markersArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val langsRef = ctx.addReferenceObj("langs", langsArr, "java.lang.String[]")
+    val markersRef = ctx.addReferenceObj("markers", markersArr, "java.lang.String[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Hash.langId($c, $langsRef, $markersRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id"
+}
+
 object HashFunctions {
   def simhash60(c: Column): Column = Shims.column(SimHash60(Shims.expression(c)))
   def shingle_hash60(c: Column, k: Int): Column =
     Shims.column(ShingleHash60(Shims.expression(c), k))
+  def lang_id(c: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
+    Shims.column(LangIdExpr(Shims.expression(c), langs, markers))
 }

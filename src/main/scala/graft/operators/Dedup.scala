@@ -43,20 +43,39 @@ object Dedup {
     docShingleHashes(spark, dir)
       .select(col("doc_id"), explode(col("hs")).as("h"))
 
-  /** Exact pairwise shingle-Jaccard for candidate pairs, computed from the
-    * inverted index: |A∩B| via a groupBy on the (da, db) join, set sizes
-    * joined in (broadcast at the candidate scale). No cross join anywhere.
+  /** Exact shingle-Jaccard for an explicit candidate-pair set: the (small)
+    * candidate relation re-joins the per-doc hash arrays on both sides and
+    * intersects them in place — no second pass over the inverted index.
     */
-  private def jaccardPairs(
+  private def jaccardForCandidates(
       spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
+    val hs = docShingleHashes(spark, dir)
+    candidates
+      .join(hs.select(col("doc_id").as("da"), col("hs").as("hsa")), "da")
+      .join(hs.select(col("doc_id").as("db"), col("hs").as("hsb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("hsa"), col("hsb"))).as("inter"),
+        size(col("hsa")).as("na"), size(col("hsb")).as("nb"))
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** Exact pairwise shingle-Jaccard for every co-shingle pair, straight off
+    * the inverted index: |A∩B| is the (da, db) group count of the
+    * shingle-equality self-join, set sizes joined in afterwards. One
+    * shuffle join + one aggregation — the at-scale shape (no candidate
+    * set needed: sharing ≥1 shingle IS the candidate condition).
+    */
+  private def jaccardAllCoShinglePairs(
+      spark: SparkSession, dir: String): DataFrame = {
     val sizes = docShingleHashes(spark, dir)
       .select(col("doc_id"), size(col("hs")).as("n"))
-    val inter = invertedIndex(spark, dir).as("a")
-      .join(invertedIndex(spark, dir).as("b"), col("a.h") === col("b.h"))
+    val ex = invertedIndex(spark, dir)
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.h") === col("b.h"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .join(candidates, Seq("da", "db"), "left_semi")
-      .groupBy(col("da"), col("db"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
@@ -129,7 +148,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    jaccardPairs(spark, dir, candidates)
+    jaccardForCandidates(spark, dir, candidates)
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("da"), col("db"))
   }
@@ -153,17 +172,10 @@ object Dedup {
   // superset of any pair with J > 0. Same verified output as D2 but exact
   // by construction.
   // ---------------------------------------------------------------------
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex = invertedIndex(spark, dir)
-    val candidates = ex.as("a")
-      .join(ex.as("b"), col("a.h") === col("b.h"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    jaccardPairs(spark, dir, candidates)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardAllCoShinglePairs(spark, dir)
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("da"), col("db"))
-  }
 
   val ngramJaccardSql: String = minhashLshSql
 

@@ -300,17 +300,20 @@ object Monitoring {
   // ---------------------------------------------------------------------
   // W3 — latest row per key (reference myapp/views.py:585-614,667-671:
   // ORDER BY id DESC LIMIT 1 per table, generalized per-key so it scales
-  // without a global sort).
+  // without a global sort). Implemented as a max_by aggregate rather than a
+  // row_number window: partial aggregation combines map-side, so the
+  // shuffle moves one row per (partition, key) instead of the whole table
+  // — the rewrite SURVEY.md §4 item 3 calls out.
   // ---------------------------------------------------------------------
-  def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame =
     Catalog.events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("latest"))
+      .select(col("user_id"), col("latest.event_id"),
+        col("latest.event_type"), col("latest.value"))
       .orderBy(col("user_id"))
-  }
 
   val latestPerUserSql: String =
     """SELECT user_id, event_id, event_type, value FROM (

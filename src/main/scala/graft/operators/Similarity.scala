@@ -129,11 +129,20 @@ object Similarity {
           col("band")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    bands.join(queriesDf,
+    // distinct over bare id pairs (a pair may collide in several bands) —
+    // the embedding arrays are re-attached afterwards so the dedup shuffle
+    // moves 16 bytes per pair, not 2×64 floats
+    val pairs = bands.join(queriesDf,
         bands("band") === queriesDf("band") &&
           col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("embedding"))
-      .distinct() // a pair may collide in several bands
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val e = Catalog.embeddings(spark, dir)
+    pairs
+      .join(broadcast(e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("query_id"), col("vec_id"),
         round(cosine_sim(col("qv"), col("embedding")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w))

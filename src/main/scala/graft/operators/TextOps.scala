@@ -113,26 +113,14 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est", "que"),
     "zh" -> Seq("的", "是", "了", "在", "我", "不"))
 
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
-    }
-    // argmax by (score desc, lang asc): fold over languages in order keeps
-    // the first language on ties; 'und' when the best score is 0.
-    val (bestLang, bestScore) = scores.tail.foldLeft(
-      (lit(scores.head._1), scores.head._2)) {
-      case ((accLang, accScore), (lang, score)) =>
-        (when(score > accScore, lit(lang)).otherwise(accLang),
-          when(score > accScore, score).otherwise(accScore))
-    }
+  def langId(spark: SparkSession, dir: String): DataFrame =
     Catalog.documents(spark, dir)
       .select(
         col("doc_id"),
         col("lang").as("labeled_lang"),
-        when(bestScore > 0, bestLang).otherwise(lit("und")).as("detected_lang"))
+        graft.expressions.HashFunctions.lang_id(col("text"),
+          LangMarkers.map(_._1), LangMarkers.map(_._2)).as("detected_lang"))
       .orderBy(col("doc_id"))
-  }
 
   val langIdSql: String = {
     val scoreExprs = LangMarkers.map { case (lang, markers) =>

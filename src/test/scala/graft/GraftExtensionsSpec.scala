@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration of the custom expressions. */
+class GraftExtensionsSpec extends SparkSuite {
+
+  test("custom expressions callable from SQL after registerAll") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT size_pretty(5368709120) AS sp,
+        |       format_duration(3661) AS fd,
+        |       simhash60(array(1L, 2L, 3L)) AS sh,
+        |       cosine_sim(array(float(1), float(0)), array(float(1), float(0))) AS cs,
+        |       dot_product(array(float(2), float(3)), array(float(4), float(5))) AS dp,
+        |       size(shingle_hash60('a b c d', 3)) AS ns
+        |""".stripMargin).head()
+    assert(r.getAs[String]("sp") == "5.0 GB")
+    assert(r.getAs[String]("fd") == "1:01:01")
+    assert(r.getAs[Double]("cs") == 1.0)
+    assert(r.getAs[Double]("dp") == 23.0)
+    assert(r.getAs[Int]("ns") == 2)
+  }
+
+  test("extensions class wires into a fresh session via spark.sql.extensions") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // newSession shares the extension-injected registry
+    val out = s2.sql("SELECT size_pretty(2048) AS s").head().getString(0)
+    assert(out == "2.0 KB")
+  }
+
+  test("shingle_hash60 SQL output matches the Scala column API") {
+    GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT shingle_hash60('the quick brown fox jumps') AS h").head()
+      .getSeq[Long](0)
+    val viaApi = {
+      import org.apache.spark.sql.functions._
+      spark.range(1).select(
+        expressions.HashFunctions.shingle_hash60(
+          lit("the quick brown fox jumps"), 3).as("h")).head().getSeq[Long](0)
+    }
+    assert(viaSql == viaApi && viaSql.length == 3)
+  }
+}
