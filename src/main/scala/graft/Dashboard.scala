@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Monitoring, Relational}
+
+/** Facade mirroring the reference's three dashboard entry points
+  * (SURVEY.md §3): each method assembles the DataFrames one HTTP view of
+  * the reference computes, so a caller of `views.index` /
+  * `views.index_resource` / `views.cpu_usage_grid`
+  * (reference myapp/views.py:380,756,826) finds the same payload here.
+  *
+  * All members are lazy plans — nothing executes until the serving layer
+  * collects; the ~20 sequential statements the reference issues per page
+  * load (views.py:394-681) become independent Spark jobs a server can run
+  * concurrently.
+  */
+object Dashboard {
+
+  /** `GET /index/` payload (reference myapp/views.py:380-748). */
+  case class IndexPayload(
+      slowQueries: DataFrame,
+      idleSessions: DataFrame,
+      blockedSessions: DataFrame,
+      activeUsers: DataFrame,
+      totalSessions: DataFrame,
+      connectionLoad: DataFrame,
+      cacheHitRatio: DataFrame,
+      transactionsPerSecond: DataFrame,
+      topResourceConsumers: DataFrame,
+      tableSizes: DataFrame,
+      backupDelta: DataFrame,
+      usersWithRoles: DataFrame)
+
+  def index(spark: SparkSession, dir: String): IndexPayload = IndexPayload(
+    slowQueries = Monitoring.slowQueries(spark, dir),
+    idleSessions = Monitoring.idleSessions(spark, dir),
+    blockedSessions = Monitoring.blockedSessions(spark, dir),
+    activeUsers = Monitoring.activeUsers(spark, dir),
+    totalSessions = Monitoring.totalSessions(spark, dir),
+    connectionLoad = Monitoring.connectionLoad(spark, dir),
+    cacheHitRatio = Monitoring.cacheHitRatio(spark, dir),
+    transactionsPerSecond = Monitoring.transactionsPerSecond(spark, dir),
+    topResourceConsumers = Monitoring.topResourceConsumers(spark, dir),
+    tableSizes = Monitoring.tableSizesPretty(spark, dir),
+    backupDelta = Monitoring.lagDelta(spark, dir),
+    usersWithRoles = Monitoring.usersWithRoles(spark, dir))
+
+  /** `GET /index_resource/` payload (reference myapp/views.py:756-823):
+    * trend scan + server-side decimation (the reference decimates in
+    * browser JS, index_resource.html:230-245) + correlation existence.
+    */
+  case class ResourcePayload(
+      trend: DataFrame,
+      decimated: DataFrame,
+      latestPerUser: DataFrame,
+      hasCorrelatedSamples: Boolean)
+
+  def indexResource(spark: SparkSession, dir: String): ResourcePayload = {
+    val correlated = Monitoring.minuteBucketJoin(spark, dir)
+    ResourcePayload(
+      trend = Catalog.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("event_id").desc).limit(50),
+      decimated = Monitoring.decimate(spark, dir),
+      latestPerUser = Monitoring.latestPerUser(spark, dir),
+      // the reference only checks bool(results) (views.py:793-805)
+      hasCorrelatedSamples = correlated.limit(1).count() > 0)
+  }
+
+  /** `GET /cpu_usage_grid/?…` payload (reference myapp/views.py:826-877):
+    * dynamic filters folded onto the scan + pagination.
+    */
+  def cpuUsageGrid(spark: SparkSession, dir: String,
+      filters: Seq[Column], page: Int = 0, pageSize: Int = 10): DataFrame =
+    Relational.gridQuery(filters, page, pageSize)(spark, dir)
+
+  /** Alert/threshold flags (reference myapp/views.py:622-637 vs the
+    * template constants — inconsistent layers, so thresholds are config;
+    * SURVEY.md §6). Appends boolean status columns to a metric row set.
+    */
+  case class Thresholds(
+      cpu: Double = 95, ram: Double = 90, cache: Double = 85,
+      disk: Double = 90, load1: Double = 10, load5: Double = 15)
+
+  def withStatusFlags(metrics: DataFrame, t: Thresholds = Thresholds()): DataFrame =
+    metrics
+      .withColumn("value_ok", col("value") < t.cpu)
+      .withColumn("gauge_band",
+        when(col("value") < 30, "red")
+          .when(col("value") < 70, "orange")
+          .otherwise("green"))
+}

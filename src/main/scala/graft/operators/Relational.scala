@@ -247,6 +247,43 @@ object Relational {
       |GROUP BY o_orderkey, o_orderdate
       |ORDER BY revenue DESC, order_key LIMIT 10""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // J5 — semi-join (reference myapp/views.py:161-164: correlated name
+  // lookup feeding INSERT…SELECT): customers with at least one urgent
+  // order — left_semi keeps the probe side only, no duplication, and the
+  // filtered build side broadcasts.
+  // ---------------------------------------------------------------------
+  def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.customer(spark, dir)
+    val o = Catalog.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(broadcast(o), c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customersWithUrgentOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // S3/S4 — parameterized point lookup (reference myapp/views.py:80-81:
+  // SELECT id FROM auth_user WHERE id = %s). The predicate reaches the
+  // parquet scan as an EqualTo pushed filter — row-group pruning at scale.
+  // ---------------------------------------------------------------------
+  def pointLookup(key: Long)(spark: SparkSession, dir: String): DataFrame =
+    Catalog.customer(spark, dir)
+      .filter(col("c_custkey") === lit(key))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  def pointLookup42(spark: SparkSession, dir: String): DataFrame =
+    pointLookup(42L)(spark, dir)
+
+  val pointLookup42Sql: String =
+    "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42"
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("j6_anti_join", customersWithoutOrders, Some(customersWithoutOrdersSql),
@@ -268,5 +305,9 @@ object Relational {
     Q("g1_pricing_summary", pricingSummary, Some(pricingSummarySql),
       "grouped multi-aggregate, map-side partial (SURVEY §2.4 grouped extension)"),
     Q("g2_segment_revenue", segmentRevenue, Some(segmentRevenueSql),
-      "broadcast-filtered join + grouped agg + top-k (SURVEY §2.4 grouped extension)"))
+      "broadcast-filtered join + grouped agg + top-k (SURVEY §2.4 grouped extension)"),
+    Q("j5_semi_join", customersWithUrgentOrders, Some(customersWithUrgentOrdersSql),
+      "broadcast left-semi join (views.py:161-164)"),
+    Q("s3_point_lookup", pointLookup42, Some(pointLookup42Sql),
+      "parameterized point lookup, pushed EqualTo filter (views.py:80-81)"))
 }
