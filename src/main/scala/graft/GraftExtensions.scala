@@ -16,10 +16,12 @@ import graft.expressions._
   * [[GraftExtensions.registerAll]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.LatestPerKeyRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -18,6 +18,9 @@ object SparkSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // static conf — must be set on the FIRST session of the JVM; also
+      // proves the injected rule/functions coexist with every other spec
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
