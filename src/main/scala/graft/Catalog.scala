@@ -58,6 +58,21 @@ object Catalog {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Write a time-series table date-partitioned (`dt=YYYY-MM-DD/` dirs) —
+    * the 100 TB layout for the metric/event family (SURVEY.md §4
+    * partitioning plan): every time-range predicate prunes whole partition
+    * directories before any IO, and per-day rewrites (retention, S15) stay
+    * local to one partition.
+    */
+  def writePartitionedByDate(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("dt", to_date(col(tsCol)))
+      .repartition(col("dt")) // one shuffle → one writer wave per day
+      .write.partitionBy("dt").mode("overwrite").parquet(path)
+
+  /** Read a date-partitioned table; `dt` filters prune partitions. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Pinned "now" for every time-relative predicate.
     *
     * The reference's activity queries all depend on `now()` (reference

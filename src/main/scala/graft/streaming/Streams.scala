@@ -77,6 +77,32 @@ object Streams {
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** Streaming J4 — the minute-bucket correlation join (reference
+    * myapp/views.py:793-799) as a stream-stream inner join: errors and
+    * purchases correlate when their minute buckets coincide. Both sides
+    * carry a 10-minute watermark plus a bucket-equality + time-range
+    * condition, so state for a minute bucket is dropped once the watermark
+    * passes — the bounded-state version of the reference's "late data is
+    * silently ignored" semantics (SURVEY.md §2.9).
+    */
+  def streamingMinuteJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts").as("err_ts"),
+        date_trunc("minute", col("ts")).as("err_minute"),
+        col("user_id").as("err_user"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts").as("buy_ts"),
+        date_trunc("minute", col("ts")).as("buy_minute"),
+        col("user_id").as("buy_user"))
+    e.join(p,
+      col("err_minute") === col("buy_minute") &&
+        col("buy_ts") >= col("err_ts") - expr("INTERVAL 1 MINUTE") &&
+        col("buy_ts") <= col("err_ts") + expr("INTERVAL 1 MINUTE"))
+      .select(col("err_minute").as("minute"), col("err_user"), col("buy_user"))
+  }
 }
 
 /** S5 — CSV export sink (reference template JS CSV builders,

@@ -83,6 +83,26 @@ class StreamsSpec extends SparkSuite {
     assert(rows.head.getAs[Long]("user_id") == 7L)
   }
 
+  test("stream-stream minute join correlates events in the same bucket") {
+    import spark.implicits._
+    val errs = MemoryStream[Ev](spark)
+    val buys = MemoryStream[Ev](spark)
+    val out = Streams.streamingMinuteJoin(errs.toDF(), buys.toDF())
+    val q = out.writeStream.format("memory")
+      .queryName("minute_join_test").outputMode("append").start()
+    try {
+      errs.addData(Ev(1, ts("2024-01-01 00:05:10"), 11, "error", 1.0, null))
+      buys.addData(
+        Ev(2, ts("2024-01-01 00:05:40"), 22, "purchase", 2.0, null), // same minute
+        Ev(3, ts("2024-01-01 00:06:40"), 33, "purchase", 3.0, null)) // next minute
+      q.processAllAvailable()
+      val rows = spark.table("minute_join_test")
+        .select("err_user", "buy_user").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((11L, 22L)))
+    } finally q.stop()
+  }
+
   test("CSV sink exports header + rows") {
     val dir = Files.createTempDirectory("graft_csv_").toString + "/out"
     Sinks.csvExport(graft.Catalog.nation(spark, sfDir), dir)
