@@ -278,17 +278,17 @@ object Monitoring {
   // client-side JS in the reference, a windowed aggregate here so the chart
   // density control runs distributed instead of in the browser).
   // ---------------------------------------------------------------------
-  def decimate(spark: SparkSession, dir: String): DataFrame = {
-    val byBucket = Window.partitionBy(col("bucket"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  def decimate(spark: SparkSession, dir: String): DataFrame =
     Catalog.events(spark, dir)
       .withColumn("bucket", window(col("ts"), "5 minutes").getField("start"))
-      .withColumn("rn", row_number().over(byBucket))
-      .filter(col("rn") === 1)
-      .select(col("bucket"), col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("bucket"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("latest"))
+      .select(col("bucket"), col("latest.event_id"),
+        col("latest.event_type"), col("latest.value"))
       .orderBy(col("bucket").desc)
       .limit(25)
-  }
 
   val decimateSql: String =
     """SELECT bucket, event_id, event_type, value FROM (
