@@ -150,6 +150,67 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------
+  // N4 — IVF-style ANN (the other scale path): NCentroids deterministic
+  // pseudo-random centroids act as a coarse quantizer; every vector is
+  // assigned to its argmax-dot centroid (the inverted list it would be
+  // stored under at 100 TB), and a query probes its NProbe best centroids.
+  // Approximate — recall pinned in the test suite; rows-only at the gate.
+  // ---------------------------------------------------------------------
+  // On the clusterless (uniform-noise) fixture embeddings, IVF recall is
+  // bounded by the probed corpus fraction (NProbe/NCentroids); real
+  // embedding spaces cluster and recall concentrates accordingly.
+  val NCentroids = 16
+  val NProbe = 6
+
+  private def centroidComponent(c: Int, d: Int): Float = {
+    val x = (22695477L * (c * Dim + d + 7919) + 1L) & 0x7fffffffL
+    (x.toDouble / 0x80000000L.toDouble - 0.5).toFloat
+  }
+
+  private lazy val centroids: Seq[Seq[Float]] =
+    (0 until NCentroids).map(c => (0 until Dim).map(d => centroidComponent(c, d)))
+
+  /** Top-n centroid ids by dot product, as an array column. Each dot is
+    * computed exactly once into a struct array, then sorted — an argmax
+    * fold of `when` chains would duplicate every prior dot subtree and grow
+    * the expression exponentially (≈3^NCentroids nodes).
+    */
+  private def topCentroids(v: org.apache.spark.sql.Column, n: Int) = {
+    val dots = array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(dot_product(v, typedLit(ctr)).as("d"), lit(i).as("c"))
+    }: _*)
+    slice(reverse(array_sort(dots)), 1, n).getField("c")
+  }
+
+  /** Argmax-dot centroid id (ties → highest id, deterministic). */
+  private def assignColumn(v: org.apache.spark.sql.Column) =
+    element_at(topCentroids(v, 1), 1)
+
+  /** Top-NProbe centroid ids for a query vector. */
+  private def probeColumn(v: org.apache.spark.sql.Column) =
+    topCentroids(v, NProbe)
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Catalog.embeddings(spark, dir)
+    val lists = e.select(col("vec_id"), col("embedding"),
+      assignColumn(col("embedding")).as("centroid"))
+    val queries = broadcast(
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(probeColumn(col("embedding"))).as("centroid")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    lists.join(queries,
+        lists("centroid") === queries("centroid") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("embedding")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("n1_ann_brute", annBruteForce, Some(annBruteForceSql),
@@ -157,5 +218,7 @@ object Similarity {
     Q("n2_cosine_pairs", cosinePairs, Some(cosinePairsSql),
       "exact high-cosine pair mining (training-data extension)"),
     Q("n3_ann_lsh", annLsh, None,
-      "random-hyperplane LSH bucketed ANN, approximate — recall tested vs n1 (training-data extension)"))
+      "random-hyperplane LSH bucketed ANN, approximate — recall tested vs n1 (training-data extension)"),
+    Q("n4_ann_ivf", annIvf, None,
+      "IVF coarse-quantizer ANN, NProbe=4 of 16 centroids, approximate — recall tested vs n1 (training-data extension)"))
 }

@@ -105,6 +105,75 @@ object Streams {
   }
 }
 
+/** Typed event record for stateful streaming operators. */
+case class SessionEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** One closed user session: emitted when the inactivity gap elapses. */
+case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+object Sessionize {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** Streaming sessionization: per-user sessions closed after `gapMs` of
+    * event-time inactivity, via `flatMapGroupsWithState` with event-time
+    * timeout (the custom-state path Structured Streaming reserves for
+    * semantics windows can't express — builder prompt §streaming). A
+    * session closes when the watermark passes its last event + gap; its
+    * summary row is emitted exactly once (append mode).
+    */
+  def sessions(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[UserSession]
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed the session's end + gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+              s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(userId,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+                    s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
+
 /** S5 — CSV export sink (reference template JS CSV builders,
   * index.html:338-371 et al. — server-side here).
   */

@@ -63,6 +63,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(mean >= 0.5, s"mean recall $mean")
   }
 
+  test("n4 IVF ANN is a true-positive subset with pinned recall (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.annBruteForce(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = Similarity.annIvf(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, ids) =>
+      ivf.get(q).map(c => (ids & c).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // noise embeddings: recall ≈ probed fraction (6/16); deterministic
+    assert(mean >= 0.3, s"mean recall $mean")
+  }
+
   test("x4 fingerprints are stable across runs and within 60 bits") {
     val a = TextOps.fingerprints(spark, sfDir).collect()
     val b = TextOps.fingerprints(spark, sfDir).collect()

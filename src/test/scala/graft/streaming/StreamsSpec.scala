@@ -103,6 +103,46 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionization closes sessions after the inactivity gap") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = Sessionize.sessions(mem.toDS(), gapMs = 5 * 60 * 1000)
+    val q = out.writeStream.format("memory")
+      .queryName("session_test").outputMode("append").start()
+    try {
+      // user 1: burst of 3 events within the gap, then silence
+      mem.addData(
+        SessionEvent(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        SessionEvent(2, ts("2024-01-01 00:02:00"), 1, "view", 2.0),
+        SessionEvent(3, ts("2024-01-01 00:04:00"), 1, "click", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("session_test").isEmpty, "session closed too early")
+      // advance the watermark far past end + gap → session must close
+      mem.addData(SessionEvent(9, ts("2024-01-01 02:00:00"), 2, "click", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("session_test")
+        .as[UserSession].collect().toSeq
+      assert(sessions.map(_.user_id) == Seq(1L))
+      val s = sessions.head
+      assert(s.n_events == 3 && s.total_value == 6.0)
+      assert(s.session_start == ts("2024-01-01 00:00:00"))
+      assert(s.session_end == ts("2024-01-01 00:04:00"))
+      // two bursts separated by > gap inside one batch → two sessions
+      mem.addData(
+        SessionEvent(10, ts("2024-01-01 03:00:00"), 3, "click", 1.0),
+        SessionEvent(11, ts("2024-01-01 03:20:00"), 3, "click", 2.0),
+        SessionEvent(12, ts("2024-01-01 05:00:00"), 4, "click", 0.0))
+      q.processAllAvailable()
+      // the 05:00 event advances the watermark past both bursts: the first
+      // closes by intra-batch gap split, the second by event-time timeout
+      val u3 = spark.table("session_test").as[UserSession]
+        .filter(_.user_id == 3L).collect().sortBy(_.session_start.getTime)
+      assert(u3.length == 2, s"expected both bursts closed, got ${u3.toSeq}")
+      assert(u3(0).session_start == ts("2024-01-01 03:00:00") && u3(0).n_events == 1)
+      assert(u3(1).session_start == ts("2024-01-01 03:20:00") && u3(1).n_events == 1)
+    } finally q.stop()
+  }
+
   test("CSV sink exports header + rows") {
     val dir = Files.createTempDirectory("graft_csv_").toString + "/out"
     Sinks.csvExport(graft.Catalog.nation(spark, sfDir), dir)
