@@ -51,6 +51,16 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "shingle_hash60 expects (text) or (text, k)")
       }),
+    ("winnow_fingerprints", info("winnow_fingerprints",
+      "winnow_fingerprints(text[, k, w]) - winnowing rolling-hash document fingerprints"),
+      es => es match {
+        case Seq(text) => WinnowFingerprints(text, 8, 16)
+        case Seq(text, k, w) => WinnowFingerprints(text,
+          k.eval().asInstanceOf[Number].intValue(),
+          w.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints expects (text) or (text, k, w)")
+      }),
     ("cosine_sim", info("cosine_sim",
       "cosine_sim(array<float>, array<float>) - cosine similarity"),
       es => CosineSimilarity(es(0), es(1))),

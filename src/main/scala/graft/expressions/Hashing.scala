@@ -83,6 +83,71 @@ object Hash {
     UTF8String.fromString(if (scores(best) > 0) langs(best) else "und")
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003):
+    * Rabin-Karp rolling hashes of every k-byte gram (base 257, mod 2^61-1),
+    * then the minimum hash of each w-hash window, deduplicated — the
+    * guarantee is that any match of length ≥ w+k-1 between two documents
+    * shares a fingerprint. O(text) per row, codegen-friendly.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < k) return ArrayData.toArrayData(Array.empty[Long])
+    val Mod = (1L << 61) - 1
+    val Base = 257L
+    // precompute Base^(k-1) mod Mod
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = mulMod(pow, Base, Mod); i += 1 }
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (mulMod(h, Base, Mod) + (bytes(i) & 0xffL)) % Mod; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - mulMod(bytes(i - 1) & 0xffL, pow, Mod) % Mod + Mod) % Mod
+      h = (mulMod(h, Base, Mod) + (bytes(i + k - 1) & 0xffL)) % Mod
+      hashes(i) = h
+      i += 1
+    }
+    if (nGrams <= w) {
+      var min = hashes(0)
+      i = 1
+      while (i < nGrams) { if (hashes(i) < min) min = hashes(i); i += 1 }
+      return ArrayData.toArrayData(Array(min))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i + w <= nGrams) {
+      var min = hashes(i)
+      var j = i + 1
+      while (j < i + w) { if (hashes(j) < min) min = hashes(j); j += 1 }
+      seen.add(min)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  /** (a*b) mod (2^61-1) for 0 ≤ a,b < 2^61-1 — Mersenne folding: write the
+    * 128-bit product in base 2^61 (2^61 ≡ 1 mod p) and sum the limbs.
+    */
+  private def mulMod(a: Long, b: Long, m: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b // low 64 bits (two's complement = unsigned bits)
+    val p0 = lo & m                          // bits 0..60
+    val p1 = ((hi << 3) | (lo >>> 61)) & m   // bits 61..121
+    val p2 = hi >>> 58                       // bits 122.. (tiny)
+    var r = p0 + p1 + p2
+    while (r >= m) r -= m
+    r
+  }
+
   /** First 60 bits of md5(utf8(s)) — first 15 hex chars as a BIGINT. */
   def md5Prefix60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -189,10 +254,33 @@ case class LangIdExpr(child: Expression, langs: Seq[String],
   override def prettyName: String = "lang_id"
 }
 
+/** `winnow_fingerprints(text, k, w): array<bigint>` — winnowing document
+  * fingerprints via Rabin-Karp rolling hash (see [[Hash.winnow]]).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, "winnow requires k >= 2, w >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Hash.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Hash.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object HashFunctions {
   def simhash60(c: Column): Column = Shims.column(SimHash60(Shims.expression(c)))
   def shingle_hash60(c: Column, k: Int): Column =
     Shims.column(ShingleHash60(Shims.expression(c), k))
   def lang_id(c: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
     Shims.column(LangIdExpr(Shims.expression(c), langs, markers))
+  def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
+    Shims.column(WinnowFingerprints(Shims.expression(c), k, w))
 }

@@ -230,6 +230,36 @@ object Dedup {
        |WHERE bit_count(xor(a.fp::UBIGINT, b.fp::UBIGINT)) <= $HammingMax
        |ORDER BY da, db""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // D5 — winnowing-fingerprint overlap pairs (Schleimer et al. 2003, the
+  // MOSS algorithm): Rabin-Karp rolling hashes min-sampled per window
+  // (custom codegen'd expression), pairs sharing ≥ MinSharedFingerprints
+  // via the same inverted-index shape as D4. Any shared substring of
+  // ≥ w+k-1 bytes guarantees a shared fingerprint — the content-overlap
+  // detector for near-dup mining that survives local edits. Rolling hashes
+  // aren't SQL-expressible → rows-only at the gate; kernel unit-tested.
+  // ---------------------------------------------------------------------
+  // k = 24 bytes ≈ 4 words: on the fixture's tiny vocabulary an 8-byte gram
+  // collides across unrelated documents; 24 bytes discriminates like the
+  // 3-word shingles of D2/D4 do.
+  val WinnowK = 24
+  val WinnowW = 8
+  val MinSharedFingerprints = 3
+
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Catalog.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.expressions.HashFunctions.winnow_fingerprints(
+          col("text"), WinnowK, WinnowW).as("fps"))
+    val ex = fps.select(col("doc_id"), explode(col("fps")).as("h"))
+    ex.as("a").join(ex.as("b"), col("a.h") === col("b.h"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinSharedFingerprints)
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", exactDedup, Some(exactDedupSql),
@@ -239,5 +269,7 @@ object Dedup {
     Q("d3_simhash", simhashPairs, Some(simhashPairsSql),
       "SimHash60 fingerprints, Hamming<=3 pairs via 4-band pigeonhole (training-data extension)"),
     Q("d4_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql),
-      "exact 3-gram Jaccard pairs via inverted index (training-data extension)"))
+      "exact 3-gram Jaccard pairs via inverted index (training-data extension)"),
+    Q("d5_winnow_pairs", winnowPairs, None,
+      "winnowing rolling-hash fingerprint overlap pairs, rows-only (training-data extension)"))
 }

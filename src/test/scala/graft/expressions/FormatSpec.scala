@@ -35,6 +35,34 @@ class FormatSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow: shared long substring guarantees a shared fingerprint") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 8; val w = 16
+    val common = "the quick brown fox jumps over the lazy dog repeatedly"
+    val a = UTF8String.fromString("PREFIX-A " + common + " SUFFIX-A")
+    val b = UTF8String.fromString("completely different start " + common + " other end")
+    def set(u: UTF8String) = {
+      val arr = Hash.winnow(u, k, w)
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    val shared = set(a) & set(b)
+    assert(shared.nonEmpty, "no shared fingerprint despite 50+ byte overlap")
+    // unrelated strings share nothing
+    val c = UTF8String.fromString("zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp")
+    assert((set(a) & set(c)).isEmpty)
+  }
+
+  test("winnow: deterministic, short-input and edge behavior") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = UTF8String.fromString("abcdefghij")
+    val one = Hash.winnow(t, 8, 16)
+    val two = Hash.winnow(t, 8, 16)
+    assert((0 until one.numElements()).map(one.getLong) ==
+      (0 until two.numElements()).map(two.getLong))
+    assert(one.numElements() == 1, "fewer grams than window → single min")
+    assert(Hash.winnow(UTF8String.fromString("ab"), 8, 16).numElements() == 0)
+  }
+
   test("formatDuration round-trips seconds (property)") {
     val rnd = new scala.util.Random(42)
     (0 until 2000).foreach { _ =>

@@ -77,6 +77,19 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(mean >= 0.3, s"mean recall $mean")
   }
 
+  test("d5 winnowing catches the high-Jaccard near-dup pairs") {
+    val jaccardPairs = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = Dedup.winnowPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-dups share long substrings → winnowing guarantees shared
+    // fingerprints; allow a small miss margin for pairs whose overlap is
+    // fragmented below w+k-1 bytes
+    val caught = (jaccardPairs & winnow).size.toDouble
+    assert(jaccardPairs.isEmpty || caught / jaccardPairs.size >= 0.8,
+      s"winnow caught $caught of ${jaccardPairs.size} near-dup pairs")
+  }
+
   test("x4 fingerprints are stable across runs and within 60 bits") {
     val a = TextOps.fingerprints(spark, sfDir).collect()
     val b = TextOps.fingerprints(spark, sfDir).collect()
