@@ -49,6 +49,34 @@ object Hash {
     ArrayData.toArrayData(out)
   }
 
+  /** K-permutation MinHash signature of a feature-hash set in one pass:
+    * sig[i] = min over h of (a[i]·(h mod P) + b[i]) mod P, P = 2^31-1.
+    * Matches the SQL-expressible affine family the DuckDB oracle can
+    * reproduce, but computed per row without an explode + K-min-agg
+    * shuffle. Empty input → sig of all P (never collides with real sigs).
+    */
+  def minhashSig(hashes: ArrayData, a: Array[Long], b: Array[Long],
+      p: Long): ArrayData = {
+    val k = a.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, p)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val hm = hashes.getLong(i) % p
+        var j = 0
+        while (j < k) {
+          val v = (a(j) * hm + b(j)) % p
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
   /** Marker-stopword language scoring in one tokenization pass — the
     * kernel behind [[graft.operators.TextOps.langId]]. Languages are scored
     * by marker hits over whitespace tokens; argmax with earlier-language-
@@ -254,6 +282,33 @@ case class LangIdExpr(child: Expression, langs: Seq[String],
   override def prettyName: String = "lang_id"
 }
 
+/** `minhash_sig(array<bigint>): array<bigint>` — K-permutation MinHash
+  * signature in one codegen'd pass (see [[Hash.minhashSig]]).
+  */
+case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(a.length == b.length && a.nonEmpty)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    Hash.minhashSig(input.asInstanceOf[ArrayData], aArr, bArr, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Hash.minhashSig($c, $aRef, $bRef, ${p}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
 /** `winnow_fingerprints(text, k, w): array<bigint>` — winnowing document
   * fingerprints via Rabin-Karp rolling hash (see [[Hash.winnow]]).
   */
@@ -283,4 +338,6 @@ object HashFunctions {
     Shims.column(LangIdExpr(Shims.expression(c), langs, markers))
   def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
     Shims.column(WinnowFingerprints(Shims.expression(c), k, w))
+  def minhash_sig(c: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    Shims.column(MinHashSig(Shims.expression(c), a, b, p))
 }

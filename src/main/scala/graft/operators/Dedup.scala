@@ -124,15 +124,20 @@ object Dedup {
   val MinhashB: Seq[Long] = (1 to MinhashK).map(i => (7L * i * i + 11L * i + 13L) % MinhashP)
   val JaccardThreshold = 0.5
 
-  /** MinHash signatures: one row per doc, K signature columns s0..s{K-1}. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val ex = invertedIndex(spark, dir)
-    val hModP = col("h") % MinhashP
-    val sigCols = (0 until MinhashK).map { i =>
-      min((hModP * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"s$i")
-    }
-    ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-  }
+  /** MinHash signatures: one row per doc with the K-element signature
+    * array, computed in a single codegen'd kernel pass per document
+    * ([[graft.expressions.MinHashSig]]) — no explode + K-min-agg shuffle;
+    * the signature job is embarrassingly parallel over the corpus.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    docShingleHashes(spark, dir)
+      // shingle-less docs would all carry the identical empty signature and
+      // collapse into one giant candidate bucket — they can't be near-dups,
+      // drop them before banding
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        graft.expressions.HashFunctions.minhash_sig(
+          col("hs"), MinhashA, MinhashB, MinhashP).as("sig"))
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(spark, dir)
@@ -141,7 +146,8 @@ object Dedup {
     val banded = sigs.select(
       col("doc_id"),
       explode(array((0 until nBands).map { b =>
-        concat_ws(":", (lit(b) +: (0 until BandRows).map(r => col(s"s${b * BandRows + r}"))): _*)
+        concat_ws(":", (lit(b) +: (0 until BandRows).map(r =>
+          element_at(col("sig"), b * BandRows + r + 1))): _*)
       }: _*)).as("band"))
     val candidates = banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band"))
