@@ -22,10 +22,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warmup: JVM + codegen + parquet footer/listing caches
+    // warmup: JVM + codegen + parquet footer/listing + OS page caches —
+    // a full count per table so no query pays first-touch costs
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Catalog.tableNames.foreach { t =>
-      try Catalog.table(spark, sfDir, t).limit(1).collect()
+      try Catalog.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
