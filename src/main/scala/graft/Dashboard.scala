@@ -47,6 +47,29 @@ object Dashboard {
     backupDelta = Monitoring.lagDelta(spark, dir),
     usersWithRoles = Monitoring.usersWithRoles(spark, dir))
 
+  /** Materialize every index section concurrently: the reference issues
+    * its ~20 statements sequentially on one cursor (views.py:394-681); as
+    * independent Spark jobs they share the scheduler and overlap IO/CPU.
+    * Returns section name → row count (a serving layer would collect rows).
+    */
+  def collectIndexConcurrently(spark: SparkSession, dir: String): Map[String, Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val p = index(spark, dir)
+    val sections: Seq[(String, DataFrame)] = Seq(
+      "slow_queries" -> p.slowQueries, "idle_sessions" -> p.idleSessions,
+      "blocked_sessions" -> p.blockedSessions, "active_users" -> p.activeUsers,
+      "total_sessions" -> p.totalSessions, "connection_load" -> p.connectionLoad,
+      "cache_hit_ratio" -> p.cacheHitRatio, "tps" -> p.transactionsPerSecond,
+      "top_consumers" -> p.topResourceConsumers, "table_sizes" -> p.tableSizes,
+      "backup_delta" -> p.backupDelta, "users_roles" -> p.usersWithRoles)
+    val futures = sections.map { case (name, df) =>
+      Future(name -> df.count())
+    }
+    Await.result(Future.sequence(futures), Duration.Inf).toMap
+  }
+
   /** `GET /index_resource/` payload (reference myapp/views.py:756-823):
     * trend scan + server-side decimation (the reference decimates in
     * browser JS, index_resource.html:230-245) + correlation existence.

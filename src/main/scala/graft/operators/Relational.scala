@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Catalog
@@ -284,6 +285,68 @@ object Relational {
   val pointLookup42Sql: String =
     "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42"
 
+  // ---------------------------------------------------------------------
+  // R1 — ranking-family window (SURVEY §2.5: "the ranking family comes
+  // free with Window once W3 exists"): top-3 customers by account balance
+  // within each nation via dense_rank.
+  // ---------------------------------------------------------------------
+  def topCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Catalog.customer(spark, dir)
+      .withColumn("rnk", dense_rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey").cast("int").as("nation_key"),
+        col("rnk"), col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(18,2)").as("acctbal"))
+      .orderBy(col("nation_key"), col("rnk"), col("c_custkey"))
+  }
+
+  val topCustomersPerNationSql: String =
+    """SELECT CAST(c_nationkey AS INT) AS nation_key, rnk, c_custkey, c_name,
+      | CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      |FROM (
+      | SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+      |  dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      | FROM customer) t
+      |WHERE rnk <= 3
+      |ORDER BY nation_key, rnk, c_custkey""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // H1 — grouped aggregate with a group filter (HAVING): nations whose
+  // customers hold > threshold total balance. The HAVING predicate runs
+  // post-aggregation — 25 groups, not 15k rows.
+  // ---------------------------------------------------------------------
+  def richNations(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog.customer(spark, dir)
+    val n = broadcast(Catalog.nation(spark, dir))
+    val totals = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("total_balance"),
+        count(lit(1)).as("n_customers"))
+    // scale-relative HAVING: groups above the average group total — the
+    // window avg runs over 25 aggregated rows, not the customer table
+    totals
+      .withColumn("avg_total",
+        avg(col("total_balance")).over(Window.partitionBy()))
+      .filter(col("total_balance") > col("avg_total"))
+      .select(col("nation"), col("total_balance"), col("n_customers"))
+      .orderBy(col("nation"))
+  }
+
+  val richNationsSql: String =
+    """SELECT nation, total_balance, n_customers FROM (
+      | SELECT n_name AS nation, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_balance,
+      |  count(*) AS n_customers
+      | FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | GROUP BY n_name) t
+      |WHERE total_balance > (
+      | SELECT avg(total_balance) FROM (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_balance
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name) s)
+      |ORDER BY nation""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("j6_anti_join", customersWithoutOrders, Some(customersWithoutOrdersSql),
@@ -309,5 +372,9 @@ object Relational {
     Q("j5_semi_join", customersWithUrgentOrders, Some(customersWithUrgentOrdersSql),
       "broadcast left-semi join (views.py:161-164)"),
     Q("s3_point_lookup", pointLookup42, Some(pointLookup42Sql),
-      "parameterized point lookup, pushed EqualTo filter (views.py:80-81)"))
+      "parameterized point lookup, pushed EqualTo filter (views.py:80-81)"),
+    Q("r1_rank_per_group", topCustomersPerNation, Some(topCustomersPerNationSql),
+      "dense_rank top-3 per group (SURVEY §2.5 ranking family)"),
+    Q("h1_having", richNations, Some(richNationsSql),
+      "grouped agg + HAVING group filter (SURVEY §2.4 grouped extension)"))
 }

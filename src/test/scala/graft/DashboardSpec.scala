@@ -14,6 +14,14 @@ class DashboardSpec extends SparkSuite {
     assert(p.usersWithRoles.count() == 150)
   }
 
+  test("concurrent index materialization returns every section") {
+    val counts = Dashboard.collectIndexConcurrently(spark, sfDir)
+    assert(counts.size == 12)
+    assert(counts("total_sessions") == 1L) // one aggregate row
+    assert(counts("top_consumers") == 20L)
+    assert(counts.values.forall(_ >= 0L))
+  }
+
   test("index_resource payload: trend bounded at 50, decimated at 25") {
     val p = Dashboard.indexResource(spark, sfDir)
     assert(p.trend.count() == 50)
