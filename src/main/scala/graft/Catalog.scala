@@ -73,6 +73,44 @@ object Catalog {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Storage metadata table — the engine-native mapping of the reference's
+    * `pg_total_relation_size` / `pg_relation_size` introspection
+    * (myapp/views.py:427-430,471; SURVEY.md §2.8): one row per registered
+    * table with file count and on-disk bytes from a filesystem listing,
+    * plus the size_pretty rendering the reference displays.
+    */
+  def storageMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = tableNames.map { t =>
+      val p = new org.apache.hadoop.fs.Path(path(dir, t))
+      if (fs.exists(p)) {
+        val summary = fs.getContentSummary(p)
+        (t, summary.getFileCount, summary.getLength)
+      } else (t, 0L, 0L)
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "file_count", "total_bytes")
+      .withColumn("pretty_size",
+        graft.expressions.functions.size_pretty(col("total_bytes")))
+      .orderBy(col("table_name"))
+  }
+
+  /** Engine/session metadata — maps the reference's `version()` and
+    * `pg_postmaster_start_time()` (myapp/views.py:539,546,582): Spark
+    * version and session uptime, duration formatted like the reference's
+    * interval display.
+    */
+  def engineInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val startMs = spark.sparkContext.startTime
+    val upSec = (System.currentTimeMillis() - startMs) / 1000
+    Seq((spark.version, new java.sql.Timestamp(startMs), upSec))
+      .toDF("engine_version", "session_start", "uptime_s")
+      .withColumn("uptime",
+        graft.expressions.functions.format_duration(col("uptime_s")))
+  }
+
   /** Pinned "now" for every time-relative predicate.
     *
     * The reference's activity queries all depend on `now()` (reference

@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
 /** Date-partitioned layout: directory structure + partition pruning. */
 class CatalogPartitionSpec extends SparkSuite {
 
+  test("storageMetrics lists every fixture table with real sizes") {
+    val m = Catalog.storageMetrics(spark, sfDir).collect()
+    assert(m.length == Catalog.tableNames.length)
+    val byName = m.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byName("lineitem") > byName("region"), "lineitem should dwarf region")
+    assert(m.forall(_.getLong(1) >= 1), "every table has at least one file")
+    assert(m.forall(r => r.getString(3).matches("""[\d.]+ [KMGT]?B""")))
+  }
+
+  test("engineInfo reports version and formatted uptime") {
+    val r = Catalog.engineInfo(spark).head()
+    assert(r.getString(0) == spark.version)
+    assert(r.getAs[String]("uptime").matches("""\d+:\d\d:\d\d"""))
+  }
+
   test("writePartitionedByDate produces dt= dirs and prunes on read") {
     val path = Files.createTempDirectory("graft_part_").toString + "/events"
     Catalog.writePartitionedByDate(Catalog.events(spark, sfDir), "ts", path)
