@@ -111,9 +111,44 @@ object Multimodal {
       |FROM (SELECT (doc_id % 64 + 16)::INT AS width, octet_length(encode(text))::INT AS payload_bytes FROM documents) t
       |GROUP BY 1 ORDER BY target""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // M3 — frame sampling: treat the payload as a frame sequence (FrameBytes
+  // per frame) and emit every SampleEvery-th frame index with its byte
+  // offset — the explode fan-out a video pipeline performs before per-frame
+  // decode. One input row fans out to ~payload/FrameBytes/SampleEvery rows;
+  // the fan-out happens executor-side (no driver loop, no shuffle until a
+  // downstream groupBy).
+  // ---------------------------------------------------------------------
+  val FrameBytes = 64
+  val SampleEvery = 4
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    decodeFrames(spark, dir)
+      .withColumn("n_frames",
+        (col("payload_bytes") / FrameBytes).cast("int"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(SampleEvery)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * FrameBytes).cast("long").as("byte_offset"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val frameSampleSql: String =
+    s"""SELECT doc_id, n_frames, frame_idx, frame_idx * $FrameBytes AS byte_offset
+       |FROM (
+       | SELECT doc_id, n_frames, unnest(range(0, n_frames, $SampleEvery)) AS frame_idx
+       | FROM (SELECT doc_id, CAST(octet_length(encode(text)) // $FrameBytes AS INT) AS n_frames
+       |       FROM documents) t
+       | WHERE n_frames > 0)
+       |ORDER BY doc_id, frame_idx""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
     Q("m1_decode_frames", decodeFrames, Some(decodeFramesSql),
       "binary media decode via mapPartitions, stub kernel, real plumbing (training-data extension)"),
     Q("m2_resize_plan", resizePlan, Some(resizePlanSql),
-      "resize bucketing fan-out over decoded metadata (training-data extension)"))
+      "resize bucketing fan-out over decoded metadata (training-data extension)"),
+    Q("m3_frame_sample", frameSample, Some(frameSampleSql),
+      "every-4th-frame sampling fan-out via executor-side explode (training-data extension)"))
 }
