@@ -65,7 +65,9 @@ object Dashboard {
       "top_consumers" -> p.topResourceConsumers, "table_sizes" -> p.tableSizes,
       "backup_delta" -> p.backupDelta, "users_roles" -> p.usersWithRoles)
     val futures = sections.map { case (name, df) =>
-      Future(name -> df.count())
+      // collect (not count) so every projected expression actually
+      // materializes — count() lets Catalyst prune the section's columns
+      Future(name -> df.collect().length.toLong)
     }
     Await.result(Future.sequence(futures), Duration.Inf).toMap
   }

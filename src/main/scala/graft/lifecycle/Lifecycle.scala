@@ -39,10 +39,13 @@ object Lifecycle {
     fresh.write.mode(SaveMode.Append).parquet(existingPath)
   }
 
-  /** S10 — DELETE WHERE pred: rewrite keeping the complement. */
+  /** S10 — DELETE WHERE pred: rewrite keeping the complement. SQL DELETE
+    * removes only rows where the predicate is TRUE — a NULL predicate
+    * keeps the row, so the kept set is `NOT coalesce(pred, false)`.
+    */
   def delete(path: String, pred: org.apache.spark.sql.Column)(
       implicit spark: SparkSession): Unit =
-    rewrite(path)(_.filter(!pred))
+    rewrite(path)(_.filter(!coalesce(pred, lit(false))))
 
   /** S11 — UPDATE SET col = value WHERE pred. */
   def update(path: String, column: String, value: org.apache.spark.sql.Column,
@@ -92,12 +95,22 @@ object Lifecycle {
   private def rewriteAt(path: String)(f: DataFrame => DataFrame)(
       implicit spark: SparkSession): Unit = {
     val staged = path.stripSuffix("/") + ".staged"
+    val backup = path.stripSuffix("/") + ".bak"
     f(spark.read.parquet(path)).write.mode(SaveMode.Overwrite).parquet(staged)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+    val stagedP = new org.apache.hadoop.fs.Path(staged)
+    val backupP = new org.apache.hadoop.fs.Path(backup)
+    // move-aside swap: the live path is never deleted before its
+    // replacement exists; a crash leaves either dst or dst.bak recoverable
+    fs.delete(backupP, true)
+    fs.rename(dst, backupP)
+    if (!fs.rename(stagedP, dst)) {
+      fs.rename(backupP, dst) // restore on failed promote
+      throw new java.io.IOException(s"rewrite of $path failed to promote staged data")
+    }
+    fs.delete(backupP, true)
   }
 
   // ---------------------------------------------------------------------

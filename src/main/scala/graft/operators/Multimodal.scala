@@ -80,7 +80,10 @@ object Multimodal {
 
   /** Oracle: the stub's arithmetic expressed in SQL over the same fixture —
     * proves header encoding, payload accounting, and partition mapping
-    * produce exactly the declared metadata.
+    * produce exactly the declared metadata. NOTE: `ascii(c)` sums
+    * codepoints while the kernel sums UTF-8 bytes — equivalent only while
+    * the fixture is pure ASCII (verified: every sf's documents are); a
+    * non-ASCII corpus needs a byte-level oracle.
     */
   val decodeFramesSql: String =
     """SELECT doc_id, source,

@@ -20,6 +20,8 @@ object Q {
     */
   val AsOfMid = "2024-01-15 12:00:00"
 
-  /** Pinned as-of after the full events horizon (events span Jan 2024). */
-  val AsOfEnd = "2024-02-01 00:00:00"
+  /** Pinned as-of after the full events horizon (events span Jan 2024) —
+    * the single source of truth is [[graft.Catalog.AsOf]].
+    */
+  val AsOfEnd: String = graft.Catalog.AsOf
 }

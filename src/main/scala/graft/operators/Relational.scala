@@ -46,15 +46,17 @@ object Relational {
   // broadcast), not a cross join.
   // ---------------------------------------------------------------------
   def ordersAboveAverage(spark: SparkSession, dir: String): DataFrame = {
-    Catalog.orders(spark, dir).createOrReplaceTempView("graft_orders_j7")
-    spark.sql(
-      """SELECT o_orderkey, o_custkey,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
-        |FROM graft_orders_j7
-        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-        | (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-        |  FROM graft_orders_j7)
-        |ORDER BY o_orderkey""".stripMargin)
+    // the scalar subquery as a 1-row broadcast cross join — no temp view
+    // (a fixed-name view would make concurrent callers race on session
+    // state), same ScalarSubquery plan shape after Catalyst
+    val o = Catalog.orders(spark, dir)
+    val price = col("o_totalprice").cast("decimal(18,2)")
+    val avgPrice = broadcast(
+      o.agg(avg(price).cast("decimal(18,2)").as("avg_price")))
+    o.crossJoin(avgPrice)
+      .filter(price > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), price.as("total_price"))
+      .orderBy(col("o_orderkey"))
   }
 
   val ordersAboveAverageSql: String =

@@ -220,5 +220,5 @@ object Similarity {
     Q("n3_ann_lsh", annLsh, None,
       "random-hyperplane LSH bucketed ANN, approximate — recall tested vs n1 (training-data extension)"),
     Q("n4_ann_ivf", annIvf, None,
-      "IVF coarse-quantizer ANN, NProbe=4 of 16 centroids, approximate — recall tested vs n1 (training-data extension)"))
+      s"IVF coarse-quantizer ANN, NProbe=$NProbe of $NCentroids centroids, approximate — recall tested vs n1 (training-data extension)"))
 }

@@ -1,7 +1,7 @@
 #!/bin/bash
 # The whole round gate in one shot: compile, tests, oracle verify, bench.
 # Usage: tools/full_check.sh  (from /root/repo)
-set -e
+set -eo pipefail
 cd "$(dirname "$0")/.."
 echo "== compile"; sbt -batch compile | tail -1
 echo "== test";    sbt -batch test 2>&1 | grep -E "Tests:|All tests" | tail -2
