@@ -195,20 +195,28 @@ object Relational {
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(qty).as("sum_qty"),
-        sum(price).as("sum_base_price"),
-        sum((price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)")).as("sum_disc_price"),
-        sum((price * (lit(1).cast("decimal(18,2)") - disc) * (lit(1).cast("decimal(18,2)") + tax)).cast("decimal(28,6)")).as("sum_charge"),
+        sum(qty).as("sum_qty_dec"),
+        sum(price).as("sum_base_price_dec"),
+        sum((price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)")).as("sum_disc_price_dec"),
+        sum((price * (lit(1).cast("decimal(18,2)") - disc) * (lit(1).cast("decimal(18,2)") + tax)).cast("decimal(28,6)")).as("sum_charge_dec"),
         count(lit(1)).as("count_order"))
+      // sums stay exact-decimal internally; the output edge is DOUBLE so
+      // both engines canonicalize identically (gate hashes string forms)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_dec").cast("double").as("sum_qty"),
+        col("sum_base_price_dec").cast("double").as("sum_base_price"),
+        col("sum_disc_price_dec").cast("double").as("sum_disc_price"),
+        col("sum_charge_dec").cast("double").as("sum_charge"),
+        col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      | sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS sum_disc_price,
-      | sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS sum_charge,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
       | count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
