@@ -55,12 +55,15 @@ object Relational {
       o.agg(avg(price).cast("decimal(18,2)").as("avg_price")))
     o.crossJoin(avgPrice)
       .filter(price > col("avg_price"))
-      .select(col("o_orderkey"), col("o_custkey"), price.as("total_price"))
+      // comparison stays exact-decimal; output edge is DOUBLE for
+      // cross-engine canonicalization (same pattern as g1_pricing_summary)
+      .select(col("o_orderkey"), col("o_custkey"),
+        price.cast("double").as("total_price"))
       .orderBy(col("o_orderkey"))
   }
 
   val ordersAboveAverageSql: String =
-    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+    """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
       |FROM orders
       |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
       | (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) FROM orders)
@@ -239,18 +242,20 @@ object Relational {
     o.join(c, o("o_custkey") === c("c_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(o("o_orderkey"), o("o_orderdate"))
-      .agg(sum((price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)")).as("revenue"))
+      .agg(sum((price * (lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)")).as("revenue_dec"))
+      // sum stays exact-decimal; output edge is DOUBLE so both engines
+      // canonicalize identically (same pattern as g1_pricing_summary)
       .select(
         col("o_orderkey").as("order_key"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-        col("revenue"))
+        col("revenue_dec").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("order_key"))
       .limit(10)
   }
 
   val segmentRevenueSql: String =
     """SELECT o_orderkey AS order_key, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-      | sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue
+      | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
       |FROM orders
       | JOIN customer ON o_custkey = c_custkey
       | JOIN lineitem ON o_orderkey = l_orderkey
@@ -306,15 +311,17 @@ object Relational {
     Catalog.customer(spark, dir)
       .withColumn("rnk", dense_rank().over(w))
       .filter(col("rnk") <= 3)
+      // DECIMAL(18,2) canonicalizes the cents exactly, then the output
+      // edge is DOUBLE so both engines hash identically (g1 pattern)
       .select(col("c_nationkey").cast("int").as("nation_key"),
         col("rnk"), col("c_custkey"), col("c_name"),
-        col("c_acctbal").cast("decimal(18,2)").as("acctbal"))
+        col("c_acctbal").cast("decimal(18,2)").cast("double").as("acctbal"))
       .orderBy(col("nation_key"), col("rnk"), col("c_custkey"))
   }
 
   val topCustomersPerNationSql: String =
     """SELECT CAST(c_nationkey AS INT) AS nation_key, rnk, c_custkey, c_name,
-      | CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      | CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
       |FROM (
       | SELECT c_nationkey, c_custkey, c_name, c_acctbal,
       |  dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
@@ -340,12 +347,16 @@ object Relational {
       .withColumn("avg_total",
         avg(col("total_balance")).over(Window.partitionBy()))
       .filter(col("total_balance") > col("avg_total"))
-      .select(col("nation"), col("total_balance"), col("n_customers"))
+      // HAVING compares exact decimals; the output edge is DOUBLE for
+      // cross-engine canonicalization (same pattern as g1_pricing_summary)
+      .select(col("nation"),
+        col("total_balance").cast("double").as("total_balance"),
+        col("n_customers"))
       .orderBy(col("nation"))
   }
 
   val richNationsSql: String =
-    """SELECT nation, total_balance, n_customers FROM (
+    """SELECT nation, CAST(total_balance AS DOUBLE) AS total_balance, n_customers FROM (
       | SELECT n_name AS nation, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_balance,
       |  count(*) AS n_customers
       | FROM customer JOIN nation ON c_nationkey = n_nationkey
