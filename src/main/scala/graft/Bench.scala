@@ -22,11 +22,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warmup: JVM + codegen + parquet footer/listing + OS page caches —
-    // a full count per table so no query pays first-touch costs
+    // warmup: JVM + codegen + parquet footer/listing + OS page caches.
+    // Must be a noop WRITE, not count(): count() is satisfied from parquet
+    // footers alone and decodes zero column bytes, leaving the first query
+    // on each table to pay cold-IO inside its own timing.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Catalog.tableNames.foreach { t =>
-      try Catalog.table(spark, sfDir, t).count()
+      try Catalog.table(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
