@@ -68,12 +68,18 @@ object GraftExtensions {
       "dot_product(array<float>, array<float>) - dot product"),
       es => DotProduct(es(0), es(1))))
 
-  /** Imperative registration for an existing session. */
+  /** Imperative registration for an existing session: the SQL functions
+    * AND the optimizer rule, so conf-less sessions get the same plans as
+    * `spark.sql.extensions=graft.GraftExtensions` ones.
+    */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     definitions.foreach { case (name, i, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
       val _ = i
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LatestPerKeyRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LatestPerKeyRewrite
   }
 }

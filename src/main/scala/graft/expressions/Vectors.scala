@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 object VecKernels {
 
-  /** Cosine similarity of two float vectors; 0.0 when either norm is 0. */
+  /** Cosine similarity of two float vectors; 0.0 when either norm is 0.
+    * Callers (the expressions below) null out length-mismatched inputs
+    * before reaching the kernel, so equal lengths are assumed here.
+    */
   def cosineFF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -51,6 +54,11 @@ object VecKernels {
 
 private[expressions] trait FloatVectorBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // null on length mismatch (not silent truncation): corrupt embedding
+  // rows must surface as null, not as plausible-looking scores — DuckDB's
+  // list_cosine_similarity errors on mismatch, null is our closest
+  // non-throwing analogue
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
@@ -58,6 +66,27 @@ private[expressions] trait FloatVectorBinary extends BinaryExpression {
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires two ARRAY<FLOAT>, got ${l.catalogString}, ${r.catalogString}")
     }
+
+  protected def kernelCall: String
+
+  protected def kernelEval(a: ArrayData, b: ArrayData): Double
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    if (av.numElements() != bv.numElements()) null
+    else kernelEval(av, bv)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $kernelCall($a, $b);
+         |}
+       """.stripMargin)
 }
 
 /** `cosine_sim(array<float>, array<float>): double` — codegen'd cosine
@@ -66,10 +95,10 @@ private[expressions] trait FloatVectorBinary extends BinaryExpression {
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends FloatVectorBinary {
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecKernels.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.VecKernels.cosineFF($a, $b)")
+  override protected def kernelCall: String =
+    "graft.expressions.VecKernels.cosineFF"
+  override protected def kernelEval(a: ArrayData, b: ArrayData): Double =
+    VecKernels.cosineFF(a, b)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
@@ -81,10 +110,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 case class DotProduct(left: Expression, right: Expression)
     extends FloatVectorBinary {
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.VecKernels.dotFF($a, $b)")
+  override protected def kernelCall: String =
+    "graft.expressions.VecKernels.dotFF"
+  override protected def kernelEval(a: ArrayData, b: ArrayData): Double =
+    VecKernels.dotFF(a, b)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)

@@ -56,9 +56,13 @@ object Dedup {
       .select(col("da"), col("db"),
         size(array_intersect(col("hsa"), col("hsb"))).as("inter"),
         size(col("hsa")).as("na"), size(col("hsb")).as("nb"))
+      // jaccard_raw is for thresholding (the oracle's WHERE uses the
+      // unrounded ratio); jaccard is the rounded projection both emit
       .select(col("da"), col("db"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard_raw"))
+      .select(col("da"), col("db"), col("jaccard_raw"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
   /** Exact pairwise shingle-Jaccard for every co-shingle pair, straight off
@@ -81,8 +85,10 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
       .select(col("da"), col("db"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard_raw"))
+      .select(col("da"), col("db"), col("jaccard_raw"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
   // ---------------------------------------------------------------------
@@ -155,7 +161,10 @@ object Dedup {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
     jaccardForCandidates(spark, dir, candidates)
-      .filter(col("jaccard") >= JaccardThreshold)
+      // threshold on the UNROUNDED ratio, matching the oracle's WHERE —
+      // round(j,6) >= t would admit true J in [t - 5e-7, t)
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
   }
 
@@ -180,7 +189,9 @@ object Dedup {
   // ---------------------------------------------------------------------
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardAllCoShinglePairs(spark, dir)
-      .filter(col("jaccard") >= JaccardThreshold)
+      // unrounded threshold — same reasoning as minhashLsh
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
 
   val ngramJaccardSql: String = minhashLshSql
@@ -197,6 +208,11 @@ object Dedup {
 
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
     docShingleHashes(spark, dir)
+      // docs with <3 tokens have no shingles: simhash60([]) = 0 would pair
+      // every such doc at Hamming 0, while the oracle's unnest of an empty
+      // hs list drops them — exclude them here to match (they can't be
+      // near-dups; same reasoning as minhashSignatures)
+      .filter(size(col("hs")) > 0)
       .select(col("doc_id"), simhash60(col("hs")).as("fp"))
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {

@@ -90,6 +90,35 @@ class DedupSimilaritySpec extends SparkSuite {
       s"winnow caught $caught of ${jaccardPairs.size} near-dup pairs")
   }
 
+  test("d3 drops shingle-less (<3 token) docs instead of pairing them at fp=0") {
+    // two short docs would both simhash to 0 and pair at Hamming 0; the
+    // DuckDB oracle drops them (unnest of an empty hs list yields no rows) —
+    // our pipeline must match: only the genuine near-dup pair survives
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shortdoc").toString
+    val long1 = (1 to 30).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    Seq(
+      (1L, "hi"), (2L, "yo"), (3L, "one two"),
+      (4L, long1), (5L, long1)
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.simhashPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)), s"got $pairs")
+    val fps = Dedup.simhashFingerprints(spark, tmp).collect()
+    assert(fps.map(_.getLong(0)).toSet == Set(4L, 5L))
+  }
+
+  test("cosine_sim / dot_product return null on vector length mismatch") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(float(1)), array(float(1), float(2))) AS c,
+        |       dot_product(array(float(1)), array(float(1), float(2))) AS d,
+        |       cosine_sim(array(float(1), float(0)), array(float(1), float(0))) AS ok
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getDouble(2) == 1.0)
+  }
+
   test("x4 fingerprints are stable across runs and within 60 bits") {
     val a = TextOps.fingerprints(spark, sfDir).collect()
     val b = TextOps.fingerprints(spark, sfDir).collect()
