@@ -24,9 +24,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Guards (rewrite only when provably equivalent):
   *   - single window expression, plain `row_number`, filter is exactly `rn = 1`
   *   - partition + ordering keys are attributes with a uniform direction
-  *   - ordering attributes are non-nullable OR every direction's null
-  *     placement matches max_by/min_by struct-ordering semantics — we
-  *     require non-nullable to stay conservative
+  *   - nullable ordering attributes (parquet reads!) rewrite only under the
+  *     default null placement (DESC NULLS LAST / ASC NULLS FIRST), which is
+  *     exactly what struct-ordering gives max_by/min_by (null field =
+  *     smallest); explicit non-default placements keep the Window form
   *   - `rn` is not referenced above the filter other than being projectable
   *     (output attribute ids are preserved, so any parent works)
   */
@@ -54,14 +55,28 @@ object LatestPerKeyRewrite extends Rule[LogicalPlan] {
       }
       val partitionAttrs = w.partitionSpec.collect { case a: AttributeReference => a }
       val orderAttrs = w.orderSpec.collect {
-        case SortOrder(a: AttributeReference, dir, _, _) => (a, dir)
+        case SortOrder(a: AttributeReference, dir, nullOrd, _) => (a, dir, nullOrd)
       }
       val uniformDirection = orderAttrs.map(_._2).distinct.size == 1
+      // max_by/min_by compare CreateStruct(orderAttrs), and struct field
+      // comparison treats a null field as smaller than any value — exactly
+      // the window's DEFAULT null placement (DESC NULLS LAST / ASC NULLS
+      // FIRST). Nullable ordering columns (every parquet-read column) are
+      // therefore safe under the default placement; only the explicit
+      // non-default placements (DESC NULLS FIRST / ASC NULLS LAST) have no
+      // struct-ordering equivalent and keep the Window form.
+      val nullPlacementOk = orderAttrs.forall { case (a, dir, nullOrd) =>
+        !a.nullable || ((dir, nullOrd) match {
+          case (Descending, NullsLast) => true
+          case (Ascending, NullsFirst) => true
+          case _                       => false
+        })
+      }
       val ok = isRnEq1 &&
         partitionAttrs.size == w.partitionSpec.size &&
         orderAttrs.size == w.orderSpec.size && orderAttrs.nonEmpty &&
         uniformDirection &&
-        orderAttrs.forall(!_._1.nullable) &&
+        nullPlacementOk &&
         w.partitionSpec.nonEmpty
       if (!ok) None
       else {

@@ -57,6 +57,52 @@ class LatestPerKeySpec extends SparkSuite {
     assert(got.toSeq == baseline.toSeq)
   }
 
+  test("rule fires on nullable parquet columns (the motivating events idiom)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // the reference's ORDER BY id DESC LIMIT 1 snapshot idiom over the
+    // metrics table: parquet columns read back nullable, and the default
+    // DESC NULLS LAST placement matches struct-ordering max_by semantics
+    val ev = graft.Catalog.events(ruleSession, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+    val latest = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val plan = latest.queryExecution.optimizedPlan
+    assert(plan.collect { case x: logical.Window => x }.isEmpty,
+      s"window survived on parquet-read (nullable) columns:\n$plan")
+    assert(plan.collect { case a: logical.Aggregate => a }.nonEmpty)
+  }
+
+  test("nullable ordering values: rewritten result equals window result") {
+    import spark.implicits._
+    // group 1 mixed null/non-null, group 2 all-null ordering values —
+    // DESC NULLS LAST puts nulls last, so rn=1 is the max non-null row in
+    // group 1 and the (only) null row in group 2; max_by over struct(ts)
+    // agrees because struct(null) is a non-null struct that compares lowest
+    val df = Seq(
+      (1L, Some(10L), "a"), (1L, None, "b"), (1L, Some(20L), "c"),
+      (2L, None, "d"))
+      .toDF("k", "ts", "payload")
+    val w = Window.partitionBy(col("k")).orderBy(col("ts").desc)
+    val rewritten = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(rewritten.queryExecution.optimizedPlan.collect {
+      case x: org.apache.spark.sql.catalyst.plans.logical.Window => x
+    }.isEmpty, "nullable DESC NULLS LAST should be rewritten")
+    val baseline = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    assert(rewritten.collect().sortBy(key).toSeq.map(_.toSeq) ==
+      baseline.collect().sortBy(key).toSeq.map(_.toSeq))
+  }
+
+  test("non-default null placement is NOT rewritten on nullable columns") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10L), "a"), (1L, None, "b"))
+      .toDF("k", "ts", "payload")
+    val w = Window.partitionBy(col("k")).orderBy(col("ts").desc_nulls_first)
+    val kept = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(kept.queryExecution.optimizedPlan.collect {
+      case x: org.apache.spark.sql.catalyst.plans.logical.Window => x
+    }.nonEmpty, "DESC NULLS FIRST has no struct-ordering equivalent")
+  }
+
   test("rule leaves non-matching windows alone (rn > 1, mixed direction)") {
     import org.apache.spark.sql.catalyst.plans.logical
     val df = sampleDf(ruleSession)
