@@ -146,13 +146,19 @@ object Hash {
       while (i < nGrams) { if (hashes(i) < min) min = hashes(i); i += 1 }
       return ArrayData.toArrayData(Array(min))
     }
+    // sliding-window minimum via a monotonic (ascending-minima) deque —
+    // O(nGrams) total instead of O(nGrams·w); emits the same minima values
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](nGrams) // indices with increasing hash values
+    var head = 0
+    var tail = 0 // active range [head, tail)
     i = 0
-    while (i + w <= nGrams) {
-      var min = hashes(i)
-      var j = i + 1
-      while (j < i + w) { if (hashes(j) < min) min = hashes(j); j += 1 }
-      seen.add(min)
+    while (i < nGrams) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(hashes(deque(head)))
       i += 1
     }
     val out = new Array[Long](seen.size)

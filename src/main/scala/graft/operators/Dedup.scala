@@ -65,31 +65,48 @@ object Dedup {
         round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
-  /** Exact pairwise shingle-Jaccard for every co-shingle pair, straight off
-    * the inverted index: |A∩B| is the (da, db) group count of the
-    * shingle-equality self-join, set sizes joined in afterwards. One
-    * shuffle join + one aggregation — the at-scale shape (no candidate
-    * set needed: sharing ≥1 shingle IS the candidate condition).
+  /** Document-frequency cap on posting lists: a key shared by df documents
+    * contributes df·(df−1)/2 candidate pairs, so one corpus-wide hot
+    * shingle ("click here to …") goes quadratic in its posting list at
+    * scale. Keys above the cap are dropped from CANDIDATE GENERATION only —
+    * the verify step recomputes exact Jaccard over the full per-doc hash
+    * arrays, so results are unchanged for any pair that shares at least one
+    * sub-cap key. (A pair whose every shared shingle is corpus-hot is
+    * boilerplate, not a near-dup; at J ≥ 0.5 such a miss requires the
+    * documents to be mostly stop-shingles.) The cap is far above the
+    * fixture's max df, so gate outputs are bit-identical.
+    */
+  val DocFreqCap = 1000
+
+  /** Drop posting-list keys with df > cap. The hot-key set is tiny by
+    * construction (each survivor of the groupBy has > cap duplicates), so
+    * it broadcasts; the anti-join never shuffles the index itself.
+    */
+  private def capPostings(ex: DataFrame, keyCol: String, cap: Int): DataFrame = {
+    val hot = ex.groupBy(col(keyCol)).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(col(keyCol))
+    ex.join(broadcast(hot), Seq(keyCol), "left_anti")
+  }
+
+  /** Candidate pairs = pairs sharing ≥ 1 sub-cap key in the inverted index. */
+  private def coKeyCandidates(ex: DataFrame, keyCol: String, cap: Int): DataFrame = {
+    val pruned = capPostings(ex, keyCol, cap)
+    pruned.as("a")
+      .join(pruned.as("b"), col(s"a.$keyCol") === col(s"b.$keyCol"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** Exact pairwise shingle-Jaccard for every co-shingle pair: candidates
+    * off the df-capped inverted index, then the exact verify step over the
+    * full per-doc hash arrays (so the cap never distorts a reported score).
     */
   private def jaccardAllCoShinglePairs(
-      spark: SparkSession, dir: String): DataFrame = {
-    val sizes = docShingleHashes(spark, dir)
-      .select(col("doc_id"), size(col("hs")).as("n"))
-    val ex = invertedIndex(spark, dir)
-    val inter = ex.as("a")
-      .join(ex.as("b"), col("a.h") === col("b.h"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-      .select(col("da"), col("db"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard_raw"))
-      .select(col("da"), col("db"), col("jaccard_raw"),
-        round(col("jaccard_raw"), 6).as("jaccard"))
-  }
+      spark: SparkSession, dir: String, cap: Int = DocFreqCap): DataFrame =
+    jaccardForCandidates(spark, dir,
+      coKeyCandidates(invertedIndex(spark, dir), "h", cap))
 
   // ---------------------------------------------------------------------
   // D1 — exact (prefix-fingerprint) dedup: hash-groupBy on the normalized
@@ -188,7 +205,11 @@ object Dedup {
   // by construction.
   // ---------------------------------------------------------------------
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardAllCoShinglePairs(spark, dir)
+    ngramJaccardCapped(DocFreqCap)(spark, dir)
+
+  /** d4 with an explicit posting-list df cap (specs exercise small caps). */
+  def ngramJaccardCapped(cap: Int)(spark: SparkSession, dir: String): DataFrame =
+    jaccardAllCoShinglePairs(spark, dir, cap)
       // unrounded threshold — same reasoning as minhashLsh
       .filter(col("jaccard_raw") >= JaccardThreshold)
       .select(col("da"), col("db"), col("jaccard"))
@@ -268,16 +289,25 @@ object Dedup {
   val WinnowW = 8
   val MinSharedFingerprints = 3
 
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsCapped(DocFreqCap)(spark, dir)
+
+  /** d5 with an explicit posting-list df cap. Candidates come off the
+    * capped index; the shared-fingerprint count is recomputed exactly via
+    * array_intersect of the full (distinct) per-doc fingerprint sets, so
+    * capping prunes candidate generation without distorting counts.
+    */
+  def winnowPairsCapped(cap: Int)(spark: SparkSession, dir: String): DataFrame = {
     val fps = Catalog.documents(spark, dir)
       .select(col("doc_id"),
         graft.expressions.HashFunctions.winnow_fingerprints(
           col("text"), WinnowK, WinnowW).as("fps"))
     val ex = fps.select(col("doc_id"), explode(col("fps")).as("h"))
-    ex.as("a").join(ex.as("b"), col("a.h") === col("b.h"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("shared"))
+    coKeyCandidates(ex, "h", cap)
+      .join(fps.select(col("doc_id").as("da"), col("fps").as("fpsa")), "da")
+      .join(fps.select(col("doc_id").as("db"), col("fps").as("fpsb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("fpsa"), col("fpsb"))).as("shared"))
       .filter(col("shared") >= MinSharedFingerprints)
       .orderBy(col("da"), col("db"))
   }

@@ -90,6 +90,43 @@ class DedupSimilaritySpec extends SparkSuite {
       s"winnow caught $caught of ${jaccardPairs.size} near-dup pairs")
   }
 
+  test("d4/d5 df cap prunes hot posting lists without losing true pairs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
+    // ten docs share one corpus-hot sentence (shingle df = 10 > cap = 4)
+    // but are otherwise unique (pairwise J << 0.5); docs 11/12 are exact
+    // duplicates whose shingles all have df = 2 (under the cap)
+    val hot = "the quick brown fox jumps over the lazy dog today"
+    val unique = (11 to 12).map(_ => (1 to 25).map(i => s"dupword$i").mkString(" "))
+    val docs =
+      (1 to 10).map(i => (i.toLong,
+        s"$hot " + (1 to 20).map(j => s"only${i}w$j").mkString(" "))) ++
+      Seq((11L, unique.head), (12L, unique.last))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val capped = Dedup.ngramJaccardCapped(4)(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.ngramJaccardCapped(Int.MaxValue)(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot-only pairs are below the Jaccard threshold anyway, so capping
+    // candidate generation must not change the verified output
+    assert(capped == Set((11L, 12L)) && uncapped == capped, s"$capped vs $uncapped")
+    val winnowCapped = Dedup.winnowPairsCapped(4)(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(winnowCapped.contains((11L, 12L)), s"planted pair lost: $winnowCapped")
+    assert(winnowCapped.forall { case (a, b) => a >= 11L && b >= 11L },
+      s"hot-sentence-only pairs should be pruned: $winnowCapped")
+  }
+
+  test("d4/d5 default cap never binds on the fixture (bit-identical outputs)") {
+    val d4 = Dedup.ngramJaccard(spark, sfDir).collect().toSeq
+    val d4Uncapped = Dedup.ngramJaccardCapped(Int.MaxValue)(spark, sfDir).collect().toSeq
+    assert(d4 == d4Uncapped)
+    val d5 = Dedup.winnowPairs(spark, sfDir).collect().toSeq
+    val d5Uncapped = Dedup.winnowPairsCapped(Int.MaxValue)(spark, sfDir).collect().toSeq
+    assert(d5 == d5Uncapped)
+  }
+
   test("d3 drops shingle-less (<3 token) docs instead of pairing them at fp=0") {
     // two short docs would both simhash to 0 and pair at Hamming 0; the
     // DuckDB oracle drops them (unnest of an empty hs list yields no rows) —
