@@ -168,6 +168,49 @@ object Hash {
     ArrayData.toArrayData(out)
   }
 
+  /** Quality-signal counters in ONE tokenization + one code-point pass —
+    * the kernel behind [[graft.operators.TextOps.qualityScores]]. Returns
+    * (n_tokens, stop_hits, punct_chars, n_chars) with semantics identical
+    * to the expression tree it replaces: tokens = `split(lower(trim(text)),
+    * "\\s+")` (so empty text yields one empty token, like Spark's split),
+    * punct = code points matching `[^A-Za-z0-9\s]` with Java-regex `\s`
+    * (ASCII whitespace only), n_chars = code points (Spark's `length`).
+    * The interpreted-HOF variant re-split the text four times per row and
+    * evaluated an interpreted `filter` per token — O(tokens·stopwords)
+    * uncodegen'd work; this is a single codegen'd projection.
+    */
+  def qualityStats(text: UTF8String,
+      stops: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = Ws.split(text.trim().toLowerCase().toString)
+    val nTok = toks.length
+    var stopHits = 0
+    var t = 0
+    while (t < nTok) {
+      var m = 0
+      while (m < stops.length) {
+        if (stops(m) == toks(t)) { stopHits += 1; m = stops.length }
+        else m += 1
+      }
+      t += 1
+    }
+    val s = text.toString
+    var punct = 0
+    var nChars = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      val isAlnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9')
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+        cp == '\f' || cp == '\r'
+      if (!isAlnum && !isWs) punct += 1
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, stopHits, punct, nChars))
+  }
+
   /** (a*b) mod (2^61-1) for 0 ≤ a,b < 2^61-1 — Mersenne folding: write the
     * 128-bit product in base 2^61 (2^61 ≡ 1 mod p) and sum the limbs.
     */
@@ -336,6 +379,41 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** `quality_stats(text): struct<n_tokens, stop_hits, punct_chars, n_chars>`
+  * — C4/Gopher-style quality counters in one codegen'd pass (see
+  * [[Hash.qualityStats]]). Ratios are derived in the outer projection so
+  * the arithmetic (double division + round) matches the SQL oracle exactly.
+  */
+case class QualityStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("stop_hits",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("punct_chars",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  @transient private lazy val stopsArr = stopwords.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    Hash.qualityStats(input.asInstanceOf[UTF8String], stopsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopsRef = ctx.addReferenceObj("stopwords", stopsArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Hash.qualityStats($c, $stopsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): QualityStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "quality_stats"
+}
+
 object HashFunctions {
   def simhash60(c: Column): Column = Shims.column(SimHash60(Shims.expression(c)))
   def shingle_hash60(c: Column, k: Int): Column =
@@ -346,4 +424,6 @@ object HashFunctions {
     Shims.column(WinnowFingerprints(Shims.expression(c), k, w))
   def minhash_sig(c: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     Shims.column(MinHashSig(Shims.expression(c), a, b, p))
+  def quality_stats(c: Column, stopwords: Seq[String]): Column =
+    Shims.column(QualityStatsExpr(Shims.expression(c), stopwords))
 }

@@ -71,18 +71,25 @@ object TextOps {
   private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
 
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks)
-    val stopHits = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
-    val punct = length(col("text")) -
-      length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
+    // one codegen'd kernel pass per row ([[graft.expressions.QualityStatsExpr]]);
+    // the previous expression tree re-split the text four times per row and
+    // ran an interpreted higher-order `filter` per token — the wrong plan
+    // shape at corpus scale. Ratios derive from the counters in the outer
+    // projection with the identical double-division + round arithmetic, so
+    // the DuckDB oracle comparison is unchanged. CollapseProject keeps the
+    // non-cheap kernel out of the final projection (evaluated once).
+    val stats = graft.expressions.HashFunctions.quality_stats(
+      col("text"), Stopwords)
+    val nTok = col("s.n_tokens")
+    val nChars = col("s.n_chars")
     Catalog.documents(spark, dir)
+      .select(col("doc_id"), stats.as("s"))
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
-        round(stopHits.cast("double") / nTok.cast("double"), 6).as("stopword_ratio"),
-        round(punct.cast("double") / length(col("text")).cast("double"), 6).as("punct_ratio"),
-        round(length(col("text")).cast("double") / nTok.cast("double"), 6).as("mean_token_len"),
+        round(col("s.stop_hits").cast("double") / nTok.cast("double"), 6).as("stopword_ratio"),
+        round(col("s.punct_chars").cast("double") / nChars.cast("double"), 6).as("punct_ratio"),
+        round(nChars.cast("double") / nTok.cast("double"), 6).as("mean_token_len"),
         (nTok >= 20 && nTok <= 100000).as("len_ok"))
       .orderBy(col("doc_id"))
   }
