@@ -323,6 +323,60 @@ object Monitoring {
       |WHERE rn = 1 ORDER BY user_id""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // W4 — batch sessionization (gaps-and-islands): per-user sessions closed
+  // after 30 minutes of inactivity — the batch twin of
+  // [[graft.streaming.Sessionize.sessions]] (same gap rule: an event with
+  // ts <= previous + gap continues the session), so §2.9's sessionization
+  // semantics are visible to the batch correctness gate. Two shuffles:
+  // the per-user window, then the (user, session) aggregate — the second
+  // groups data the window stage already clustered by user, so the
+  // exchange moves session-local rows only. total_value sums exact
+  // decimals (value is 2-decimal) and casts DOUBLE at the output edge.
+  // ---------------------------------------------------------------------
+  val SessionGapMinutes = 30
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val flagged = Catalog.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("new_sess",
+        when(prevTs.isNull ||
+          col("ts") > prevTs + expr(s"INTERVAL $SessionGapMinutes MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH flagged AS (
+       | SELECT user_id, ts, event_id, value,
+       |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |       OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |            + INTERVAL $SessionGapMinutes MINUTE
+       |   THEN 1 ELSE 0 END AS new_sess
+       | FROM events),
+       |sess AS (
+       | SELECT user_id, ts, value,
+       |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       | FROM flagged)
+       |SELECT user_id, session_seq, min(ts) AS session_start,
+       | max(ts) AS session_end, count(*) AS n_events,
+       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM sess GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // T2/P2 — top-k with computed projection (reference myapp/views.py:484-498
   // resource-consuming statements: ROUND((blks*8)::numeric/calls, 2) … LIMIT
   // 20). Exact-decimal arithmetic; Spark plans TakeOrderedAndProject.
@@ -399,6 +453,8 @@ object Monitoring {
       "5-minute decimation, newest 25 buckets (index_resource.html:230-245)"),
     Q("w3_latest_per_user", latestPerUser, Some(latestPerUserSql),
       "latest-row-per-key (views.py:585-614)"),
+    Q("w4_sessionize", sessionize, Some(sessionizeSql),
+      "gaps-and-islands sessionization, batch twin of streaming Sessionize (SURVEY §2.9)"),
     Q("t2_top_consumers", topResourceConsumers, Some(topResourceConsumersSql),
       "top-k with computed decimal projection (views.py:484-498)"),
     Q("f1_size_pretty", tableSizesPretty, Some(tableSizesPrettySql),

@@ -152,4 +152,35 @@ class StreamsSpec extends SparkSuite {
     assert(lines.head.startsWith("n_nationkey"))
     assert(lines.length > 1)
   }
+
+  test("batch w4 sessionize applies the streaming gap rule (gaps-and-islands)") {
+    import spark.implicits._
+    // same burst shapes as the streaming sessionization test above; the
+    // batch twin must split sessions by the identical inactivity-gap rule
+    // (continue iff ts <= previous + gap). ts is written as NANOS longs so
+    // Catalog.events' ns→µs normalization path is exercised end-to-end.
+    val tmp = Files.createTempDirectory("graft-sess-batch").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:02:00", 1L, "view", 2.0),
+      (3L, "2024-01-01 00:04:00", 1L, "click", 3.0),
+      (10L, "2024-01-01 03:00:00", 3L, "click", 1.0),
+      (11L, "2024-01-01 03:20:00", 3L, "click", 2.0),
+      (12L, "2024-01-01 03:55:00", 3L, "click", 4.0))
+      .toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .select(col("event_id"),
+        (unix_timestamp(col("ts_str")) * 1000000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Monitoring.sessionize(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString,
+        r.getTimestamp(3).toString, r.getLong(4), r.getDouble(5)))
+    // gap = 30 min: user 1 is one session; user 3's 03:00→03:20 continue
+    // (20 min <= gap) but 03:55 starts a new session (35 min > gap)
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:04:00.0", 3L, 6.0),
+      (3L, "2024-01-01 03:00:00.0", "2024-01-01 03:20:00.0", 2L, 3.0),
+      (3L, "2024-01-01 03:55:00.0", "2024-01-01 03:55:00.0", 1L, 4.0)),
+      s"got ${got.toSeq}")
+  }
 }
