@@ -48,6 +48,13 @@ object Catalog {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** ANALYZE-style persisted statistics for an engine-written table
+    * (SURVEY.md §4; computed by [[graft.lifecycle.Stats.analyze]], refreshed
+    * by `Lifecycle.compact` — the VACUUM ANALYZE path). None until analyzed.
+    */
+  def tableStats(spark: SparkSession, tablePath: String): Option[DataFrame] =
+    graft.lifecycle.Stats.read(spark, tablePath)
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

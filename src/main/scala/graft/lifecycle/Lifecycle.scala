@@ -82,9 +82,15 @@ object Lifecycle {
   def truncate(path: String)(implicit spark: SparkSession): Unit =
     rewrite(path)(df => df.limit(0))
 
-  /** S16 — compaction (VACUUM analogue): rewrite to k output files. */
-  def compact(path: String, numFiles: Int)(implicit spark: SparkSession): Unit =
+  /** S16 — compaction + stats refresh (the full `VACUUM ANALYZE` analogue,
+    * reference myapp/views.py:887-907): rewrite to k output files, then
+    * recompute and persist table statistics ([[Stats.analyze]]).
+    */
+  def compact(path: String, numFiles: Int)(implicit spark: SparkSession): Unit = {
     rewrite(path)(_.repartition(numFiles))
+    Stats.analyze(spark, path)
+    ()
+  }
 
   /** Rewrite-on-write with a staging copy (parquet can't be read and
     * overwritten in one job): transform → stage → swap.

@@ -1,0 +1,105 @@
+package graft.lifecycle
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ANALYZE-equivalent table statistics (SURVEY.md §4; reference maintenance
+  * path `VACUUM ANALYZE`, myapp/views.py:887-907).
+  *
+  * The engine's own written tables are bare parquet directories — Spark has
+  * file sizes but no row counts / NDVs for them, so join-order and
+  * broadcast decisions on freshly-written tables would fly blind.
+  * [[analyze]] computes row count + per-column min/max/NDV/null-count in
+  * ONE aggregation pass (all partial-aggregatable, map-side combined) and
+  * persists them as a tiny parquet dataset at `<table>.stats`;
+  * [[maybeBroadcast]] turns those persisted stats into an explicit
+  * broadcast hint, which is how the cost knowledge re-enters planning.
+  *
+  * Stats are a snapshot: [[Lifecycle.compact]] refreshes them (VACUUM
+  * ANALYZE), and any writer can call [[analyze]] after a batch commit.
+  */
+object Stats {
+
+  /** Where a table's stats dataset lives. */
+  def statsPath(tablePath: String): String =
+    tablePath.stripSuffix("/") + ".stats"
+
+  private val statsSchema = StructType(Seq(
+    StructField("column", StringType),
+    StructField("table_row_count", LongType),
+    StructField("table_size_bytes", LongType),
+    StructField("min_str", StringType),
+    StructField("max_str", StringType),
+    StructField("ndv", LongType),
+    StructField("null_count", LongType)))
+
+  private def isAtomic(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+    case _ => true
+  }
+
+  /** Compute and persist stats for a parquet table. One job, one pass:
+    * `count(*)` plus (min, max, approx NDV, null count) per atomic column,
+    * all combining map-side — the scan cost is the whole cost.
+    */
+  def analyze(spark: SparkSession, tablePath: String): DataFrame = {
+    val df = spark.read.parquet(tablePath)
+    val cols = df.schema.fields.filter(f => isAtomic(f.dataType)).map(_.name)
+    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        approx_count_distinct(col(c)).as(s"${c}__ndv"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"))
+    }.toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = row.getLong(0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val sizeBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(tablePath)).getLength
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      val base = 1 + i * 4
+      Row(c, rows, sizeBytes,
+        row.getAs[String](base), row.getAs[String](base + 1),
+        row.getLong(base + 2), row.getLong(base + 3))
+    }
+    val statsDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(out: _*)), statsSchema)
+    statsDf.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsPath(tablePath))
+    statsDf
+  }
+
+  /** Read a table's persisted stats; None when never analyzed. */
+  def read(spark: SparkSession, tablePath: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(statsPath(tablePath))))
+      Some(spark.read.parquet(statsPath(tablePath)))
+    else None
+  }
+
+  /** Persisted row count, if analyzed. */
+  def rowCount(spark: SparkSession, tablePath: String): Option[Long] =
+    read(spark, tablePath).flatMap(
+      _.select(col("table_row_count")).head(1).headOption.map(_.getLong(0)))
+
+  /** Persisted on-disk size, if analyzed. */
+  def sizeBytes(spark: SparkSession, tablePath: String): Option[Long] =
+    read(spark, tablePath).flatMap(
+      _.select(col("table_size_bytes")).head(1).headOption.map(_.getLong(0)))
+
+  /** Apply a broadcast hint iff the persisted stats say the table is under
+    * the threshold — the ANALYZE → plan feedback loop for the engine's own
+    * written tables (Spark's auto-broadcast sees only compressed file
+    * sizes; the persisted stats carry row counts the optimizer can trust
+    * after every Lifecycle rewrite).
+    */
+  def maybeBroadcast(spark: SparkSession, df: DataFrame, tablePath: String,
+      thresholdBytes: Long = 10L << 20): DataFrame =
+    sizeBytes(spark, tablePath) match {
+      case Some(b) if b <= thresholdBytes => broadcast(df)
+      case _ => df
+    }
+}
