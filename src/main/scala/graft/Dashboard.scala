@@ -33,10 +33,22 @@ object Dashboard {
       backupDelta: DataFrame,
       usersWithRoles: DataFrame)
 
-  def index(spark: SparkSession, dir: String): IndexPayload = IndexPayload(
-    slowQueries = Monitoring.slowQueries(spark, dir),
-    idleSessions = Monitoring.idleSessions(spark, dir),
-    blockedSessions = Monitoring.blockedSessions(spark, dir),
+  /** Default per-section row cap. The reference's slow/idle/blocked
+    * sections return every matching row (views.py:396-421 — no LIMIT),
+    * which is 4,828 rows at sf0.1 and ~500k at 100× — an unbounded
+    * driver-side collect. Serving caps each row-set section to its top-N
+    * BY ITS OWN ORDER (the sections already sort by relevance — duration
+    * desc, etc.), so the cap composes with the sort into a
+    * TakeOrderedAndProject instead of a global sort + collect. The
+    * underlying operators stay uncapped for the correctness gate.
+    */
+  val DefaultSectionCap = 500
+
+  def index(spark: SparkSession, dir: String,
+      sectionCap: Int = DefaultSectionCap): IndexPayload = IndexPayload(
+    slowQueries = Monitoring.slowQueries(spark, dir).limit(sectionCap),
+    idleSessions = Monitoring.idleSessions(spark, dir).limit(sectionCap),
+    blockedSessions = Monitoring.blockedSessions(spark, dir).limit(sectionCap),
     activeUsers = Monitoring.activeUsers(spark, dir),
     totalSessions = Monitoring.totalSessions(spark, dir),
     connectionLoad = Monitoring.connectionLoad(spark, dir),
@@ -44,19 +56,20 @@ object Dashboard {
     transactionsPerSecond = Monitoring.transactionsPerSecond(spark, dir),
     topResourceConsumers = Monitoring.topResourceConsumers(spark, dir),
     tableSizes = Monitoring.tableSizesPretty(spark, dir),
-    backupDelta = Monitoring.lagDelta(spark, dir),
-    usersWithRoles = Monitoring.usersWithRoles(spark, dir))
+    backupDelta = Monitoring.lagDelta(spark, dir).limit(sectionCap),
+    usersWithRoles = Monitoring.usersWithRoles(spark, dir).limit(sectionCap))
 
   /** Materialize every index section concurrently: the reference issues
     * its ~20 statements sequentially on one cursor (views.py:394-681); as
     * independent Spark jobs they share the scheduler and overlap IO/CPU.
     * Returns section name → row count (a serving layer would collect rows).
     */
-  def collectIndexConcurrently(spark: SparkSession, dir: String): Map[String, Long] = {
+  def collectIndexConcurrently(spark: SparkSession, dir: String,
+      sectionCap: Int = DefaultSectionCap): Map[String, Long] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val p = index(spark, dir)
+    val p = index(spark, dir, sectionCap)
     val sections: Seq[(String, DataFrame)] = Seq(
       "slow_queries" -> p.slowQueries, "idle_sessions" -> p.idleSessions,
       "blocked_sessions" -> p.blockedSessions, "active_users" -> p.activeUsers,

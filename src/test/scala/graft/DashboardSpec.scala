@@ -22,6 +22,18 @@ class DashboardSpec extends SparkSuite {
     assert(counts.values.forall(_ >= 0L))
   }
 
+  test("every index section is bounded by the serving cap") {
+    val cap = 7
+    val counts = Dashboard.collectIndexConcurrently(spark, sfDir, sectionCap = cap)
+    counts.foreach { case (name, n) =>
+      assert(n <= math.max(cap, 20L), s"section $name returned $n rows")
+    }
+    // row-set sections actually hit the cap (fixture has more rows than 7)
+    assert(counts("slow_queries") == cap)
+    assert(counts("blocked_sessions") == cap)
+    assert(counts("users_roles") == cap)
+  }
+
   test("index_resource payload: trend bounded at 50, decimated at 25") {
     val p = Dashboard.indexResource(spark, sfDir)
     assert(p.trend.count() == 50)
