@@ -39,6 +39,27 @@ object VecKernels {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Per-block L2 norms: block i of m covers elements [i·n/m, (i+1)·n/m).
+    * The norm-profile vectors satisfy `cosine(a,b) <= cosine(blockNorms(a),
+    * blockNorms(b))` (Cauchy-Schwarz per block: dot(a_i,b_i) ≤ |a_i||b_i|,
+    * and |a|₂ = |blockNorms(a)|₂), giving a cheap m-dim upper bound that
+    * prunes full-dimension kernel evaluations in threshold searches.
+    */
+  def blockNorms(a: ArrayData, m: Int): ArrayData = {
+    val n = a.numElements()
+    val sums = new Array[Double](m)
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      sums(i * m / n) += x * x
+      i += 1
+    }
+    val out = new Array[Float](m)
+    i = 0
+    while (i < m) { out(i) = math.sqrt(sums(i)).toFloat; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** Dot product of two float vectors (double accumulation). */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -120,9 +141,33 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** `block_norms(array<float>, m): array<float>` — per-block L2 norms (see
+  * [[VecKernels.blockNorms]]); the m-dim profile whose cosine upper-bounds
+  * the full-dimension cosine.
+  */
+case class BlockNorms(child: Expression, m: Int) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(m >= 1, "block_norms requires m >= 1")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.blockNorms(input.asInstanceOf[ArrayData], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.VecKernels.blockNorms($c, $m)")
+  override protected def withNewChildInternal(newChild: Expression): BlockNorms =
+    copy(child = newChild)
+  override def prettyName: String = "block_norms"
+}
+
 object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))
   def dot_product(a: Column, b: Column): Column =
     Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
+  def block_norms(a: Column, m: Int): Column =
+    Shims.column(BlockNorms(Shims.expression(a), m))
 }

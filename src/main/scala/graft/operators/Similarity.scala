@@ -58,13 +58,30 @@ object Similarity {
   // N2 — exact high-cosine pair mining (embedding near-dup dedup): all
   // pairs with cosine ≥ 0.4. Block-nested self-join; the codegen'd kernel
   // makes the O(n²/2) scoring CPU-bound rather than interpreter-bound.
-  // (The LSH path below is the subquadratic variant.)
+  // A norm-profile prune runs inside the join condition: cosine(a,b) ≤
+  // cosine(blockNorms(a), blockNorms(b)) (Cauchy-Schwarz per block), so an
+  // 8-dim bound evaluation skips the 64-dim kernel for pairs that provably
+  // can't reach the threshold — identical output, fewer full-dim kernel
+  // evaluations. (The LSH path below is the subquadratic variant.)
   // ---------------------------------------------------------------------
+  val PruneBlocks = 8
+  /** Bound slack: the final filter compares the 6-dp ROUNDED cosine, and
+    * the float-typed profile norms carry ulp-level error — prune at
+    * threshold − 1e-3 so no borderline survivor is ever lost.
+    */
+  private val PruneMargin = 1e-3
+
   def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.VectorFunctions.block_norms
     val e = Catalog.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-    a.join(b, col("va") < col("vb"))
+      .select(col("vec_id"), col("embedding"),
+        block_norms(col("embedding"), PruneBlocks).as("bn"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("bn").as("bna"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("bn").as("bnb"))
+    a.join(b, col("va") < col("vb") &&
+        cosine_sim(col("bna"), col("bnb")) >= PairThreshold - PruneMargin)
       .select(col("va"), col("vb"),
         round(cosine_sim(col("ea"), col("eb")), 6).as("cosine"))
       .filter(col("cosine") >= PairThreshold)

@@ -156,6 +156,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(r.getDouble(2) == 1.0)
   }
 
+  test("n2 block-norm profile cosine is a true upper bound on cosine") {
+    import spark.implicits._
+    import graft.expressions.VectorFunctions.{block_norms, cosine_sim}
+    val rnd = new scala.util.Random(42)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    // random pairs plus disjoint-support pairs (mass in different blocks →
+    // orthogonal profiles → bound 0, the pair the prune exists to skip)
+    val rows = Seq.fill(50)((vec(), vec())) ++ Seq.fill(5) {
+      val a = Seq.tabulate(64)(i => if (i < 8) rnd.nextFloat() + 0.5f else 0.0f)
+      val b = Seq.tabulate(64)(i => if (i >= 8 && i < 16) rnd.nextFloat() + 0.5f else 0.0f)
+      (a, b)
+    }
+    val got = rows.toDF("a", "b")
+      .select(
+        cosine_sim(col("a"), col("b")).as("cos"),
+        cosine_sim(block_norms(col("a"), Similarity.PruneBlocks),
+          block_norms(col("b"), Similarity.PruneBlocks)).as("bound"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(1) + 1e-6 >= r.getDouble(0),
+        s"bound ${r.getDouble(1)} < cosine ${r.getDouble(0)}")
+    }
+    // the disjoint-support pairs are provably below any positive threshold
+    assert(got.takeRight(5).forall(_.getDouble(1) < 0.01))
+  }
+
   test("x4 fingerprints are stable across runs and within 60 bits") {
     val a = TextOps.fingerprints(spark, sfDir).collect()
     val b = TextOps.fingerprints(spark, sfDir).collect()
