@@ -193,29 +193,28 @@ object Similarity {
     * fold of `when` chains would duplicate every prior dot subtree and grow
     * the expression exponentially (≈3^NCentroids nodes).
     */
-  private def topCentroids(v: org.apache.spark.sql.Column, n: Int) = {
-    val dots = array(centroids.zipWithIndex.map { case (ctr, i) =>
+  private def topCentroidsOf(ctrs: Seq[Seq[Float]])(
+      v: org.apache.spark.sql.Column, n: Int) = {
+    val dots = array(ctrs.zipWithIndex.map { case (ctr, i) =>
       struct(dot_product(v, typedLit(ctr)).as("d"), lit(i).as("c"))
     }: _*)
     slice(reverse(array_sort(dots)), 1, n).getField("c")
   }
 
   /** Argmax-dot centroid id (ties → highest id, deterministic). */
-  private def assignColumn(v: org.apache.spark.sql.Column) =
-    element_at(topCentroids(v, 1), 1)
+  private def assignColumnOf(ctrs: Seq[Seq[Float]])(v: org.apache.spark.sql.Column) =
+    element_at(topCentroidsOf(ctrs)(v, 1), 1)
 
-  /** Top-NProbe centroid ids for a query vector. */
-  private def probeColumn(v: org.apache.spark.sql.Column) =
-    topCentroids(v, NProbe)
-
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** IVF probe join for an arbitrary coarse quantizer. */
+  private def annIvfWith(ctrs: Seq[Seq[Float]])(
+      spark: SparkSession, dir: String): DataFrame = {
     val e = Catalog.embeddings(spark, dir)
     val lists = e.select(col("vec_id"), col("embedding"),
-      assignColumn(col("embedding")).as("centroid"))
+      assignColumnOf(ctrs)(col("embedding")).as("centroid"))
     val queries = broadcast(
       e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          explode(probeColumn(col("embedding"))).as("centroid")))
+          explode(topCentroidsOf(ctrs)(col("embedding"), NProbe)).as("centroid")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     lists.join(queries,
@@ -228,6 +227,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(centroids)(spark, dir)
+
+  // ---------------------------------------------------------------------
+  // N5 — IVF with a FITTED coarse quantizer: deterministic spherical
+  // k-means (Lloyd's), the real-pipeline replacement for N4's synthetic
+  // centroids. Init = the k lowest-vec_id vectors (deterministic,
+  // data-dependent); each iteration assigns by argmax dot (the same rule
+  // the probe uses) and recenters on the member mean, L2-normalized.
+  // Per-iteration cost: one scan + one partial-agged shuffle of
+  // (centroid, dim) groups — k·Dim cells, independent of corpus size.
+  // Centroid components round to 6 dp per iteration so shuffle-order
+  // summation ULPs can't make the fit nondeterministic across runs.
+  // ---------------------------------------------------------------------
+  val KmeansIters = 3
+
+  def fitIvfCentroids(spark: SparkSession, dir: String,
+      k: Int = NCentroids, iters: Int = KmeansIters): Seq[Seq[Float]] = {
+    val e = Catalog.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def normalize(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val scale = if (n == 0.0) 1.0 else n
+      // 6-dp grid: deterministic under summation-order ULP noise
+      v.map(x => math.rint(x / scale * 1e6).toFloat / 1e6f).toSeq
+    }
+    var ctrs: Seq[Seq[Float]] = e.orderBy(col("vec_id")).limit(k).collect()
+      .map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    var it = 0
+    while (it < iters) {
+      val assigned = e.select(
+        assignColumnOf(ctrs)(col("embedding")).as("centroid"),
+        col("embedding"))
+      val sums = assigned
+        .select(col("centroid"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("centroid"), col("d"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = Array.fill(k)(new Array[Double](Dim))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      // empty clusters keep their previous centroid (stable, deterministic)
+      ctrs = ctrs.zipWithIndex.map { case (old, i) =>
+        if (next(i).forall(_ == 0.0)) old else normalize(next(i))
+      }
+      it += 1
+    }
+    ctrs
+  }
+
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(fitIvfCentroids(spark, dir))(spark, dir)
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("n1_ann_brute", annBruteForce, Some(annBruteForceSql),
@@ -237,5 +289,7 @@ object Similarity {
     Q("n3_ann_lsh", annLsh, None,
       "random-hyperplane LSH bucketed ANN, approximate — recall tested vs n1 (training-data extension)"),
     Q("n4_ann_ivf", annIvf, None,
-      s"IVF coarse-quantizer ANN, NProbe=$NProbe of $NCentroids centroids, approximate — recall tested vs n1 (training-data extension)"))
+      s"IVF coarse-quantizer ANN, NProbe=$NProbe of $NCentroids centroids, approximate — recall tested vs n1 (training-data extension)"),
+    Q("n5_ann_ivf_kmeans", annIvfKmeans, None,
+      s"IVF ANN over a fitted deterministic spherical k-means quantizer ($KmeansIters Lloyd iterations), approximate — recall tested vs n1 (training-data extension)"))
 }

@@ -77,6 +77,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(mean >= 0.3, s"mean recall $mean")
   }
 
+  test("n5 k-means IVF: deterministic fit, unit centroids, pinned recall (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    val fit1 = Similarity.fitIvfCentroids(spark, dir)
+    val fit2 = Similarity.fitIvfCentroids(spark, dir)
+    assert(fit1 == fit2, "k-means fit must be deterministic across runs")
+    fit1.foreach { c =>
+      val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"centroid norm $norm")
+    }
+    val brute = Similarity.annBruteForce(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = Similarity.annIvfKmeans(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, ids) =>
+      ivf.get(q).map(c => (ids & c).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // noise embeddings: k-means splits the sphere ≈ evenly, recall ≈ probed
+    // fraction, same floor as the synthetic-quantizer n4
+    assert(mean >= 0.3, s"mean recall $mean")
+  }
+
   test("d5 winnowing catches the high-Jaccard near-dup pairs") {
     val jaccardPairs = Dedup.ngramJaccard(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
