@@ -63,6 +63,47 @@ class FormatSpec extends AnyFunSuite {
     assert(Hash.winnow(UTF8String.fromString("ab"), 8, 16).numElements() == 0)
   }
 
+  test("winnow deque equals a naive window-min reference (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the monotonic-deque sliding minimum must emit exactly the minima the
+    // O(n·w) definition does, on random small-alphabet strings (small
+    // alphabets maximize duplicate hash values — the deque's tie edge)
+    val rnd = new scala.util.Random(7)
+    def naive(text: String, k: Int, w: Int): Seq[Long] = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      if (n < k) return Seq.empty
+      val Mod = (1L << 61) - 1
+      val Base = 257L
+      def mulMod(a: BigInt, b: BigInt): Long = ((a * b) % Mod).toLong
+      val nGrams = n - k + 1
+      val hashes = new Array[Long](nGrams)
+      (0 until nGrams).foreach { i =>
+        var h = BigInt(0)
+        (i until i + k).foreach(j => h = (h * Base + (bytes(j) & 0xff)) % Mod)
+        hashes(i) = h.toLong
+      }
+      if (nGrams <= w) Seq(hashes.min)
+      else {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+        (0 to nGrams - w).foreach(i => seen += hashes.slice(i, i + w).min)
+        seen.toSeq
+      }
+    }
+    (0 until 200).foreach { _ =>
+      val len = rnd.nextInt(120)
+      val text = Seq.fill(len)("abc".charAt(rnd.nextInt(3))).mkString
+      val k = 2 + rnd.nextInt(6)
+      val w = 1 + rnd.nextInt(10)
+      val got = {
+        val arr = Hash.winnow(UTF8String.fromString(text), k, w)
+        (0 until arr.numElements()).map(arr.getLong)
+      }
+      assert(got == naive(text, k, w),
+        s"mismatch for len=$len k=$k w=$w text='$text'")
+    }
+  }
+
   test("formatDuration round-trips seconds (property)") {
     val rnd = new scala.util.Random(42)
     (0 until 2000).foreach { _ =>
