@@ -182,11 +182,51 @@ object Lifecycle {
     """SELECT event_id, event_type, value FROM events
       |ORDER BY event_id""".stripMargin.replace('\n', ' ')
 
+  /** S5 — CSV sink proven by round-trip: export via the serving-layer CSV
+    * sink (reference template JS CSV builders, index.html:338-371 —
+    * server-side here), read back with the source schema; the oracle is
+    * the identity over the fixture, so quoting/null/numeric fidelity of
+    * the write–read path is what the gate checks.
+    */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft_csv_").toString
+    val src = Catalog.nation(spark, dir)
+    graft.streaming.Sinks.csvExport(src, s"$scratch/nation_csv")
+    spark.read.option("header", "true").schema(src.schema)
+      .csv(s"$scratch/nation_csv")
+      .orderBy(col("n_nationkey"))
+  }
+
+  val csvRoundTripSql: String =
+    "SELECT * FROM nation ORDER BY n_nationkey"
+
+  /** S12 — the CHECK constraint of the reference's `user_roles` DDL
+    * (myapp/db_helpers.py:7-12) as a batch write-path validation — the
+    * exact filter the streaming ingest applies, oracle-checked against
+    * the SQL form of the constraint.
+    */
+  def checkValidate(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.validate(Catalog.events(spark, dir))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  val checkValidateSql: String =
+    """SELECT event_id, event_type, value FROM events
+      |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      | AND event_type IN ('click','view','signup','purchase','error')
+      |ORDER BY event_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[graft.operators.Q] = Seq(
     graft.operators.Q("s9_mutation_pipeline", mutationPipeline,
       Some(mutationPipelineSql),
       "upsert (×2, idempotent) + delete + update write path (views.py:33-44,113,168-170)"),
     graft.operators.Q("s15_archive_restore", archiveRestorePipeline,
       Some(archiveRestorePipelineSql),
-      "archive/truncate/compact/restore round-trip (views.py:913-994)"))
+      "archive/truncate/compact/restore round-trip (views.py:913-994)"),
+    graft.operators.Q("s5_csv_roundtrip", csvRoundTrip,
+      Some(csvRoundTripSql),
+      "CSV sink write-read fidelity (index.html:338-371, server-side)"),
+    graft.operators.Q("s12_check_validate", checkValidate,
+      Some(checkValidateSql),
+      "CHECK-constraint validation on the write path (db_helpers.py:7-12)"))
 }
