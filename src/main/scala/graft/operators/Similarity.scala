@@ -254,6 +254,11 @@ object Similarity {
     }
     var ctrs: Seq[Seq[Float]] = e.orderBy(col("vec_id")).limit(k).collect()
       .map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    // corpora with fewer than k vectors (including empty partitions) pad
+    // with the synthetic quantizer so the fit never yields < k centroids
+    if (ctrs.size < k)
+      ctrs = ctrs ++ centroids.drop(ctrs.size)
+        .map(c => normalize(c.map(_.toDouble).toArray))
     var it = 0
     while (it < iters) {
       val assigned = e.select(
