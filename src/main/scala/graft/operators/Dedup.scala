@@ -48,8 +48,11 @@ object Dedup {
     * intersects them in place — no second pass over the inverted index.
     */
   private def jaccardForCandidates(
-      spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
-    val hs = docShingleHashes(spark, dir)
+      spark: SparkSession, dir: String, candidates: DataFrame): DataFrame =
+    jaccardForCandidatesHs(docShingleHashes(spark, dir), candidates)
+
+  private def jaccardForCandidatesHs(
+      hs: DataFrame, candidates: DataFrame): DataFrame = {
     candidates
       .join(hs.select(col("doc_id").as("da"), col("hs").as("hsa")), "da")
       .join(hs.select(col("doc_id").as("db"), col("hs").as("hsb")), "db")
@@ -99,14 +102,19 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact pairwise shingle-Jaccard for every co-shingle pair: candidates
-    * off the df-capped inverted index, then the exact verify step over the
-    * full per-doc hash arrays (so the cap never distorts a reported score).
+  /** Exact pairwise shingle-Jaccard for every co-shingle pair over an
+    * explicit (doc_id, hs) relation: candidates off the df-capped inverted
+    * index, then the exact verify step over the full per-doc hash arrays
+    * (so the cap never distorts a reported score).
     */
+  private def jaccardFromHs(hs: DataFrame, cap: Int): DataFrame = {
+    val ex = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    jaccardForCandidatesHs(hs, coKeyCandidates(ex, "h", cap))
+  }
+
   private def jaccardAllCoShinglePairs(
       spark: SparkSession, dir: String, cap: Int = DocFreqCap): DataFrame =
-    jaccardForCandidates(spark, dir,
-      coKeyCandidates(invertedIndex(spark, dir), "h", cap))
+    jaccardFromHs(docShingleHashes(spark, dir), cap)
 
   // ---------------------------------------------------------------------
   // D1 — exact (prefix-fingerprint) dedup: hash-groupBy on the normalized
@@ -218,6 +226,40 @@ object Dedup {
   val ngramJaccardSql: String = minhashLshSql
 
   // ---------------------------------------------------------------------
+  // D6 — the PERSISTED-index variant of D4: at 100 TB the shingle relation
+  // is materialized once and shared by the MinHash, SimHash and
+  // exact-Jaccard paths, instead of re-running the shingle kernel in every
+  // query subtree (D4's self-contained plan evaluates it three times —
+  // inverted index + both verify sides). Same oracle as D4: the index is
+  // an execution strategy, not a semantic change.
+  // ---------------------------------------------------------------------
+  /** Materialize the per-document shingle-hash relation — the feature
+    * table a large-scale dedup pipeline persists and shares.
+    */
+  def buildShingleIndex(spark: SparkSession, dir: String, out: String): Unit =
+    docShingleHashes(spark, dir)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+
+  /** D4 over a persisted shingle index (one kernel pass at build time,
+    * zero at query time).
+    */
+  def ngramJaccardIndexed(indexPath: String, cap: Int = DocFreqCap)(
+      spark: SparkSession, dir: String): DataFrame =
+    jaccardFromHs(spark.read.parquet(indexPath), cap)
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+
+  /** Gate entry: build the index into a scratch dir, query it. */
+  def ngramJaccardViaIndex(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_shingle_idx_").toString
+    val idx = s"$scratch/shingles"
+    buildShingleIndex(spark, dir, idx)
+    ngramJaccardIndexed(idx)(spark, dir)
+  }
+
+  // ---------------------------------------------------------------------
   // D3 — SimHash near-dup pairs: 60-bit fingerprint per doc (custom
   // codegen'd Catalyst expression), pairs at Hamming distance ≤ 3 found
   // via 4-band pigeonhole (distance ≤ 3 ⇒ at least one 15-bit band equal —
@@ -323,5 +365,7 @@ object Dedup {
     Q("d4_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql),
       "exact 3-gram Jaccard pairs via inverted index (training-data extension)"),
     Q("d5_winnow_pairs", winnowPairs, None,
-      "winnowing rolling-hash fingerprint overlap pairs, rows-only (training-data extension)"))
+      "winnowing rolling-hash fingerprint overlap pairs, rows-only (training-data extension)"),
+    Q("d6_jaccard_indexed", ngramJaccardViaIndex, Some(minhashLshSql),
+      "exact 3-gram Jaccard over a persisted shingle index — the shared-feature-table execution strategy (training-data extension)"))
 }
