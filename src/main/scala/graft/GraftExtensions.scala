@@ -66,7 +66,23 @@ object GraftExtensions {
       es => CosineSimilarity(es(0), es(1))),
     ("dot_product", info("dot_product",
       "dot_product(array<float>, array<float>) - dot product"),
-      es => DotProduct(es(0), es(1))))
+      es => DotProduct(es(0), es(1))),
+    ("block_norms", info("block_norms",
+      "block_norms(array<float>[, m]) - per-block L2 norms (cosine upper-bound profile)"),
+      es => es match {
+        case Seq(v) => BlockNorms(v, 8)
+        case Seq(v, m) => BlockNorms(v,
+          m.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "block_norms expects (vector) or (vector, m)")
+      }),
+    ("lang_id", info("lang_id",
+      "lang_id(text) - marker-stopword language identification"),
+      one(LangIdExpr(_, graft.operators.TextOps.LangMarkers.map(_._1),
+        graft.operators.TextOps.LangMarkers.map(_._2)))),
+    ("quality_stats", info("quality_stats",
+      "quality_stats(text) - struct<n_tokens, stop_hits, punct_chars, n_chars> quality counters"),
+      one(QualityStatsExpr(_, graft.operators.TextOps.Stopwords))))
 
   /** Imperative registration for an existing session: the SQL functions
     * AND the optimizer rule, so conf-less sessions get the same plans as

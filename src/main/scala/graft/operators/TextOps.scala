@@ -68,7 +68,7 @@ object TextOps {
   // (C4/Gopher-style rules). Flags are config, mirroring how the
   // reference treats alert thresholds as config (SURVEY.md §6).
   // ---------------------------------------------------------------------
-  private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+  private[graft] val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
 
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
     // one codegen'd kernel pass per row ([[graft.expressions.QualityStatsExpr]]);
@@ -113,7 +113,7 @@ object TextOps {
   // to the alphabetically-first language, 'und' when nothing matches).
   // Declared as one deterministic expression tree in both engines.
   // ---------------------------------------------------------------------
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
     "en" -> Seq("the", "a", "of", "and", "is", "to"),
     "es" -> Seq("el", "la", "de", "y", "es", "que"),

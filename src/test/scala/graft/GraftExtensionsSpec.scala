@@ -13,13 +13,19 @@ class GraftExtensionsSpec extends SparkSuite {
         |       simhash60(array(1L, 2L, 3L)) AS sh,
         |       cosine_sim(array(float(1), float(0)), array(float(1), float(0))) AS cs,
         |       dot_product(array(float(2), float(3)), array(float(4), float(5))) AS dp,
-        |       size(shingle_hash60('a b c d', 3)) AS ns
+        |       size(shingle_hash60('a b c d', 3)) AS ns,
+        |       size(block_norms(array(float(3), float(4)), 2)) AS bn,
+        |       lang_id('der hund ist nicht da') AS li,
+        |       quality_stats('one two three').n_tokens AS qt
         |""".stripMargin).head()
     assert(r.getAs[String]("sp") == "5.0 GB")
     assert(r.getAs[String]("fd") == "1:01:01")
     assert(r.getAs[Double]("cs") == 1.0)
     assert(r.getAs[Double]("dp") == 23.0)
     assert(r.getAs[Int]("ns") == 2)
+    assert(r.getAs[Int]("bn") == 2)
+    assert(r.getAs[String]("li") == "de")
+    assert(r.getAs[Int]("qt") == 3)
   }
 
   test("extensions class wires into a fresh session via spark.sql.extensions") {
