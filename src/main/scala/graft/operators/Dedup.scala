@@ -207,10 +207,11 @@ object Dedup {
        |ORDER BY da, db""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
-  // D4 — exact n-gram Jaccard pairs via the inverted index (no LSH, no
-  // false negatives): candidates = pairs sharing ≥ 1 shingle, which is a
-  // superset of any pair with J > 0. Same verified output as D2 but exact
-  // by construction.
+  // D4 — exact n-gram Jaccard pairs via the inverted index (no LSH):
+  // candidates = pairs sharing ≥ 1 sub-cap shingle — a superset of any
+  // near-dup pair unless ALL its shared shingles are corpus-hot (df >
+  // DocFreqCap), the boilerplate case the cap exists to bound. Same
+  // verified output as D2; scores are always exact (see jaccardFromHs).
   // ---------------------------------------------------------------------
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardCapped(DocFreqCap)(spark, dir)

@@ -31,6 +31,17 @@ class StatsSpec extends SparkSuite {
     assert(key.getLong(6) == 0, "null_count(n_nationkey)")
   }
 
+  test("analyze handles a zero-row table (null min/max, count 0)") {
+    implicit val s = spark
+    val scratch = Files.createTempDirectory("graft_stats_empty_").toString
+    val p = s"$scratch/empty"
+    graft.Catalog.nation(spark, sfDir).limit(0).write.parquet(p)
+    Stats.analyze(spark, p)
+    assert(Stats.rowCount(spark, p).contains(0L))
+    val st = graft.Catalog.tableStats(spark, p).get.collect()
+    assert(st.nonEmpty && st.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
   test("compact refreshes stats (VACUUM ANALYZE)") {
     implicit val s = spark
     val scratch = Files.createTempDirectory("graft_stats_compact_").toString
