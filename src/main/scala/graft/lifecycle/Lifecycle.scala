@@ -120,6 +120,82 @@ object Lifecycle {
   }
 
   // ---------------------------------------------------------------------
+  // Partition-local mutation — the 100 TB form of S9-S11 over the
+  // dt-partitioned layout (Catalog.writePartitionedByDate): delete/update/
+  // upsert touch ONLY the partitions their predicate or delta hits; every
+  // other partition's files stay byte-identical on disk. Rewrite locality
+  // is the point of the date layout (SURVEY.md §4 partitioning plan).
+  // ---------------------------------------------------------------------
+
+  /** Rewrite only the named partitions: stage the transformed slice, then
+    * swap the affected partition directories one by one (move-aside, crash
+    * -recoverable like [[rewriteAt]]). A partition whose rewritten content
+    * is empty is removed. `f` must not change `partCol` values — rows may
+    * not migrate between partitions through this path.
+    */
+  def rewritePartitions(path: String, partCol: String, affected: Seq[Any])(
+      f: DataFrame => DataFrame)(implicit spark: SparkSession): Unit = {
+    if (affected.isEmpty) return
+    val staged = path.stripSuffix("/") + ".staged"
+    val slice = spark.read.parquet(path)
+      .filter(col(partCol).isin(affected: _*))
+    f(slice).write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    affected.foreach { v =>
+      val sub = s"$partCol=$v"
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val src = new org.apache.hadoop.fs.Path(s"$staged/$sub")
+      val bak = new org.apache.hadoop.fs.Path(s"$path/$sub.bak")
+      fs.delete(bak, true)
+      if (fs.exists(dst)) fs.rename(dst, bak)
+      if (fs.exists(src) && !fs.rename(src, dst)) {
+        fs.rename(bak, dst)
+        throw new java.io.IOException(
+          s"partition rewrite of $path/$sub failed to promote staged data")
+      }
+      fs.delete(bak, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
+  /** Partitions (values of `partCol`) holding at least one row matching
+    * `pred` — the rewrite scope of a partition-local mutation.
+    */
+  private def affectedPartitions(path: String, partCol: String,
+      pred: org.apache.spark.sql.Column)(
+      implicit spark: SparkSession): Seq[Any] =
+    spark.read.parquet(path).filter(pred)
+      .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+
+  /** S10, partition-local: DELETE WHERE pred rewriting only hit partitions. */
+  def deleteInPartitions(path: String, partCol: String,
+      pred: org.apache.spark.sql.Column)(implicit spark: SparkSession): Unit =
+    rewritePartitions(path, partCol, affectedPartitions(path, partCol, pred))(
+      _.filter(!coalesce(pred, lit(false))))
+
+  /** S11, partition-local: UPDATE SET column = value WHERE pred. */
+  def updateInPartitions(path: String, partCol: String, column: String,
+      value: org.apache.spark.sql.Column, pred: org.apache.spark.sql.Column)(
+      implicit spark: SparkSession): Unit =
+    rewritePartitions(path, partCol, affectedPartitions(path, partCol, pred))(
+      df => df.withColumn(column, when(pred, value).otherwise(col(column))))
+
+  /** S9, partition-local: upsert that anti-joins the delta against ONLY the
+    * partitions the delta itself touches — the existing-side scan is
+    * partition-pruned, so the shuffle is sized by the delta's days, not the
+    * table's history.
+    */
+  def upsertPartitioned(existingPath: String, delta: DataFrame,
+      keys: Seq[String], partCol: String)(implicit spark: SparkSession): Unit = {
+    val parts = delta.select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+    val existing = spark.read.parquet(existingPath)
+      .filter(col(partCol).isin(parts: _*))
+    val fresh = delta.join(existing.select(keys.map(col): _*), keys, "left_anti")
+    fresh.write.mode(SaveMode.Append).partitionBy(partCol).parquet(existingPath)
+  }
+
+  // ---------------------------------------------------------------------
   // Oracle-checkable pipeline: runs the full S9→S10→S11 write path in a
   // scratch dir seeded from the fixture, then returns the resulting table.
   // The DuckDB oracle expresses the same final state as pure SQL over the

@@ -65,6 +65,75 @@ class LifecycleSpec extends SparkSuite {
     assert(after.sameElements(before))
   }
 
+  private def scratchPartitionedEvents(): String = {
+    val d = Files.createTempDirectory("graft_lctp_").toString + "/events_dt"
+    Catalog.writePartitionedByDate(Catalog.events(spark, sfDir), "ts", d)
+    d
+  }
+
+  /** (relative file path, length) for every parquet file under a partition. */
+  private def partitionFiles(root: String, sub: String): Set[(String, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$root/$sub")).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getAbsolutePath.stripPrefix(root), f.length())).toSet
+  }
+
+  test("partition-local delete rewrites only hit partitions; others untouched") {
+    implicit val s: SparkSession = spark
+    val path = scratchPartitionedEvents()
+    val dts = spark.read.parquet(path).select("dt").distinct()
+      .orderBy("dt").collect().map(_.getDate(0))
+    assert(dts.length >= 2, "fixture must span multiple days")
+    val (hitDt, coldDt) = (dts.head, dts.last)
+    val coldBefore = partitionFiles(path, s"dt=$coldDt")
+    val expect = spark.read.parquet(path)
+      .filter(!(col("dt") === hitDt && col("event_type") === "click"))
+      .count()
+    Lifecycle.deleteInPartitions(path, "dt",
+      col("dt") === hitDt && col("event_type") === "click")
+    assert(spark.read.parquet(path).count() == expect)
+    assert(spark.read.parquet(path)
+      .filter(col("dt") === hitDt && col("event_type") === "click").count() == 0)
+    assert(partitionFiles(path, s"dt=$coldDt") == coldBefore,
+      "unaffected partition's files changed")
+  }
+
+  test("partition-local delete removes a fully-emptied partition") {
+    implicit val s: SparkSession = spark
+    val path = scratchPartitionedEvents()
+    val hitDt = spark.read.parquet(path).select("dt").distinct()
+      .orderBy("dt").collect().head.getDate(0)
+    Lifecycle.deleteInPartitions(path, "dt", col("dt") === hitDt)
+    assert(!new java.io.File(s"$path/dt=$hitDt").exists(),
+      "emptied partition directory should be gone")
+    assert(spark.read.parquet(path).filter(col("dt") === hitDt).count() == 0)
+  }
+
+  test("partition-local update + partitioned upsert match their full-table twins") {
+    implicit val s: SparkSession = spark
+    val path = scratchPartitionedEvents()
+    val naive = Files.createTempDirectory("graft_lctp_naive_").toString + "/events"
+    spark.read.parquet(path).write.parquet(naive)
+    val hitDt = spark.read.parquet(path).select("dt").distinct()
+      .orderBy("dt").collect().head.getDate(0)
+    val pred = col("dt") === hitDt && col("event_type") === "view"
+    Lifecycle.updateInPartitions(path, "dt", "value", lit(0.0), pred)
+    Lifecycle.update(naive, "value", lit(0.0), pred)
+    val delta = spark.read.parquet(naive)
+      .filter(col("dt") === hitDt).limit(20)
+      .withColumn("event_id", col("event_id") + 7000000L)
+      .unionByName(spark.read.parquet(naive).filter(col("dt") === hitDt).limit(5))
+    Lifecycle.upsertPartitioned(path, delta, Seq("event_id"), "dt")
+    Lifecycle.upsert(naive, delta, Seq("event_id"))
+    val a = spark.read.parquet(path).orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    val b = spark.read.parquet(naive)
+      .select(spark.read.parquet(path).columns.map(col): _*).orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "partition-local results diverge from full-table twins")
+  }
+
   test("compaction preserves content and reduces file count") {
     implicit val s: SparkSession = spark
     val path = scratchEvents()
