@@ -14,7 +14,8 @@ object SparkEntry {
   /** All catalogued queries across operator modules. */
   def registry: Seq[operators.Q] =
     Monitoring.all ++ Relational.all ++ TextOps.all ++ Dedup.all ++
-      Similarity.all ++ operators.Multimodal.all ++ lifecycle.Lifecycle.all
+      Similarity.all ++ operators.Multimodal.all ++ lifecycle.Lifecycle.all ++
+      operators.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
