@@ -72,6 +72,30 @@ object Streams {
         col("latest.value").as("value"),
         col("n_in_bucket"))
 
+  /** Split a batch into (valid, quarantined) instead of silently dropping
+    * CHECK violations — the pipeline-grade version of [[validate]]: at
+    * 100 TB, silently-vanished rows are an incident, a quarantine table is
+    * a dashboard. Both halves derive from one filter expression, so a
+    * caller writing both sides scans the input once per sink.
+    */
+  def validateWithQuarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val ok = col("event_id").isNotNull && col("ts").isNotNull &&
+      col("event_type").isin(ValidEventTypes.map(lit(_)): _*)
+    (df.filter(ok), df.filter(!coalesce(ok, lit(false))))
+  }
+
+  /** Streaming exact dedup: drop rows whose key was already seen, with
+    * state bounded by the watermark (the streaming twin of the batch d1
+    * exact-dedup — a training-data ingest dedupes at the door, it doesn't
+    * re-scan the corpus). `dropDuplicatesWithinWatermark` keeps one state
+    * entry per key only until the watermark passes, so state is bounded by
+    * the duplication horizon, not the stream's lifetime.
+    */
+  def streamingExactDedup(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming gauges (A1/A2-style always-on aggregates, complete mode). */
   def streamingGauges(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))

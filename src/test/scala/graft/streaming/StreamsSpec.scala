@@ -153,6 +153,43 @@ class StreamsSpec extends SparkSuite {
     assert(lines.length > 1)
   }
 
+  test("validateWithQuarantine partitions rows instead of dropping them") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("2024-01-01 00:00:00"), "click"),
+      (None, Some("2024-01-01 00:01:00"), "click"),      // null id
+      (Some(3L), Some("2024-01-01 00:02:00"), "bogus"),  // bad type
+      (Some(4L), None, "view"))                          // null ts
+      .toDF("event_id", "ts_str", "event_type")
+      .select(col("event_id"), to_timestamp(col("ts_str")).as("ts"), col("event_type"))
+    val (ok, bad) = Streams.validateWithQuarantine(df)
+    assert(ok.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(bad.count() == 3, "every rejected row must land in quarantine")
+    assert(ok.count() + bad.count() == df.count(), "no row may vanish")
+  }
+
+  test("streaming exact dedup drops duplicate keys across micro-batches") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val out = Streams.streamingExactDedup(mem.toDF(), Seq("event_id"))
+    val q = out.writeStream.format("memory")
+      .queryName("dedup_test").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0, "{}"),
+        Ev(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0, "{}"), // in-batch dup
+        Ev(2, ts("2024-01-01 00:00:02"), 1, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      mem.addData( // cross-batch dup of id 2, inside the watermark horizon
+        Ev(2, ts("2024-01-01 00:01:00"), 1, "view", 2.0, "{}"),
+        Ev(3, ts("2024-01-01 00:02:00"), 1, "click", 3.0, "{}"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("batch w4 sessionize applies the streaming gap rule (gaps-and-islands)") {
     import spark.implicits._
     // same burst shapes as the streaming sessionization test above; the
