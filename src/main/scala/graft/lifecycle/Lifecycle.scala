@@ -258,6 +258,48 @@ object Lifecycle {
     """SELECT event_id, event_type, value FROM events
       |ORDER BY event_id""".stripMargin.replace('\n', ' ')
 
+  /** The partition-local write path under the oracle gate: seed a
+    * dt-partitioned scratch copy, then delete day-5 clicks, zero day-5
+    * view values, and upsert a re-keyed day-5 signup delta (twice —
+    * idempotence), all through the partition-local forms — only the
+    * `dt=2024-01-05` partition is ever rewritten. The oracle states the
+    * same final relation as pure SQL over the original fixture.
+    */
+  def partitionedMutationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val scratch = Files.createTempDirectory("graft_lcp_").toString
+    val path = s"$scratch/events_dt"
+    Catalog.writePartitionedByDate(Catalog.events(spark, dir), "ts", path)
+    val day = lit("2024-01-05").cast("date")
+    deleteInPartitions(path, "dt",
+      col("dt") === day && col("event_type") === "click")
+    updateInPartitions(path, "dt", "value", lit(0.0),
+      col("dt") === day && col("event_type") === "view")
+    def dayEvents(kind: String) = Catalog.events(spark, dir)
+      .filter(to_date(col("ts")) === day && col("event_type") === kind)
+      .withColumn("dt", to_date(col("ts")))
+    val delta = dayEvents("signup")
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .unionByName(dayEvents("error")) // conflicting keys → dropped
+    upsertPartitioned(path, delta, Seq("event_id"), "dt")
+    upsertPartitioned(path, delta, Seq("event_id"), "dt") // idempotent
+    spark.read.parquet(path)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val partitionedMutationPipelineSql: String =
+    """SELECT event_id, user_id, event_type,
+      | CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05' AND event_type = 'view'
+      |  THEN 0.0 ELSE value END AS value
+      |FROM (
+      | SELECT event_id, user_id, event_type, value, ts FROM events
+      | UNION ALL
+      | SELECT event_id + 10000000, user_id, event_type, value, ts FROM events
+      | WHERE CAST(ts AS DATE) = DATE '2024-01-05' AND event_type = 'signup')
+      |WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-05' AND event_type = 'click')
+      |ORDER BY event_id""".stripMargin.replace('\n', ' ')
+
   /** S5 — CSV sink proven by round-trip: export via the serving-layer CSV
     * sink (reference template JS CSV builders, index.html:338-371 —
     * server-side here), read back with the source schema; the oracle is
@@ -304,5 +346,8 @@ object Lifecycle {
       "CSV sink write-read fidelity (index.html:338-371, server-side)"),
     graft.operators.Q("s12_check_validate", checkValidate,
       Some(checkValidateSql),
-      "CHECK-constraint validation on the write path (db_helpers.py:7-12)"))
+      "CHECK-constraint validation on the write path (db_helpers.py:7-12)"),
+    graft.operators.Q("s10_partitioned_mutations", partitionedMutationPipeline,
+      Some(partitionedMutationPipelineSql),
+      "partition-local delete/update/upsert over the dt layout — one partition rewritten (SURVEY §4 partitioning plan)"))
 }
