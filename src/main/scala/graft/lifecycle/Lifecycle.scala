@@ -159,13 +159,33 @@ object Lifecycle {
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
   }
 
+  /** True when the path holds at least one parquet data file. A partitioned
+    * write of an EMPTY relation emits only `_SUCCESS` (no partition dirs,
+    * no footers), so a later read cannot infer a schema — the zero-row
+    * table every empty source partition produces must stay operable.
+    */
+  private def hasDataFiles(path: String)(implicit spark: SparkSession): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
   /** Partitions (values of `partCol`) holding at least one row matching
-    * `pred` — the rewrite scope of a partition-local mutation.
+    * `pred` — the rewrite scope of a partition-local mutation. Empty
+    * (file-less) tables have no affected partitions.
     */
   private def affectedPartitions(path: String, partCol: String,
       pred: org.apache.spark.sql.Column)(
       implicit spark: SparkSession): Seq[Any] =
-    spark.read.parquet(path).filter(pred)
+    if (!hasDataFiles(path)) Seq.empty
+    else spark.read.parquet(path).filter(pred)
       .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
 
   /** S10, partition-local: DELETE WHERE pred rewriting only hit partitions. */
@@ -188,10 +208,14 @@ object Lifecycle {
     */
   def upsertPartitioned(existingPath: String, delta: DataFrame,
       keys: Seq[String], partCol: String)(implicit spark: SparkSession): Unit = {
-    val parts = delta.select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
-    val existing = spark.read.parquet(existingPath)
-      .filter(col(partCol).isin(parts: _*))
-    val fresh = delta.join(existing.select(keys.map(col): _*), keys, "left_anti")
+    val fresh =
+      if (!hasDataFiles(existingPath)) delta // nothing on disk → all fresh
+      else {
+        val parts = delta.select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+        val existing = spark.read.parquet(existingPath)
+          .filter(col(partCol).isin(parts: _*))
+        delta.join(existing.select(keys.map(col): _*), keys, "left_anti")
+      }
     fresh.write.mode(SaveMode.Append).partitionBy(partCol).parquet(existingPath)
   }
 
@@ -283,8 +307,10 @@ object Lifecycle {
       .unionByName(dayEvents("error")) // conflicting keys → dropped
     upsertPartitioned(path, delta, Seq("event_id"), "dt")
     upsertPartitioned(path, delta, Seq("event_id"), "dt") // idempotent
-    spark.read.parquet(path)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val out =
+      if (hasDataFiles(path)) spark.read.parquet(path)
+      else Catalog.events(spark, dir).limit(0) // empty source → empty table
+    out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
   }
 
