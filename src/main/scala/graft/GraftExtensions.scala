@@ -32,6 +32,20 @@ object GraftExtensions {
   private def one(f: Expression => Expression): Seq[Expression] => Expression =
     es => f(es.head)
 
+  /** Resolve an integral-literal SQL argument. `eval()` on an arbitrary
+    * expression would NPE on NULL and throw unresolved-expression errors on
+    * column arguments — reject everything but a plain integral literal with
+    * a proper message instead.
+    */
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _)  => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)   => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)  => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("size_pretty", info("size_pretty",
       "size_pretty(bytes) - human-readable 1024-based size"),
@@ -46,8 +60,7 @@ object GraftExtensions {
       "shingle_hash60(text[, k]) - distinct 60-bit k-word-shingle hashes"),
       es => es match {
         case Seq(text) => ShingleHash60(text, 3)
-        case Seq(text, k) => ShingleHash60(text,
-          k.eval().asInstanceOf[Number].intValue())
+        case Seq(text, k) => ShingleHash60(text, intLit(k, "shingle_hash60"))
         case _ => throw new IllegalArgumentException(
           "shingle_hash60 expects (text) or (text, k)")
       }),
@@ -56,8 +69,7 @@ object GraftExtensions {
       es => es match {
         case Seq(text) => WinnowFingerprints(text, 8, 16)
         case Seq(text, k, w) => WinnowFingerprints(text,
-          k.eval().asInstanceOf[Number].intValue(),
-          w.eval().asInstanceOf[Number].intValue())
+          intLit(k, "winnow_fingerprints"), intLit(w, "winnow_fingerprints"))
         case _ => throw new IllegalArgumentException(
           "winnow_fingerprints expects (text) or (text, k, w)")
       }),
@@ -71,8 +83,7 @@ object GraftExtensions {
       "block_norms(array<float>[, m]) - per-block L2 norms (cosine upper-bound profile)"),
       es => es match {
         case Seq(v) => BlockNorms(v, 8)
-        case Seq(v, m) => BlockNorms(v,
-          m.eval().asInstanceOf[Number].intValue())
+        case Seq(v, m) => BlockNorms(v, intLit(m, "block_norms"))
         case _ => throw new IllegalArgumentException(
           "block_norms expects (vector) or (vector, m)")
       }),

@@ -132,21 +132,34 @@ object Lifecycle {
     * -recoverable like [[rewriteAt]]). A partition whose rewritten content
     * is empty is removed. `f` must not change `partCol` values — rows may
     * not migrate between partitions through this path.
+    *
+    * Directory names use Spark's own partition-path escaping
+    * (`ExternalCatalogUtils.escapePathName`), so string partition values
+    * with reserved characters swap correctly. Backups live in a SIBLING
+    * `<path>.bak/` tree, never inside the table — a crash mid-swap leaves
+    * the partition missing but the table readable (and the backup
+    * recoverable), instead of a bogus `<sub>.bak` partition corrupting
+    * partition-column inference.
     */
   def rewritePartitions(path: String, partCol: String, affected: Seq[Any])(
       f: DataFrame => DataFrame)(implicit spark: SparkSession): Unit = {
     if (affected.isEmpty) return
-    val staged = path.stripSuffix("/") + ".staged"
+    val base = path.stripSuffix("/")
+    val staged = base + ".staged"
+    val bakRoot = base + ".bak"
     val slice = spark.read.parquet(path)
       .filter(col(partCol).isin(affected: _*))
     f(slice).write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staged)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bakRoot))
     affected.foreach { v =>
-      val sub = s"$partCol=$v"
+      val sub = partCol + "=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(v))
       val dst = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val src = new org.apache.hadoop.fs.Path(s"$staged/$sub")
-      val bak = new org.apache.hadoop.fs.Path(s"$path/$sub.bak")
+      val bak = new org.apache.hadoop.fs.Path(s"$bakRoot/$sub")
       fs.delete(bak, true)
       if (fs.exists(dst)) fs.rename(dst, bak)
       if (fs.exists(src) && !fs.rename(src, dst)) {
@@ -157,6 +170,7 @@ object Lifecycle {
       fs.delete(bak, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    fs.delete(new org.apache.hadoop.fs.Path(bakRoot), true)
   }
 
   /** True when the path holds at least one parquet data file. A partitioned
@@ -205,6 +219,14 @@ object Lifecycle {
     * partitions the delta itself touches — the existing-side scan is
     * partition-pruned, so the shuffle is sized by the delta's days, not the
     * table's history.
+    *
+    * CONTRACT: keys must be partition-local — a given key value only ever
+    * appears under one `partCol` value (the standard event-time layout
+    * property: the partition is derived from an immutable column of the
+    * row). If a delta can re-present an existing key under a DIFFERENT
+    * partition, this path would append a duplicate; use the full-table
+    * [[upsert]] there, which is exactly the full-history scan this variant
+    * exists to avoid.
     */
   def upsertPartitioned(existingPath: String, delta: DataFrame,
       keys: Seq[String], partCol: String)(implicit spark: SparkSession): Unit = {

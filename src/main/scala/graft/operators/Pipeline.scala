@@ -49,25 +49,18 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  /** The same four stages as DuckDB CTEs (mirroring each stage's oracle). */
+  /** The same four stages as DuckDB CTEs (mirroring each stage's oracle;
+    * the language CASE comes from the shared [[TextOps.detectedLangSql]]
+    * builder, so x3 and z1 can never disagree on tie-breaking).
+    */
   val corpusPipelineSql: String = {
     val toks = "string_split_regex(lower(trim(text)), '\\s+')"
-    val langScores = TextOps.LangMarkers.map { case (lang, markers) =>
-      val lst = markers.map(m => s"'$m'").mkString(", ")
-      lang -> s"len(list_filter($toks, t -> t IN ($lst)))"
-    }
-    val langCase = langScores.tail.foldLeft(
-      (s"'${langScores.head._1}'", langScores.head._2)) {
-      case ((accLang, accScore), (lang, score)) =>
-        (s"CASE WHEN $score > $accScore THEN '$lang' ELSE $accLang END",
-          s"greatest($score, $accScore)")
-    }
     val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     s"""WITH quality AS (
        | SELECT doc_id FROM documents WHERE len($toks) BETWEEN $MinTokens AND 100000),
        |english AS (
        | SELECT doc_id FROM documents
-       | WHERE (CASE WHEN ${langCase._2} > 0 THEN ${langCase._1} ELSE 'und' END) = 'en'),
+       | WHERE (${TextOps.detectedLangSql}) = 'en'),
        |exact_keep AS (
        | SELECT min(doc_id) AS doc_id FROM documents
        | GROUP BY ${hash60Sql(norm)}),

@@ -129,22 +129,35 @@ object TextOps {
           LangMarkers.map(_._1), LangMarkers.map(_._2)).as("detected_lang"))
       .orderBy(col("doc_id"))
 
-  val langIdSql: String = {
+  /** The DuckDB rendering of the marker-scoring argmax as a (winner-CASE,
+    * max-score) pair — shared by the x3 oracle and every downstream oracle
+    * that filters on detected language (z1), so the strict-> tie-break can
+    * never silently diverge between them.
+    */
+  private[graft] def langCaseSql: (String, String) = {
     val scoreExprs = LangMarkers.map { case (lang, markers) =>
       val lst = markers.map(m => s"'$m'").mkString(", ")
       lang -> s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN ($lst)))"
     }
     // same fold shape as the Spark side: strict > keeps earlier lang on ties
-    val caseExpr = scoreExprs.tail.foldLeft(
+    scoreExprs.tail.foldLeft(
       (s"'${scoreExprs.head._1}'", scoreExprs.head._2)) {
       case ((accLang, accScore), (lang, score)) =>
         (s"CASE WHEN $score > $accScore THEN '$lang' ELSE $accLang END",
           s"greatest($score, $accScore)")
     }
-    s"""SELECT doc_id, lang AS labeled_lang,
-       | CASE WHEN ${caseExpr._2} > 0 THEN ${caseExpr._1} ELSE 'und' END AS detected_lang
-       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
+
+  /** `detected_lang` as one DuckDB expression over a `text` column. */
+  private[graft] def detectedLangSql: String = {
+    val (winner, best) = langCaseSql
+    s"CASE WHEN $best > 0 THEN $winner ELSE 'und' END"
+  }
+
+  val langIdSql: String =
+    s"""SELECT doc_id, lang AS labeled_lang,
+       | $detectedLangSql AS detected_lang
+       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
   // X4 — document fingerprinting: full-content hash + prefix hash (the

@@ -134,6 +134,25 @@ class LifecycleSpec extends SparkSuite {
     assert(a == b, "partition-local results diverge from full-table twins")
   }
 
+  test("partition-local rewrite handles partition values needing path escaping") {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_lctp_esc_").toString + "/tagged"
+    // ':' is escaped in partition directory names (tag=a%3Ab) — a raw
+    // string-interpolated swap path would miss the dir and silently no-op
+    Seq((1L, "a:b", 1.0), (2L, "a:b", 2.0), (3L, "plain", 3.0))
+      .toDF("id", "tag", "value")
+      .write.partitionBy("tag").parquet(d)
+    Lifecycle.deleteInPartitions(d, "tag",
+      col("tag") === "a:b" && col("id") === 1L)
+    assert(spark.read.parquet(d).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    Lifecycle.deleteInPartitions(d, "tag", col("tag") === "a:b")
+    assert(spark.read.parquet(d).select("tag").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("plain"),
+      "fully-emptied escaped partition should be removed")
+  }
+
   test("compaction preserves content and reduces file count") {
     implicit val s: SparkSession = spark
     val path = scratchEvents()
