@@ -12,7 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Hashing kernels shared by interpreted eval and generated code. */
 object Hash {
 
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  // the RE2 \s class ([ \t\n\f\r]) — NOT Java's \s, which also matches
+  // vertical tab \x0B. The DuckDB oracle tokenizes with RE2, so the JVM
+  // kernels must split on the identical set or \x0B-bearing documents
+  // shingle/count differently between the engines.
+  private val Ws = java.util.regex.Pattern.compile("[ \t\n\f\r]+")
 
   /** Distinct 60-bit hashes of the k-word shingles of a text, in one pass:
     * tokenize (trim → lower → split \s+, matching Spark's
@@ -202,7 +206,8 @@ object Hash {
       nChars += 1
       val isAlnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
         (cp >= '0' && cp <= '9')
-      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+      // RE2 \s (no \x0B) — matches the oracle's regexp_replace class
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' ||
         cp == '\f' || cp == '\r'
       if (!isAlnum && !isWs) punct += 1
       i += Character.charCount(cp)

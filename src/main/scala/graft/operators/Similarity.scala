@@ -29,8 +29,23 @@ object Similarity {
   // cosine. Ties break on candidate id; scores rounded to 6 dp so both
   // engines rank identically.
   // ---------------------------------------------------------------------
+  /** Embeddings with zero-norm vectors excluded on BOTH engines: the JVM
+    * kernel defines cosine against a zero vector as 0.0 while DuckDB's
+    * list_cosine_similarity yields NaN (which DuckDB sorts ABOVE all
+    * numbers), so a zero vector would rank first in the oracle's top-k and
+    * nowhere in ours. Zero vectors carry no direction — exclude them from
+    * similarity search outright. dot_product(e,e) is the codegen'd squared
+    * norm; the oracle mirrors with list_inner_product.
+    */
+  private def nonZeroEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Catalog.embeddings(spark, dir)
+      .filter(dot_product(col("embedding"), col("embedding")) > 0)
+
+  private val nonZeroSql =
+    "list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"
+
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val e = Catalog.embeddings(spark, dir)
+    val e = nonZeroEmbeddings(spark, dir)
     val queries = broadcast(
       e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
@@ -46,12 +61,13 @@ object Similarity {
   }
 
   val annBruteForceSql: String =
-    s"""SELECT query_id, vec_id, cosine, rank FROM (
+    s"""WITH nz AS (SELECT * FROM embeddings WHERE $nonZeroSql)
+       |SELECT query_id, vec_id, cosine, rank FROM (
        | SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
        |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
        |  row_number() OVER (PARTITION BY q.vec_id
        |    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rank
-       | FROM embeddings q JOIN embeddings c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id) t
+       | FROM nz q JOIN nz c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id) t
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
@@ -73,7 +89,7 @@ object Similarity {
 
   def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.VectorFunctions.block_norms
-    val e = Catalog.embeddings(spark, dir)
+    val e = nonZeroEmbeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         block_norms(col("embedding"), PruneBlocks).as("bn"))
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
@@ -89,10 +105,11 @@ object Similarity {
   }
 
   val cosinePairsSql: String =
-    s"""SELECT va, vb, cosine FROM (
+    s"""WITH nz AS (SELECT * FROM embeddings WHERE $nonZeroSql)
+       |SELECT va, vb, cosine FROM (
        | SELECT a.vec_id AS va, b.vec_id AS vb,
        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-       | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+       | FROM nz a JOIN nz b ON a.vec_id < b.vec_id) t
        |WHERE cosine >= $PairThreshold ORDER BY va, vb""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
@@ -255,10 +272,11 @@ object Similarity {
     var ctrs: Seq[Seq[Float]] = e.orderBy(col("vec_id")).limit(k).collect()
       .map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
     // corpora with fewer than k vectors (including empty partitions) pad
-    // with the synthetic quantizer so the fit never yields < k centroids
+    // with synthetic LCG centroids so the fit never yields < k centroids —
+    // generated per index, so any k works, not just k <= NCentroids
     if (ctrs.size < k)
-      ctrs = ctrs ++ centroids.drop(ctrs.size)
-        .map(c => normalize(c.map(_.toDouble).toArray))
+      ctrs = ctrs ++ (ctrs.size until k).map(c =>
+        normalize((0 until Dim).map(d => centroidComponent(c, d).toDouble).toArray))
     var it = 0
     while (it < iters) {
       val assigned = e.select(

@@ -17,8 +17,11 @@ object TextOps {
 
   /** Lower-cased whitespace tokens — the shared tokenization all text and
     * dedup operators agree on (DuckDB mirror: string_split_regex(lower(text),'\s+')).
+    * The split class is RE2's \s ([ \t\n\f\r]) spelled out, because Spark
+    * regexes are Java and Java's \s also matches \x0B — the oracle's RE2
+    * does not.
     */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  def tokens(text: Column): Column = split(lower(trim(text)), "[ \\t\\n\\f\\r]+")
 
   /** Word k-shingles as strings ("w1 w2 w3") — the unit of near-dup
     * detection. Empty when the document has fewer than k tokens.
@@ -45,7 +48,8 @@ object TextOps {
   // (letters runs / digit runs / single punctuation, the pre-tokenizer
   // shape of GPT-style BPE vocabularies).
   // ---------------------------------------------------------------------
-  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  // RE2-\s-aligned (no \x0B in the whitespace class — see tokens())
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"
 
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Catalog.documents(spark, dir)
@@ -165,7 +169,7 @@ object TextOps {
   // as BIGINT at 100 TB (no string shuffles).
   // ---------------------------------------------------------------------
   private def norm(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    regexp_replace(lower(trim(c)), "[ \\t\\n\\f\\r]+", " ")
 
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Catalog.documents(spark, dir)

@@ -25,13 +25,18 @@ object Streams {
 
   val ValidEventTypes: Seq[String] = Seq("click", "view", "signup", "purchase", "error")
 
+  /** The CHECK constraint as one expression — the single source of truth
+    * for [[validate]] and [[validateWithQuarantine]].
+    */
+  private def validEvent =
+    col("event_id").isNotNull && col("ts").isNotNull &&
+      col("event_type").isin(ValidEventTypes.map(lit(_)): _*)
+
   /** Ingest validation — the CHECK constraint of the reference's
     * `user_roles` DDL (myapp/db_helpers.py:7-12) generalized to the write
     * path: rows violating the domain are dropped before the sink.
     */
-  def validate(df: DataFrame): DataFrame =
-    df.filter(col("event_id").isNotNull && col("ts").isNotNull &&
-      col("event_type").isin(ValidEventTypes.map(lit(_)): _*))
+  def validate(df: DataFrame): DataFrame = df.filter(validEvent)
 
   /** File-source ingest: watch a directory of JSON lines, validate, append
     * to a parquet table with a 1-second micro-batch trigger (BASELINE.md
@@ -78,11 +83,8 @@ object Streams {
     * a dashboard. Both halves derive from one filter expression, so a
     * caller writing both sides scans the input once per sink.
     */
-  def validateWithQuarantine(df: DataFrame): (DataFrame, DataFrame) = {
-    val ok = col("event_id").isNotNull && col("ts").isNotNull &&
-      col("event_type").isin(ValidEventTypes.map(lit(_)): _*)
-    (df.filter(ok), df.filter(!coalesce(ok, lit(false))))
-  }
+  def validateWithQuarantine(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(validEvent), df.filter(!coalesce(validEvent, lit(false))))
 
   /** Streaming exact dedup: drop rows whose key was already seen, with
     * state bounded by the watermark (the streaming twin of the batch d1
@@ -111,16 +113,24 @@ object Streams {
     * silently ignored" semantics (SURVEY.md §2.9).
     */
   def streamingMinuteJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    // dedup each side per (minute, user) BEFORE the join: the batch twin
+    // (J4) emits DISTINCT triples, and one-row-per-side makes the join
+    // output distinct by construction. Exact vs the batch twin: any two
+    // timestamps in the same minute differ < 60 s, so whichever
+    // representative row survives dedup still satisfies the ±1-minute
+    // range condition (which exists only to bound join state).
     val e = errors
       .withWatermark("ts", "10 minutes")
       .select(col("ts").as("err_ts"),
         date_trunc("minute", col("ts")).as("err_minute"),
         col("user_id").as("err_user"))
+      .dropDuplicatesWithinWatermark(Seq("err_minute", "err_user"))
     val p = purchases
       .withWatermark("ts", "10 minutes")
       .select(col("ts").as("buy_ts"),
         date_trunc("minute", col("ts")).as("buy_minute"),
         col("user_id").as("buy_user"))
+      .dropDuplicatesWithinWatermark(Seq("buy_minute", "buy_user"))
     e.join(p,
       col("err_minute") === col("buy_minute") &&
         col("buy_ts") >= col("err_ts") - expr("INTERVAL 1 MINUTE") &&
@@ -137,8 +147,14 @@ case class SessionEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
-/** Open-session state carried between micro-batches. */
+/** One open session within a user's state. */
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+/** The open sessions of one user, carried between micro-batches — a list
+  * because late events inside the watermark can hold earlier sessions open
+  * while newer ones accumulate.
+  */
+case class OpenSessions(open: List[SessionState])
 
 object Sessionize {
   import org.apache.spark.sql.{Dataset, Encoders}
@@ -147,53 +163,58 @@ object Sessionize {
   /** Streaming sessionization: per-user sessions closed after `gapMs` of
     * event-time inactivity, via `flatMapGroupsWithState` with event-time
     * timeout (the custom-state path Structured Streaming reserves for
-    * semantics windows can't express — builder prompt §streaming). A
-    * session closes when the watermark passes its last event + gap; its
-    * summary row is emitted exactly once (append mode).
+    * semantics windows can't express — builder prompt §streaming).
+    *
+    * State is the LIST of open sessions, not just the latest: a late event
+    * inside the watermark may precede the newest session by more than the
+    * gap (its own earlier session), fall inside an earlier gap (extending
+    * a session backwards), or BRIDGE two open sessions into one — all
+    * shapes the batch twin ([[graft.operators.Monitoring.sessionize]]),
+    * which sorts globally, produces. A session is emitted exactly once,
+    * when the watermark passes its end + gap (append mode).
     */
   def sessions(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
-    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val stateEnc = Encoders.product[OpenSessions]
     implicit val outEnc = Encoders.product[UserSession]
     import events.sparkSession.implicits._
+
+    // merge one event into the open-session list: absorb every session
+    // within the gap of t (bridging adjacent sessions when t falls in
+    // between), else open a new one
+    def absorb(open: List[SessionState], t: Long, v: Double): List[SessionState] = {
+      val (near, far) = open.partition(s =>
+        t >= s.start - gapMs && t <= s.end + gapMs)
+      val merged = near.foldLeft(SessionState(t, t, 1, v)) { (acc, s) =>
+        SessionState(math.min(acc.start, s.start), math.max(acc.end, s.end),
+          acc.n + s.n, acc.total + s.total)
+      }
+      (merged :: far).sortBy(_.start)
+    }
+
+    def emit(userId: Long, s: SessionState): UserSession =
+      UserSession(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.total)
+
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, UserSession](
+      .flatMapGroupsWithState[OpenSessions, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[SessionEvent],
-            state: GroupState[SessionState]) =>
-          if (batch.isEmpty && state.hasTimedOut) {
-            // watermark passed the session's end + gap: close and emit
-            val s = state.get
-            state.remove()
-            Iterator(UserSession(userId,
-              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-              s.n, s.total))
-          } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[UserSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
-                case Some(s) =>
-                  closed ::= UserSession(userId,
-                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-                    s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.reverseIterator
+            state: GroupState[OpenSessions]) =>
+          val before = state.getOption.map(_.open).getOrElse(List.empty)
+          val after = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foldLeft(before)((open, e) => absorb(open, e.ts.getTime, e.value))
+          // close every session the watermark has passed (end + gap — no
+          // in-watermark event can extend it any more); keep the rest open
+          val wm = state.getCurrentWatermarkMs()
+          val (done, open) = after.partition(_.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
           }
+          done.sortBy(_.start).map(emit(userId, _)).iterator
       }
   }
 }

@@ -153,6 +153,80 @@ class StreamsSpec extends SparkSuite {
     assert(lines.length > 1)
   }
 
+  test("sessionization handles late events like the batch twin") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = Sessionize.sessions(mem.toDS(), gapMs = 5 * 60 * 1000)
+    val q = out.writeStream.format("memory")
+      .queryName("session_late_test").outputMode("append").start()
+    try {
+      // current session at [10:00, 10:01]
+      mem.addData(
+        SessionEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        SessionEvent(2, ts("2024-01-01 10:01:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // late events at 09:53/09:54 (inside the 10-min watermark, > gap
+      // before the open session): their own earlier session, NOT silently
+      // merged into [10:00, 10:01] — the batch twin, sorting globally,
+      // splits exactly here (09:54 → 10:00 is 6 min > gap)
+      mem.addData(
+        SessionEvent(3, ts("2024-01-01 09:53:00"), 1, "error", 2.0),
+        SessionEvent(4, ts("2024-01-01 09:54:00"), 1, "error", 3.0))
+      // a late bridge for user 3: 10:02 joins [10:00-ish] bursts — covered
+      // by the separate bridge assertion below via user 3's single session
+      mem.addData(
+        SessionEvent(5, ts("2024-01-01 10:00:00"), 3, "click", 1.0),
+        SessionEvent(6, ts("2024-01-01 10:08:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      // 10:04 arrives late and BRIDGES user 3's two open sessions
+      // (10:00 + gap >= 10:04 and 10:04 + gap >= 10:08) into one
+      mem.addData(SessionEvent(7, ts("2024-01-01 10:04:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past everything → all sessions close
+      mem.addData(SessionEvent(9, ts("2024-01-01 12:00:00"), 2, "click", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("session_late_test").as[UserSession]
+        .filter(_.user_id == 1L).collect().sortBy(_.session_start.getTime)
+      assert(sessions.length == 2, s"expected 2 sessions, got ${sessions.toSeq}")
+      assert(sessions(0).session_start == ts("2024-01-01 09:53:00") &&
+        sessions(0).session_end == ts("2024-01-01 09:54:00") &&
+        sessions(0).n_events == 2 && sessions(0).total_value == 5.0)
+      assert(sessions(1).session_start == ts("2024-01-01 10:00:00") &&
+        sessions(1).n_events == 2)
+      val bridged = spark.table("session_late_test").as[UserSession]
+        .filter(_.user_id == 3L).collect()
+      assert(bridged.length == 1 && bridged(0).n_events == 3 &&
+        bridged(0).session_start == ts("2024-01-01 10:00:00") &&
+        bridged(0).session_end == ts("2024-01-01 10:08:00"),
+        s"late event should bridge the two bursts: ${bridged.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming minute join emits distinct triples like the batch twin") {
+    import spark.implicits._
+    val errs = MemoryStream[Ev](spark)
+    val buys = MemoryStream[Ev](spark)
+    val out = Streams.streamingMinuteJoin(errs.toDF(), buys.toDF())
+    val q = out.writeStream.format("memory")
+      .queryName("minute_join_distinct").outputMode("append").start()
+    try {
+      // 3 errors from user 11 and 2 purchases from user 22 in one minute:
+      // the batch twin (J4, DISTINCT) emits exactly one triple
+      errs.addData(
+        Ev(1, ts("2024-01-01 00:05:10"), 11, "error", 0, "{}"),
+        Ev(2, ts("2024-01-01 00:05:20"), 11, "error", 0, "{}"),
+        Ev(3, ts("2024-01-01 00:05:30"), 11, "error", 0, "{}"))
+      buys.addData(
+        Ev(4, ts("2024-01-01 00:05:40"), 22, "purchase", 1, "{}"),
+        Ev(5, ts("2024-01-01 00:05:50"), 22, "purchase", 1, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("minute_join_distinct")
+        .select("err_user", "buy_user").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((11L, 22L)), s"expected one distinct triple, got $rows")
+    } finally q.stop()
+  }
+
   test("validateWithQuarantine partitions rows instead of dropping them") {
     import spark.implicits._
     val df = Seq(
