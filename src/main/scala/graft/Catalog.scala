@@ -25,6 +25,16 @@ object Catalog {
 
   private def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** The filesystem OWNING a path (`Path.getFileSystem`), never the
+    * default FS: a table at `s3a://…` must not resolve against an
+    * `hdfs://` default (`FileSystem.get(conf)` throws Wrong FS — or worse,
+    * silently reports a same-named default-FS path).
+    */
+  private[graft] def fsFor(p: String,
+      spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Plain parquet read; filters/projections push down to the scan. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
@@ -87,8 +97,7 @@ object Catalog {
     * plus the size_pretty rendering the reference displays.
     */
   def storageMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(dir, spark)
     val rows = tableNames.map { t =>
       val p = new org.apache.hadoop.fs.Path(path(dir, t))
       if (fs.exists(p)) {

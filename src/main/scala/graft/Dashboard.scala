@@ -93,19 +93,21 @@ object Dashboard {
       trend: DataFrame,
       decimated: DataFrame,
       latestPerUser: DataFrame,
-      hasCorrelatedSamples: Boolean)
+      hasCorrelatedSamples: () => Boolean)
 
-  def indexResource(spark: SparkSession, dir: String): ResourcePayload = {
-    val correlated = Monitoring.minuteBucketJoin(spark, dir)
+  def indexResource(spark: SparkSession, dir: String): ResourcePayload =
     ResourcePayload(
       trend = Catalog.events(spark, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
         .orderBy(col("event_id").desc).limit(50),
       decimated = Monitoring.decimate(spark, dir),
       latestPerUser = Monitoring.latestPerUser(spark, dir),
-      // the reference only checks bool(results) (views.py:793-805)
-      hasCorrelatedSamples = correlated.limit(1).count() > 0)
-  }
+      // the reference only checks bool(results) (views.py:793-805) — a
+      // thunk keeps payload construction lazy like every other member, and
+      // probing the pre-distinct base join lets `.isEmpty` stop at the
+      // first row instead of paying the display query's dedup + sort
+      hasCorrelatedSamples =
+        () => !Monitoring.minuteBucketJoinBase(spark, dir).isEmpty)
 
   /** `GET /cpu_usage_grid/?…` payload (reference myapp/views.py:826-877):
     * dynamic filters folded onto the scan + pagination.
@@ -117,16 +119,33 @@ object Dashboard {
   /** Alert/threshold flags (reference myapp/views.py:622-637 vs the
     * template constants — inconsistent layers, so thresholds are config;
     * SURVEY.md §6). Appends boolean status columns to a metric row set.
+    * Gauge band bounds are config too (reference index.html:1047,1067).
     */
   case class Thresholds(
       cpu: Double = 95, ram: Double = 90, cache: Double = 85,
-      disk: Double = 90, load1: Double = 10, load5: Double = 15)
+      disk: Double = 90, load1: Double = 10, load5: Double = 15,
+      gaugeRedBelow: Double = 30, gaugeOrangeBelow: Double = 70)
 
-  def withStatusFlags(metrics: DataFrame, t: Thresholds = Thresholds()): DataFrame =
+  /** Per-metric alert limit — the reference keeps one constant per
+    * dashboard section; rows carrying a metric-name discriminator get the
+    * matching limit, anything unrecognized falls back to the cpu limit.
+    */
+  private def limitFor(metric: Column, t: Thresholds): Column =
+    when(metric === "ram", t.ram)
+      .when(metric === "cache", t.cache)
+      .when(metric === "disk", t.disk)
+      .when(metric === "load1", t.load1)
+      .when(metric === "load5", t.load5)
+      .otherwise(t.cpu)
+
+  def withStatusFlags(metrics: DataFrame, t: Thresholds = Thresholds(),
+      metricCol: Option[String] = None): DataFrame = {
+    val limit = metricCol.map(c => limitFor(col(c), t)).getOrElse(lit(t.cpu))
     metrics
-      .withColumn("value_ok", col("value") < t.cpu)
+      .withColumn("value_ok", col("value") < limit)
       .withColumn("gauge_band",
-        when(col("value") < 30, "red")
-          .when(col("value") < 70, "orange")
+        when(col("value") < t.gaugeRedBelow, "red")
+          .when(col("value") < t.gaugeOrangeBelow, "orange")
           .otherwise("green"))
+  }
 }

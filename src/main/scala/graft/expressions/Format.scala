@@ -34,9 +34,16 @@ object Fmt {
     var v = math.abs(bytes.toDouble)
     var i = 0
     while (v >= 1024.0 && i < units.length - 1) { v /= 1024.0; i += 1 }
+    // C-printf %.1f semantics (what DuckDB's printf renders): round the
+    // BINARY double half-to-even. Java's String.format %.1f rounds the
+    // decimal representation HALF_UP instead, so exact .x25 ties (e.g.
+    // 1310720 bytes = 1.25 MB) would render 1.3 here and 1.2 in the
+    // oracle. new BigDecimal(double) is the exact binary expansion.
     val s =
       if (i == 0) s"${bytes.abs} ${units(0)}"
-      else String.format(Locale.ROOT, "%.1f %s", Double.box(v), units(i))
+      else new java.math.BigDecimal(v)
+        .setScale(1, java.math.RoundingMode.HALF_EVEN)
+        .toPlainString + " " + units(i)
     UTF8String.fromString(if (neg) "-" + s else s)
   }
 

@@ -103,8 +103,7 @@ object Lifecycle {
     val staged = path.stripSuffix("/") + ".staged"
     val backup = path.stripSuffix("/") + ".bak"
     f(spark.read.parquet(path)).write.mode(SaveMode.Overwrite).parquet(staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = Catalog.fsFor(path, spark)
     val dst = new org.apache.hadoop.fs.Path(path)
     val stagedP = new org.apache.hadoop.fs.Path(staged)
     val backupP = new org.apache.hadoop.fs.Path(backup)
@@ -150,8 +149,7 @@ object Lifecycle {
     val slice = spark.read.parquet(path)
       .filter(col(partCol).isin(affected: _*))
     f(slice).write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = Catalog.fsFor(path, spark)
     fs.mkdirs(new org.apache.hadoop.fs.Path(bakRoot))
     affected.foreach { v =>
       val sub = partCol + "=" +
@@ -179,8 +177,7 @@ object Lifecycle {
     * table every empty source partition produces must stay operable.
     */
   private def hasDataFiles(path: String)(implicit spark: SparkSession): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = Catalog.fsFor(path, spark)
     val p = new org.apache.hadoop.fs.Path(path)
     fs.exists(p) && {
       val it = fs.listFiles(p, true)

@@ -55,8 +55,7 @@ object Stats {
     }.toSeq
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = row.getLong(0)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.Catalog.fsFor(tablePath, spark)
     val sizeBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(tablePath)).getLength
     val out = cols.zipWithIndex.map { case (c, i) =>
@@ -67,14 +66,30 @@ object Stats {
     }
     val statsDf = spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(out: _*)), statsSchema)
-    statsDf.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsPath(tablePath))
+    // stage + move-aside swap (the Lifecycle.rewriteAt discipline): an
+    // in-place Overwrite deletes the old files before committing new ones,
+    // so a concurrent maybeBroadcast reader would hit FileNotFound and a
+    // crash would leave Some(corrupt). With the swap, a concurrent reader
+    // sees either complete stats or (for the instant between renames)
+    // none — which degrades to "no hint", never to a failed plan.
+    val live = statsPath(tablePath)
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    val stagedP = new org.apache.hadoop.fs.Path(live + ".staged")
+    val bakP = new org.apache.hadoop.fs.Path(live + ".bak")
+    statsDf.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stagedP.toString)
+    fs.delete(bakP, true)
+    if (fs.exists(liveP)) fs.rename(liveP, bakP)
+    if (!fs.rename(stagedP, liveP)) {
+      fs.rename(bakP, liveP)
+      throw new java.io.IOException(s"stats refresh of $live failed to promote")
+    }
+    fs.delete(bakP, true)
     statsDf
   }
 
   /** Read a table's persisted stats; None when never analyzed. */
   def read(spark: SparkSession, tablePath: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.Catalog.fsFor(tablePath, spark)
     if (fs.exists(new org.apache.hadoop.fs.Path(statsPath(tablePath))))
       Some(spark.read.parquet(statsPath(tablePath)))
     else None
@@ -90,16 +105,18 @@ object Stats {
     read(spark, tablePath).flatMap(
       _.select(col("table_size_bytes")).head(1).headOption.map(_.getLong(0)))
 
-  /** Apply a broadcast hint iff the persisted stats say the table is under
-    * the threshold — the ANALYZE → plan feedback loop for the engine's own
-    * written tables (Spark's auto-broadcast sees only compressed file
-    * sizes; the persisted stats carry row counts the optimizer can trust
-    * after every Lifecycle rewrite).
+  /** Apply a broadcast hint iff the persisted stats say the table is small
+    * BOTH by on-disk bytes AND by row count — the ANALYZE → plan feedback
+    * loop for the engine's own written tables. The row-count bound is the
+    * point of having stats at all: compressed file size alone would
+    * force-broadcast a 9 MB / 200M-row table straight into executor OOM.
     */
   def maybeBroadcast(spark: SparkSession, df: DataFrame, tablePath: String,
-      thresholdBytes: Long = 10L << 20): DataFrame =
-    sizeBytes(spark, tablePath) match {
-      case Some(b) if b <= thresholdBytes => broadcast(df)
+      thresholdBytes: Long = 10L << 20,
+      thresholdRows: Long = 4L * 1000 * 1000): DataFrame =
+    (sizeBytes(spark, tablePath), rowCount(spark, tablePath)) match {
+      case (Some(b), Some(r)) if b <= thresholdBytes && r <= thresholdRows =>
+        broadcast(df)
       case _ => df
     }
 }

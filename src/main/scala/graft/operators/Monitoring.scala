@@ -227,7 +227,11 @@ object Monitoring {
   // across metric and process tables). The bucket-equality key makes this a
   // plain hash join — the canonical approximate-time join.
   // ---------------------------------------------------------------------
-  def minuteBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** The raw correlation join, before display decorations — existence
+    * checks probe THIS (no distinct shuffle, no sort; `.isEmpty` stops at
+    * the first joined row).
+    */
+  def minuteBucketJoinBase(spark: SparkSession, dir: String): DataFrame = {
     val ev = Catalog.events(spark, dir)
     val a = ev.filter(col("event_type") === "error")
       .select(date_trunc("minute", col("ts")).as("minute"),
@@ -237,9 +241,12 @@ object Monitoring {
         col("user_id").as("buy_user"))
     a.join(b, "minute")
       .select(col("minute"), col("err_user"), col("buy_user"))
+  }
+
+  def minuteBucketJoin(spark: SparkSession, dir: String): DataFrame =
+    minuteBucketJoinBase(spark, dir)
       .distinct()
       .orderBy(col("minute"), col("err_user"), col("buy_user"))
-  }
 
   val minuteBucketJoinSql: String =
     """SELECT DISTINCT a.minute AS minute, a.user_id AS err_user, b.user_id AS buy_user

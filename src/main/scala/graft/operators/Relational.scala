@@ -19,10 +19,12 @@ import graft.Catalog
 object Relational {
 
   // ---------------------------------------------------------------------
-  // J6 — anti-join via NOT IN subquery (reference myapp/apps.py:55-69:
-  // users with no role assignment). Customers with no finished order.
-  // Catalyst rewrites NOT IN to LeftAnti; we declare left_anti directly —
-  // the subquery side is pre-filtered and deduplicated before the shuffle.
+  // J6 — anti-join (reference myapp/apps.py:55-69: users with no role
+  // assignment). Customers with no finished order, declared left_anti —
+  // the NOT-EXISTS form. (Deliberately NOT the NOT-IN form: one NULL key
+  // on the subquery side makes SQL NOT IN return zero rows, a trap, while
+  // left_anti/NOT EXISTS keep per-row semantics; the oracle mirrors
+  // NOT EXISTS so both engines agree even on NULL-bearing data.)
   // ---------------------------------------------------------------------
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog.customer(spark, dir)
@@ -36,7 +38,8 @@ object Relational {
 
   val customersWithoutOrdersSql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
@@ -371,7 +374,7 @@ object Relational {
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("j6_anti_join", customersWithoutOrders, Some(customersWithoutOrdersSql),
-      "NOT IN anti-join (apps.py:55-69)"),
+      "anti-join, NOT-EXISTS form (apps.py:55-69)"),
     Q("j7_scalar_subquery", ordersAboveAverage, Some(ordersAboveAverageSql),
       "scalar subquery in predicate (views.py:518-520)"),
     Q("p8_like_pattern", partsNotLikePromo, Some(partsNotLikePromoSql),

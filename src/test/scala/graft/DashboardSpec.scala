@@ -55,4 +55,33 @@ class DashboardSpec extends SparkSuite {
     assert(bands.subsetOf(Set("red", "orange", "green")))
     assert(flagged.columns.contains("value_ok"))
   }
+
+  test("per-metric thresholds select the matching limit") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = Seq(
+      ("cpu", 94.0), ("cpu", 96.0),     // cpu limit 95
+      ("disk", 85.0), ("disk", 91.0),   // disk limit 90
+      ("load1", 9.0), ("load1", 11.0))  // load1 limit 10
+      .toDF("metric", "value")
+    val flagged = Dashboard.withStatusFlags(rows, metricCol = Some("metric"))
+      .select("metric", "value", "value_ok").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(flagged == Set(
+      ("cpu", 94.0, true), ("cpu", 96.0, false),
+      ("disk", 85.0, true), ("disk", 91.0, false),
+      ("load1", 9.0, true), ("load1", 11.0, false)))
+    // custom band bounds are honored
+    val custom = Dashboard.withStatusFlags(rows,
+      Dashboard.Thresholds(gaugeRedBelow = 100, gaugeOrangeBelow = 100))
+    assert(custom.filter(col("gauge_band") =!= "red").count() == 0)
+  }
+
+  test("indexResource payload is lazy; correlation probe works on demand") {
+    val p = Dashboard.indexResource(spark, sfDir)
+    val expected = graft.operators.Monitoring
+      .minuteBucketJoin(spark, sfDir).count() > 0
+    assert(p.hasCorrelatedSamples() == expected,
+      "existence probe must agree with the full correlation query")
+  }
 }
