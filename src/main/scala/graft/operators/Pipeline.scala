@@ -82,7 +82,36 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // Z2 — embedding-space dedup (the similarity-side twin of Z1): drop the
+  // larger id of every high-cosine pair (greedy keep-smallest, same rule
+  // and caveat as Z1's near-dup stage), keep everything else — including
+  // zero-norm vectors, which carry no direction and are excluded from
+  // pair MINING but are not duplicates of anything.
+  // ---------------------------------------------------------------------
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val losers = Similarity.cosinePairs(spark, dir)
+      .select(col("vb").as("vec_id")).distinct()
+    Catalog.embeddings(spark, dir)
+      .join(losers, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embeddingDedupSql: String =
+    s"""WITH nz AS (SELECT * FROM embeddings
+       |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |losers AS (
+       | SELECT DISTINCT b.vec_id FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+       | WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+       |   >= ${Similarity.PairThreshold})
+       |SELECT vec_id, label FROM embeddings e
+       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = e.vec_id)
+       |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
     Q("z1_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql),
-      "end-to-end curation: quality -> lang -> exact dedup -> near-dup dedup (training-data extension)"))
+      "end-to-end curation: quality -> lang -> exact dedup -> near-dup dedup (training-data extension)"),
+    Q("z2_embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
+      "embedding-space near-dup dedup, greedy keep-smallest over n2 pairs (training-data extension)"))
 }
