@@ -1,6 +1,5 @@
 package graft.expressions
 
-import java.util.Locale
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult

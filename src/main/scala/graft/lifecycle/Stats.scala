@@ -68,13 +68,17 @@ object Stats {
       new java.util.ArrayList[Row](java.util.Arrays.asList(out: _*)), statsSchema)
     // stage + move-aside swap (the Lifecycle.rewriteAt discipline): an
     // in-place Overwrite deletes the old files before committing new ones,
-    // so a concurrent maybeBroadcast reader would hit FileNotFound and a
-    // crash would leave Some(corrupt). With the swap, a concurrent reader
-    // sees either complete stats or (for the instant between renames)
-    // none — which degrades to "no hint", never to a failed plan.
+    // so a concurrent snapshot reader would hit FileNotFound and a crash
+    // would leave Some(corrupt). With the swap, a reader sees either
+    // complete stats or none; [[snapshot]] additionally absorbs the
+    // between-renames window, so consumers degrade to "no hint", never to
+    // a failed plan. The staged dir is per-call unique so two concurrent
+    // analyze() writers cannot promote each other's half-written output
+    // (last promote wins with complete data either way).
     val live = statsPath(tablePath)
     val liveP = new org.apache.hadoop.fs.Path(live)
-    val stagedP = new org.apache.hadoop.fs.Path(live + ".staged")
+    val stagedP = new org.apache.hadoop.fs.Path(
+      live + ".staged-" + java.util.UUID.randomUUID().toString)
     val bakP = new org.apache.hadoop.fs.Path(live + ".bak")
     statsDf.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stagedP.toString)
     fs.delete(bakP, true)
@@ -87,23 +91,40 @@ object Stats {
     statsDf
   }
 
-  /** Read a table's persisted stats; None when never analyzed. */
-  def read(spark: SparkSession, tablePath: String): Option[DataFrame] = {
-    val fs = graft.Catalog.fsFor(tablePath, spark)
-    if (fs.exists(new org.apache.hadoop.fs.Path(statsPath(tablePath))))
-      Some(spark.read.parquet(statsPath(tablePath)))
-    else None
-  }
+  /** Read a table's persisted stats; None when never analyzed (including
+    * when a concurrent [[analyze]] swap removed the dir between the
+    * existence check and the open — a race that must degrade to "no
+    * stats", not propagate). NOTE: the returned DataFrame is lazy; callers
+    * that ACT on it during a concurrent swap can still observe
+    * FileNotFound — scalar consumers should use [[snapshot]], which
+    * materializes inside the guard.
+    */
+  def read(spark: SparkSession, tablePath: String): Option[DataFrame] =
+    try {
+      val fs = graft.Catalog.fsFor(tablePath, spark)
+      if (fs.exists(new org.apache.hadoop.fs.Path(statsPath(tablePath))))
+        Some(spark.read.parquet(statsPath(tablePath)))
+      else None
+    } catch { case _: Exception => None }
+
+  /** One materialized (rowCount, sizeBytes) pair from a SINGLE stats
+    * version — one open, one job, and any mid-swap race collapses to None
+    * instead of a failed caller plan (the guarantee [[analyze]]'s swap
+    * comment promises).
+    */
+  def snapshot(spark: SparkSession, tablePath: String): Option[(Long, Long)] =
+    try read(spark, tablePath).flatMap(
+      _.select(col("table_row_count"), col("table_size_bytes"))
+        .head(1).headOption.map(r => (r.getLong(0), r.getLong(1))))
+    catch { case _: Exception => None }
 
   /** Persisted row count, if analyzed. */
   def rowCount(spark: SparkSession, tablePath: String): Option[Long] =
-    read(spark, tablePath).flatMap(
-      _.select(col("table_row_count")).head(1).headOption.map(_.getLong(0)))
+    snapshot(spark, tablePath).map(_._1)
 
   /** Persisted on-disk size, if analyzed. */
   def sizeBytes(spark: SparkSession, tablePath: String): Option[Long] =
-    read(spark, tablePath).flatMap(
-      _.select(col("table_size_bytes")).head(1).headOption.map(_.getLong(0)))
+    snapshot(spark, tablePath).map(_._2)
 
   /** Apply a broadcast hint iff the persisted stats say the table is small
     * BOTH by on-disk bytes AND by row count — the ANALYZE → plan feedback
@@ -114,8 +135,8 @@ object Stats {
   def maybeBroadcast(spark: SparkSession, df: DataFrame, tablePath: String,
       thresholdBytes: Long = 10L << 20,
       thresholdRows: Long = 4L * 1000 * 1000): DataFrame =
-    (sizeBytes(spark, tablePath), rowCount(spark, tablePath)) match {
-      case (Some(b), Some(r)) if b <= thresholdBytes && r <= thresholdRows =>
+    snapshot(spark, tablePath) match {
+      case Some((r, b)) if b <= thresholdBytes && r <= thresholdRows =>
         broadcast(df)
       case _ => df
     }
