@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Timed dashboard refresh — the reference's hot path (~20 sequential SQL
   * statements per `GET /index/`, myapp/views.py:394-681) measured as one
   * concurrent Spark materialization. Usage: DashboardBench [sfDir].
@@ -9,14 +7,7 @@ import org.apache.spark.sql.SparkSession
 object DashboardBench {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.local(defaultCpus = 32)
     // warm (first refresh pays JVM/codegen)
     Dashboard.collectIndexConcurrently(spark, dir)
     val t0 = System.nanoTime()

@@ -30,7 +30,7 @@ object Hash {
     * no codegen. This kernel is O(text) and whole-stage-codegen friendly.
     */
   def shingleHash60(text: UTF8String, k: Int): ArrayData = {
-    val toks = Ws.split(text.trim().toLowerCase().toString)
+    val toks = Ws.split(text.trim().toLowerCase().toString, -1)
     if (toks.length < k) return ArrayData.toArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val sb = new java.lang.StringBuilder()
@@ -90,7 +90,7 @@ object Hash {
     */
   def langId(text: UTF8String, langs: Array[String],
       markers: Array[Array[String]]): UTF8String = {
-    val toks = Ws.split(text.trim().toLowerCase().toString)
+    val toks = Ws.split(text.trim().toLowerCase().toString, -1)
     val scores = new Array[Int](langs.length)
     var t = 0
     while (t < toks.length) {
@@ -185,7 +185,7 @@ object Hash {
     */
   def qualityStats(text: UTF8String,
       stops: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
-    val toks = Ws.split(text.trim().toLowerCase().toString)
+    val toks = Ws.split(text.trim().toLowerCase().toString, -1)
     val nTok = toks.length
     var stopHits = 0
     var t = 0

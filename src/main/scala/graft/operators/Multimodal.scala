@@ -20,16 +20,18 @@ import graft.Catalog
   */
 object Multimodal {
 
-  /** Synthetic "media" bytes derived from the documents fixture: a 16-byte
-    * header (magic, width, height, channels — all derived deterministically
-    * from doc_id) followed by the utf-8 text as payload. Stands in for a
-    * real image blob; the header mimics how PNG/JPEG carry dimensions.
+  /** Synthetic "media" bytes derived from the documents fixture: a 10-byte
+    * header — 2 magic bytes ('G','R'), then width and height as 4 hex
+    * chars each, all derived deterministically from doc_id — followed by
+    * the utf-8 text as payload. Stands in for a real image blob; the
+    * header mimics how PNG/JPEG carry dimensions. (decodeStub's offsets —
+    * width at 2, height at 6, payload from 10 — bind to this exact layout.)
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Catalog.documents(spark, dir).select(
       col("doc_id"),
       col("source"),
-      // header: 'G','R', width16, height16, channels8, pad — then payload
+      // header: 'G','R', width-hex4, height-hex4 — then payload
       concat(
         lit(Array[Byte]('G', 'R')),
         encode(lpad(conv((col("doc_id") % 64 + 16).cast("string"), 10, 16), 4, "0"), "utf-8"),
@@ -58,15 +60,21 @@ object Multimodal {
     var sum = 0L
     var i = 10
     while (i < media.length) { sum += media(i) & 0xff; i += 1 }
-    val mean = if (payload > 0) sum.toDouble / payload else 0.0
+    // empty payload → null mean (the oracle's division by octet_length 0
+    // yields NULL; emitting 0.0 here would hash-diverge on empty docs)
+    val mean: Any = if (payload > 0) sum.toDouble / payload else null
     Row(docId, source, width, height, payload, mean)
   }
 
-  /** Decode via mapPartitions: one decoder instance per partition (the
-    * expensive-initialization pattern for codec / model handles), rows
-    * streamed through without materializing the partition.
+  /** Decode via mapPartitions, UNORDERED: one decoder instance per
+    * partition (the expensive-initialization pattern for codec / model
+    * handles), rows streamed through without materializing the partition.
+    * Downstream operators (m2/m3) build on this; only the registered m1
+    * presentation query pays an ORDER BY — a sort below m3's explode
+    * cannot be eliminated by Catalyst and would range-shuffle every
+    * decoded frame for nothing.
     */
-  def decodeFrames(spark: SparkSession, dir: String): DataFrame = {
+  def decodeFramesCore(spark: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(spark, dir)
     val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(frameSchema)
     val out = media.mapPartitions { rows =>
@@ -75,8 +83,10 @@ object Multimodal {
     }(enc)
     // round at the edge (HALF_UP in both engines), not in the kernel
     out.withColumn("mean_byte", round(col("mean_byte"), 6))
-      .orderBy(col("doc_id"))
   }
+
+  def decodeFrames(spark: SparkSession, dir: String): DataFrame =
+    decodeFramesCore(spark, dir).orderBy(col("doc_id"))
 
   /** Oracle: the stub's arithmetic expressed in SQL over the same fixture —
     * proves header encoding, payload accounting, and partition mapping
@@ -98,7 +108,7 @@ object Multimodal {
     * the shuffle/partition shape of a real resize fan-out without codecs.
     */
   def resizePlan(spark: SparkSession, dir: String): DataFrame =
-    decodeFrames(spark, dir)
+    decodeFramesCore(spark, dir)
       .withColumn("target",
         when(col("width") >= 64, lit("64x48"))
           .when(col("width") >= 32, lit("32x24"))
@@ -126,7 +136,7 @@ object Multimodal {
   val SampleEvery = 4
 
   def frameSample(spark: SparkSession, dir: String): DataFrame =
-    decodeFrames(spark, dir)
+    decodeFramesCore(spark, dir)
       .withColumn("n_frames",
         (col("payload_bytes") / FrameBytes).cast("int"))
       .filter(col("n_frames") > 0)
