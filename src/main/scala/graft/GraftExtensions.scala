@@ -41,7 +41,10 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _)  => v.toInt
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)   => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)  => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)  =>
+      if (v != v.toInt.toLong) throw new IllegalArgumentException(
+        s"$fn expects an INT-range literal, got $v")
+      else v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal integer argument, got $other")
   }

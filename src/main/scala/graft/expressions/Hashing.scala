@@ -177,8 +177,9 @@ object Hash {
     * (n_tokens, stop_hits, punct_chars, n_chars) with semantics identical
     * to the expression tree it replaces: tokens = `split(lower(trim(text)),
     * "\\s+")` (so empty text yields one empty token, like Spark's split),
-    * punct = code points matching `[^A-Za-z0-9\s]` with Java-regex `\s`
-    * (ASCII whitespace only), n_chars = code points (Spark's `length`).
+    * punct = code points matching `[^A-Za-z0-9\s]` with the RE2 `\s` class
+    * (`[ \t\n\f\r]`, NO `\x0B` — matching the DuckDB oracle's regex engine,
+    * see the inline comment below), n_chars = code points (Spark's `length`).
     * The interpreted-HOF variant re-split the text four times per row and
     * evaluated an interpreted `filter` per token — O(tokens·stopwords)
     * uncodegen'd work; this is a single codegen'd projection.

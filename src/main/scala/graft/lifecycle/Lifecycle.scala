@@ -98,10 +98,19 @@ object Lifecycle {
   private def rewrite(path: String)(f: DataFrame => DataFrame)(
       implicit spark: SparkSession): Unit = rewriteAt(path)(f)
 
+  /** Unique per-call scratch suffix: two concurrent rewrites of the SAME
+    * table must not share staged/backup roots — with a fixed name, writer
+    * B's Overwrite deletes writer A's staged data and A's swap then
+    * promotes a missing dir (silent data loss). Same fix Stats.analyze got.
+    */
+  private def scratchSuffix(): String =
+    "-" + java.util.UUID.randomUUID().toString
+
   private def rewriteAt(path: String)(f: DataFrame => DataFrame)(
       implicit spark: SparkSession): Unit = {
-    val staged = path.stripSuffix("/") + ".staged"
-    val backup = path.stripSuffix("/") + ".bak"
+    val sfx = scratchSuffix()
+    val staged = path.stripSuffix("/") + ".staged" + sfx
+    val backup = path.stripSuffix("/") + ".bak" + sfx
     f(spark.read.parquet(path)).write.mode(SaveMode.Overwrite).parquet(staged)
     val fs = Catalog.fsFor(path, spark)
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -144,8 +153,9 @@ object Lifecycle {
       f: DataFrame => DataFrame)(implicit spark: SparkSession): Unit = {
     if (affected.isEmpty) return
     val base = path.stripSuffix("/")
-    val staged = base + ".staged"
-    val bakRoot = base + ".bak"
+    val sfx = scratchSuffix()
+    val staged = base + ".staged" + sfx
+    val bakRoot = base + ".bak" + sfx
     val slice = spark.read.parquet(path)
       .filter(col(partCol).isin(affected: _*))
     f(slice).write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staged)
@@ -231,8 +241,15 @@ object Lifecycle {
       if (!hasDataFiles(existingPath)) delta // nothing on disk → all fresh
       else {
         val parts = delta.select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
-        val existing = spark.read.parquet(existingPath)
-          .filter(col(partCol).isin(parts: _*))
+        // NULL partition values land in the default partition on write, so
+        // the existing-side scan must include it — a plain isin() is
+        // NULL-unsafe and would silently re-append NULL-partition keys
+        val (nullParts, realParts) = parts.partition(_ == null)
+        val inReal =
+          if (realParts.nonEmpty) col(partCol).isin(realParts: _*) else lit(false)
+        val partPred =
+          if (nullParts.nonEmpty) inReal || col(partCol).isNull else inReal
+        val existing = spark.read.parquet(existingPath).filter(partPred)
         delta.join(existing.select(keys.map(col): _*), keys, "left_anti")
       }
     fresh.write.mode(SaveMode.Append).partitionBy(partCol).parquet(existingPath)
