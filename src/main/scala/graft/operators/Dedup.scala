@@ -332,8 +332,14 @@ object Dedup {
   // (custom codegen'd expression), pairs sharing ≥ MinSharedFingerprints
   // via the same inverted-index shape as D4. Any shared substring of
   // ≥ w+k-1 bytes guarantees a shared fingerprint — the content-overlap
-  // detector for near-dup mining that survives local edits. Rolling hashes
-  // aren't SQL-expressible → rows-only at the gate; kernel unit-tested.
+  // detector for near-dup mining that survives local edits.
+  //
+  // Oracle: the kernel's fingerprint SET is expressible in SQL — the
+  // winnowing tie rule picks a POSITION, but the emitted set holds hash
+  // VALUES, and the value set is exactly { min(window) : every w-window },
+  // independent of which position a tie selects. So DuckDB mirrors it as
+  // rolling hashes (HUGEINT-modular Rabin-Karp over the utf-8 bytes) →
+  // per-window list_min → list_distinct, then brute-force pair counting.
   // ---------------------------------------------------------------------
   // k = 24 bytes ≈ 4 words: on the fixture's tiny vocabulary an 8-byte gram
   // collides across unrelated documents; 24 bytes discriminates like the
@@ -365,6 +371,35 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** DuckDB re-implementation of the winnow kernel (value-set form, see
+    * the D5 banner comment). Modular arithmetic rides HUGEINT (the 128-bit
+    * product the JVM gets from `Math.multiplyHigh`); the power table is
+    * precomputed here and inlined, `hex(encode(text))` provides the same
+    * utf-8 bytes the kernel hashes.
+    */
+  val winnowPairsSql: String = {
+    val Mod = (BigInt(1) << 61) - 1
+    val pows = (0 until WinnowK)
+      .map(j => BigInt(257).modPow(BigInt(WinnowK - 1 - j), Mod))
+      .mkString("[", ",", "]")
+    val k = WinnowK
+    val w = WinnowW
+    s"""WITH pw AS (SELECT $pows::HUGEINT[] AS pows),
+       |tb AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+       |bts AS (SELECT doc_id, n, CASE WHEN n >= $k
+       |  THEN [CAST('0x' || substr(hx, 2*i-1, 2) AS INT) for i in range(1, n+1)] ELSE [] END AS bs FROM tb),
+       |rh AS (SELECT doc_id, CASE WHEN n >= $k
+       |  THEN [ (list_sum([ bs[i+j]::HUGEINT * pows[j+1] for j in range($k) ]) % $Mod)::BIGINT
+       |         for i in range(1, n - $k + 2)] ELSE [] END AS hs FROM bts, pw),
+       |fp AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
+       |  WHEN len(hs) <= $w THEN [list_min(hs)]
+       |  ELSE list_distinct([list_min(hs[s:s+${w - 1}]) for s in range(1, len(hs) - $w + 2)]) END AS fps FROM rh)
+       |SELECT a.doc_id AS da, b.doc_id AS db, len(list_intersect(a.fps, b.fps))::INT AS shared
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.fps, b.fps)) >= $MinSharedFingerprints
+       |ORDER BY da, db""".stripMargin.replace('\n', ' ')
+  }
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", exactDedup, Some(exactDedupSql),
@@ -375,8 +410,8 @@ object Dedup {
       "SimHash60 fingerprints, Hamming<=3 pairs via 4-band pigeonhole (training-data extension)"),
     Q("d4_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql),
       "exact 3-gram Jaccard pairs via inverted index (training-data extension)"),
-    Q("d5_winnow_pairs", winnowPairs, None,
-      "winnowing rolling-hash fingerprint overlap pairs, rows-only (training-data extension)"),
+    Q("d5_winnow_pairs", winnowPairs, Some(winnowPairsSql),
+      "winnowing rolling-hash fingerprint overlap pairs, value-set oracle in SQL (training-data extension)"),
     Q("d6_jaccard_indexed", ngramJaccardViaIndex, Some(minhashLshSql),
       "exact 3-gram Jaccard over a persisted shingle index — the shared-feature-table execution strategy (training-data extension)"))
 }

@@ -266,8 +266,14 @@ object Similarity {
     def normalize(v: Array[Double]): Seq[Float] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       val scale = if (n == 0.0) 1.0 else n
-      // 6-dp grid: deterministic under summation-order ULP noise
-      v.map(x => math.rint(x / scale * 1e6).toFloat / 1e6f).toSeq
+      // 6-dp grid: deterministic under summation-order ULP noise. Rounds
+      // half-AWAY-from-zero (like DuckDB's round(), which the oracle uses)
+      // rather than rint's half-even, so the SQL-unrolled fit can never
+      // diverge on a midpoint value.
+      v.map { x =>
+        val y = x / scale * 1e6
+        (math.floor(math.abs(y) + 0.5) * math.signum(y)).toFloat / 1e6f
+      }.toSeq
     }
     var ctrs: Seq[Seq[Float]] = e.orderBy(col("vec_id")).limit(k).collect()
       .map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
@@ -303,16 +309,130 @@ object Similarity {
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(fitIvfCentroids(spark, dir))(spark, dir)
 
+  // ---------------------------------------------------------------------
+  // Exact DuckDB oracles for the approximate operators. The LSH planes /
+  // IVF centroids are pure deterministic functions (LCGs, float-rounded),
+  // and both engines compute dots as sequential double accumulation over
+  // float inputs — bit-identical, so candidate sets (and therefore the
+  // "approximate" outputs) are exactly reproducible in SQL. This promotes
+  // n3/n4/n5 from rows-only gate entries to full hash-checked ones: the
+  // oracle re-derives the same index structure, not just a recall bound.
+  // ---------------------------------------------------------------------
+
+  /** Embeddings CTE shared by the ANN oracles (float→double is exact). */
+  private val embCte =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+
+  /** Shared scoring tail: exact cosine + top-k over a `pairs` CTE of
+    * (query_id, vec_id) candidates — the mirror of the verify step every
+    * ANN variant ends with.
+    */
+  private val scoredTailSql: String =
+    s"""scored AS (
+       | SELECT p.query_id, p.vec_id,
+       |  round(list_cosine_similarity(qe.emb, ce.emb), 6) AS cosine,
+       |  row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY round(list_cosine_similarity(qe.emb, ce.emb), 6) DESC, p.vec_id) AS rank
+       | FROM pairs p JOIN e qe ON qe.vec_id = p.query_id JOIN e ce ON ce.vec_id = p.vec_id)
+       |SELECT query_id, vec_id, cosine, rank FROM scored
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** N3 oracle: regenerate the hyperplanes from the same LCG, recompute
+    * band signatures, join on band equality, verify with exact cosine.
+    */
+  val annLshSql: String =
+    s"""WITH planes AS (
+       | SELECT p.range AS p,
+       |  list(CAST(((1103515245 * (p.range * $Dim + d.range) + 12345) & 2147483647)::DOUBLE
+       |    / 2147483648 - 0.5 AS FLOAT)::DOUBLE ORDER BY d.range) AS v
+       | FROM range($LshPlanes) p, range($Dim) d GROUP BY p.range),
+       |$embCte,
+       |dots AS (SELECT e.vec_id, pl.p, list_inner_product(e.emb, pl.v) AS dp FROM e, planes pl),
+       |bands AS (
+       | SELECT vec_id, p // $PlanesPerBand AS band_idx,
+       |  sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (p % $PlanesPerBand) ELSE 0 END) AS sig
+       | FROM dots GROUP BY vec_id, p // $PlanesPerBand),
+       |pairs AS (
+       | SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       | FROM bands q JOIN bands c ON q.band_idx = c.band_idx AND q.sig = c.sig
+       | WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
+       |$scoredTailSql""".stripMargin.replace('\n', ' ')
+
+  /** Per-vector centroid ranking CTEs over a centroid relation `$ct(c, v)`:
+    * `lists` (argmax assignment) and `probes` (top-NProbe for the query
+    * set) — ties on the dot break to the higher centroid id, mirroring
+    * [[topCentroidsOf]]'s reversed struct sort.
+    */
+  private def ivfProbeCtes(ct: String): String =
+    s"""dq AS (SELECT e.vec_id, ct.c,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_inner_product(e.emb, ct.v) DESC, ct.c DESC) AS rk
+       | FROM e, $ct ct),
+       |lists AS (SELECT vec_id, c AS centroid FROM dq WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, c AS centroid FROM dq WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |pairs AS (
+       | SELECT DISTINCT p.query_id, l.vec_id
+       | FROM probes p JOIN lists l ON p.centroid = l.centroid
+       | WHERE l.vec_id <> p.query_id)""".stripMargin
+
+  /** N4 oracle: regenerate the synthetic centroids from their LCG, then
+    * the standard IVF assign/probe/verify.
+    */
+  val annIvfSql: String =
+    s"""WITH ctrs AS (
+       | SELECT c.range AS c,
+       |  list(CAST(((22695477 * (c.range * $Dim + d.range + 7919) + 1) & 2147483647)::DOUBLE
+       |    / 2147483648 - 0.5 AS FLOAT)::DOUBLE ORDER BY d.range) AS v
+       | FROM range($NCentroids) c, range($Dim) d GROUP BY c.range),
+       |$embCte,
+       |${ivfProbeCtes("ctrs")},
+       |$scoredTailSql""".stripMargin.replace('\n', ' ')
+
+  /** N5 oracle: the ENTIRE spherical k-means fit unrolled in SQL —
+    * deterministic init (k lowest vec_ids, 6-dp-rounded float normalize),
+    * then [[KmeansIters]] unrolled Lloyd iterations (argmax-dot assign,
+    * per-(centroid, dim) mean, renormalize; empty clusters keep their
+    * previous centroid), then the same probe tail as N4. The 6-dp
+    * half-away-from-zero rounding both engines apply after each iteration
+    * absorbs aggregation-order ULP noise, which is what makes the fit —
+    * and hence the whole "approximate" query — bit-reproducible.
+    */
+  val annIvfKmeansSql: String = {
+    def normList(v: String): String =
+      s"""CASE WHEN sqrt(list_inner_product($v,$v)) = 0
+         | THEN [CAST(CAST(round(x * 1000000) AS FLOAT) / CAST(1000000 AS FLOAT) AS DOUBLE) for x in $v]
+         | ELSE [CAST(CAST(round(x / sqrt(list_inner_product($v,$v)) * 1000000) AS FLOAT) / CAST(1000000 AS FLOAT) AS DOUBLE) for x in $v] END""".stripMargin
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    parts += embCte
+    parts += s"seed AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS c FROM e ORDER BY vec_id LIMIT $NCentroids)"
+    parts += s"ct0 AS (SELECT c, ${normList("emb")} AS v FROM seed)"
+    for (it <- 1 to KmeansIters) {
+      val prev = s"ct${it - 1}"
+      parts += s"""d$it AS (SELECT e.vec_id, ct.c,
+        | row_number() OVER (PARTITION BY e.vec_id
+        |   ORDER BY list_inner_product(e.emb, ct.v) DESC, ct.c DESC) AS rk
+        | FROM e, $prev ct)""".stripMargin
+      parts += s"a$it AS (SELECT vec_id, c FROM d$it WHERE rk = 1)"
+      parts += s"""m$it AS (SELECT a.c, dd.range AS dim, avg(e.emb[dd.range + 1]) AS m
+        | FROM a$it a JOIN e ON e.vec_id = a.vec_id, range($Dim) dd GROUP BY a.c, dd.range)""".stripMargin
+      parts += s"mv$it AS (SELECT c, list(m ORDER BY dim) AS mv FROM m$it GROUP BY c)"
+      parts += s"""ct$it AS (SELECT p.c, CASE WHEN mv.c IS NULL THEN p.v ELSE ${normList("mv.mv")} END AS v
+        | FROM $prev p LEFT JOIN mv$it mv ON p.c = mv.c)""".stripMargin
+    }
+    parts += ivfProbeCtes(s"ct$KmeansIters")
+    ("WITH " + parts.mkString(", ") + ", " + scoredTailSql).replace('\n', ' ')
+  }
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("n1_ann_brute", annBruteForce, Some(annBruteForceSql),
       "brute-force cosine top-k, codegen'd kernel (training-data extension)"),
     Q("n2_cosine_pairs", cosinePairs, Some(cosinePairsSql),
       "exact high-cosine pair mining (training-data extension)"),
-    Q("n3_ann_lsh", annLsh, None,
-      "random-hyperplane LSH bucketed ANN, approximate — recall tested vs n1 (training-data extension)"),
-    Q("n4_ann_ivf", annIvf, None,
-      s"IVF coarse-quantizer ANN, NProbe=$NProbe of $NCentroids centroids, approximate — recall tested vs n1 (training-data extension)"),
-    Q("n5_ann_ivf_kmeans", annIvfKmeans, None,
-      s"IVF ANN over a fitted deterministic spherical k-means quantizer ($KmeansIters Lloyd iterations), approximate — recall tested vs n1 (training-data extension)"))
+    Q("n3_ann_lsh", annLsh, Some(annLshSql),
+      "random-hyperplane LSH bucketed ANN, deterministic — exact SQL oracle regenerates the planes (training-data extension)"),
+    Q("n4_ann_ivf", annIvf, Some(annIvfSql),
+      s"IVF coarse-quantizer ANN, NProbe=$NProbe of $NCentroids centroids — exact SQL oracle regenerates the centroids (training-data extension)"),
+    Q("n5_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql),
+      s"IVF ANN over a fitted deterministic spherical k-means quantizer ($KmeansIters Lloyd iterations) — oracle unrolls the fit in SQL (training-data extension)"))
 }
