@@ -135,25 +135,33 @@ object Similarity {
     (x.toDouble / 0x80000000L.toDouble - 0.5).toFloat
   }
 
-  private lazy val planes: Seq[Seq[Float]] =
-    (0 until LshPlanes).map(p => (0 until Dim).map(d => planeComponent(p, d)))
-
-  /** One row per (vector, band) with the band's bit-signature — the LSH
-    * index relation a 100 TB pipeline would persist, bucketed by band key.
+  /** Band-key columns for an arbitrary AND-OR amplification scheme: bands
+    * of `planesPerBand` sign bits, planes drawn from [[planeComponent]]'s
+    * LCG starting at `planeOffset`. More planes per band = harder pruning
+    * + lower recall for non-colinear pairs (pick per threshold regime).
     */
-  def lshBands(spark: SparkSession, dir: String): DataFrame = {
-    val e = Catalog.embeddings(spark, dir)
-    val bandKeys = (0 until LshBands).map { b =>
-      val bits = (0 until PlanesPerBand).map { r =>
-        val plane = planes(b * PlanesPerBand + r)
+  private def bandKeyColumns(nBands: Int, planesPerBand: Int,
+      planeOffset: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until nBands).map { b =>
+      val bits = (0 until planesPerBand).map { r =>
+        val plane = (0 until Dim).map(d =>
+          planeComponent(planeOffset + b * planesPerBand + r, d))
         when(dot_product(col("embedding"), typedLit(plane)) >= 0, 1L << r)
           .otherwise(0L)
       }
       concat_ws(":", lit(b), bits.reduce(_ + _))
     }
+
+  /** One row per (vector, band) with the band's bit-signature — the LSH
+    * index relation a 100 TB pipeline would persist, bucketed by band key.
+    */
+  def lshBandsOf(e: DataFrame, nBands: Int = LshBands,
+      planesPerBand: Int = PlanesPerBand, planeOffset: Int = 0): DataFrame =
     e.select(col("vec_id"), col("embedding"),
-      explode(array(bandKeys: _*)).as("band"))
-  }
+      explode(array(bandKeyColumns(nBands, planesPerBand, planeOffset): _*)).as("band"))
+
+  def lshBands(spark: SparkSession, dir: String): DataFrame =
+    lshBandsOf(Catalog.embeddings(spark, dir))
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val bands = lshBands(spark, dir)
