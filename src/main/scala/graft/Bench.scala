@@ -10,11 +10,38 @@ package graft
   * query materializes fully through the `noop` datasource v2 sink — unlike
   * `count()`, noop cannot let Catalyst prune away projected expressions, so
   * the timing covers the whole operator including its projections.
+  *
+  * Contention defense: a shared box can inflate a single timing by an order
+  * of magnitude, so each query runs [[Repeats]] times and the JSON reports
+  * the MEDIAN per query (the headline number) plus the min, along with
+  * `/proc/loadavg` before and after the run — a reader can tell "the engine
+  * regressed" from "the box was busy" without re-running.
   */
 object Bench {
+
+  /** Per-query repetitions. 3 = one cold-ish pass + two steady-state; the
+    * median discards a single contended outlier per query.
+    */
+  val Repeats = 3
+
+  private def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ").take(3).mkString(",")
+      finally src.close()
+    } catch { case _: Throwable => "" }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(defaultCpus = 32)
+    val loadBefore = loadavg()
     // warmup: JVM + codegen + parquet footer/listing + OS page caches.
     // Must be a noop WRITE, not count(): count() is satisfied from parquet
     // footers alone and decodes zero column bytes, leaving the first query
@@ -27,21 +54,28 @@ object Bench {
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failed += name
+      val times = (1 to Repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          if (!failed.contains(name)) failed += name
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, median(times), times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadAfter = loadavg()
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalMin = results.map(_._3).sum
     // a crashed query times at ~0 s; without a failure marker the JSON
     // would read as a speed-up — record failures in-band
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_median_of_$Repeats","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
