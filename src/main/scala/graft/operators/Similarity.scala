@@ -161,7 +161,7 @@ object Similarity {
       explode(array(bandKeyColumns(nBands, planesPerBand, planeOffset): _*)).as("band"))
 
   def lshBands(spark: SparkSession, dir: String): DataFrame =
-    lshBandsOf(Catalog.embeddings(spark, dir))
+    lshBandsOf(nonZeroEmbeddings(spark, dir))
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val bands = lshBands(spark, dir)
@@ -179,7 +179,7 @@ object Similarity {
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    val e = Catalog.embeddings(spark, dir)
+    val e = nonZeroEmbeddings(spark, dir)
     pairs
       .join(broadcast(e.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
@@ -230,10 +230,15 @@ object Similarity {
   private def assignColumnOf(ctrs: Seq[Seq[Float]])(v: org.apache.spark.sql.Column) =
     element_at(topCentroidsOf(ctrs)(v, 1), 1)
 
-  /** IVF probe join for an arbitrary coarse quantizer. */
+  /** IVF probe join for an arbitrary coarse quantizer. Zero-norm vectors
+    * are excluded like every similarity operator (see [[nonZeroEmbeddings]]):
+    * they have no direction, and the JVM-0.0-vs-DuckDB-NaN cosine mismatch
+    * would otherwise rank them FIRST in the oracle's top-k the moment one
+    * enters a candidate list (ADVICE r4).
+    */
   private def annIvfWith(ctrs: Seq[Seq[Float]])(
       spark: SparkSession, dir: String): DataFrame = {
-    val e = Catalog.embeddings(spark, dir)
+    val e = nonZeroEmbeddings(spark, dir)
     val lists = e.select(col("vec_id"), col("embedding"),
       assignColumnOf(ctrs)(col("embedding")).as("centroid"))
     val queries = broadcast(
@@ -270,7 +275,9 @@ object Similarity {
 
   def fitIvfCentroids(spark: SparkSession, dir: String,
       k: Int = NCentroids, iters: Int = KmeansIters): Seq[Seq[Float]] = {
-    val e = Catalog.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // fit over the same zero-norm-filtered relation the probe uses — a zero
+    // vector in the seed set would normalize to itself and freeze a centroid
+    val e = nonZeroEmbeddings(spark, dir).select(col("vec_id"), col("embedding"))
     def normalize(v: Array[Double]): Seq[Float] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       val scale = if (n == 0.0) 1.0 else n
@@ -302,12 +309,18 @@ object Similarity {
         .agg(avg(col("x")).as("m"))
         .collect()
       val next = Array.fill(k)(new Array[Double](Dim))
+      // explicit membership: a cluster is empty iff NO (centroid, dim) row
+      // exists for it — `next(i).forall(_ == 0.0)` would conflate that with
+      // "member mean is exactly zero in every dim", which the oracle's
+      // LEFT JOIN (mv.c IS NULL) does NOT treat as empty (ADVICE r4)
+      val hasMembers = new Array[Boolean](k)
       sums.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        hasMembers(r.getInt(0)) = true
       }
       // empty clusters keep their previous centroid (stable, deterministic)
       ctrs = ctrs.zipWithIndex.map { case (old, i) =>
-        if (next(i).forall(_ == 0.0)) old else normalize(next(i))
+        if (!hasMembers(i)) old else normalize(next(i))
       }
       it += 1
     }
@@ -327,9 +340,13 @@ object Similarity {
   // oracle re-derives the same index structure, not just a recall bound.
   // ---------------------------------------------------------------------
 
-  /** Embeddings CTE shared by the ANN oracles (float→double is exact). */
+  /** Embeddings CTE shared by the ANN oracles (float→double is exact) —
+    * zero-norm-filtered in lockstep with [[nonZeroEmbeddings]], so a zero
+    * vector in some future fixture can never enter an oracle candidate set
+    * and NaN-sort to the top (ADVICE r4).
+    */
   private val embCte =
-    "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+    s"e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE $nonZeroSql)"
 
   /** Shared scoring tail: exact cosine + top-k over a `pairs` CTE of
     * (query_id, vec_id) candidates — the mirror of the verify step every
