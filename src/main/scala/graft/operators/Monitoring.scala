@@ -227,25 +227,31 @@ object Monitoring {
   // across metric and process tables). The bucket-equality key makes this a
   // plain hash join — the canonical approximate-time join.
   // ---------------------------------------------------------------------
-  /** The raw correlation join, before display decorations — existence
-    * checks probe THIS (no distinct shuffle, no sort; `.isEmpty` stops at
-    * the first joined row).
+  /** The raw correlation join, before the display sort — existence checks
+    * probe THIS (`.isEmpty` stops at the first joined row; the per-side
+    * partial aggregates stream). Each side dedups its (minute, user) pairs
+    * BEFORE the join — mirroring the streaming twin
+    * ([[graft.streaming.Streams.streamingMinuteJoin]]): a hot minute with
+    * e errors and p purchases contributes distinct(e)·distinct(p) join
+    * rows instead of e·p rows first and a distinct shuffle after, and the
+    * join output is distinct by construction (round-4 verdict item #6).
     */
   def minuteBucketJoinBase(spark: SparkSession, dir: String): DataFrame = {
     val ev = Catalog.events(spark, dir)
     val a = ev.filter(col("event_type") === "error")
       .select(date_trunc("minute", col("ts")).as("minute"),
         col("user_id").as("err_user"))
+      .distinct()
     val b = ev.filter(col("event_type") === "purchase")
       .select(date_trunc("minute", col("ts")).as("minute"),
         col("user_id").as("buy_user"))
+      .distinct()
     a.join(b, "minute")
       .select(col("minute"), col("err_user"), col("buy_user"))
   }
 
   def minuteBucketJoin(spark: SparkSession, dir: String): DataFrame =
     minuteBucketJoinBase(spark, dir)
-      .distinct()
       .orderBy(col("minute"), col("err_user"), col("buy_user"))
 
   val minuteBucketJoinSql: String =

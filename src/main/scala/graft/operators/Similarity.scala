@@ -37,7 +37,7 @@ object Similarity {
     * similarity search outright. dot_product(e,e) is the codegen'd squared
     * norm; the oracle mirrors with list_inner_product.
     */
-  private def nonZeroEmbeddings(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def nonZeroEmbeddings(spark: SparkSession, dir: String): DataFrame =
     Catalog.embeddings(spark, dir)
       .filter(dot_product(col("embedding"), col("embedding")) > 0)
 
@@ -162,6 +162,27 @@ object Similarity {
 
   def lshBands(spark: SparkSession, dir: String): DataFrame =
     lshBandsOf(nonZeroEmbeddings(spark, dir))
+
+  /** Distinct candidate id-pairs whose band signatures collide — the
+    * sub-quadratic all-pairs candidate miner (z2's scale path; round-4
+    * verdict item #1). Only (vec_id, band) enters the self-join and only
+    * 16-byte id pairs enter the dedup shuffle; embeddings re-attach to the
+    * (small) candidate relation afterwards. More bands × fewer planes than
+    * the ANN config: at cosine = [[PairThreshold]] (0.4) a 2-plane band
+    * collides with p ≈ 0.631² ≈ 0.40, so 16 bands miss a threshold pair
+    * with p ≈ (1−0.40)¹⁶ ≈ 3e-4 — and the whole construction is
+    * deterministic (LCG planes), so the SQL oracle regenerates the exact
+    * candidate set and the gate stays hash-exact regardless of recall.
+    */
+  def lshCandidatePairs(e: DataFrame, nBands: Int, planesPerBand: Int): DataFrame = {
+    val bands = lshBandsOf(e, nBands, planesPerBand)
+      .select(col("vec_id"), col("band"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+  }
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val bands = lshBands(spark, dir)
@@ -362,21 +383,29 @@ object Similarity {
        |SELECT query_id, vec_id, cosine, rank FROM scored
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** planes → e → dots → bands CTE chain regenerating [[lshBandsOf]]'s
+    * exact band relation in SQL for an arbitrary AND-OR banding of the
+    * shared LCG hyperplanes — used by the n3 oracle (8 bands × 4 planes)
+    * and the z2 oracle (16 × 2).
+    */
+  private[operators] def lshBandsCtesSql(nPlanes: Int, planesPerBand: Int): String =
+    s"""planes AS (
+       | SELECT p.range AS p,
+       |  list(CAST(((1103515245 * (p.range * $Dim + d.range) + 12345) & 2147483647)::DOUBLE
+       |    / 2147483648 - 0.5 AS FLOAT)::DOUBLE ORDER BY d.range) AS v
+       | FROM range($nPlanes) p, range($Dim) d GROUP BY p.range),
+       |$embCte,
+       |dots AS (SELECT e.vec_id, pl.p, list_inner_product(e.emb, pl.v) AS dp FROM e, planes pl),
+       |bands AS (
+       | SELECT vec_id, p // $planesPerBand AS band_idx,
+       |  sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (p % $planesPerBand) ELSE 0 END) AS sig
+       | FROM dots GROUP BY vec_id, p // $planesPerBand)""".stripMargin
+
   /** N3 oracle: regenerate the hyperplanes from the same LCG, recompute
     * band signatures, join on band equality, verify with exact cosine.
     */
   val annLshSql: String =
-    s"""WITH planes AS (
-       | SELECT p.range AS p,
-       |  list(CAST(((1103515245 * (p.range * $Dim + d.range) + 12345) & 2147483647)::DOUBLE
-       |    / 2147483648 - 0.5 AS FLOAT)::DOUBLE ORDER BY d.range) AS v
-       | FROM range($LshPlanes) p, range($Dim) d GROUP BY p.range),
-       |$embCte,
-       |dots AS (SELECT e.vec_id, pl.p, list_inner_product(e.emb, pl.v) AS dp FROM e, planes pl),
-       |bands AS (
-       | SELECT vec_id, p // $PlanesPerBand AS band_idx,
-       |  sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (p % $PlanesPerBand) ELSE 0 END) AS sig
-       | FROM dots GROUP BY vec_id, p // $PlanesPerBand),
+    s"""WITH ${lshBandsCtesSql(LshPlanes, PlanesPerBand)},
        |pairs AS (
        | SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
        | FROM bands q JOIN bands c ON q.band_idx = c.band_idx AND q.sig = c.sig

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Composition invariants for the z-family pipelines: survivor-selection
+  * semantics (greedy vs connected-component) and the sub-quadratic
+  * candidate paths' agreement with the exact baselines.
+  */
+class PipelineSpec extends SparkSuite {
+
+  test("z3 CC differs from greedy on a chain whose middle node has the largest id") {
+    import spark.implicits._
+    // pair graph (1,3),(2,3): node 2 never appears as the larger id of a
+    // direct pair, so greedy keep-smallest keeps {1, 2}; but 2 is connected
+    // to 1 through 3, so connected components keep only {1}
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("da", "db")
+    val greedyKeep = Set(1L, 2L) // losers = {db} = {3}
+    val cc = Pipeline.ccComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val ccKeep = cc.filter { case (id, root) => id == root }.keySet
+    assert(ccKeep == Set(1L))
+    assert(ccKeep != greedyKeep, "fixture must prove the two rules differ")
+  }
+
+  test("z3 CC propagates the min id across a long transitive chain") {
+    import spark.implicits._
+    // path 10-11-12-...-17: diameter > 1 forces multiple propagation rounds
+    val pairs = (10L until 17L).map(i => (i, i + 1)).toDF("da", "db")
+    val cc = Pipeline.ccComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.keySet == (10L to 17L).toSet)
+    assert(cc.values.toSet == Set(10L), s"all nodes must root at 10: $cc")
+  }
+
+  test("z3 CC on two disjoint components roots each at its own min") {
+    import spark.implicits._
+    val pairs = Seq((5L, 6L), (6L, 7L), (20L, 21L)).toDF("da", "db")
+    val cc = Pipeline.ccComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("z3 CC of an empty pair graph is empty") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Pipeline.ccComponents(pairs).count() == 0)
+  }
+
+  test("z2 LSH candidate path agrees with exact n2 pairs on the fixture") {
+    // the deterministic 16x2 banding has ~3e-4 worst-case per-pair miss at
+    // the 0.4 threshold; on the sf0.001 fixture's pair set assert the
+    // verified LSH pairs are a subset of the exact pairs and recall is high
+    val e = Similarity.nonZeroEmbeddings(spark, sfDir)
+    import graft.expressions.VectorFunctions.cosine_sim
+    val lshPairs = Similarity
+      .lshCandidatePairs(e, Pipeline.Z2Bands, Pipeline.Z2PlanesPerBand)
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .filter(round(cosine_sim(col("ea"), col("eb")), 6)
+        >= Similarity.PairThreshold)
+      .select(col("va"), col("vb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosinePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.subsetOf(exact), "verified LSH pairs must be true pairs")
+    if (exact.nonEmpty)
+      assert(lshPairs.size.toDouble / exact.size >= 0.8,
+        s"recall ${lshPairs.size}/${exact.size}")
+  }
+
+  test("z1 keeps only quality English exact-keeper non-near-dup docs") {
+    val out = Pipeline.corpusPipeline(spark, sfDir)
+    val ids = out.collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+    // spot-check the stages: every survivor passes quality + language
+    val q = TextOps.qualityScores(spark, sfDir)
+      .filter(col("len_ok")).collect().map(_.getLong(0)).toSet
+    val en = TextOps.langId(spark, sfDir)
+      .filter(col("detected_lang") === "en").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(q) && ids.subsetOf(en))
+    // and no survivor is the larger side of a verified near-dup pair
+    val losers = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(_.getLong(1)).toSet
+    assert((ids & losers).isEmpty)
+  }
+}
