@@ -54,28 +54,39 @@ object Bench {
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Repeats).map { _ =>
+      // only SUCCESSFUL repeats contribute timings: a fast-crashing repeat
+      // would otherwise drag the median/min toward its time-to-failure and
+      // make a broken query read as a fast one (ADVICE r5)
+      val times = (1 to Repeats).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           if (!failed.contains(name)) failed += name
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      (name, median(times), times.min)
+      (name, times)
     }
     val loadAfter = loadavg()
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+    // queries with zero successful repeats are omitted from the per-query
+    // maps entirely — they appear only in `failed`
+    val timed = results.collect { case (k, ts) if ts.nonEmpty =>
+      (k, median(ts), ts.min)
+    }
+    val qs = timed.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
+    val qsMin = timed.map { case (k, _, mn) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalMin = results.map(_._3).sum
-    // a crashed query times at ~0 s; without a failure marker the JSON
-    // would read as a speed-up — record failures in-band
+    val total = timed.map(_._2).sum
+    val totalMin = timed.map(_._3).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total_median_of_$Repeats","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
+    // "metric":"total" is the stable consumer contract; the methodology
+    // rides in "method" (ADVICE r5: renaming the metric key breaks
+    // downstream matchers silently)
+    println(s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

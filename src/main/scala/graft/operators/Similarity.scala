@@ -459,7 +459,15 @@ object Similarity {
     val parts = scala.collection.mutable.ListBuffer.empty[String]
     parts += embCte
     parts += s"seed AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS c FROM e ORDER BY vec_id LIMIT $NCentroids)"
-    parts += s"ct0 AS (SELECT c, ${normList("emb")} AS v FROM seed)"
+    // under-k corpora: mirror fitIvfCentroids' synthetic-LCG padding (ADVICE
+    // r5 — the fit pads missing seeds with normalized LCG centroids; the
+    // oracle must produce the identical ct0 or a small fixture diverges)
+    parts += s"""lcg AS (
+      | SELECT c.range AS c,
+      |  list(CAST(((22695477 * (c.range * $Dim + d.range + 7919) + 1) & 2147483647)::DOUBLE
+      |    / 2147483648 - 0.5 AS FLOAT)::DOUBLE ORDER BY d.range) AS v
+      | FROM range($NCentroids) c, range($Dim) d GROUP BY c.range)""".stripMargin
+    parts += s"ct0 AS (SELECT c, ${normList("emb")} AS v FROM seed UNION ALL SELECT l.c, ${normList("l.v")} FROM lcg l WHERE l.c >= (SELECT count(*) FROM seed))"
     for (it <- 1 to KmeansIters) {
       val prev = s"ct${it - 1}"
       parts += s"""d$it AS (SELECT e.vec_id, ct.c,
