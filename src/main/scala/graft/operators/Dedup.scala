@@ -121,15 +121,50 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact pairwise shingle-Jaccard for every co-shingle pair over an
-    * explicit (doc_id, hs) relation: candidates off the df-capped inverted
-    * index, then the exact verify step over the full per-doc hash arrays
-    * (so the cap never distorts a reported score).
+  /** Candidate pairs for a Jaccard threshold via PREFIX FILTERING (the
+    * AllPairs/PPJoin technique — Bayardo et al. 2007, Xiao et al. 2008):
+    * fix any global total order on tokens; a pair with J ≥ t shares its
+    * globally-smallest common token, and that token provably sits within
+    * the first |x| − ⌈t·|x|⌉ + 1 tokens of BOTH documents (else the
+    * intersection would fit inside a suffix smaller than t·|x|). So only
+    * those PREFIX postings enter the inverted-index self-join. Ordering
+    * document-frequency-ascending puts each document's rarest tokens in
+    * its prefix, which collapses the posting-list quadratic term exactly
+    * where it explodes — corpus-common tokens fall out of most prefixes.
+    * Lossless for the ≥ t verified output over the capped token sets; the
+    * df cap itself keeps its documented miss-mode (pairs whose similarity
+    * rides corpus-hot tokens).
     */
-  private def jaccardFromHs(hs: DataFrame, cap: Int): DataFrame = {
+  private[operators] def prefixCandidates(
+      hs: DataFrame, t: Double, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = hs.select(col("doc_id"), explode(col("hs")).as("h"))
-    jaccardForCandidatesHs(hs, coKeyCandidates(ex, "h", cap))
+    val dfm = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val exd = ex.join(dfm, "h").filter(col("df") <= cap)
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val pref = exd
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("h"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    // length filter (PPJoin): J ≥ t forces t·|a| ≤ |b| ≤ |a|/t — evaluated
+    // inside the join so out-of-range pairs never reach the dedup shuffle
+    pref.as("a").join(pref.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") >= ceil(col("a.n") * t) &&
+        col("a.n") >= ceil(col("b.n") * t))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
   }
+
+  /** Exact pairwise shingle-Jaccard for every co-shingle pair over an
+    * explicit (doc_id, hs) relation: candidates off the df-capped,
+    * prefix-filtered inverted index, then the exact verify step over the
+    * full per-doc hash arrays (so neither pruning step ever distorts a
+    * reported score).
+    */
+  private def jaccardFromHs(hs: DataFrame, cap: Int): DataFrame =
+    jaccardForCandidatesHs(hs, prefixCandidates(hs, JaccardThreshold, cap))
 
   private def jaccardAllCoShinglePairs(
       spark: SparkSession, dir: String, cap: Int = DocFreqCap): DataFrame =
