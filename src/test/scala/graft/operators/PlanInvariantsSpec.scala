@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Scale guard over EVERY registered query's executed physical plan: no
+  * cartesian or nested-loop join may appear anywhere except the three
+  * labeled constant/baseline cases — the invariant that keeps a future
+  * edit from silently reintroducing an O(n²) self-join into a production
+  * path (the round-4 verdict's z2 finding, now pinned as a test).
+  */
+class PlanInvariantsSpec extends SparkSuite {
+
+  /** Plans allowed to contain a non-equi join:
+    * - j7: the scalar subquery joins ONE broadcast row (constant cost);
+    * - n1: brute-force ANN, the labeled exact baseline (broadcast query
+    *   set × single corpus scan);
+    * - n2: the labeled O(n²) exact pair-mining baseline nothing
+    *   production consumes.
+    */
+  private val nonEquiAllowed =
+    Set("j7_scalar_subquery", "n1_ann_brute", "n2_cosine_pairs")
+
+  test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if nonEquiAllowed(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes in: ${offenders.mkString(", ")}")
+  }
+}
