@@ -116,10 +116,11 @@ object Similarity {
   // N3 — LSH-bucketed ANN (the scale path): 32 deterministic pseudo-random
   // hyperplanes grouped AND-OR style into 8 bands × 4 planes (the classic
   // amplification construction); a vector is a candidate for a query iff
-  // any band signature matches. Approximate (recall pinned in the test
-  // suite against N1), so no SQL oracle — the driver records a rows-only
-  // check. At 100 TB each band join probes a 1/16th bucket on average
-  // instead of scanning the corpus.
+  // any band signature matches. Approximate vs N1 (recall pinned in the
+  // test suite) yet EXACTLY oracle-checked: the planes are an LCG, so the
+  // SQL oracle regenerates the identical band relation (annLshSql). At
+  // 100 TB each band join probes a 1/16th bucket on average instead of
+  // scanning the corpus.
   // ---------------------------------------------------------------------
   val LshPlanes = 32
   val LshBands = 8
@@ -218,7 +219,8 @@ object Similarity {
   // pseudo-random centroids act as a coarse quantizer; every vector is
   // assigned to its argmax-dot centroid (the inverted list it would be
   // stored under at 100 TB), and a query probes its NProbe best centroids.
-  // Approximate — recall pinned in the test suite; rows-only at the gate.
+  // Approximate vs N1 (recall pinned in the test suite); exactly
+  // hash-checked at the gate via annIvfSql's regenerated centroids.
   // ---------------------------------------------------------------------
   // On the clusterless (uniform-noise) fixture embeddings, IVF recall is
   // bounded by the probed corpus fraction (NProbe/NCentroids); real
