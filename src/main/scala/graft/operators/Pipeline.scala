@@ -163,13 +163,17 @@ object Pipeline {
   // ---------------------------------------------------------------------
 
   /** Connected components of an undirected pair graph by iterative
-    * min-label propagation: every node repeatedly adopts the minimum label
-    * in its closed neighborhood until fixpoint. Each round is one hash
-    * shuffle on BIGINT keys; rounds needed = the graph diameter (near-dup
-    * components are shallow). `localCheckpoint` truncates per-iteration
-    * lineage so the plan does not grow with rounds, and the convergence
-    * probe is the only per-round action — the standard Spark
-    * iterative-algorithm shape (GraphX's CC does the same loop).
+    * min-label propagation WITH pointer jumping: each round every node
+    * adopts the minimum of its own label, its neighbors' labels, and its
+    * label's label (`root(root(x))` — path halving). Neighbor propagation
+    * alone needs diameter rounds, so a 1000-node chain would silently exit
+    * the round bound unconverged; the root-of-root join halves label-chain
+    * depth each round, giving O(log n) convergence — the 64-round bound is
+    * then sufficient for any graph that fits in 64-bit ids. Each round is
+    * two hash joins + one aggregate on BIGINT keys; `localCheckpoint`
+    * truncates per-iteration lineage so the plan does not grow with
+    * rounds, and the convergence probe is the only per-round action — the
+    * standard Spark iterative-algorithm shape.
     */
   def ccComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
@@ -186,7 +190,11 @@ object Pipeline {
         .join(labels.select(col("id").as("b2"), col("root")),
           col("b") === col("b2"))
         .select(col("a").as("id"), col("root"))
-      val next = labels.unionByName(viaNeighbor)
+      val viaRootOfRoot = labels.as("x")
+        .join(labels.select(col("id").as("rid"), col("root").as("rroot")),
+          col("x.root") === col("rid"))
+        .select(col("x.id").as("id"), col("rroot").as("root"))
+      val next = labels.unionByName(viaNeighbor).unionByName(viaRootOfRoot)
         .groupBy(col("id")).agg(min(col("root")).as("root"))
         .localCheckpoint()
       converged = next

@@ -27,11 +27,12 @@ class PipelineSpec extends SparkSuite {
 
   test("z3 CC propagates the min id across a long transitive chain") {
     import spark.implicits._
-    // path 10-11-12-...-17: diameter > 1 forces multiple propagation rounds
-    val pairs = (10L until 17L).map(i => (i, i + 1)).toDF("da", "db")
+    // 91-node path: neighbor propagation alone would need 90 rounds (past
+    // the 64-round bound) — pointer jumping must converge it in O(log n)
+    val pairs = (10L until 100L).map(i => (i, i + 1)).toDF("da", "db")
     val cc = Pipeline.ccComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc.keySet == (10L to 17L).toSet)
+    assert(cc.keySet == (10L to 100L).toSet)
     assert(cc.values.toSet == Set(10L), s"all nodes must root at 10: $cc")
   }
 
