@@ -57,9 +57,16 @@ object Bench {
     try operators.Dedup.prewarmIndexes(spark, sfDir)
     catch { case _: Throwable => () }
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the
-    // named queries (full run when unset — the driver contract)
+    // named queries (full run when unset — the driver contract). Unknown
+    // names abort: a typo would otherwise bench nothing and print a
+    // plausible near-zero total with exit code 0
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

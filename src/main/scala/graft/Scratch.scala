@@ -16,10 +16,13 @@ import org.apache.spark.sql.SparkSession
   * share-everywhere premise. The single-process default is the JVM temp
   * dir, which on local[*] is exactly as shared as it needs to be.
   *
-  * Artifact paths are keyed by a CONTENT fingerprint of the source
-  * directory (file names + lengths + mtimes), not just its path: scratch
-  * outlives the JVM, and a re-generated fixture under the same path must
-  * never be served a stale index.
+  * Staleness defenses (scratch outlives the JVM):
+  *  - artifact paths are keyed by a CONTENT fingerprint of the source
+  *    directory (file names + lengths + mtimes), so a re-generated fixture
+  *    under the same path is never served a stale index;
+  *  - every call site passes a `version` tag that names the builder's
+  *    format/parameters (bumped whenever the kernel or layout changes), so
+  *    a new binary never reads an old binary's artifact.
   */
 object Scratch {
 
@@ -51,48 +54,80 @@ object Scratch {
     md5hex(sb.toString)
   }
 
-  /** Deterministic artifact path for (kind, source dir @ current content). */
-  def artifactPath(spark: SparkSession, kind: String, srcDir: String): String =
-    s"${root(spark)}/$kind/${contentKey(spark, srcDir).take(16)}"
+  /** Deterministic artifact path for (kind@version, source dir @ content). */
+  def artifactPath(spark: SparkSession, kind: String, version: String,
+      srcDir: String): String =
+    s"${root(spark)}/$kind/$version/${contentKey(spark, srcDir).take(16)}"
 
   // one build per destination per JVM; cross-JVM dedup rides the
   // staging-rename protocol below
   private val built = new ConcurrentHashMap[String, String]()
 
   /** Materialize `build`'s output at the artifact path exactly once: reuse
-    * a completed build (parquet `_SUCCESS` present), else build into a
+    * a COMPLETED build (parquet `_SUCCESS` present), else build into a
     * uniquely-named staging sibling and rename it into place. Rename is
-    * atomic on HDFS-like filesystems, so two racing JVMs can both build but
+    * atomic on HDFS-like filesystems, so racing JVMs can both build but
     * exactly one publishes; the loser deletes its staging and reads the
-    * winner's artifact. Within one JVM, `computeIfAbsent` serializes
-    * builders outright.
+    * winner's artifact. A destination that exists WITHOUT `_SUCCESS` is a
+    * crashed or torn publish — it is deleted and replaced by this build,
+    * never served. Within one JVM, `computeIfAbsent` serializes builders
+    * outright.
     */
-  def materialize(spark: SparkSession, kind: String, srcDir: String)(
-      build: String => Unit): String = {
-    val dest = artifactPath(spark, kind, srcDir)
+  def materialize(spark: SparkSession, kind: String, version: String,
+      srcDir: String)(build: String => Unit): String = {
+    val dest = artifactPath(spark, kind, version, srcDir)
     built.computeIfAbsent(dest, _ => {
       val fs = Catalog.fsFor(dest, spark)
       val destPath = new Path(dest)
-      if (!fs.exists(new Path(dest, "_SUCCESS"))) {
+      val done = new Path(dest, "_SUCCESS")
+      if (!fs.exists(done)) {
         val staging = new Path(
           dest + "_staging_" + java.util.UUID.randomUUID().toString.take(8))
-        build(staging.toString)
-        fs.mkdirs(destPath.getParent)
-        if (fs.exists(destPath) || !fs.rename(staging, destPath)) {
-          // lost the publish race — another JVM's artifact is in place
-          fs.delete(staging, true)
+        try build(staging.toString)
+        catch { case e: Throwable =>
+          fs.delete(staging, true) // no half-built staging left behind
+          throw e
         }
+        fs.mkdirs(destPath.getParent)
+        if (!fs.rename(staging, destPath)) {
+          if (fs.exists(done)) {
+            // lost the race to a COMPLETE artifact — use the winner's
+            fs.delete(staging, true)
+          } else {
+            // torn destination (crashed publisher): replace it
+            fs.delete(destPath, true)
+            if (!fs.rename(staging, destPath) && !fs.exists(done)) {
+              fs.delete(staging, true)
+              throw new IllegalStateException(
+                s"could not publish scratch artifact at $dest")
+            }
+            fs.delete(staging, true) // no-op if the rename consumed it
+          }
+        }
+        if (!fs.exists(done))
+          throw new IllegalStateException(
+            s"scratch artifact at $dest is incomplete (no _SUCCESS)")
       }
       dest
     })
   }
 
-  /** Delete-and-return a per-run working dir (streaming sinks/checkpoints
-    * that must start empty on every invocation).
+  // last run dir per (kind, corpus) in this JVM — replaced on next request
+  private val lastRun = new ConcurrentHashMap[String, String]()
+
+  /** A fresh, PROCESS-UNIQUE working dir for per-run state (streaming
+    * sinks/checkpoints, DDL table locations) under the artifact path for
+    * (kind, corpus). Each call returns a new empty dir, so concurrent
+    * processes on the same corpus can never delete each other's live
+    * state; the previous run dir handed out by THIS JVM for the same key
+    * is deleted to bound accumulation (crashed processes leave orphans in
+    * scratch, which is the usual scratch-space contract).
     */
   def freshRunDir(spark: SparkSession, kind: String, srcDir: String): String = {
-    val dir = artifactPath(spark, kind, srcDir)
-    Catalog.fsFor(dir, spark).delete(new Path(dir), true)
+    val base = artifactPath(spark, kind, "v1", srcDir)
+    val dir = base + "/run_" + java.util.UUID.randomUUID().toString.take(12)
+    val prev = lastRun.put(s"$kind|$srcDir", dir)
+    if (prev != null) Catalog.fsFor(prev, spark).delete(new Path(prev), true)
     dir
   }
 }

@@ -45,14 +45,19 @@ object Ddl {
          |TBLPROPERTIES ('graft.check' = '$CheckProperty')""".stripMargin)
 
   /** Write-path CHECK enforcement + `INSERT OVERWRITE` (the reference's
-    * DELETE-then-INSERT collapsed into one atomic statement).
+    * DELETE-then-INSERT collapsed into one atomic statement). The input is
+    * pinned with `localCheckpoint` so the validation pass and the insert
+    * see ONE materialized snapshot — no second evaluation of an expensive
+    * relation, and no check/insert window where a non-deterministic or
+    * concurrently-mutated input could sneak a violating row past the CHECK.
     */
   def insertOverwriteChecked(spark: SparkSession, table: String,
       rows: DataFrame): Unit = {
-    val violations = rows.filter(!coalesce(roleCheck, lit(false))).count()
+    val snap = rows.localCheckpoint()
+    val violations = snap.filter(!coalesce(roleCheck, lit(false))).count()
     require(violations == 0,
       s"CHECK violation on $table: $violations row(s) outside $CheckProperty")
-    rows.createOrReplaceTempView("graft_roles_staging")
+    snap.createOrReplaceTempView("graft_roles_staging")
     spark.sql(
       s"INSERT OVERWRITE TABLE $table SELECT user_id, role FROM graft_roles_staging")
   }

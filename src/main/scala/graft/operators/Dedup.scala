@@ -38,9 +38,15 @@ object Dedup {
     * content, so a changed fixture rebuilds rather than serving stale
     * features. (Round-4 verdict item #3: one feature table, shared.)
     */
+  /** Index format tag — bump whenever the shingle kernel (k, hash60) or
+    * the persisted layout changes, so a new binary never reads an old
+    * binary's artifact out of long-lived scratch.
+    */
+  private val ShingleIndexVersion = "k3-hash60-v1"
+
   private[operators] def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
-    val idx = graft.Scratch.materialize(spark, "shingle_idx_k3", dir)(
-      staging => buildShingleIndex(spark, dir, staging))
+    val idx = graft.Scratch.materialize(spark, "shingle_idx",
+      ShingleIndexVersion, dir)(staging => buildShingleIndex(spark, dir, staging))
     spark.read.parquet(idx)
   }
 
@@ -131,21 +137,28 @@ object Dedup {
     * document-frequency-ascending puts each document's rarest tokens in
     * its prefix, which collapses the posting-list quadratic term exactly
     * where it explodes — corpus-common tokens fall out of most prefixes.
-    * Lossless for the ≥ t verified output over the capped token sets; the
-    * df cap itself keeps its documented miss-mode (pairs whose similarity
-    * rides corpus-hot tokens).
+    *
+    * The prefix window is computed over the FULL ordered token set; the df
+    * cap filters postings only AFTER prefix selection. That ordering makes
+    * the combination preserve the cap's documented invariant exactly: the
+    * globally-smallest shared token w has the MINIMUM df among all shared
+    * tokens (df-ascending order), so if the pair shares ANY sub-cap token
+    * then w itself is sub-cap, sits in both prefixes, and survives the cap
+    * filter — the pair is found. A pair is missed iff its every shared
+    * token is corpus-hot, the same boilerplate-only miss-mode as before.
     */
   private[operators] def prefixCandidates(
       hs: DataFrame, t: Double, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = hs.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfm = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val exd = ex.join(dfm, "h").filter(col("df") <= cap)
+    val exd = ex.join(dfm, "h")
     val byDoc = Window.partitionBy(col("doc_id"))
     val pref = exd
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("h"))))
       .withColumn("n", count(lit(1)).over(byDoc))
-      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1 &&
+        col("df") <= cap)
       .select(col("doc_id"), col("h"), col("n"))
     // length filter (PPJoin): J ≥ t forces t·|a| ≤ |b| ≤ |a|/t — evaluated
     // inside the join so out-of-range pairs never reach the dedup shuffle
@@ -319,8 +332,8 @@ object Dedup {
     * flagged here).
     */
   def ngramJaccardViaIndex(spark: SparkSession, dir: String): DataFrame = {
-    val idx = graft.Scratch.materialize(spark, "shingle_idx_k3", dir)(
-      staging => buildShingleIndex(spark, dir, staging))
+    val idx = graft.Scratch.materialize(spark, "shingle_idx",
+      ShingleIndexVersion, dir)(staging => buildShingleIndex(spark, dir, staging))
     ngramJaccardIndexed(idx)(spark, dir)
   }
 
@@ -412,7 +425,7 @@ object Dedup {
     */
   private def winnowIndex(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.Scratch.materialize(
-      spark, s"winnow_idx_k${WinnowK}w$WinnowW", dir)(staging =>
+      spark, "winnow_idx", s"k${WinnowK}w$WinnowW-v1", dir)(staging =>
       Catalog.documents(spark, dir)
         .select(col("doc_id"),
           graft.expressions.HashFunctions.winnow_fingerprints(

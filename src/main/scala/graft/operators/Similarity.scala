@@ -431,15 +431,23 @@ object Similarity {
        | FROM probes p JOIN lists l ON p.centroid = l.centroid
        | WHERE l.vec_id <> p.query_id)""".stripMargin
 
+  /** Centroid-LCG CTE regenerating [[centroidComponent]]'s synthetic
+    * centroids in SQL under the given alias — the single source shared by
+    * the n4 oracle (coarse quantizer) and the n5 oracle (under-k seed
+    * padding), so the LCG constants can never drift between them.
+    */
+  private def centroidLcgCteSql(alias: String): String =
+    s"""$alias AS (
+       | SELECT c.range AS c,
+       |  list(CAST(((22695477 * (c.range * $Dim + d.range + 7919) + 1) & 2147483647)::DOUBLE
+       |    / 2147483648 - 0.5 AS FLOAT)::DOUBLE ORDER BY d.range) AS v
+       | FROM range($NCentroids) c, range($Dim) d GROUP BY c.range)""".stripMargin
+
   /** N4 oracle: regenerate the synthetic centroids from their LCG, then
     * the standard IVF assign/probe/verify.
     */
   val annIvfSql: String =
-    s"""WITH ctrs AS (
-       | SELECT c.range AS c,
-       |  list(CAST(((22695477 * (c.range * $Dim + d.range + 7919) + 1) & 2147483647)::DOUBLE
-       |    / 2147483648 - 0.5 AS FLOAT)::DOUBLE ORDER BY d.range) AS v
-       | FROM range($NCentroids) c, range($Dim) d GROUP BY c.range),
+    s"""WITH ${centroidLcgCteSql("ctrs")},
        |$embCte,
        |${ivfProbeCtes("ctrs")},
        |$scoredTailSql""".stripMargin.replace('\n', ' ')
@@ -464,11 +472,7 @@ object Similarity {
     // under-k corpora: mirror fitIvfCentroids' synthetic-LCG padding (ADVICE
     // r5 — the fit pads missing seeds with normalized LCG centroids; the
     // oracle must produce the identical ct0 or a small fixture diverges)
-    parts += s"""lcg AS (
-      | SELECT c.range AS c,
-      |  list(CAST(((22695477 * (c.range * $Dim + d.range + 7919) + 1) & 2147483647)::DOUBLE
-      |    / 2147483648 - 0.5 AS FLOAT)::DOUBLE ORDER BY d.range) AS v
-      | FROM range($NCentroids) c, range($Dim) d GROUP BY c.range)""".stripMargin
+    parts += centroidLcgCteSql("lcg")
     parts += s"ct0 AS (SELECT c, ${normList("emb")} AS v FROM seed UNION ALL SELECT l.c, ${normList("l.v")} FROM lcg l WHERE l.c >= (SELECT count(*) FROM seed))"
     for (it <- 1 to KmeansIters) {
       val prev = s"ct${it - 1}"

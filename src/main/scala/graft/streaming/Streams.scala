@@ -74,8 +74,8 @@ object Streams {
     * stops.
     */
   def streamIngestRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val src = graft.Scratch.materialize(spark, "stream_src_json", dir)(
-      staging => graft.Catalog.events(spark, dir)
+    val src = graft.Scratch.materialize(spark, "stream_src_json", "usec-v1",
+      dir)(staging => graft.Catalog.events(spark, dir)
         .write.option("timestampFormat", JsonTsFormat).json(staging))
     val run = graft.Scratch.freshRunDir(spark, "stream_ingest_run", dir)
     val q = ingest(spark, src, s"$run/sink", s"$run/ckpt").start()

@@ -2,11 +2,18 @@ package graft.operators
 
 import graft.{SparkEntry, SparkSuite}
 
-/** Scale guard over EVERY registered query's executed physical plan: no
-  * cartesian or nested-loop join may appear anywhere except the three
+/** Scale guard over every registered query's final executed physical
+  * plan: no cartesian or nested-loop join may appear except the three
   * labeled constant/baseline cases — the invariant that keeps a future
   * edit from silently reintroducing an O(n²) self-join into a production
   * path (the round-4 verdict's z2 finding, now pinned as a test).
+  *
+  * Scope note: this inspects the RETURNED DataFrame's plan. Work a query
+  * executes eagerly while building (n5's k-means fit jobs, z3's per-round
+  * CC joins behind localCheckpoint, s17's streaming job) is not visible
+  * here — those interior shapes are covered by their own specs
+  * (DedupSimilaritySpec's fit determinism, PipelineSpec's CC behavior,
+  * StreamIngestSpec), not by this sweep.
   */
 class PlanInvariantsSpec extends SparkSuite {
 
