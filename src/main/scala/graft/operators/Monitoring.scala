@@ -415,6 +415,53 @@ object Monitoring {
       |ORDER BY net_price DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // A7 — the client-side section counts (the reference templates count the
+  // fetched rows in JS for the dashboard badges, e.g. index.html's
+  // `data.length` badges): one server-side grouped count per section.
+  // Counting needs NONE of the sections' display joins/projections — the
+  // j2 join chain is FK-preserving, so its count equals the base filter's
+  // count and the plan is three pushed-down filters + one tiny aggregate.
+  // ---------------------------------------------------------------------
+  def sectionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.events(spark, dir)
+    val slow = ev.filter(durSec(AsOfMid) > 15 * 60)
+      .select(lit("slow_queries").as("section"))
+    val idle = ev.filter(col("event_type") === "view" && durSec(AsOfMid) > 3600)
+      .select(lit("idle_sessions").as("section"))
+    val blocked = Catalog.orders(spark, dir)
+      .filter(!(col("o_orderstatus") === "F"))
+      .select(lit("blocked_sessions").as("section"))
+    slow.unionByName(idle).unionByName(blocked)
+      .groupBy(col("section")).agg(count(lit(1)).as("n"))
+      .orderBy(col("section"))
+  }
+
+  val sectionCountsSql: String = {
+    val dur = s"CAST(floor(epoch(TIMESTAMP '$AsOfMid')) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)"
+    s"""SELECT section, n FROM (
+       | SELECT 'blocked_sessions' AS section, count(*) AS n FROM orders WHERE NOT (o_orderstatus = 'F')
+       | UNION ALL
+       | SELECT 'idle_sessions', count(*) FROM events WHERE event_type = 'view' AND $dur > 3600
+       | UNION ALL
+       | SELECT 'slow_queries', count(*) FROM events WHERE $dur > 900
+       |) t ORDER BY section""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
+  // T5 — client re-sort (the reference templates re-sort fetched top-k
+  // rows in JS by a different column): select the top 20 by consumption,
+  // PRESENT by key order. The inner top-k still plans
+  // TakeOrderedAndProject; only the 20 survivors are re-sorted.
+  // ---------------------------------------------------------------------
+  def topConsumersResorted(spark: SparkSession, dir: String): DataFrame =
+    topResourceConsumers(spark, dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val topConsumersResortedSql: String =
+    s"""SELECT * FROM ($topResourceConsumersSql) t
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // F1 — size_pretty custom expression over table-size-style data (reference
   // myapp/views.py:425-433 bloat report via pg_size_pretty). The oracle
   // mirrors the documented unit ladder arithmetically.
@@ -470,6 +517,10 @@ object Monitoring {
       "gaps-and-islands sessionization, batch twin of streaming Sessionize (SURVEY §2.9)"),
     Q("t2_top_consumers", topResourceConsumers, Some(topResourceConsumersSql),
       "top-k with computed decimal projection (views.py:484-498)"),
+    Q("a7_section_counts", sectionCounts, Some(sectionCountsSql),
+      "dashboard badge counts as one grouped server-side aggregate (reference client-side data.length)"),
+    Q("t5_client_resort", topConsumersResorted, Some(topConsumersResortedSql),
+      "top-k re-presented in key order (reference client-side JS re-sort)"),
     Q("f1_size_pretty", tableSizesPretty, Some(tableSizesPrettySql),
       "custom size_pretty Catalyst expression (views.py:425-433)"))
 }
