@@ -89,20 +89,25 @@ object Scratch {
           throw e
         }
         fs.mkdirs(destPath.getParent)
-        if (!fs.rename(staging, destPath)) {
-          if (fs.exists(done)) {
-            // lost the race to a COMPLETE artifact — use the winner's
+        // a destination without _SUCCESS is a crashed/torn publish — clear
+        // it BEFORE renaming: local-FS rename onto an existing directory
+        // nests the source inside it (mv semantics) instead of failing, so
+        // an after-the-fact repair branch would never be reached
+        if (fs.exists(destPath)) {
+          if (fs.exists(done)) fs.delete(staging, true) // racer finished
+          else fs.delete(destPath, true)                // torn: replace
+        }
+        if (!fs.exists(done)) {
+          if (!fs.rename(staging, destPath)) {
             fs.delete(staging, true)
-          } else {
-            // torn destination (crashed publisher): replace it
-            fs.delete(destPath, true)
-            if (!fs.rename(staging, destPath) && !fs.exists(done)) {
-              fs.delete(staging, true)
+            if (!fs.exists(done)) // not a lost race — a real publish failure
               throw new IllegalStateException(
                 s"could not publish scratch artifact at $dest")
-            }
-            fs.delete(staging, true) // no-op if the rename consumed it
           }
+          // a racer re-creating dest between our delete and rename makes
+          // the rename nest staging INSIDE dest — remove the stray subdir
+          val nested = new Path(destPath, staging.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
         }
         if (!fs.exists(done))
           throw new IllegalStateException(

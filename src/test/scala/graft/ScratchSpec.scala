@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** The scratch artifact protocol: build-once reuse, content-keyed
+  * invalidation, torn-publish repair, and process-unique run dirs — the
+  * guarantees every persisted feature index rides on.
+  */
+class ScratchSpec extends SparkSuite {
+
+  private def newCorpus(): String = {
+    val dir = Files.createTempDirectory("graft-scratch-src").toString
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("materialize builds once and reuses the completed artifact") {
+    val src = newCorpus()
+    var builds = 0
+    def build(staging: String): Unit = {
+      builds += 1
+      spark.range(3).write.parquet(staging)
+    }
+    val p1 = Scratch.materialize(spark, "spec_idx", "v1", src)(build)
+    val p2 = Scratch.materialize(spark, "spec_idx", "v1", src)(build)
+    assert(p1 == p2 && builds == 1)
+    assert(spark.read.parquet(p1).count() == 3)
+    // a different builder version must NOT reuse the v1 artifact
+    val p3 = Scratch.materialize(spark, "spec_idx", "v2", src)(build)
+    assert(p3 != p1 && builds == 2)
+  }
+
+  test("changing the source content invalidates the artifact path") {
+    val src = newCorpus()
+    val p1 = Scratch.artifactPath(spark, "spec_idx", "v1", src)
+    import spark.implicits._
+    Thread.sleep(1100) // distinct mtime granularity on coarse filesystems
+    Seq((3L, "gamma")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$src/documents.parquet")
+    val p2 = Scratch.artifactPath(spark, "spec_idx", "v1", src)
+    assert(p1 != p2, "content change must produce a new artifact path")
+  }
+
+  test("a torn destination (no _SUCCESS) is replaced, never served") {
+    val src = newCorpus()
+    val dest = Scratch.artifactPath(spark, "spec_torn", "v1", src)
+    // simulate a crashed publisher: dest exists, incomplete, no _SUCCESS
+    Files.createDirectories(Paths.get(dest))
+    Files.writeString(Paths.get(dest, "garbage.parquet"), "not parquet")
+    val p = Scratch.materialize(spark, "spec_torn", "v1", src)(staging =>
+      spark.range(5).write.parquet(staging))
+    assert(p == dest)
+    assert(Files.exists(Paths.get(dest, "_SUCCESS")))
+    assert(spark.read.parquet(p).count() == 5)
+  }
+
+  test("freshRunDir hands out unique dirs and reclaims the previous one") {
+    val src = newCorpus()
+    val r1 = Scratch.freshRunDir(spark, "spec_run", src)
+    Files.createDirectories(Paths.get(r1))
+    Files.writeString(Paths.get(r1, "state"), "live")
+    val r2 = Scratch.freshRunDir(spark, "spec_run", src)
+    assert(r1 != r2, "run dirs must be unique per call")
+    assert(!Files.exists(Paths.get(r1)), "previous run dir is reclaimed")
+  }
+}
