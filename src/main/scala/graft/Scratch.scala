@@ -93,11 +93,13 @@ object Scratch {
         // it BEFORE renaming: local-FS rename onto an existing directory
         // nests the source inside it (mv semantics) instead of failing, so
         // an after-the-fact repair branch would never be reached
-        if (fs.exists(destPath)) {
-          if (fs.exists(done)) fs.delete(staging, true) // racer finished
-          else fs.delete(destPath, true)                // torn: replace
-        }
-        if (!fs.exists(done)) {
+        if (fs.exists(destPath) && !fs.exists(done))
+          fs.delete(destPath, true)
+        if (fs.exists(done)) {
+          // a racer published a complete artifact while we built — use it,
+          // and ALWAYS consume our staging copy (every exit consumes it)
+          fs.delete(staging, true)
+        } else {
           if (!fs.rename(staging, destPath)) {
             fs.delete(staging, true)
             if (!fs.exists(done)) // not a lost race — a real publish failure

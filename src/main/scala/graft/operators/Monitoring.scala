@@ -38,9 +38,18 @@ object Monitoring {
   // start is > 15 min before now, projected with IST display time and a
   // formatted duration, longest first.
   // ---------------------------------------------------------------------
+  /** The section predicates, shared by the section queries (p3/p4/j2) and
+    * the a7 badge counts so a threshold change can never desynchronize a
+    * badge from the rows its section shows.
+    */
+  private def slowPred: Column = durSec(AsOfMid) > 15 * 60
+  private def idlePred: Column =
+    col("event_type") === "view" && durSec(AsOfMid) > 3600
+  private def blockedPred(status: Column): Column = !(status === "F")
+
   def slowQueries(spark: SparkSession, dir: String): DataFrame =
     Catalog.events(spark, dir)
-      .filter(durSec(AsOfMid) > 15 * 60)
+      .filter(slowPred)
       .select(
         col("event_id"),
         col("user_id"),
@@ -68,7 +77,7 @@ object Monitoring {
   // ---------------------------------------------------------------------
   def idleSessions(spark: SparkSession, dir: String): DataFrame =
     Catalog.events(spark, dir)
-      .filter(col("event_type") === "view" && durSec(AsOfMid) > 3600)
+      .filter(idlePred)
       .select(
         col("event_id"), col("user_id"),
         durSec(AsOfMid).as("idle_s"),
@@ -201,7 +210,7 @@ object Monitoring {
     val o = Catalog.orders(spark, dir)
     val c = Catalog.customer(spark, dir)
     val n = broadcast(Catalog.nation(spark, dir))
-    o.filter(!(o("o_orderstatus") === "F"))
+    o.filter(blockedPred(o("o_orderstatus")))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .select(
@@ -424,15 +433,15 @@ object Monitoring {
   // ---------------------------------------------------------------------
   def sectionCounts(spark: SparkSession, dir: String): DataFrame = {
     val ev = Catalog.events(spark, dir)
-    val slow = ev.filter(durSec(AsOfMid) > 15 * 60)
-      .select(lit("slow_queries").as("section"))
-    val idle = ev.filter(col("event_type") === "view" && durSec(AsOfMid) > 3600)
-      .select(lit("idle_sessions").as("section"))
-    val blocked = Catalog.orders(spark, dir)
-      .filter(!(col("o_orderstatus") === "F"))
-      .select(lit("blocked_sessions").as("section"))
-    slow.unionByName(idle).unionByName(blocked)
-      .groupBy(col("section")).agg(count(lit(1)).as("n"))
+    // one global-agg row per section (NOT a groupBy over a row union: a
+    // section matching nothing must still report n = 0, as the oracle's
+    // scalar count(*) subqueries do)
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("section"), col("n"))
+    one("blocked_sessions",
+        Catalog.orders(spark, dir).filter(blockedPred(col("o_orderstatus"))))
+      .unionByName(one("idle_sessions", ev.filter(idlePred)))
+      .unionByName(one("slow_queries", ev.filter(slowPred)))
       .orderBy(col("section"))
   }
 

@@ -34,6 +34,22 @@ class ScratchSpec extends SparkSuite {
     assert(p3 != p1 && builds == 2)
   }
 
+  test("a pre-existing COMPLETE artifact is reused without rebuilding (cross-JVM path)") {
+    // simulate another process having published: complete parquet + _SUCCESS
+    // at the artifact path, with this JVM's memo cache cold for the key
+    val src = newCorpus()
+    val dest = Scratch.artifactPath(spark, "spec_prebuilt", "v1", src)
+    spark.range(7).write.parquet(dest)
+    var builds = 0
+    val p = Scratch.materialize(spark, "spec_prebuilt", "v1", src) { staging =>
+      builds += 1
+      spark.range(1).write.parquet(staging)
+    }
+    assert(p == dest && builds == 0,
+      "a complete on-disk artifact must short-circuit the build")
+    assert(spark.read.parquet(p).count() == 7)
+  }
+
   test("changing the source content invalidates the artifact path") {
     val src = newCorpus()
     val p1 = Scratch.artifactPath(spark, "spec_idx", "v1", src)
