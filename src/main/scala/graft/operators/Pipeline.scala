@@ -18,9 +18,12 @@ import graft.Catalog
   * signal (token count, detected language, content fingerprint) in a single
   * projection of codegen'd kernels; exact-dedup survivor selection is a
   * window over that projection (one shuffle on the 8-byte fingerprint, no
-  * join-back); the near-dup stage consumes d2's MinHash-LSH banded
-  * candidates over the PERSISTED shingle index — not d4's inverted-index
-  * all-pairs — so no stage is quadratic in a hot key's posting list.
+  * join-back); the near-dup stage consumes d2's verified pair relation
+  * (LSH-banded candidates UNIONED with the exact prefix-filter arm, both
+  * over the PERSISTED shingle index — provably complete at the threshold,
+  * see the D2 banner) so no stage is quadratic in a hot key's posting list
+  * and equality with the brute-force oracle holds by construction, not by
+  * fixture recall margin.
   * The survivor-selection rule for near-dup clusters is greedy
   * keep-smallest: any document appearing as the larger id of a qualifying
   * pair is dropped ([[ccComponents]] / z3 is the connected-component
@@ -59,8 +62,8 @@ object Pipeline {
       .filter(col("n_tokens").between(MinTokens, MaxTokens) &&
         col("detected_lang") === "en" &&
         col("doc_id") === col("keeper_id"))
-    // near-dup dedup (d2's LSH-banded, exact-verified pairs over the shared
-    // persisted shingle index): greedy keep-smallest
+    // near-dup dedup (d2's exact-verified pairs — LSH buckets ∪ prefix
+    // filter over the shared persisted shingle index): greedy keep-smallest
     val nearDupLosers = Dedup.minhashLshPairs(spark, dir)
       .select(col("db").as("doc_id")).distinct()
     kept
@@ -203,6 +206,12 @@ object Pipeline {
       labels = next
       rounds += 1
     }
+    // with pointer jumping 64 rounds always suffice (O(log n) convergence);
+    // exiting unconverged means a future edit broke the root-of-root join —
+    // wrong labels must never be returned silently (ADVICE r6)
+    if (!converged) throw new IllegalStateException(
+      s"ccComponents did not converge within $rounds rounds — " +
+        "pointer-jumping propagation is broken")
     labels
   }
 

@@ -10,11 +10,54 @@ import graft.SparkSuite
 class DedupSimilaritySpec extends SparkSuite {
 
   test("d2 MinHash-LSH output equals exact d4 inverted-index output") {
-    // LSH is a candidate pruner; after the exact-Jaccard verify step the
-    // two pipelines must agree (recall 1.0 on the fixture's J>=0.88 pairs).
+    // the banded buckets are a candidate pruner and the prefix-filter arm a
+    // completeness backstop; after the exact-Jaccard verify step the two
+    // pipelines must agree by construction, on any fixture
     val lsh = Dedup.minhashLsh(spark, sfDir).collect().toSeq
     val exact = Dedup.ngramJaccard(spark, sfDir).collect().toSeq
     assert(lsh == exact)
+  }
+
+  test("d2 is complete at the threshold even for pairs every LSH band misses") {
+    // worst case for banding: pairs at exactly J = 0.5 (the verify
+    // threshold) collide per 2-row band with p = J² = 0.25, so all 16
+    // bands miss a given pair with p ≈ 0.75¹⁶ ≈ 1% — deterministically,
+    // since the MinHash constants are fixed. Construct 600 vocabulary-
+    // disjoint pairs at exactly J = 0.5 (shared 28-token prefix + 13
+    // unique suffix tokens each side → 26 shared / 39+39 shingles →
+    // 26/52), verify at least one pair is missed by every band, and
+    // assert d2 still reports ALL pairs (the prefix-filter arm guarantees
+    // it; pure banding would drop the missed ones).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshmiss").toString
+    val nPairs = 600
+    val docs = (1 to nPairs).flatMap { i =>
+      val shared = (1 to 28).map(j => s"p${i}s$j")
+      val a = shared ++ (1 to 13).map(j => s"p${i}x$j")
+      val b = shared ++ (1 to 13).map(j => s"p${i}y$j")
+      Seq((2L * i - 1, a.mkString(" ")), (2L * i, b.mkString(" ")))
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sigs = Dedup.minhashSignatures(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val nBands = Dedup.MinhashK / Dedup.BandRows
+    def bandsCollide(a: Long, b: Long): Boolean =
+      (0 until nBands).exists { bd =>
+        (0 until Dedup.BandRows).forall(r =>
+          sigs(a)(bd * Dedup.BandRows + r) == sigs(b)(bd * Dedup.BandRows + r))
+      }
+    val allPairs = (1 to nPairs).map(i => (2L * i - 1, 2L * i)).toSet
+    val missed = allPairs.filterNot { case (a, b) => bandsCollide(a, b) }
+    assert(missed.nonEmpty,
+      s"expected >= 1 LSH-missed J=0.5 pair among $nPairs (got 0) — " +
+        "the fixture no longer exercises the completeness backstop")
+    val out = Dedup.minhashLsh(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.keySet == allPairs,
+      s"missing: ${allPairs -- out.keySet} (of which LSH-missed: " +
+        s"${missed -- out.keySet}); extra: ${out.keySet -- allPairs}")
+    assert(out.values.forall(_ == 0.5))
   }
 
   test("d1 exact dedup keeps the minimum doc_id per fingerprint") {
