@@ -22,13 +22,34 @@ import org.apache.spark.sql.SparkSession
   *    under the same path is never served a stale index;
   *  - every call site passes a `version` tag that names the builder's
   *    format/parameters (bumped whenever the kernel or layout changes), so
-  *    a new binary never reads an old binary's artifact.
+  *    a new binary never reads an old binary's artifact;
+  *  - superseded artifacts (old version tags, old content keys, orphaned
+  *    staging/run dirs from crashed processes) are reaped by a best-effort
+  *    TTL sweep on every materialize/freshRunDir — see [[TtlHoursDefault]].
+  *
+  * The DEFAULT root is per-user (`graft-scratch-<user.name>`, created
+  * 0700): artifact paths are fully predictable (kind/version/content-key),
+  * so a world-writable shared root would let any local user pre-plant a
+  * poisoned `_SUCCESS`-complete directory that materialize would serve
+  * without building. On a cluster, point `spark.graft.scratch` at a
+  * properly-ACL'd shared-FS location.
   */
 object Scratch {
 
   def root(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.scratch")
-      .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-scratch")
+      .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") +
+        "/graft-scratch-" + sys.props.getOrElse("user.name", "anon"))
+
+  /** Create the (per-user) default root owner-only on first use; an
+    * explicitly configured shared root is the operator's ACL to manage.
+    */
+  private def ensureRoot(spark: SparkSession): Unit = {
+    val r = new Path(root(spark))
+    val fs = Catalog.fsFor(r.toString, spark)
+    if (!fs.exists(r))
+      fs.mkdirs(r, new org.apache.hadoop.fs.permission.FsPermission("700"))
+  }
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -77,6 +98,7 @@ object Scratch {
       srcDir: String)(build: String => Unit): String = {
     val dest = artifactPath(spark, kind, version, srcDir)
     built.computeIfAbsent(dest, _ => {
+      ensureRoot(spark)
       val fs = Catalog.fsFor(dest, spark)
       val destPath = new Path(dest)
       val done = new Path(dest, "_SUCCESS")
@@ -92,9 +114,26 @@ object Scratch {
         // a destination without _SUCCESS is a crashed/torn publish — clear
         // it BEFORE renaming: local-FS rename onto an existing directory
         // nests the source inside it (mv semantics) instead of failing, so
-        // an after-the-fact repair branch would never be reached
-        if (fs.exists(destPath) && !fs.exists(done))
-          fs.delete(destPath, true)
+        // an after-the-fact repair branch would never be reached. Repair by
+        // RENAME-ASIDE, not delete-in-place (ADVICE r6): a racer completing
+        // its publish between the _SUCCESS check and the repair would have
+        // its complete artifact deleted under a reader; renaming it aside
+        // lets us detect the steal (the aside copy has _SUCCESS) and put it
+        // back. A reader can still observe the dest absent for the
+        // aside+back window — crash-repair is not reader-transparent, only
+        // narrow and convergent.
+        if (fs.exists(destPath) && !fs.exists(done)) {
+          val torn = new Path(
+            dest + "_torn_" + java.util.UUID.randomUUID().toString.take(8))
+          if (fs.rename(destPath, torn)) {
+            if (fs.exists(new Path(torn, "_SUCCESS"))) {
+              // stole a racer's completed publish — restore it; if yet
+              // another publish landed at dest meanwhile, ours is a
+              // duplicate complete artifact and can be dropped
+              if (!fs.rename(torn, destPath)) fs.delete(torn, true)
+            } else fs.delete(torn, true) // genuinely torn — discard
+          }
+        }
         if (fs.exists(done)) {
           // a racer published a complete artifact while we built — use it,
           // and ALWAYS consume our staging copy (every exit consumes it)
@@ -115,9 +154,52 @@ object Scratch {
           throw new IllegalStateException(
             s"scratch artifact at $dest is incomplete (no _SUCCESS)")
       }
+      sweepStale(spark, kind, dest, levels = 2)
       dest
     })
   }
+
+  /** Default reap age for superseded scratch artifacts (hours); override
+    * with `spark.graft.scratch.ttl.hours`. The TTL is what makes the sweep
+    * safe: a concurrent process may still be READING an artifact under an
+    * old content key (its fixture view), or mid-build in a staging dir —
+    * age is the only signal that a sibling is abandoned rather than live,
+    * so the default is generous (7 days).
+    */
+  val TtlHoursDefault = 168.0
+
+  private def ttlMs(spark: SparkSession): Long =
+    (spark.conf.getOption("spark.graft.scratch.ttl.hours")
+      .map(_.toDouble).getOrElse(TtlHoursDefault) * 3600 * 1000).toLong
+
+  /** Best-effort reap of `kind`'s stale siblings on the path to `keep`:
+    * old version tags, superseded content keys, orphaned staging/torn
+    * dirs, and (for run kinds, levels = 3) crashed processes' run dirs —
+    * anything under root/kind not on `keep`'s path whose mtime is older
+    * than the TTL (round-6 verdict item 5: scratch accumulated
+    * unboundedly). Failures are swallowed: concurrent sweepers race on
+    * deletes, and a sweep must never fail the query that triggered it.
+    */
+  private def sweepStale(spark: SparkSession, kind: String, keep: String,
+      levels: Int): Unit =
+    try {
+      val fs = Catalog.fsFor(keep, spark)
+      // listStatus returns scheme-qualified paths (file:/…) — qualify the
+      // keep path the same way or nothing ever matches it (and a valid
+      // months-old keep artifact would be reaped as stale)
+      val keepQ = fs.makeQualified(new Path(keep)).toString
+      val cutoff = System.currentTimeMillis() - ttlMs(spark)
+      def sweep(dir: Path, depth: Int): Unit =
+        if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+          val p = st.getPath.toString
+          val onKeepPath = keepQ == p || keepQ.startsWith(p + "/")
+          if (!onKeepPath && st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+          else if (onKeepPath && keepQ != p && depth > 1)
+            sweep(st.getPath, depth - 1)
+        }
+      sweep(fs.makeQualified(new Path(s"${root(spark)}/$kind")), levels)
+    } catch { case _: java.io.IOException => () }
 
   // last run dir per (kind, corpus) in this JVM — replaced on next request
   private val lastRun = new ConcurrentHashMap[String, String]()
@@ -127,14 +209,16 @@ object Scratch {
     * (kind, corpus). Each call returns a new empty dir, so concurrent
     * processes on the same corpus can never delete each other's live
     * state; the previous run dir handed out by THIS JVM for the same key
-    * is deleted to bound accumulation (crashed processes leave orphans in
-    * scratch, which is the usual scratch-space contract).
+    * is deleted eagerly, and other processes' orphans (crashes) are left
+    * for the TTL sweep below.
     */
   def freshRunDir(spark: SparkSession, kind: String, srcDir: String): String = {
+    ensureRoot(spark)
     val base = artifactPath(spark, kind, "v1", srcDir)
     val dir = base + "/run_" + java.util.UUID.randomUUID().toString.take(12)
     val prev = lastRun.put(s"$kind|$srcDir", dir)
     if (prev != null) Catalog.fsFor(prev, spark).delete(new Path(prev), true)
+    sweepStale(spark, kind, dir, levels = 3) // crashed JVMs' run dirs too
     dir
   }
 }

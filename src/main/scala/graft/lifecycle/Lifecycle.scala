@@ -1,6 +1,5 @@
 package graft.lifecycle
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -263,7 +262,7 @@ object Lifecycle {
   // ---------------------------------------------------------------------
   def mutationPipeline(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val scratch = Files.createTempDirectory("graft_lifecycle_").toString
+    val scratch = graft.Scratch.freshRunDir(spark, "lifecycle_mutation_run", dir)
     val events = s"$scratch/events"
     Catalog.events(spark, dir).write.parquet(events)
     // S9: upsert a delta — 'signup' rows re-keyed +10_000_000 (fresh) plus
@@ -301,7 +300,7 @@ object Lifecycle {
     */
   def archiveRestorePipeline(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val scratch = Files.createTempDirectory("graft_archive_").toString
+    val scratch = graft.Scratch.freshRunDir(spark, "lifecycle_archive_run", dir)
     val live = s"$scratch/events"
     val arch = s"$scratch/events_archive"
     Catalog.events(spark, dir).write.parquet(live)
@@ -327,7 +326,7 @@ object Lifecycle {
     */
   def partitionedMutationPipeline(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val scratch = Files.createTempDirectory("graft_lcp_").toString
+    val scratch = graft.Scratch.freshRunDir(spark, "lifecycle_partitioned_run", dir)
     val path = s"$scratch/events_dt"
     Catalog.writePartitionedByDate(Catalog.events(spark, dir), "ts", path)
     val day = lit("2024-01-05").cast("date")
@@ -369,7 +368,7 @@ object Lifecycle {
     * the write–read path is what the gate checks.
     */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = Files.createTempDirectory("graft_csv_").toString
+    val scratch = graft.Scratch.freshRunDir(spark, "lifecycle_csv_run", dir)
     val src = Catalog.nation(spark, dir)
     graft.streaming.Sinks.csvExport(src, s"$scratch/nation_csv")
     spark.read.option("header", "true").schema(src.schema)

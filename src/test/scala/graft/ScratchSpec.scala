@@ -74,6 +74,74 @@ class ScratchSpec extends SparkSuite {
     assert(spark.read.parquet(p).count() == 5)
   }
 
+  private def ageDir(path: String, days: Int): Unit =
+    Files.setLastModifiedTime(Paths.get(path),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - days.toLong * 24 * 3600 * 1000))
+
+  test("TTL sweep reaps stale versions and content keys; the live artifact survives") {
+    val src = newCorpus()
+    def build(staging: String): Unit = spark.range(2).write.parquet(staging)
+    // a superseded version tag, older than the 7-day TTL
+    val old = Scratch.materialize(spark, "spec_ttl", "v_old", src)(build)
+    ageDir(old, days = 8)
+    ageDir(Paths.get(old).getParent.toString, days = 8) // the version dir
+    // a stale sibling content key under the CURRENT version (a re-generated
+    // fixture's leftover) and an orphaned staging dir (a crashed builder)
+    val live = Scratch.materialize(spark, "spec_ttl", "v_new", src)(build)
+    val staleKey = Paths.get(live).getParent.resolve("deadbeefdeadbeef")
+    Files.createDirectories(staleKey)
+    val staleStaging = Paths.get(live + "_staging_crashed")
+    Files.createDirectories(staleStaging)
+    ageDir(staleKey.toString, days = 8)
+    ageDir(staleStaging.toString, days = 8)
+    // fresh-but-superseded siblings must NOT be reaped (a concurrent
+    // process may still read them) — only age marks abandonment
+    val freshKey = Paths.get(live).getParent.resolve("feedfacefeedface")
+    Files.createDirectories(freshKey)
+    // sweeps run inside materialize; trigger one with a cold memo key
+    // UNDER THE SAME VERSION (the regenerated-fixture scenario: new content
+    // key, stale old keys accumulate in the shared version dir)
+    val again = Scratch.materialize(spark, "spec_ttl", "v_new", newCorpus())(build)
+    assert(Files.exists(Paths.get(again, "_SUCCESS")))
+    assert(Files.exists(Paths.get(live, "_SUCCESS")), "live artifact reaped")
+    assert(Files.exists(freshKey), "fresh sibling must survive the TTL")
+    assert(!Files.exists(Paths.get(old).getParent), "stale version not reaped")
+    assert(!Files.exists(staleKey), "stale content key not reaped")
+    assert(!Files.exists(staleStaging), "orphaned staging not reaped")
+  }
+
+  test("freshRunDir sweeps other processes' abandoned run dirs by TTL") {
+    val src = newCorpus()
+    val r1 = Scratch.freshRunDir(spark, "spec_run_ttl", src)
+    Files.createDirectories(Paths.get(r1))
+    val orphan = Paths.get(r1).getParent.resolve("run_crashed_process")
+    Files.createDirectories(orphan)
+    ageDir(orphan.toString, days = 8)
+    val fresh = Paths.get(r1).getParent.resolve("run_live_process")
+    Files.createDirectories(fresh)
+    Scratch.freshRunDir(spark, "spec_run_ttl", src)
+    assert(!Files.exists(orphan), "8-day-old orphan run dir not reaped")
+    assert(Files.exists(fresh), "fresh foreign run dir must survive")
+  }
+
+  test("default scratch root is per-user (predictable paths in shared /tmp)") {
+    // with no spark.graft.scratch conf the root must embed the user name,
+    // so another local user cannot pre-plant a poisoned artifact at a
+    // predictable world-writable path (ADVICE r6)
+    if (spark.conf.getOption("spark.graft.scratch").isEmpty) {
+      assert(Scratch.root(spark).endsWith(
+        "graft-scratch-" + sys.props.getOrElse("user.name", "anon")))
+      val rootDir = Paths.get(Scratch.root(spark))
+      if (Files.exists(rootDir)) {
+        val perms = Files.getPosixFilePermissions(rootDir)
+        import java.nio.file.attribute.PosixFilePermission._
+        assert(!perms.contains(GROUP_WRITE) && !perms.contains(OTHERS_WRITE),
+          s"scratch root is group/other-writable: $perms")
+      }
+    }
+  }
+
   test("freshRunDir hands out unique dirs and reclaims the previous one") {
     val src = newCorpus()
     val r1 = Scratch.freshRunDir(spark, "spec_run", src)
