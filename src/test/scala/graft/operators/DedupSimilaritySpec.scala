@@ -221,6 +221,17 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(r.getDouble(2) == 1.0)
   }
 
+  test("n2 refuses a corpus beyond its explicit maxRows opt-in") {
+    // the labeled O(n²) baseline must fail fast when pointed at more
+    // input than the caller signed up for, not launch a quadratic job
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsExhaustive(maxRows = 1)(spark, sfDir).collect()
+    }
+    assert(ex.getMessage.contains("maxRows"))
+    // the registered entry's gate-scale bound accepts the fixture
+    assert(Similarity.cosinePairs(spark, sfDir).columns.nonEmpty)
+  }
+
   test("n2 block-norm profile cosine is a true upper bound on cosine") {
     import spark.implicits._
     import graft.expressions.VectorFunctions.{block_norms, cosine_sim}
