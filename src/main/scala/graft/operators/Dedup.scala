@@ -65,6 +65,7 @@ object Dedup {
     */
   def prewarmIndexes(spark: SparkSession, dir: String): Unit = {
     shingleIndex(spark, dir)
+    prefixPostings(spark, dir)
     winnowIndex(spark, dir)
   }
 
@@ -143,30 +144,87 @@ object Dedup {
     * filter — the pair is found. A pair is missed iff its every shared
     * token is corpus-hot, the same boilerplate-only miss-mode as before.
     */
-  private[operators] def prefixCandidates(
-      hs: DataFrame, t: Double, cap: Int, dedup: Boolean = true): DataFrame = {
+  /** The (doc_id, h, n) PREFIX-POSTINGS relation of the technique above:
+    * each document's first |x| − ⌈t·|x|⌉ + 1 tokens in global df-ascending
+    * order, with hot (df > cap) keys dropped post-selection. This is the
+    * expensive half of prefix filtering (a corpus-wide df aggregate plus a
+    * per-document row_number window) and depends only on (corpus, t, cap),
+    * so the default-parameter instance is PERSISTED via [[prefixPostings]]
+    * and shared by every exact-Jaccard candidate generator (d2's
+    * completeness arm, d4, d6, z1/z3 through d2) — candidate generation at
+    * query time is then just the bucket self-join below.
+    */
+  private def buildPrefixPostings(hs: DataFrame, t: Double, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = hs.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfm = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val exd = ex.join(dfm, "h")
     val byDoc = Window.partitionBy(col("doc_id"))
-    val pref = exd
+    exd
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("h"))))
       .withColumn("n", count(lit(1)).over(byDoc))
       .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1 &&
         col("df") <= cap)
-      .select(col("doc_id"), col("h"), col("n"))
-    // length filter (PPJoin): J ≥ t forces t·|a| ≤ |b| ≤ |a|/t — evaluated
-    // inside the join so out-of-range pairs never reach the dedup shuffle
+      // rn rides along for the PPJoin positional filter in the join
+      .select(col("doc_id"), col("h"), col("n"), col("rn"))
+  }
+
+  /** Candidate pairs off a prefix-postings relation: the inverted-index
+    * self-join, with two PPJoin filters evaluated inside the join so
+    * pruned pairs never reach the dedup shuffle:
+    *  - length filter: J ≥ t forces t·|a| ≤ |b| ≤ |a|/t;
+    *  - positional filter: a row matching on token positions (rna, rnb)
+    *    bounds the overlap by 1 + min(n_a − rn_a, n_b − rn_b) (every
+    *    further shared token lies after the match in BOTH df-ordered
+    *    sets), and J ≥ t needs overlap ≥ t/(1+t)·(n_a+n_b). A true pair
+    *    always survives via its globally-smallest shared token's row,
+    *    where the bound ≥ the true overlap — so pruning loses nothing.
+    *    The test multiplies through by (1+t) — for t with an exact
+    *    binary representation (0.5 here) both sides are exact integers
+    *    scaled by exact constants, so no float rounding can cut a
+    *    borderline true pair at exactly J = t.
+    */
+  private def joinPrefixPostings(pref: DataFrame, t: Double,
+      dedup: Boolean): DataFrame = {
+    val overlapUb = lit(1) +
+      least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
     val pairs = pref.as("a").join(pref.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("b.n") >= ceil(col("a.n") * t) &&
-        col("a.n") >= ceil(col("b.n") * t))
+        col("a.n") >= ceil(col("b.n") * t) &&
+        overlapUb * (1 + t) >= (col("a.n") + col("b.n")) * t)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
     // callers that union this arm with another candidate source dedup the
     // union once instead (dedup = false skips a redundant shuffle)
     if (dedup) pairs.distinct() else pairs
   }
+
+  private[operators] def prefixCandidates(
+      hs: DataFrame, t: Double, cap: Int, dedup: Boolean = true): DataFrame =
+    joinPrefixPostings(buildPrefixPostings(hs, t, cap), t, dedup)
+
+  /** The persisted default-parameter prefix-postings relation (sibling of
+    * [[shingleIndex]]; the version tag nests the shingle kernel version
+    * plus the (t, cap) parameters baked into the postings).
+    */
+  private def prefixPostings(spark: SparkSession, dir: String): DataFrame = {
+    // "pos1": layout carries rn for the positional filter
+    val version = s"t${(JaccardThreshold * 100).toInt}-cap$DocFreqCap-pos1-" +
+      ShingleIndexVersion
+    val idx = graft.Scratch.materialize(spark, "prefix_idx", version, dir)(
+      staging => buildPrefixPostings(
+          shingleIndex(spark, dir), JaccardThreshold, DocFreqCap)
+        .write.parquet(staging))
+    spark.read.parquet(idx)
+  }
+
+  /** Default-parameter prefix-filter candidates over the persisted
+    * postings — the query-time form every registered exact-Jaccard
+    * operator uses.
+    */
+  private def prefixIndexCandidates(spark: SparkSession, dir: String,
+      dedup: Boolean = true): DataFrame =
+    joinPrefixPostings(prefixPostings(spark, dir), JaccardThreshold, dedup)
 
   /** Exact pairwise shingle-Jaccard for every co-shingle pair over an
     * explicit (doc_id, hs) relation: candidates off the df-capped,
@@ -273,11 +331,12 @@ object Dedup {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
     // completeness backstop (see banner): the exact prefix-filter arm
     // guarantees every J >= threshold pair sharing a sub-cap token is a
-    // candidate, whatever the fixture's recall margin; the final distinct
-    // dedups across both arms (so neither arm pre-dedups its own output)
+    // candidate, whatever the fixture's recall margin; it joins the
+    // PERSISTED prefix postings (zero window/df work at query time), and
+    // the final distinct dedups across both arms (so neither arm
+    // pre-dedups its own output)
     val candidates = lshArm
-      .unionByName(prefixCandidates(hs, JaccardThreshold, DocFreqCap,
-        dedup = false))
+      .unionByName(prefixIndexCandidates(spark, dir, dedup = false))
       .distinct()
     jaccardForCandidatesHs(hs, candidates)
       // threshold on the UNROUNDED ratio, matching the oracle's WHERE —
@@ -310,7 +369,14 @@ object Dedup {
   // verified output as D2; scores are always exact (see jaccardFromHs).
   // ---------------------------------------------------------------------
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardCapped(DocFreqCap)(spark, dir)
+    // default parameters → candidates off the PERSISTED prefix postings
+    // (the window/df half of prefix filtering is index-build work, not
+    // query work); explicit-cap callers below recompute on the fly
+    jaccardForCandidatesHs(shingleIndex(spark, dir),
+        prefixIndexCandidates(spark, dir))
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
 
   /** d4 with an explicit posting-list df cap (specs exercise small caps). */
   def ngramJaccardCapped(cap: Int)(spark: SparkSession, dir: String): DataFrame =
@@ -356,7 +422,13 @@ object Dedup {
   def ngramJaccardViaIndex(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.Scratch.materialize(spark, "shingle_idx",
       ShingleIndexVersion, dir)(staging => buildShingleIndex(spark, dir, staging))
-    ngramJaccardIndexed(idx)(spark, dir)
+    // explicit-path shingle index + the shared persisted prefix postings:
+    // BOTH feature relations are build-once artifacts at 100 TB
+    jaccardForCandidatesHs(spark.read.parquet(idx),
+        prefixIndexCandidates(spark, dir))
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
   }
 
   // ---------------------------------------------------------------------
