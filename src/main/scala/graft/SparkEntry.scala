@@ -15,7 +15,8 @@ object SparkEntry {
   def registry: Seq[operators.Q] =
     Monitoring.all ++ Relational.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ operators.Multimodal.all ++ lifecycle.Lifecycle.all ++
-      lifecycle.Ddl.all ++ streaming.Streams.all ++ operators.Pipeline.all
+      lifecycle.Ddl.all ++ lifecycle.SqlMutations.all ++
+      streaming.Streams.all ++ operators.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

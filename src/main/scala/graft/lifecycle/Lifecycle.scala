@@ -49,8 +49,27 @@ object Lifecycle {
   /** S11 — UPDATE SET col = value WHERE pred. */
   def update(path: String, column: String, value: org.apache.spark.sql.Column,
       pred: org.apache.spark.sql.Column)(implicit spark: SparkSession): Unit =
-    rewrite(path)(df => df.withColumn(column,
-      when(pred, value).otherwise(col(column))))
+    updateMulti(path, Seq(column -> value), pred)
+
+  /** UPDATE SET c1 = v1, c2 = v2, … WHERE pred with SQL's SIMULTANEOUS
+    * assignment semantics: every right-hand side is evaluated against the
+    * OLD row (one select over the input columns), so `SET a = b, b = a`
+    * swaps — a fold of withColumn would feed c2's expression the already-
+    * updated c1.
+    */
+  def updateMulti(path: String, sets: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column)(implicit spark: SparkSession): Unit = {
+    val byName = sets.toMap
+    rewrite(path) { df =>
+      val unknown = byName.keySet -- df.columns.toSet
+      require(unknown.isEmpty,
+        s"UPDATE references non-existent column(s): ${unknown.mkString(", ")}")
+      df.select(df.columns.map { c =>
+        byName.get(c).map(v => when(pred, v).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+  }
 
   /** S13/S15a — archive: stamp every live row with an archive timestamp
     * (schema evolution: + archive_ts column) and append to the archive
