@@ -60,6 +60,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out.values.forall(_ == 0.5))
   }
 
+  test("d2's LSH arm covers the df-cap miss-mode the prefix arm drops") {
+    // complementarity of the two candidate arms: docs whose EVERY shared
+    // shingle is corpus-hot (df > cap) are invisible to prefix filtering
+    // (d4's documented boilerplate miss-mode) but trivially caught by the
+    // banded MinHash arm, since identical shingle sets give identical
+    // signatures. d2 must report such pairs; d4 must not (at that cap).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hotonly").toString
+    val boiler = (1 to 30).map(i => s"hot$i").mkString(" ")
+    val docs = (1 to 12).map(i => (i.toLong, boiler)) :+
+      (99L, (1 to 25).map(i => s"rare$i").mkString(" "))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // cap = 4 < df = 12: every boilerplate shingle is "hot"
+    val d2 = Dedup.minhashLshPairsCapped(4)(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = (for (a <- 1 to 12; b <- a + 1 to 12)
+      yield (a.toLong, b.toLong)).toSet
+    assert(d2 == allPairs, s"LSH arm missed hot-only pairs: ${allPairs -- d2}")
+    val d4 = Dedup.ngramJaccardCapped(4)(spark, tmp).collect()
+    assert(d4.isEmpty, "prefix arm alone should drop hot-only pairs")
+  }
+
   test("d1 exact dedup keeps the minimum doc_id per fingerprint") {
     val out = Dedup.exactDedup(spark, sfDir)
     assert(out.groupBy("fp").count().filter(col("count") > 1).count() == 0)
