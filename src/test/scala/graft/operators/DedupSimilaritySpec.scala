@@ -148,6 +148,9 @@ class DedupSimilaritySpec extends SparkSuite {
     val fit1 = Similarity.fitIvfCentroids(spark, dir)
     val fit2 = Similarity.fitIvfCentroids(spark, dir)
     assert(fit1 == fit2, "k-means fit must be deterministic across runs")
+    // the persisted-quantizer path round-trips the fit exactly (n5's
+    // query-time centroids ARE the fitted ones, bit for bit)
+    assert(Similarity.fittedCentroids(spark, dir) == fit1)
     fit1.foreach { c =>
       val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
       assert(math.abs(norm - 1.0) < 1e-3, s"centroid norm $norm")
