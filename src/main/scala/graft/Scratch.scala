@@ -43,12 +43,26 @@ object Scratch {
 
   /** Create the (per-user) default root owner-only on first use; an
     * explicitly configured shared root is the operator's ACL to manage.
+    * A PRE-EXISTING default root must belong to the current user — the
+    * root name is predictable, so accepting someone else's dir would
+    * hand them the poisoned-artifact attack the per-user name exists to
+    * prevent (they pre-create the root and plant a `_SUCCESS`-complete
+    * artifact at the equally predictable kind/version/key path).
     */
   private def ensureRoot(spark: SparkSession): Unit = {
     val r = new Path(root(spark))
     val fs = Catalog.fsFor(r.toString, spark)
     if (!fs.exists(r))
       fs.mkdirs(r, new org.apache.hadoop.fs.permission.FsPermission("700"))
+    else if (spark.conf.getOption("spark.graft.scratch").isEmpty) {
+      val owner = fs.getFileStatus(r).getOwner
+      val me = sys.props.getOrElse("user.name", "anon")
+      if (owner != null && owner.nonEmpty && owner != me)
+        throw new IllegalStateException(
+          s"scratch root $r exists but is owned by '$owner', not '$me' — " +
+            "refusing to trust its artifacts; set spark.graft.scratch to " +
+            "a location you control")
+    }
   }
 
   private def md5hex(s: String): String =
@@ -128,9 +142,13 @@ object Scratch {
           if (fs.rename(destPath, torn)) {
             if (fs.exists(new Path(torn, "_SUCCESS"))) {
               // stole a racer's completed publish — restore it; if yet
-              // another publish landed at dest meanwhile, ours is a
-              // duplicate complete artifact and can be dropped
+              // another publish landed at dest meanwhile, local-FS rename
+              // NESTS torn inside it (mv semantics, same hazard as the
+              // staging rename below) instead of failing — detect the
+              // nest and drop ours as the duplicate complete artifact
               if (!fs.rename(torn, destPath)) fs.delete(torn, true)
+              val nestedTorn = new Path(destPath, torn.getName)
+              if (fs.exists(nestedTorn)) fs.delete(nestedTorn, true)
             } else fs.delete(torn, true) // genuinely torn — discard
           }
         }
@@ -154,6 +172,15 @@ object Scratch {
           throw new IllegalStateException(
             s"scratch artifact at $dest is incomplete (no _SUCCESS)")
       }
+      // touch-on-serve: parquet READS never update a dir's mtime, so
+      // without this a steadily-served artifact (e.g. another corpus
+      // sharing this kind) ages into the sweep's cutoff and gets reaped
+      // while live. Serving refreshes mtime, making the TTL "time since
+      // last use", not "time since build". (Residual: a single JVM older
+      // than the TTL serves from its memo without re-touching — the
+      // generous default is the guard.)
+      try fs.setTimes(new Path(dest), System.currentTimeMillis(), -1)
+      catch { case scala.util.control.NonFatal(_) => () }
       sweepStale(spark, kind, dest, levels = 2)
       dest
     })
@@ -168,9 +195,14 @@ object Scratch {
     */
   val TtlHoursDefault = 168.0
 
-  private def ttlMs(spark: SparkSession): Long =
-    (spark.conf.getOption("spark.graft.scratch.ttl.hours")
-      .map(_.toDouble).getOrElse(TtlHoursDefault) * 3600 * 1000).toLong
+  private def ttlMs(spark: SparkSession): Long = {
+    // malformed conf values fall back to the default rather than failing
+    // the query that happened to trigger a best-effort sweep
+    val hours = spark.conf.getOption("spark.graft.scratch.ttl.hours")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .getOrElse(TtlHoursDefault)
+    (hours * 3600 * 1000).toLong
+  }
 
   /** Best-effort reap of `kind`'s stale siblings on the path to `keep`:
     * old version tags, superseded content keys, orphaned staging/torn
@@ -199,26 +231,22 @@ object Scratch {
             sweep(st.getPath, depth - 1)
         }
       sweep(fs.makeQualified(new Path(s"${root(spark)}/$kind")), levels)
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () } // sweeps race; never fail the query
 
-  // last run dir per (kind, corpus) in this JVM — replaced on next request
-  private val lastRun = new ConcurrentHashMap[String, String]()
-
-  /** A fresh, PROCESS-UNIQUE working dir for per-run state (streaming
-    * sinks/checkpoints, DDL table locations) under the artifact path for
-    * (kind, corpus). Each call returns a new empty dir, so concurrent
-    * processes on the same corpus can never delete each other's live
-    * state; the previous run dir handed out by THIS JVM for the same key
-    * is deleted eagerly, and other processes' orphans (crashes) are left
-    * for the TTL sweep below.
+  /** A fresh, CALL-UNIQUE working dir for per-run state (streaming
+    * sinks/checkpoints, lifecycle pipeline staging, DDL table locations)
+    * under the artifact path for (kind, corpus). Nothing is deleted
+    * eagerly — an earlier version reclaimed this JVM's previous run dir
+    * for the same key, which let two CONCURRENT same-kind calls on one
+    * corpus delete each other's live state (round-7 review). Finished and
+    * crashed runs alike are reaped by the TTL sweep, which age-guards
+    * anything still in use.
     */
   def freshRunDir(spark: SparkSession, kind: String, srcDir: String): String = {
     ensureRoot(spark)
     val base = artifactPath(spark, kind, "v1", srcDir)
     val dir = base + "/run_" + java.util.UUID.randomUUID().toString.take(12)
-    val prev = lastRun.put(s"$kind|$srcDir", dir)
-    if (prev != null) Catalog.fsFor(prev, spark).delete(new Path(prev), true)
-    sweepStale(spark, kind, dir, levels = 3) // crashed JVMs' run dirs too
+    sweepStale(spark, kind, dir, levels = 3) // crashed/finished runs, by TTL
     dir
   }
 }

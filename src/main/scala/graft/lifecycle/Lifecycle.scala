@@ -59,13 +59,21 @@ object Lifecycle {
     */
   def updateMulti(path: String, sets: Seq[(String, org.apache.spark.sql.Column)],
       pred: org.apache.spark.sql.Column)(implicit spark: SparkSession): Unit = {
-    val byName = sets.toMap
+    // resolve SET targets the way Spark resolves identifiers (case-
+    // insensitive under the default spark.sql.caseSensitive=false), and
+    // reject duplicate targets (SQL engines error; silent last-wins would
+    // hide a typo'd statement)
+    val resolver = spark.sessionState.analyzer.resolver
+    val dup = sets.map(_._1).combinations(2)
+      .collectFirst { case Seq(a, b) if resolver(a, b) => a }
+    require(dup.isEmpty, s"duplicate UPDATE SET target: ${dup.get}")
     rewrite(path) { df =>
-      val unknown = byName.keySet -- df.columns.toSet
+      val unknown = sets.map(_._1).filterNot(s => df.columns.exists(resolver(s, _)))
       require(unknown.isEmpty,
         s"UPDATE references non-existent column(s): ${unknown.mkString(", ")}")
       df.select(df.columns.map { c =>
-        byName.get(c).map(v => when(pred, v).otherwise(col(c)).as(c))
+        sets.find(s => resolver(s._1, c))
+          .map { case (_, v) => when(pred, v).otherwise(col(c)).as(c) }
           .getOrElse(col(c))
       }: _*)
     }

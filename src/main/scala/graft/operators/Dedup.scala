@@ -211,9 +211,15 @@ object Dedup {
     // "pos1": layout carries rn for the positional filter
     val version = s"t${(JaccardThreshold * 100).toInt}-cap$DocFreqCap-pos1-" +
       ShingleIndexVersion
+    // materialize the shingle index BEFORE entering the prefix artifact's
+    // build: Scratch.materialize memoizes through computeIfAbsent, and a
+    // build lambda that re-enters materialize would modify the memo map
+    // from inside its own mapping function (ConcurrentHashMap forbids
+    // recursive updates — JDK throws "Recursive update" when the keys
+    // share a bin)
+    val hs = shingleIndex(spark, dir)
     val idx = graft.Scratch.materialize(spark, "prefix_idx", version, dir)(
-      staging => buildPrefixPostings(
-          shingleIndex(spark, dir), JaccardThreshold, DocFreqCap)
+      staging => buildPrefixPostings(hs, JaccardThreshold, DocFreqCap)
         .write.parquet(staging))
     spark.read.parquet(idx)
   }
@@ -275,8 +281,13 @@ object Dedup {
   // of the LSH buckets with [[prefixCandidates]] (AllPairs/PPJoin), which
   // is provably complete at the threshold for every pair sharing at least
   // one sub-cap token — so d2 (and z1/z3, which consume its pair
-  // relation) equals the brute-force oracle BY CONSTRUCTION, on any
-  // fixture. The two arms are COMPLEMENTARY, not redundant: the prefix
+  // relation) equals the brute-force oracle BY CONSTRUCTION on any
+  // fixture whose true pairs each share ≥ 1 sub-cap (df ≤ DocFreqCap)
+  // token. The one remaining probabilistic case is a BOILERPLATE-ONLY
+  // pair (every shared shingle corpus-hot): invisible to the prefix arm
+  // by the cap's design, caught by the LSH arm with p = 1 − (1−J²)¹⁶
+  // (≈ 99% at J = 0.5, ≈ 1 − 1e-11 at J = 0.88) — not a certainty.
+  // The two arms are COMPLEMENTARY, not redundant: the prefix
   // arm is deterministic-complete below the df cap but drops
   // boilerplate-only pairs (every shared shingle corpus-hot); the LSH arm
   // catches exactly those, because high J means high band-collision
@@ -420,16 +431,6 @@ object Dedup {
   def buildShingleIndex(spark: SparkSession, dir: String, out: String): Unit =
     docShingleHashes(spark, dir)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-
-  /** D4 over a persisted shingle index (one kernel pass at build time,
-    * zero at query time).
-    */
-  def ngramJaccardIndexed(indexPath: String, cap: Int = DocFreqCap)(
-      spark: SparkSession, dir: String): DataFrame =
-    jaccardFromHs(spark.read.parquet(indexPath), cap)
-      .filter(col("jaccard_raw") >= JaccardThreshold)
-      .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
 
   /** Gate entry: the explicit-path index API over the [[graft.Scratch]]
     * artifact every other shingle operator shares (build-once is handled by

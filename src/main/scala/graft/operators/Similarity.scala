@@ -106,13 +106,16 @@ object Similarity {
   def cosinePairsExhaustive(maxRows: Long)(
       spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.VectorFunctions.block_norms
-    val nz = nonZeroEmbeddings(spark, dir)
-    val n = nz.count()
+    // guard on the RAW table count — answered from parquet footers alone
+    // (no column decode, no kernel pass). It upper-bounds the zero-norm-
+    // filtered input, so the refusal is conservative and the guard adds
+    // no scan to the accepted path.
+    val n = Catalog.embeddings(spark, dir).count()
     require(n <= maxRows,
       s"n2_cosine_pairs is the quadratic exactness baseline: $n input " +
         s"vectors exceed the explicit maxRows = $maxRows opt-in; use the " +
         "LSH-banded pair mining (lshCandidatePairs / z2) at corpus scale")
-    val e = nz
+    val e = nonZeroEmbeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         block_norms(col("embedding"), PruneBlocks).as("bn"))
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),

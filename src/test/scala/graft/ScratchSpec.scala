@@ -142,13 +142,17 @@ class ScratchSpec extends SparkSuite {
     }
   }
 
-  test("freshRunDir hands out unique dirs and reclaims the previous one") {
+  test("freshRunDir hands out unique dirs and never deletes a fresh sibling") {
+    // concurrent same-kind pipelines on one corpus each get their own run
+    // dir and must never reap each other's live state — only the TTL
+    // sweep (age-guarded) reclaims runs
     val src = newCorpus()
     val r1 = Scratch.freshRunDir(spark, "spec_run", src)
     Files.createDirectories(Paths.get(r1))
     Files.writeString(Paths.get(r1, "state"), "live")
     val r2 = Scratch.freshRunDir(spark, "spec_run", src)
     assert(r1 != r2, "run dirs must be unique per call")
-    assert(!Files.exists(Paths.get(r1)), "previous run dir is reclaimed")
+    assert(Files.exists(Paths.get(r1, "state")),
+      "a fresh previous run dir must survive (concurrent caller's state)")
   }
 }

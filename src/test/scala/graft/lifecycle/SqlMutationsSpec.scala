@@ -49,6 +49,19 @@ class SqlMutationsSpec extends SparkSuite {
     assert(got == Seq((1L, 20.0, 10.0), (2L, 30.0, 40.0)))
   }
 
+  test("UPDATE SET targets resolve case-insensitively; duplicates are rejected") {
+    val path = seed(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    // Spark resolves identifiers case-insensitively by default — the
+    // statement surface must match (round-7 review)
+    SqlMutations.execute(spark, "UPDATE t SET VALUE = 9.0 WHERE kind = 'a'",
+      _ => path)
+    assert(readBack(path) == Seq((1L, "a", 9.0), (2L, "b", 2.0)))
+    intercept[IllegalArgumentException] {
+      SqlMutations.execute(spark, "UPDATE t SET value = 1, VALUE = 2", _ => path)
+    }
+    assert(readBack(path) == Seq((1L, "a", 9.0), (2L, "b", 2.0)))
+  }
+
   test("UPDATE of a non-existent column fails and leaves the table intact") {
     val path = seed(Seq((1L, "a", 1.0)))
     intercept[IllegalArgumentException] {
