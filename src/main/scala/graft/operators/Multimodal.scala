@@ -172,9 +172,74 @@ object Multimodal {
        | WHERE n_frames > 0)
        |ORDER BY doc_id, frame_idx""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // M4 — feature extraction: the second partition-mapped batch pass the
+  // banner promises (decode / FEATURE-EXTRACT / resize). The extractor
+  // here is a real (if simple) feature, not a fake: the normalized
+  // byte-residue histogram of the payload (8 bins, b mod 8) — the kind of
+  // cheap content signature used for coarse media bucketing — emitted as
+  // one double column per bin so the DuckDB oracle can mirror the exact
+  // arithmetic without array-type hashing concerns. A real embedding
+  // model slots into the same mapPartitions shape (one model handle per
+  // partition, rows streamed through).
+  // ---------------------------------------------------------------------
+  val FeatureBins = 8
+
+  val featureSchema: StructType = StructType(
+    StructField("doc_id", LongType) +:
+      StructField("payload_bytes", IntegerType) +:
+      (0 until FeatureBins).map(d => StructField(s"f$d", DoubleType)))
+
+  /** STUB-ADJACENT extract kernel over the synthetic header layout: skips
+    * the 10-byte header, histograms payload bytes by residue mod
+    * [[FeatureBins]], normalizes by payload length.
+    */
+  private def extractStub(docId: Long, media: Array[Byte]): Row = {
+    val payload = media.length - 10
+    val counts = new Array[Long](FeatureBins)
+    var i = 10
+    while (i < media.length) { counts((media(i) & 0xff) % FeatureBins) += 1; i += 1 }
+    Row.fromSeq(docId +: payload +:
+      counts.toSeq.map(c => c.toDouble / payload))
+  }
+
+  def mediaFeaturesOf(media: DataFrame): DataFrame = {
+    val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(featureSchema)
+    media
+      // empty payloads have no histogram (the oracle's divide-by-zero row
+      // is excluded the same way m3 excludes zero-frame docs)
+      .filter(length(col("media")) > 10)
+      .mapPartitions { rows =>
+        // per-partition feature-model init would go here
+        rows.map(r => extractStub(r.getLong(0), r.getAs[Array[Byte]](2)))
+      }(enc)
+      .select(col("doc_id") +: col("payload_bytes") +:
+        (0 until FeatureBins).map(d => round(col(s"f$d"), 6).as(s"f$d")): _*)
+  }
+
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    mediaFeaturesOf(mediaTable(spark, dir)).orderBy(col("doc_id"))
+
+  /** Oracle: the histogram arithmetic in SQL over the same payload bytes
+    * (hex-pair decode of `encode(text)`, the m1/d5 technique).
+    */
+  val mediaFeaturesSql: String = {
+    val bins = (0 until FeatureBins).map(d =>
+      s"round(len(list_filter(bs, b -> b % $FeatureBins = $d))::DOUBLE / n, 6) AS f$d")
+      .mkString(", ")
+    s"""SELECT doc_id, n::INT AS payload_bytes, $bins
+       |FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+       |        [CAST('0x' || substr(hex(encode(text)), 2*i-1, 2) AS INT)
+       |         for i in range(1, octet_length(encode(text)) + 1)] AS bs
+       |      FROM documents) t
+       |WHERE n > 0 ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
     Q("m1_decode_frames", decodeFrames, Some(decodeFramesSql),
       "binary media decode via mapPartitions, stub kernel, real plumbing (training-data extension)"),
+    Q("m4_media_features", mediaFeatures, Some(mediaFeaturesSql),
+      "per-media feature extraction (normalized byte-residue histogram) via mapPartitions (training-data extension)"),
     Q("m2_resize_plan", resizePlan, Some(resizePlanSql),
       "resize bucketing fan-out over decoded metadata (training-data extension)"),
     Q("m3_frame_sample", frameSample, Some(frameSampleSql),

@@ -31,4 +31,25 @@ class MultimodalSpec extends SparkSuite {
       .collect()(0)
     assert(out.getInt(4) == 0 && out.isNullAt(5))
   }
+
+  test("m4 features: normalized histogram (sums to ~1), UTF-8 bytes, empty excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "héllo ünïcode ✓"), (2L, "abc"), (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.mediaFeaturesOf(Multimodal.mediaTableOf(docs))
+      .orderBy("doc_id").collect()
+    // empty-payload doc 3 excluded (no histogram exists)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    rows.foreach { r =>
+      val fs = (0 until Multimodal.FeatureBins).map(d => r.getDouble(2 + d))
+      assert(fs.forall(f => f >= 0.0 && f <= 1.0))
+      // per-bin 6-dp rounding bounds the sum's drift from 1
+      assert(math.abs(fs.sum - 1.0) < 1e-5, s"histogram sum ${fs.sum}")
+    }
+    // "abc" = bytes 97,98,99 -> residues 1,2,3 mod 8, one third each
+    val abc = rows(1)
+    assert(abc.getInt(1) == 3)
+    assert((0 until 8).map(d => abc.getDouble(2 + d)) ==
+      Seq(0.0, 0.333333, 0.333333, 0.333333, 0.0, 0.0, 0.0, 0.0))
+  }
 }
