@@ -187,10 +187,72 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // X5 — deterministic train/val/test split assignment: bucket =
+  // hash60(doc_id) mod 100, split by fixed bucket ranges (80/10/10).
+  // Hash-based splitting is THE reproducible way to partition a training
+  // corpus — stable under re-runs, re-shards, and corpus growth (a
+  // document's split never changes), zero coordination at 100 TB (pure
+  // map work; the only shuffle is the presentation sort). The shared
+  // hash60 keeps the assignment recomputable anywhere, including in the
+  // DuckDB oracle.
+  // ---------------------------------------------------------------------
+  val SplitTrainPct = 80
+  val SplitValPct = 10 // test = the remainder
+
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hash60(col("doc_id").cast("string")), lit(100))
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), bucket.cast("int").as("bucket"),
+        when(bucket < SplitTrainPct, "train")
+          .when(bucket < SplitTrainPct + SplitValPct, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitAssignSql: String = {
+    val b = hash60Sql("doc_id::VARCHAR")
+    s"""SELECT doc_id, ($b % 100)::INT AS bucket,
+       | CASE WHEN $b % 100 < $SplitTrainPct THEN 'train'
+       |      WHEN $b % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
+  // X6 — corpus accounting: documents / whitespace tokens / total chars
+  // per DETECTED language — the "what do we actually have" rollup every
+  // training-data run starts from. Algebraic aggregate over the x3 lang
+  // kernel: map-side partials, one shuffle keyed by language (dozens of
+  // groups, corpus-size-independent state).
+  // ---------------------------------------------------------------------
+  def corpusAccounting(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .select(
+        graft.expressions.HashFunctions.lang_id(col("text"),
+          LangMarkers.map(_._1), LangMarkers.map(_._2)).as("detected_lang"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("detected_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .orderBy(col("detected_lang"))
+
+  val corpusAccountingSql: String =
+    s"""SELECT $detectedLangSql AS detected_lang, count(*) AS n_docs,
+       | sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS n_tokens,
+       | sum(length(text)) AS n_chars
+       |FROM documents GROUP BY 1 ORDER BY detected_lang"""
+      .stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("x1_token_count", tokenCounts, Some(tokenCountsSql),
       "whitespace + BPE-ish token counting (training-data extension)"),
+    Q("x5_split_assign", splitAssign, Some(splitAssignSql),
+      "deterministic hash-bucket train/val/test split assignment (training-data extension)"),
+    Q("x6_corpus_accounting", corpusAccounting, Some(corpusAccountingSql),
+      "docs/tokens/chars per detected language — corpus rollup (training-data extension)"),
     Q("x2_quality_score", qualityScores, Some(qualityScoresSql),
       "C4/Gopher-style quality signals (training-data extension)"),
     Q("x3_lang_id", langId, Some(langIdSql),

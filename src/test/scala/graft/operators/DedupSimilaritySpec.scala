@@ -284,6 +284,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got.takeRight(5).forall(_.getDouble(1) < 0.01))
   }
 
+  test("x5 split assignment is stable, complete, and ~80/10/10 at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val a = TextOps.splitAssign(spark, dir).collect()
+    val b = TextOps.splitAssign(spark, dir).collect()
+    assert(a.sameElements(b), "split must be reproducible across runs")
+    val total = a.length.toDouble
+    assert(total == graft.Catalog.documents(spark, dir).count().toDouble)
+    val frac = a.groupBy(_.getString(2)).view.mapValues(_.length / total).toMap
+    // hash buckets over 500 docs: generous tolerance, deterministic value
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.05)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.05)
+  }
+
+  test("x6 corpus accounting totals equal the per-document x1 sums") {
+    val acct = TextOps.corpusAccounting(spark, sfDir).collect()
+    val tokSum = acct.map(_.getLong(2)).sum
+    val perDoc = TextOps.tokenCounts(spark, sfDir).collect()
+      .map(_.getInt(2).toLong).sum
+    assert(tokSum == perDoc, s"$tokSum != $perDoc")
+    val docSum = acct.map(_.getLong(1)).sum
+    assert(docSum == graft.Catalog.documents(spark, sfDir).count())
+  }
+
   test("x4 fingerprints are stable across runs and within 60 bits") {
     val a = TextOps.fingerprints(spark, sfDir).collect()
     val b = TextOps.fingerprints(spark, sfDir).collect()
