@@ -54,7 +54,11 @@ object Scratch {
     val fs = Catalog.fsFor(r.toString, spark)
     if (!fs.exists(r))
       fs.mkdirs(r, new org.apache.hadoop.fs.permission.FsPermission("700"))
-    else if (spark.conf.getOption("spark.graft.scratch").isEmpty) {
+    // verify ownership UNCONDITIONALLY for the default root — checking
+    // only the pre-existing branch leaves a TOCTOU hole where an attacker
+    // creates the (predictable) root between the exists() probe and
+    // mkdirs(), which reports success on an already-existing dir
+    if (spark.conf.getOption("spark.graft.scratch").isEmpty) {
       val owner = fs.getFileStatus(r).getOwner
       val me = sys.props.getOrElse("user.name", "anon")
       if (owner != null && owner.nonEmpty && owner != me)
@@ -195,37 +199,65 @@ object Scratch {
     */
   val TtlHoursDefault = 168.0
 
-  private def ttlMs(spark: SparkSession): Long = {
+  /** Run dirs reap faster than index artifacts
+    * (`spark.graft.scratch.run.ttl.hours`): each pipeline run stages a
+    * table copy, so a day of bench sweeps would bank gigabytes against a
+    * 7-day TTL. 24 h is safe because the sweep's deep-mtime check vetoes
+    * anything still being written (a live streaming checkpoint's files
+    * are fresh), and a finished run's outputs are consumed within the
+    * triggering query.
+    */
+  val RunTtlHoursDefault = 24.0
+
+  private def confHours(spark: SparkSession, key: String, dflt: Double): Long = {
     // malformed conf values fall back to the default rather than failing
     // the query that happened to trigger a best-effort sweep
-    val hours = spark.conf.getOption("spark.graft.scratch.ttl.hours")
-      .flatMap(v => scala.util.Try(v.toDouble).toOption)
-      .getOrElse(TtlHoursDefault)
+    val hours = spark.conf.getOption(key)
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(dflt)
     (hours * 3600 * 1000).toLong
   }
+
+  private def ttlMs(spark: SparkSession): Long =
+    confHours(spark, "spark.graft.scratch.ttl.hours", TtlHoursDefault)
+
+  private def runTtlMs(spark: SparkSession): Long =
+    math.min(ttlMs(spark),
+      confHours(spark, "spark.graft.scratch.run.ttl.hours", RunTtlHoursDefault))
 
   /** Best-effort reap of `kind`'s stale siblings on the path to `keep`:
     * old version tags, superseded content keys, orphaned staging/torn
     * dirs, and (for run kinds, levels = 3) crashed processes' run dirs —
-    * anything under root/kind not on `keep`'s path whose mtime is older
-    * than the TTL (round-6 verdict item 5: scratch accumulated
-    * unboundedly). Failures are swallowed: concurrent sweepers race on
-    * deletes, and a sweep must never fail the query that triggered it.
+    * anything under root/kind not on `keep`'s path whose SUBTREE is
+    * entirely older than the TTL (round-6 verdict item 5: scratch
+    * accumulated unboundedly). The deep check matters: a dir's own mtime
+    * reflects only direct child creation — a version dir serving a
+    * touched artifact, or a run dir holding an actively-written streaming
+    * checkpoint, looks stale at the top while its subtree is fresh; one
+    * recent file or dir anywhere below vetoes the delete (short-circuit
+    * walk, and only candidates already stale at the top pay it).
+    * Failures are swallowed: concurrent sweepers race on deletes, and a
+    * sweep must never fail the query that triggered it.
     */
   private def sweepStale(spark: SparkSession, kind: String, keep: String,
-      levels: Int): Unit =
+      levels: Int, ttl: Option[Long] = None): Unit =
     try {
       val fs = Catalog.fsFor(keep, spark)
       // listStatus returns scheme-qualified paths (file:/…) — qualify the
       // keep path the same way or nothing ever matches it (and a valid
       // months-old keep artifact would be reaped as stale)
       val keepQ = fs.makeQualified(new Path(keep)).toString
-      val cutoff = System.currentTimeMillis() - ttlMs(spark)
+      val cutoff = System.currentTimeMillis() - ttl.getOrElse(ttlMs(spark))
+      def anyFresh(p: Path): Boolean =
+        fs.listStatus(p).exists { st =>
+          st.getModificationTime >= cutoff ||
+            (st.isDirectory && anyFresh(st.getPath))
+        }
       def sweep(dir: Path, depth: Int): Unit =
         if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
           val p = st.getPath.toString
           val onKeepPath = keepQ == p || keepQ.startsWith(p + "/")
-          if (!onKeepPath && st.getModificationTime < cutoff)
+          if (!onKeepPath && st.getModificationTime < cutoff &&
+              !(st.isDirectory && anyFresh(st.getPath)))
             fs.delete(st.getPath, true)
           else if (onKeepPath && keepQ != p && depth > 1)
             sweep(st.getPath, depth - 1)
@@ -246,7 +278,8 @@ object Scratch {
     ensureRoot(spark)
     val base = artifactPath(spark, kind, "v1", srcDir)
     val dir = base + "/run_" + java.util.UUID.randomUUID().toString.take(12)
-    sweepStale(spark, kind, dir, levels = 3) // crashed/finished runs, by TTL
+    // crashed/finished runs reap on the (shorter) run TTL
+    sweepStale(spark, kind, dir, levels = 3, ttl = Some(runTtlMs(spark)))
     dir
   }
 }

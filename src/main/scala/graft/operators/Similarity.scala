@@ -112,8 +112,9 @@ object Similarity {
     // no scan to the accepted path.
     val n = Catalog.embeddings(spark, dir).count()
     require(n <= maxRows,
-      s"n2_cosine_pairs is the quadratic exactness baseline: $n input " +
-        s"vectors exceed the explicit maxRows = $maxRows opt-in; use the " +
+      s"n2_cosine_pairs is the quadratic exactness baseline: the table " +
+        s"holds $n rows (an upper bound on its non-zero input vectors), " +
+        s"exceeding the explicit maxRows = $maxRows opt-in; use the " +
         "LSH-banded pair mining (lshCandidatePairs / z2) at corpus scale")
     val e = nonZeroEmbeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),

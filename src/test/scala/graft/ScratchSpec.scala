@@ -79,13 +79,26 @@ class ScratchSpec extends SparkSuite {
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - days.toLong * 24 * 3600 * 1000))
 
+  /** Age a whole subtree: the sweep's deep-mtime check vetoes deletion if
+    * ANY file or dir below is fresh (that veto is itself under test), so
+    * simulating a genuinely abandoned artifact must age every entry.
+    */
+  private def ageTree(path: String, days: Int): Unit = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try st.forEach(c => ageTree(c.toString, days)) finally st.close()
+    }
+    ageDir(path, days)
+  }
+
   test("TTL sweep reaps stale versions and content keys; the live artifact survives") {
     val src = newCorpus()
     def build(staging: String): Unit = spark.range(2).write.parquet(staging)
-    // a superseded version tag, older than the 7-day TTL
+    // a superseded version tag, older than the 7-day TTL — aged to the
+    // leaves (the deep-mtime check treats any fresh descendant as live)
     val old = Scratch.materialize(spark, "spec_ttl", "v_old", src)(build)
-    ageDir(old, days = 8)
-    ageDir(Paths.get(old).getParent.toString, days = 8) // the version dir
+    ageTree(Paths.get(old).getParent.toString, days = 8) // whole version tree
     // a stale sibling content key under the CURRENT version (a re-generated
     // fixture's leftover) and an orphaned staging dir (a crashed builder)
     val live = Scratch.materialize(spark, "spec_ttl", "v_new", src)(build)
@@ -111,18 +124,28 @@ class ScratchSpec extends SparkSuite {
     assert(!Files.exists(staleStaging), "orphaned staging not reaped")
   }
 
-  test("freshRunDir sweeps other processes' abandoned run dirs by TTL") {
+  test("freshRunDir sweeps other processes' abandoned run dirs by the run TTL") {
     val src = newCorpus()
     val r1 = Scratch.freshRunDir(spark, "spec_run_ttl", src)
     Files.createDirectories(Paths.get(r1))
+    // run dirs reap on the SHORTER run TTL (24 h default)
     val orphan = Paths.get(r1).getParent.resolve("run_crashed_process")
     Files.createDirectories(orphan)
-    ageDir(orphan.toString, days = 8)
+    ageTree(orphan.toString, days = 2)
     val fresh = Paths.get(r1).getParent.resolve("run_live_process")
     Files.createDirectories(fresh)
+    // stale-topped but ACTIVELY WRITTEN (e.g. a >24h streaming
+    // checkpoint): one fresh file below vetoes the reap
+    val liveOld = Paths.get(r1).getParent.resolve("run_longlived_stream")
+    Files.createDirectories(liveOld.resolve("checkpoint"))
+    Files.writeString(liveOld.resolve("checkpoint/offsets"), "42")
+    ageDir(liveOld.toString, days = 2)
+    ageDir(liveOld.resolve("checkpoint").toString, days = 2)
     Scratch.freshRunDir(spark, "spec_run_ttl", src)
-    assert(!Files.exists(orphan), "8-day-old orphan run dir not reaped")
+    assert(!Files.exists(orphan), "2-day-old orphan run dir not reaped")
     assert(Files.exists(fresh), "fresh foreign run dir must survive")
+    assert(Files.exists(liveOld.resolve("checkpoint/offsets")),
+      "a run dir with any fresh descendant must survive the sweep")
   }
 
   test("default scratch root is per-user (predictable paths in shared /tmp)") {
