@@ -243,11 +243,57 @@ object Pipeline {
        |SELECT src AS doc_id, min(dst) AS root, min(dst) = src AS keep
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // Z4 — sequence packing: assign each document to a fixed-token-window
+  // training sequence (the pretraining prep step that concatenates docs
+  // into ~N-token rows). Done the SCALE-CORRECT way: a global greedy pack
+  // needs a corpus-wide cumulative sum (one-partition window — the
+  // classic Spark scale trap); real pipelines pack WITHIN SHARDS, so the
+  // cumulative sum partitions by the deterministic hash bucket (x5's) and
+  // every shard packs independently in parallel. seq_id = the window the
+  // document STARTS in (floor(tokens-before / window)) — deterministic,
+  // order-stable, and exactly mirrorable in SQL.
+  // ---------------------------------------------------------------------
+  val SeqWindowTokens = 2048
+  val PackShards = 100
+
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(TextOps.hash60(col("doc_id").cast("string")),
+      lit(PackShards)).cast("int")
+    val docs = Catalog.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / SeqWindowTokens)
+          .cast("long").as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sequencePackSql: String = {
+    val b = s"(${TextOps.hash60Sql("doc_id::VARCHAR")} % $PackShards)"
+    s"""SELECT doc_id, bucket, n_tokens,
+       | ((cum - n_tokens) // $SeqWindowTokens)::BIGINT AS seq_id
+       |FROM (
+       | SELECT doc_id, bucket, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       | FROM (SELECT doc_id, $b::INT AS bucket,
+       |   len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
+       |   FROM documents) t)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
     Q("z1_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql),
       "end-to-end curation: quality -> lang -> exact dedup -> near-dup dedup, single-scan features + LSH candidates (training-data extension)"),
     Q("z2_embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
       "embedding-space near-dup dedup via deterministic LSH candidates + exact-cosine verify, greedy keep-smallest (training-data extension)"),
     Q("z3_cc_dedup", ccDedup, Some(ccDedupSql),
-      "connected-component survivor selection over the near-dup pair graph, iterative min-label propagation vs recursive-CTE oracle (training-data extension)"))
+      "connected-component survivor selection over the near-dup pair graph, iterative min-label propagation vs recursive-CTE oracle (training-data extension)"),
+    Q("z4_sequence_pack", sequencePack, Some(sequencePackSql),
+      "fixed-token-window sequence packing within hash shards — sharded cumulative sum, no global window (training-data extension)"))
 }

@@ -87,4 +87,20 @@ class PipelineSpec extends SparkSuite {
       .map(_.getLong(1)).toSet
     assert((ids & losers).isEmpty)
   }
+
+  test("z4 packing equals an independent per-shard prefix-sum recomputation") {
+    val rows = Pipeline.sequencePack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, shard) =>
+      val inOrder = shard.sortBy(_._1)
+      var cumBefore = 0L
+      inOrder.foreach { case (id, _, nTokens, seqId) =>
+        assert(seqId == cumBefore / Pipeline.SeqWindowTokens,
+          s"doc $id: seq $seqId != ${cumBefore / Pipeline.SeqWindowTokens}")
+        cumBefore += nTokens
+      }
+      assert(inOrder.head._4 == 0L, "each shard's first doc starts sequence 0")
+    }
+  }
 }
