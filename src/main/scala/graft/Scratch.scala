@@ -202,27 +202,33 @@ object Scratch {
   /** Run dirs reap faster than index artifacts
     * (`spark.graft.scratch.run.ttl.hours`): each pipeline run stages a
     * table copy, so a day of bench sweeps would bank gigabytes against a
-    * 7-day TTL. 24 h is safe because the sweep's deep-mtime check vetoes
-    * anything still being written (a live streaming checkpoint's files
-    * are fresh), and a finished run's outputs are consumed within the
-    * triggering query.
+    * 7-day TTL. The deep-mtime veto protects anything still being
+    * WRITTEN (a live streaming checkpoint's files are fresh); state that
+    * is only READ past the run TTL (e.g. a catalog table kept pointing
+    * at a DDL run dir for days — reads refresh no mtime) must raise the
+    * run TTL or re-materialize: serving beyond the TTL is outside the
+    * run-dir contract.
     */
   val RunTtlHoursDefault = 24.0
 
-  private def confHours(spark: SparkSession, key: String, dflt: Double): Long = {
+  private def confHours(spark: SparkSession, key: String): Option[Long] =
     // malformed conf values fall back to the default rather than failing
     // the query that happened to trigger a best-effort sweep
-    val hours = spark.conf.getOption(key)
-      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(dflt)
-    (hours * 3600 * 1000).toLong
-  }
+    spark.conf.getOption(key)
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .map(h => (h * 3600 * 1000).toLong)
 
   private def ttlMs(spark: SparkSession): Long =
-    confHours(spark, "spark.graft.scratch.ttl.hours", TtlHoursDefault)
+    confHours(spark, "spark.graft.scratch.ttl.hours")
+      .getOrElse((TtlHoursDefault * 3600 * 1000).toLong)
 
+  /** An EXPLICIT run TTL is honored as configured (an operator protecting
+    * week-long runs must not be silently clamped); only the default is
+    * bounded by the general TTL.
+    */
   private def runTtlMs(spark: SparkSession): Long =
-    math.min(ttlMs(spark),
-      confHours(spark, "spark.graft.scratch.run.ttl.hours", RunTtlHoursDefault))
+    confHours(spark, "spark.graft.scratch.run.ttl.hours").getOrElse(
+      math.min(ttlMs(spark), (RunTtlHoursDefault * 3600 * 1000).toLong))
 
   /** Best-effort reap of `kind`'s stale siblings on the path to `keep`:
     * old version tags, superseded content keys, orphaned staging/torn
@@ -239,28 +245,44 @@ object Scratch {
     * sweep must never fail the query that triggered it.
     */
   private def sweepStale(spark: SparkSession, kind: String, keep: String,
-      levels: Int, ttl: Option[Long] = None): Unit =
+      levels: Int, deepestTtl: Option[Long] = None): Unit =
     try {
       val fs = Catalog.fsFor(keep, spark)
       // listStatus returns scheme-qualified paths (file:/…) — qualify the
       // keep path the same way or nothing ever matches it (and a valid
       // months-old keep artifact would be reaped as stale)
       val keepQ = fs.makeQualified(new Path(keep)).toString
-      val cutoff = System.currentTimeMillis() - ttl.getOrElse(ttlMs(spark))
-      def anyFresh(p: Path): Boolean =
+      val now = System.currentTimeMillis()
+      val generalCutoff = now - ttlMs(spark)
+      def anyFresh(p: Path, cutoff: Long): Boolean =
         fs.listStatus(p).exists { st =>
           st.getModificationTime >= cutoff ||
-            (st.isDirectory && anyFresh(st.getPath))
+            (st.isDirectory && anyFresh(st.getPath, cutoff))
         }
       def sweep(dir: Path, depth: Int): Unit =
         if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-          val p = st.getPath.toString
-          val onKeepPath = keepQ == p || keepQ.startsWith(p + "/")
-          if (!onKeepPath && st.getModificationTime < cutoff &&
-              !(st.isDirectory && anyFresh(st.getPath)))
-            fs.delete(st.getPath, true)
-          else if (onKeepPath && keepQ != p && depth > 1)
-            sweep(st.getPath, depth - 1)
+          // per-entry guard: a concurrent sweeper deleting underneath our
+          // walk must only skip THIS candidate, not abort the sweep; an
+          // unlistable entry is conservatively treated as live
+          try {
+            // the shorter run TTL applies only at the deepest level (the
+            // run dirs themselves) — version/key ancestors shared with
+            // index artifacts keep the general TTL
+            val cutoff =
+              if (depth == 1) now - deepestTtl.getOrElse(ttlMs(spark))
+              else generalCutoff
+            val p = st.getPath.toString
+            val onKeepPath = keepQ == p || keepQ.startsWith(p + "/")
+            if (!onKeepPath && st.getModificationTime < cutoff) {
+              if (st.isDirectory && anyFresh(st.getPath, cutoff))
+                // vetoed-live (e.g. a touched artifact under a stale-topped
+                // version dir): refresh the top mtime so future sweeps skip
+                // it at the cheap top-level check instead of re-walking
+                fs.setTimes(st.getPath, now, -1)
+              else fs.delete(st.getPath, true)
+            } else if (onKeepPath && keepQ != p && depth > 1)
+              sweep(st.getPath, depth - 1)
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
       sweep(fs.makeQualified(new Path(s"${root(spark)}/$kind")), levels)
     } catch { case scala.util.control.NonFatal(_) => () } // sweeps race; never fail the query
@@ -278,8 +300,9 @@ object Scratch {
     ensureRoot(spark)
     val base = artifactPath(spark, kind, "v1", srcDir)
     val dir = base + "/run_" + java.util.UUID.randomUUID().toString.take(12)
-    // crashed/finished runs reap on the (shorter) run TTL
-    sweepStale(spark, kind, dir, levels = 3, ttl = Some(runTtlMs(spark)))
+    // crashed/finished runs reap on the (shorter) run TTL; their
+    // version/key ancestors stay on the general TTL
+    sweepStale(spark, kind, dir, levels = 3, deepestTtl = Some(runTtlMs(spark)))
     dir
   }
 }

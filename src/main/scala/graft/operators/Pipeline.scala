@@ -255,13 +255,12 @@ object Pipeline {
   // order-stable, and exactly mirrorable in SQL.
   // ---------------------------------------------------------------------
   val SeqWindowTokens = 2048
-  val PackShards = 100
 
   def sequencePack(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(TextOps.hash60(col("doc_id").cast("string")),
-      lit(PackShards)).cast("int")
+    // THE shared shard expression (x5's bucket) — split and packing stay
+    // aligned by construction
     val docs = Catalog.documents(spark, dir)
-      .select(col("doc_id"), bucket.as("bucket"),
+      .select(col("doc_id"), TextOps.shardBucket(col("doc_id")).as("bucket"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -274,7 +273,7 @@ object Pipeline {
   }
 
   val sequencePackSql: String = {
-    val b = s"(${TextOps.hash60Sql("doc_id::VARCHAR")} % $PackShards)"
+    val b = TextOps.shardBucketSql("doc_id")
     s"""SELECT doc_id, bucket, n_tokens,
        | ((cum - n_tokens) // $SeqWindowTokens)::BIGINT AS seq_id
        |FROM (

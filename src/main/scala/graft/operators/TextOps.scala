@@ -200,10 +200,21 @@ object TextOps {
   val SplitTrainPct = 80
   val SplitValPct = 10 // test = the remainder
 
+  /** The ONE deterministic corpus-shard expression (x5's split bucket;
+    * z4 packs within it): hash60 of the id, mod [[ShardBuckets]] —
+    * shared as a (Column, SQL) pair so the split and the packing can
+    * never silently diverge on the shard formula.
+    */
+  val ShardBuckets = 100
+  def shardBucket(id: Column): Column =
+    pmod(hash60(id.cast("string")), lit(ShardBuckets)).cast("int")
+  def shardBucketSql(idExpr: String): String =
+    s"(${hash60Sql(s"$idExpr::VARCHAR")} % $ShardBuckets)"
+
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(hash60(col("doc_id").cast("string")), lit(100))
+    val bucket = shardBucket(col("doc_id"))
     Catalog.documents(spark, dir)
-      .select(col("doc_id"), bucket.cast("int").as("bucket"),
+      .select(col("doc_id"), bucket.as("bucket"),
         when(bucket < SplitTrainPct, "train")
           .when(bucket < SplitTrainPct + SplitValPct, "val")
           .otherwise("test").as("split"))
@@ -211,10 +222,10 @@ object TextOps {
   }
 
   val splitAssignSql: String = {
-    val b = hash60Sql("doc_id::VARCHAR")
-    s"""SELECT doc_id, ($b % 100)::INT AS bucket,
-       | CASE WHEN $b % 100 < $SplitTrainPct THEN 'train'
-       |      WHEN $b % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
+    val b = shardBucketSql("doc_id")
+    s"""SELECT doc_id, $b::INT AS bucket,
+       | CASE WHEN $b < $SplitTrainPct THEN 'train'
+       |      WHEN $b < ${SplitTrainPct + SplitValPct} THEN 'val'
        |      ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
