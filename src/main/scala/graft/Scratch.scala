@@ -108,9 +108,9 @@ object Scratch {
     * atomic on HDFS-like filesystems, so racing JVMs can both build but
     * exactly one publishes; the loser deletes its staging and reads the
     * winner's artifact. A destination that exists WITHOUT `_SUCCESS` is a
-    * crashed or torn publish — it is deleted and replaced by this build,
-    * never served. Within one JVM, `computeIfAbsent` serializes builders
-    * outright.
+    * crashed or torn publish — it is renamed aside (see the repair branch)
+    * and replaced by this build, never served. Within one JVM,
+    * `computeIfAbsent` serializes builders outright.
     */
   def materialize(spark: SparkSession, kind: String, version: String,
       srcDir: String)(build: String => Unit): String = {
