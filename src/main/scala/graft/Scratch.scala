@@ -218,6 +218,28 @@ object Scratch {
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
       .map(h => (h * 3600 * 1000).toLong)
 
+  /** Minimum spacing between TTL sweeps of one (root, kind), per JVM
+    * (`spark.graft.scratch.sweep.interval.minutes`; 0 disables the
+    * throttle). A sweep walks `root/kind` recursively with per-entry
+    * deep-mtime probes — running one on EVERY materialize/freshRunDir
+    * call charged every lifecycle pipeline a recursive listing (the r7
+    * bench's uniform +0.3-0.6 s on s5/s9/s15; on an object store that
+    * listing is paid in request money). Hygiene does not need that
+    * cadence: the TTLs are hours-to-days, so a 10-minute sweep floor
+    * changes reap times by noise while making steady-state sweep cost
+    * amortized-zero. Cross-JVM no coordination is needed — every process
+    * throttles independently and sweeps stay best-effort.
+    */
+  val SweepIntervalMinutesDefault = 10.0
+
+  private val lastSweepMs = new ConcurrentHashMap[String, java.lang.Long]()
+
+  private def sweepIntervalMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.scratch.sweep.interval.minutes")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .map(m => (m * 60 * 1000).toLong)
+      .getOrElse((SweepIntervalMinutesDefault * 60 * 1000).toLong)
+
   private def ttlMs(spark: SparkSession): Long =
     confHours(spark, "spark.graft.scratch.ttl.hours")
       .getOrElse((TtlHoursDefault * 3600 * 1000).toLong)
@@ -247,6 +269,16 @@ object Scratch {
   private def sweepStale(spark: SparkSession, kind: String, keep: String,
       levels: Int, deepestTtl: Option[Long] = None): Unit =
     try {
+      val interval = sweepIntervalMs(spark)
+      if (interval > 0) {
+        // levels is part of the key: a deep (run-kind) sweep must not be
+        // suppressed by a recent shallow one over the same kind
+        val key = s"${root(spark)}/$kind@$levels"
+        val nowThrottle = System.currentTimeMillis()
+        val prev = lastSweepMs.get(key)
+        if (prev != null && nowThrottle - prev < interval) return
+        lastSweepMs.put(key, nowThrottle)
+      }
       val fs = Catalog.fsFor(keep, spark)
       // listStatus returns scheme-qualified paths (file:/…) — qualify the
       // keep path the same way or nothing ever matches it (and a valid
@@ -296,13 +328,30 @@ object Scratch {
     * crashed runs alike are reaped by the TTL sweep, which age-guards
     * anything still in use.
     */
-  def freshRunDir(spark: SparkSession, kind: String, srcDir: String): String = {
+  def freshRunDir(spark: SparkSession, kind: String, srcDir: String): String =
+    freshRunDirWithTtl(spark, kind, srcDir, runTtlMs(spark))
+
+  /** A fresh working dir for state that BACKS A CATALOG TABLE (DDL
+    * `LOCATION`s): swept on the GENERAL artifact TTL, not the short run
+    * TTL. A registered table is served by reads for as long as it stays
+    * in the catalog, and parquet reads refresh no mtime — under the
+    * 24-hour run TTL a table created yesterday gets its files reaped out
+    * from under the catalog entry on the next same-kind sweep
+    * (missing-file read errors; the r7 ADVICE finding). Table locations
+    * are few (one per CREATE, not one per pipeline run), so the
+    * gigabytes-per-day argument behind the short run TTL does not apply.
+    */
+  def freshTableDir(spark: SparkSession, kind: String, srcDir: String): String =
+    freshRunDirWithTtl(spark, kind, srcDir, ttlMs(spark))
+
+  private def freshRunDirWithTtl(spark: SparkSession, kind: String,
+      srcDir: String, deepestTtl: Long): String = {
     ensureRoot(spark)
     val base = artifactPath(spark, kind, "v1", srcDir)
     val dir = base + "/run_" + java.util.UUID.randomUUID().toString.take(12)
-    // crashed/finished runs reap on the (shorter) run TTL; their
+    // crashed/finished runs reap on the kind's deepest-level TTL; their
     // version/key ancestors stay on the general TTL
-    sweepStale(spark, kind, dir, levels = 3, deepestTtl = Some(runTtlMs(spark)))
+    sweepStale(spark, kind, dir, levels = 3, deepestTtl = Some(deepestTtl))
     dir
   }
 }

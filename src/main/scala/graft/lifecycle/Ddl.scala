@@ -41,17 +41,30 @@ object Ddl {
     s"CHECK (role IN (${RoleDomain.map(r => s"'$r'").mkString(", ")}) " +
       "AND user_id IS NOT NULL)"
 
+  /** Caller-supplied table names are interpolated into CREATE/DROP/INSERT
+    * statements — validate them as plain SQL identifiers first, so a
+    * malformed (or adversarial) name cannot break out of, or inject into,
+    * the statement text (r7 ADVICE).
+    */
+  private def validIdentifier(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table name must be a plain SQL identifier ([A-Za-z_][A-Za-z0-9_]*), got: '$name'")
+    name
+  }
+
   /** `CREATE TABLE IF NOT EXISTS` — idempotent; parity with
     * `db_helpers.setup_roles_table`. The CHECK text carries embedded
     * single quotes, so it is escaped into the TBLPROPERTIES literal.
     */
   def setupRolesTable(spark: SparkSession, location: String,
-      table: String = "user_roles"): Unit =
+      table: String = "user_roles"): Unit = {
+    validIdentifier(table)
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $table (user_id BIGINT, role STRING)
          |USING parquet LOCATION '$location'
          |TBLPROPERTIES ('graft.check' = '${CheckProperty.replace("'", "\\'")}')"""
         .stripMargin)
+  }
 
   /** Write-path CHECK enforcement + `INSERT OVERWRITE` (the reference's
     * DELETE-then-INSERT collapsed into one atomic statement). The input is
@@ -69,6 +82,7 @@ object Ddl {
 
   def insertOverwriteChecked(spark: SparkSession, table: String,
       rows: DataFrame): Unit = {
+    validIdentifier(table)
     val snap = rows.localCheckpoint()
     val violations = snap.filter(!coalesce(roleCheck, lit(false))).count()
     require(violations == 0,
@@ -96,8 +110,12 @@ object Ddl {
     * every staging identifier is per-call unique either way.
     */
   def sqlDdlRolesAs(spark: SparkSession, dir: String, table: String): DataFrame = {
+    validIdentifier(table)
     spark.sql(s"DROP TABLE IF EXISTS $table") // rebind to this corpus
-    val loc = graft.Scratch.freshRunDir(spark, s"${table}_tbl", dir)
+    // freshTableDir, not freshRunDir: the catalog table keeps serving
+    // reads from this location past the 24 h run TTL (r7 ADVICE — the
+    // short TTL would reap a registered table's files under it)
+    val loc = graft.Scratch.freshTableDir(spark, s"${table}_tbl", dir)
     setupRolesTable(spark, loc, table)
     setupRolesTable(spark, loc, table) // IF NOT EXISTS: second create is a no-op
     val src = uniqueName("graft_users_src")

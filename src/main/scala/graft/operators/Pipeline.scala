@@ -45,9 +45,7 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("lang"),
         graft.expressions.HashFunctions.quality_stats(
           col("text"), TextOps.Stopwords).as("s"),
-        graft.expressions.HashFunctions.lang_id(col("text"),
-          TextOps.LangMarkers.map(_._1), TextOps.LangMarkers.map(_._2))
-          .as("detected_lang"),
+        TextOps.detectedLang(col("text")).as("detected_lang"),
         TextOps.hash60(normText).as("content_fp"))
       .select(col("doc_id"), col("source"), col("lang"),
         col("s.n_tokens").as("n_tokens"), col("detected_lang"),
@@ -246,21 +244,40 @@ object Pipeline {
   // ---------------------------------------------------------------------
   // Z4 — sequence packing: assign each document to a fixed-token-window
   // training sequence (the pretraining prep step that concatenates docs
-  // into ~N-token rows). Done the SCALE-CORRECT way: a global greedy pack
-  // needs a corpus-wide cumulative sum (one-partition window — the
-  // classic Spark scale trap); real pipelines pack WITHIN SHARDS, so the
-  // cumulative sum partitions by the deterministic hash bucket (x5's) and
-  // every shard packs independently in parallel. seq_id = the window the
-  // document STARTS in (floor(tokens-before / window)) — deterministic,
+  // into ~N-token rows). The SHAPE avoids the global-window scale trap
+  // (a corpus-wide cumulative sum is a one-partition window): real
+  // pipelines pack WITHIN SHARDS, so the cumulative sum partitions by
+  // the deterministic hash bucket (x5's) and every shard packs
+  // independently in parallel. Scale-correctness then hinges on the
+  // BUCKET COUNT — each bucket is one task's sort — so the registered
+  // default (100, pinned by the static oracle SQL) is a gate-scale
+  // setting only; [[sequencePackAt]] is the deployment surface and its
+  // doc carries the sizing formula. seq_id = the window the document
+  // STARTS in (floor(tokens-before / window)) — deterministic,
   // order-stable, and exactly mirrorable in SQL.
   // ---------------------------------------------------------------------
   val SeqWindowTokens = 2048
 
-  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePackAt(TextOps.ShardBuckets)(spark, dir)
+
+  /** z4 at an explicit shard-bucket count. Each bucket's cumulative sum
+    * is ONE task's sort+scan, so the bucket count bounds both the
+    * parallelism and the per-task load of the pack: the registered gate
+    * query's default ([[TextOps.ShardBuckets]] = 100) is sized for the
+    * gate fixtures, NOT for scale — at 100 TB a 100-bucket pack would
+    * hand each task ~1 TB. Deployments pick buckets by the formula at
+    * [[TextOps.ShardBuckets]] (buckets ≫ cores, corpus/buckets ≲ a task
+    * budget); the shard expression is shared with x5's split at every
+    * count, so split and packing can never disagree on a document's
+    * shard.
+    */
+  def sequencePackAt(buckets: Int)(spark: SparkSession, dir: String): DataFrame = {
     // THE shared shard expression (x5's bucket) — split and packing stay
     // aligned by construction
     val docs = Catalog.documents(spark, dir)
-      .select(col("doc_id"), TextOps.shardBucket(col("doc_id")).as("bucket"),
+      .select(col("doc_id"),
+        TextOps.shardBucket(col("doc_id"), buckets).as("bucket"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -6,6 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * semantics are SQL-expressible) an equivalent DuckDB oracle statement over
   * the same parquet tables. The driver's correctness gate hash-compares the
   * two at sf0.01 (SURVEY.md §5 t2).
+  *
+  * ORACLE-AUTHORING RULE (r7 gate failure, x6): the driver's hash is
+  * TYPE-sensitive, and DuckDB widens integer aggregates — `sum()` over
+  * INT/BIGINT returns HUGEINT — so every integer `sum()` (and any other
+  * aggregate whose DuckDB result type differs from the Spark side) MUST be
+  * cast to the Spark-side type in the oracle SQL: `CAST(sum(…) AS BIGINT)
+  * AS alias`. Identical values with differing types are a hash FAIL.
+  * (`avg()` returns DOUBLE in both engines — no cast needed there.)
   */
 case class Q(
     name: String,

@@ -129,8 +129,7 @@ object TextOps {
       .select(
         col("doc_id"),
         col("lang").as("labeled_lang"),
-        graft.expressions.HashFunctions.lang_id(col("text"),
-          LangMarkers.map(_._1), LangMarkers.map(_._2)).as("detected_lang"))
+        detectedLang(col("text")).as("detected_lang"))
       .orderBy(col("doc_id"))
 
   /** The DuckDB rendering of the marker-scoring argmax as a (winner-CASE,
@@ -157,6 +156,22 @@ object TextOps {
     val (winner, best) = langCaseSql
     s"CASE WHEN $best > 0 THEN $winner ELSE 'und' END"
   }
+
+  /** The Spark-side detected-language expression, NULL-pinned: the kernel
+    * ([[graft.expressions.LangIdExpr]]) is a null-intolerant unary
+    * expression (NULL text → NULL), but every oracle renders detection as
+    * `CASE WHEN best > 0 THEN winner ELSE 'und' END`, which maps NULL text
+    * to 'und' (NULL > 0 is not true). Today's fixtures carry no NULL
+    * texts, so the engines agreed by luck; the coalesce pins the semantics
+    * so a future fixture with a NULL-text row cannot diverge them (one
+    * NULL group vs a fattened 'und' group). ALL detected-language call
+    * sites (x3, x6, z1) must ride this helper, never the raw kernel.
+    */
+  def detectedLang(text: Column): Column =
+    coalesce(
+      graft.expressions.HashFunctions.lang_id(text,
+        LangMarkers.map(_._1), LangMarkers.map(_._2)),
+      lit("und"))
 
   val langIdSql: String =
     s"""SELECT doc_id, lang AS labeled_lang,
@@ -201,22 +216,45 @@ object TextOps {
   val SplitValPct = 10 // test = the remainder
 
   /** The ONE deterministic corpus-shard expression (x5's split bucket;
-    * z4 packs within it): hash60 of the id, mod [[ShardBuckets]] —
+    * z4 packs within it): hash60 of the id, mod the bucket count —
     * shared as a (Column, SQL) pair so the split and the packing can
     * never silently diverge on the shard formula.
+    *
+    * The bucket count is a DEPLOYMENT knob, not an algorithm constant:
+    * z4's per-bucket cumulative sum is one task's sort+scan, so pick
+    * buckets ≫ total cores AND bucket token mass ≲ a task budget
+    * (roughly corpus_size / buckets ≤ a few GB) — at 100 TB that means
+    * tens of thousands of buckets, not [[ShardBuckets]]'s 100. The
+    * registered x5/z4 gate queries pin the default (their oracle SQL is
+    * static text); scale deployments call the parameterized forms
+    * ([[splitAssignAt]], [[Pipeline.sequencePackAt]]) — split fractions
+    * and pack windows stay consistent at ANY count because every
+    * consumer rides this one expression (PipelineSpec proves x5/z4
+    * agreement at a non-default count).
     */
   val ShardBuckets = 100
-  def shardBucket(id: Column): Column =
-    pmod(hash60(id.cast("string")), lit(ShardBuckets)).cast("int")
-  def shardBucketSql(idExpr: String): String =
-    s"(${hash60Sql(s"$idExpr::VARCHAR")} % $ShardBuckets)"
+  def shardBucket(id: Column, buckets: Int = ShardBuckets): Column =
+    pmod(hash60(id.cast("string")), lit(buckets)).cast("int")
+  def shardBucketSql(idExpr: String, buckets: Int = ShardBuckets): String =
+    s"(${hash60Sql(s"$idExpr::VARCHAR")} % $buckets)"
 
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = shardBucket(col("doc_id"))
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssignAt(ShardBuckets)(spark, dir)
+
+  /** x5 at an explicit bucket count: split thresholds scale with the
+    * count (bucket < buckets·80% → train …), so the 80/10/10 fractions
+    * hold for any count divisible by 100's granularity — and a document's
+    * BUCKET (hence its z4 pack shard) stays aligned with its split by
+    * construction.
+    */
+  def splitAssignAt(buckets: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = shardBucket(col("doc_id"), buckets)
+    val trainLt = buckets * SplitTrainPct / 100
+    val valLt = buckets * (SplitTrainPct + SplitValPct) / 100
     Catalog.documents(spark, dir)
       .select(col("doc_id"), bucket.as("bucket"),
-        when(bucket < SplitTrainPct, "train")
-          .when(bucket < SplitTrainPct + SplitValPct, "val")
+        when(bucket < trainLt, "train")
+          .when(bucket < valLt, "val")
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
   }
@@ -240,8 +278,7 @@ object TextOps {
   def corpusAccounting(spark: SparkSession, dir: String): DataFrame =
     Catalog.documents(spark, dir)
       .select(
-        graft.expressions.HashFunctions.lang_id(col("text"),
-          LangMarkers.map(_._1), LangMarkers.map(_._2)).as("detected_lang"),
+        detectedLang(col("text")).as("detected_lang"),
         size(tokens(col("text"))).cast("long").as("toks"),
         length(col("text")).cast("long").as("chars"))
       .groupBy(col("detected_lang"))
@@ -249,10 +286,13 @@ object TextOps {
         sum(col("chars")).as("n_chars"))
       .orderBy(col("detected_lang"))
 
+  // integer sum()s MUST be cast: DuckDB widens them to HUGEINT, Spark
+  // returns BIGINT, and the driver's hash is type-sensitive (the r7 gate
+  // failure) — see the oracle-authoring rule at [[graft.operators.Q]]
   val corpusAccountingSql: String =
     s"""SELECT $detectedLangSql AS detected_lang, count(*) AS n_docs,
-       | sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS n_tokens,
-       | sum(length(text)) AS n_chars
+       | CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens,
+       | CAST(sum(length(text)) AS BIGINT) AS n_chars
        |FROM documents GROUP BY 1 ORDER BY detected_lang"""
       .stripMargin.replace('\n', ' ')
 

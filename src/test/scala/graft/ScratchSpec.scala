@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   */
 class ScratchSpec extends SparkSuite {
 
+  // the sweep-dependent tests below need every materialize/freshRunDir
+  // call to actually sweep — disable the JVM-local sweep throttle (the
+  // throttle's own behavior has a dedicated test)
+  spark.conf.set("spark.graft.scratch.sweep.interval.minutes", "0")
+
   private def newCorpus(): String = {
     val dir = Files.createTempDirectory("graft-scratch-src").toString
     import spark.implicits._
@@ -146,6 +151,45 @@ class ScratchSpec extends SparkSuite {
     assert(Files.exists(fresh), "fresh foreign run dir must survive")
     assert(Files.exists(liveOld.resolve("checkpoint/offsets")),
       "a run dir with any fresh descendant must survive the sweep")
+  }
+
+  test("sweep throttle skips repeat sweeps within the interval; 0 disables it") {
+    val src = newCorpus()
+    def build(staging: String): Unit = spark.range(1).write.parquet(staging)
+    try {
+      val live = Scratch.materialize(spark, "spec_throttle", "v1", src)(build)
+      // arm the throttle: first sweep under a large interval records itself
+      spark.conf.set("spark.graft.scratch.sweep.interval.minutes", "600")
+      Scratch.materialize(spark, "spec_throttle", "v1", newCorpus())(build)
+      // a stale sibling planted now must SURVIVE the next (throttled) sweep
+      val stale = Paths.get(live).getParent.resolve("deadbeef00000000")
+      Files.createDirectories(stale)
+      ageDir(stale.toString, days = 8)
+      Scratch.materialize(spark, "spec_throttle", "v1", newCorpus())(build)
+      assert(Files.exists(stale), "sweep ran despite an unexpired interval")
+      // interval 0 disables the throttle: the sweep runs and reaps
+      spark.conf.set("spark.graft.scratch.sweep.interval.minutes", "0")
+      Scratch.materialize(spark, "spec_throttle", "v1", newCorpus())(build)
+      assert(!Files.exists(stale), "throttle-disabled sweep did not reap")
+    } finally spark.conf.set("spark.graft.scratch.sweep.interval.minutes", "0")
+  }
+
+  test("freshTableDir keeps day-old table locations (general TTL, not run TTL)") {
+    // catalog tables serve reads past the 24 h run TTL and reads refresh
+    // no mtime — table-backing dirs must age on the GENERAL artifact TTL
+    val src = newCorpus()
+    val t1 = Scratch.freshTableDir(spark, "spec_tbl_ttl", src)
+    Files.createDirectories(Paths.get(t1))
+    val dayOld = Paths.get(t1).getParent.resolve("run_yesterdays_table")
+    Files.createDirectories(dayOld)
+    ageTree(dayOld.toString, days = 2)
+    val ancient = Paths.get(t1).getParent.resolve("run_ancient_table")
+    Files.createDirectories(ancient)
+    ageTree(ancient.toString, days = 8)
+    Scratch.freshTableDir(spark, "spec_tbl_ttl", src)
+    assert(Files.exists(dayOld),
+      "a 2-day-old table location must survive the general TTL")
+    assert(!Files.exists(ancient), "an 8-day-old table location must still reap")
   }
 
   test("default scratch root is per-user (predictable paths in shared /tmp)") {

@@ -88,6 +88,39 @@ class PipelineSpec extends SparkSuite {
     assert((ids & losers).isEmpty)
   }
 
+  test("x5 and z4 agree on every document's shard at a non-default bucket count") {
+    // the shard width is a deployment knob (r7 verdict item 6: 100 buckets
+    // = 100 single-task cumsums, a gate-scale setting) — prove the split
+    // and the packing stay on ONE shard formula when the count changes
+    val buckets = 256
+    val split = TextOps.splitAssignAt(buckets)(spark, sfDir)
+      .select(col("doc_id"), col("bucket").as("sb"), col("split"))
+    val pack = Pipeline.sequencePackAt(buckets)(spark, sfDir)
+      .select(col("doc_id"), col("bucket").as("pb"), col("n_tokens"), col("seq_id"))
+    val joined = split.join(pack, "doc_id").collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getAs[Int]("sb") == r.getAs[Int]("pb")),
+      "split and pack disagree on a document's shard bucket")
+    // the split fractions scale with the count (80/10/10 of 256)
+    joined.foreach { r =>
+      val b = r.getAs[Int]("sb")
+      assert(b >= 0 && b < buckets)
+      val expected =
+        if (b < buckets * TextOps.SplitTrainPct / 100) "train"
+        else if (b < buckets * (TextOps.SplitTrainPct + TextOps.SplitValPct) / 100) "val"
+        else "test"
+      assert(r.getAs[String]("split") == expected)
+    }
+    // and the packing arithmetic holds per shard at this count too
+    joined.groupBy(_.getAs[Int]("pb")).foreach { case (_, shard) =>
+      var cumBefore = 0L
+      shard.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("seq_id") == cumBefore / Pipeline.SeqWindowTokens)
+        cumBefore += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("z4 packing equals an independent per-shard prefix-sum recomputation") {
     val rows = Pipeline.sequencePack(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
