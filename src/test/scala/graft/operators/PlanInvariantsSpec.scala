@@ -40,6 +40,20 @@ class PlanInvariantsSpec extends SparkSuite {
       s"quadratic join shapes in: ${offenders.mkString(", ")}")
   }
 
+  test("d2 serves from the persisted pair artifact, not a recompute") {
+    // r7's top efficiency finding: d2/z1/z3 each re-ran the full
+    // candidate+verify build per query. The pair relation is now a
+    // Scratch artifact; d2's plan must be a scan of it — seeing a join
+    // (LSH band or prefix self-join) or the documents table here means
+    // someone reintroduced the per-query rebuild
+    val plan = SparkEntry.queries("d2_minhash_lsh")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("neardup_pairs"),
+      "d2 must read the persisted neardup_pairs artifact")
+    assert(!plan.contains("Join") && !plan.contains("documents.parquet"),
+      s"d2's plan must be an index read + sort, got:\n$plan")
+  }
+
   test("a7 scans events exactly once (single conditional aggregate)") {
     // round-6 verdict: the union-of-global-aggregates form scanned events
     // once per events section — one full extra scan at 100 TB
