@@ -124,13 +124,11 @@ object Pipeline {
   val Z2PlanesPerBand = 2
 
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
-    import graft.expressions.VectorFunctions.cosine_sim
-    val e = Similarity.nonZeroEmbeddings(spark, dir)
-    val losers = Similarity.lshCandidatePairs(e, Z2Bands, Z2PlanesPerBand)
-      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
-      .filter(round(cosine_sim(col("ea"), col("eb")), 6)
-        >= Similarity.PairThreshold)
+    // the candidate+verify mining rides the PERSISTED pair relation
+    // (Similarity.embPairsIndexed — built once per corpus, same
+    // amortization as z1/z3 over d2's neardup_pairs); the registered
+    // query is the dedup VIEW: one anti-join of losers against the table
+    val losers = Similarity.embPairsIndexed(spark, dir, Z2Bands, Z2PlanesPerBand)
       .select(col("vb").as("vec_id")).distinct()
     Catalog.embeddings(spark, dir)
       .join(losers, Seq("vec_id"), "left_anti")

@@ -399,9 +399,37 @@ object Similarity {
     arr.map(_.toSeq).toSeq
   }
 
+  /** z2's verified embedding near-dup pair relation, PERSISTED via
+    * [[graft.Scratch]] (the embedding-side sibling of `neardup_pairs`):
+    * LSH-band candidates + exact-cosine verify is mining work that
+    * depends only on (embedding content, band scheme, threshold) — at
+    * 100 TB it is built once and every dedup view reads it, not re-mined
+    * per query. The version nests the amplification scheme, the
+    * threshold, and the LCG plane family ("lcg1": [[planeComponent]]'s
+    * constants + [[Dim]]).
+    */
+  private[operators] def embPairsIndexed(spark: SparkSession, dir: String,
+      nBands: Int, planesPerBand: Int): DataFrame = {
+    val version = s"b$nBands-p$planesPerBand-" +
+      s"t${(PairThreshold * 100).toInt}-lcg1-dim$Dim"
+    val idx = graft.Scratch.materialize(spark, "emb_pairs", version, dir)(
+      staging => {
+        val e = nonZeroEmbeddings(spark, dir)
+        lshCandidatePairs(e, nBands, planesPerBand)
+          .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+          .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+          .select(col("va"), col("vb"),
+            round(cosine_sim(col("ea"), col("eb")), 6).as("cosine"))
+          .filter(col("cosine") >= PairThreshold)
+          .write.parquet(staging)
+      })
+    spark.read.parquet(idx)
+  }
+
   /** Bench-warmup hook (the n5 sibling of [[Dedup.prewarmIndexes]]). */
   def prewarmIndexes(spark: SparkSession, dir: String): Unit = {
     fittedCentroids(spark, dir)
+    embPairsIndexed(spark, dir, Pipeline.Z2Bands, Pipeline.Z2PlanesPerBand)
     ()
   }
 
