@@ -18,6 +18,15 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(lsh == exact)
   }
 
+  test("d6's persisted pair artifact equals d4's live plan") {
+    // d6 serves the verified relation from the jaccard_pairs Scratch
+    // artifact; d4 executes the prefix-join + verify each time — the
+    // artifact is an execution strategy, never a semantic change
+    val served = Dedup.ngramJaccardViaIndex(spark, sfDir).collect().toSeq
+    val live = Dedup.ngramJaccard(spark, sfDir).collect().toSeq
+    assert(served == live)
+  }
+
   test("d2 is complete at the threshold even for pairs every LSH band misses") {
     // worst case for banding: pairs at exactly J = 0.5 (the verify
     // threshold) collide per 2-row band with p = J² = 0.25, so all 16
