@@ -645,8 +645,58 @@ object Dedup {
        |ORDER BY da, db""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // X7 — benchmark decontamination: flag training documents that share
+  // n-gram content with a held-out evaluation set (the standard
+  // train/test-leakage sweep a pretraining pipeline runs before any
+  // training job; see the n-gram-overlap decontamination procedures
+  // described in the GPT-3 and The Pile papers). The eval set here is the
+  // deterministic doc_id % [[ContamEvalMod]] == 0 slice — a stand-in for
+  // the benchmark suite, which in production is a SMALL fixed corpus.
+  // That smallness is the scale design: the distinct eval shingle-hash
+  // set broadcasts, so the corpus side is a map-side semi-join over the
+  // persisted shingle index — no shuffle of the 100 TB side at all
+  // (the one aggregation shuffles only the contaminated survivors,
+  // keyed by doc id).
+  // ---------------------------------------------------------------------
+  val ContamEvalMod = 50
+  /** Flag threshold: ≥ this many distinct shared shingles. Reported
+    * counts let a pipeline re-threshold without re-scanning.
+    */
+  val ContamMinShared = 5
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleIndex(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val evalHashes = ex.filter(col("doc_id") % ContamEvalMod === 0)
+      .select(col("h")).distinct()
+    ex.filter(col("doc_id") % ContamEvalMod =!= 0)
+      .join(broadcast(evalHashes), "h")
+      // hs is distinct per document, so this count is the distinct
+      // shared-shingle count
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .select(col("doc_id"), col("n_shared_shingles"),
+        (col("n_shared_shingles") >= ContamMinShared).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $shingleCteSql,
+       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % $ContamEvalMod = 0),
+       |shared AS (
+       | SELECT s.doc_id, count(*) AS n_shared_shingles
+       | FROM (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % $ContamEvalMod <> 0) s
+       | JOIN ev ON ev.h = s.h
+       | GROUP BY s.doc_id)
+       |SELECT doc_id, n_shared_shingles,
+       | n_shared_shingles >= $ContamMinShared AS contaminated
+       |FROM shared ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("x7_decontaminate", decontaminate, Some(decontaminateSql),
+      "benchmark decontamination: distinct-shingle overlap vs a broadcast eval set (training-data extension)"),
     Q("d1_exact_dedup", exactDedup, Some(exactDedupSql),
       "prefix-fingerprint exact dedup, hash-groupBy keep-first (training-data extension)"),
     Q("d2_minhash_lsh", minhashLsh, Some(minhashLshSql),

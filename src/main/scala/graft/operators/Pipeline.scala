@@ -301,7 +301,57 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // Z5 — source mixing: deterministically downsample every source to an
+  // equal share — [[MixBudgetPct]]% of the smallest source's count (the
+  // "data mixing" stage of pretraining corpus assembly, where per-domain
+  // weights shape the training distribution; equal-share-with-budget is
+  // the canonical config, and the acceptance arithmetic generalizes to
+  // any weight table). Acceptance is EXACT INTEGER math — accept iff
+  //   (h mod S) · 100 · cnt_source  <  S · pct · min_cnt
+  // with h = hash60 of the doc id under a ":mix" salt — a pure
+  // multiplication compare (no float rate, no integer division), so both
+  // engines decide borderline documents identically, re-runs are
+  // reproducible, and the salt decorrelates sampling from x5/z4's
+  // unsalted shard hash. S = 10⁴ keeps every product within BIGINT up to
+  // ~10¹² docs per source. Scale shape: the per-source count relation is
+  // dimension-sized (broadcast), the min is a window over that tiny
+  // aggregate, and acceptance is a map-side filter — the 100 TB side is
+  // never shuffled (the ORDER BY is gate presentation only).
+  // ---------------------------------------------------------------------
+  val MixScale = 10000L
+  val MixBudgetPct = 60L
+
+  def sourceMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Catalog.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      // global min over the handful of per-source rows — h1's pattern
+      // (window over an aggregated dimension relation, never the corpus)
+      .withColumn("min_cnt", min(col("cnt")).over(Window.partitionBy()))
+    val mixHash = TextOps.hash60(
+      concat(col("doc_id").cast("string"), lit(":mix")))
+    Catalog.documents(spark, dir)
+      .join(broadcast(counts), "source")
+      .filter(pmod(mixHash, lit(MixScale)) * lit(100L) * col("cnt") <
+        lit(MixScale) * lit(MixBudgetPct) * col("min_cnt"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sourceMixSampleSql: String = {
+    val h = TextOps.hash60Sql("doc_id::VARCHAR || ':mix'")
+    s"""WITH cnts AS (
+       | SELECT source, count(*) AS cnt, min(count(*)) OVER () AS min_cnt
+       | FROM documents GROUP BY source)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN cnts c ON c.source = d.source
+       |WHERE ($h % $MixScale) * 100 * c.cnt < $MixScale * $MixBudgetPct * c.min_cnt
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("z5_source_mix", sourceMixSample, Some(sourceMixSampleSql),
+      "balanced source mixing: exact-integer deterministic downsample to the smallest source's share (training-data extension)"),
     Q("z1_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql),
       "end-to-end curation: quality -> lang -> exact dedup -> near-dup dedup, single-scan features + LSH candidates (training-data extension)"),
     Q("z2_embedding_dedup", embeddingDedup, Some(embeddingDedupSql),

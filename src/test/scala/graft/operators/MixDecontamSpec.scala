@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Behavior of the corpus-assembly extensions added in round 8:
+  * x7 benchmark decontamination and z5 source mixing.
+  */
+class MixDecontamSpec extends SparkSuite {
+
+  test("x7 counts distinct shared shingles vs the eval slice and flags at the threshold") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-decontam").toString
+    // doc 50 is an EVAL doc (id % 50 == 0). Build train docs with a known
+    // number of shared 3-shingles against it:
+    //  - doc 51 contains a 7-token verbatim quote => 5 shared shingles
+    //    (flagged at ContamMinShared = 5)
+    //  - doc 52 contains a 5-token quote => 3 shared shingles (reported,
+    //    below the flag threshold)
+    //  - doc 53 shares no shingles (absent from the output entirely)
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (50L, evalText),
+      (51L, "intro words then alpha beta gamma delta epsilon zeta eta closing"),
+      (52L, "other stuff alpha beta gamma delta epsilon trailing tokens here"),
+      (53L, "completely disjoint vocabulary nothing shared with the suite"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.decontaminate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(!out.contains(50L), "eval docs must not appear in the output")
+    assert(!out.contains(53L), "a doc sharing nothing must not appear")
+    assert(out(51L) == ((5L, true)),
+      s"7-token quote = 5 shared shingles, flagged; got ${out.get(51L)}")
+    assert(out(52L) == ((3L, false)),
+      s"5-token quote = 3 shared shingles, unflagged; got ${out.get(52L)}")
+  }
+
+  test("z5 acceptance equals the integer-arithmetic mirror, per source, deterministically") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-mix").toString
+    // skewed corpus: srcA 3x the size of srcB — the fixture's sources are
+    // perfectly balanced, so the per-source rate scaling is proven here
+    val docs = (1 to 90).map(i => (i.toLong, s"doc number $i body", "srcA")) ++
+      (91 to 120).map(i => (i.toLong, s"doc number $i body", "srcB"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val accepted = Pipeline.sourceMixSample(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // mirror: recompute the acceptance decision in the driver from the
+    // engine's own hash values and the documented integer compare
+    val hmods = spark.range(1, 121)
+      .select(col("id"),
+        pmod(TextOps.hash60(concat(col("id").cast("string"), lit(":mix"))),
+          lit(Pipeline.MixScale)).as("hm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cnt = Map("srcA" -> 90L, "srcB" -> 30L)
+    val minCnt = 30L
+    val expected = docs.collect {
+      case (id, _, src)
+          if hmods(id) * 100L * cnt(src) <
+            Pipeline.MixScale * Pipeline.MixBudgetPct * minCnt =>
+        (id, src)
+    }
+    assert(accepted.toSeq.sorted == expected.sorted)
+    // per-source rates scale inversely with size: srcA accepts ~20% of 90,
+    // srcB ~60% of 30 — both target ~18 docs. Loose band: the decision is
+    // a fixed hash, so this only guards against a degenerate all/none
+    val bySrc = accepted.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("srcA", 0) > 0 && bySrc.getOrElse("srcB", 0) > 0)
+    assert(bySrc("srcA") < 90 && bySrc("srcB") < 30,
+      s"budget must downsample both sources, got $bySrc")
+    // determinism: a second run returns the identical relation
+    val again = Pipeline.sourceMixSample(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq == accepted.toSeq)
+  }
+}
