@@ -349,6 +349,63 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** z5 under an ARBITRARY relative-weight table (the deployment surface
+    * behind the registered balanced query): accepted counts are
+    * proportional to `weights`, scaled as large as the corpus allows
+    * (the binding source m = argmin cnt/w is fully consumed at 100%
+    * budget) then shrunk by `budgetPct`. Exactness strategy: the
+    * per-source acceptance thresholds are rationals
+    * `S·pct·w_s·cnt_m / (100·cnt_s·w_m)`; multiplying them out on the
+    * executor would overflow BIGINT under extreme counts, so the
+    * thresholds are computed ONCE on the driver in BigInt (ceil form —
+    * `h < ceil(r)` ⟺ `h < r` for integer h) from the collected
+    * per-source counts. That collect is dimension-sized (one row per
+    * source — the same cardinality class as n5's k·Dim centroid
+    * collect), and what ships to executors is a literal source→threshold
+    * map: acceptance stays a map-side integer compare, bit-identical
+    * across engines and re-runs. Sources absent from `weights` get
+    * weight 0 — dropped, exactly as a mixing config that omits a domain
+    * intends.
+    */
+  def sourceMixSampleWeighted(weights: Map[String, Long],
+      budgetPct: Long = MixBudgetPct)(
+      spark: SparkSession, dir: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be a non-empty positive relative-weight table")
+    require(budgetPct > 0 && budgetPct <= 100, "budgetPct must be in (0, 100]")
+    val counts = Catalog.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weighted = counts.filter { case (s, _) => weights.contains(s) }
+    if (weighted.isEmpty) {
+      // no weighted source present — empty result, schema preserved
+      return Catalog.documents(spark, dir).filter(lit(false))
+        .select(col("doc_id"), col("source"))
+    }
+    // the binding source minimizes cnt/w — exact rational compare via
+    // BigInt cross-multiplication (no float ordering), earliest source
+    // name wins ties (equal rationals yield identical thresholds anyway)
+    val (mSrc, mCnt) = weighted.toSeq.sortBy(_._1).reduceLeft { (a, b) =>
+      if (BigInt(b._2) * weights(a._1) < BigInt(a._2) * weights(b._1)) b else a
+    }
+    val mW = weights(mSrc)
+    val thresholds: Map[String, Long] = weighted.map { case (s, c) =>
+      val num = BigInt(MixScale) * budgetPct * weights(s) * mCnt
+      val den = BigInt(100) * c * mW
+      // ceil(num/den), capped at S (rate 1.0 accepts everything)
+      s -> ((num + den - 1) / den).min(BigInt(MixScale)).toLong
+    }
+    val thrCol = thresholds.foldLeft(lit(-1L)) { case (acc, (s, t)) =>
+      when(col("source") === s, lit(t)).otherwise(acc)
+    }
+    val mixHash = TextOps.hash60(
+      concat(col("doc_id").cast("string"), lit(":mix")))
+    Catalog.documents(spark, dir)
+      .filter(pmod(mixHash, lit(MixScale)) < thrCol)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("z5_source_mix", sourceMixSample, Some(sourceMixSampleSql),
       "balanced source mixing: exact-integer deterministic downsample to the smallest source's share (training-data extension)"),

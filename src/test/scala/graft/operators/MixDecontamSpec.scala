@@ -78,4 +78,48 @@ class MixDecontamSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(again.toSeq == accepted.toSeq)
   }
+
+  test("weighted z5 reduces to balanced z5 under equal weights at the default budget") {
+    // the deployment API and the registered gate query must be the SAME
+    // formula: equal weights = balanced mixing
+    val balanced = Pipeline.sourceMixSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val sources = graft.Catalog.documents(spark, sfDir)
+      .select(col("source")).distinct().collect().map(_.getString(0))
+    val weighted = Pipeline.sourceMixSampleWeighted(
+      sources.map(_ -> 7L).toMap)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(weighted == balanced)
+  }
+
+  test("weighted z5 honors an asymmetric weight table and drops unweighted sources") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-mixw").toString
+    // srcA:srcB target 3:1; srcC carries no weight (omitted from the mix)
+    val docs = (1 to 80).map(i => (i.toLong, s"w doc $i", "srcA")) ++
+      (81 to 160).map(i => (i.toLong, s"w doc $i", "srcB")) ++
+      (161 to 200).map(i => (i.toLong, s"w doc $i", "srcC"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val weights = Map("srcA" -> 3L, "srcB" -> 1L)
+    val out = Pipeline.sourceMixSampleWeighted(weights, budgetPct = 100L)(
+      spark, tmp).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(!out.exists(_._2 == "srcC"), "unweighted sources must be dropped")
+    // binding source: cnt/w — srcA 80/3 ≈ 26.7 < srcB 80/1 → srcA fully
+    // consumed at 100% budget (threshold caps at rate 1.0)
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("srcA") == 80, s"binding source must be fully accepted, got $bySrc")
+    // mirror srcB's threshold exactly: ceil(S·100·w_B·cnt_A / (100·cnt_B·w_A))
+    val s = Pipeline.MixScale
+    val thrB = (BigInt(s) * 100 * 1 * 80 + (BigInt(100) * 80 * 3 - 1)) /
+      (BigInt(100) * 80 * 3)
+    val hmods = spark.range(81, 161)
+      .select(col("id"),
+        pmod(TextOps.hash60(concat(col("id").cast("string"), lit(":mix"))),
+          lit(s)).as("hm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectB = (81L to 160L).filter(id => hmods(id) < thrB.toLong)
+    assert(out.filter(_._2 == "srcB").map(_._1).toSeq.sorted == expectB,
+      "srcB acceptance must equal the exact ceil-threshold mirror")
+  }
 }
