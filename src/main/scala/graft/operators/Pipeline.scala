@@ -406,7 +406,89 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // Z6 — corpus ASSEMBLY pipeline, the post-curation half to z1's
+  // curation half: decontaminate (drop the eval slice and every training
+  // doc x7 flags) → mix sources (z5's balanced budget, rates recomputed
+  // over the decontaminated survivors — mixing what you actually kept,
+  // not the raw table) → assign splits (x5) → pack sequences (z4's
+  // sharded cumsum over the ACCEPTED set). Each stage is an
+  // already-oracle-checked operator; this query proves they COMPOSE, and
+  // the oracle re-states the whole chain as one CTE pipeline. Scale
+  // shape: the x7 stage is a broadcast semi-join + survivor-keyed
+  // aggregate, the mix stage a dimension broadcast + map filter, split a
+  // pure map, pack a bucket-partitioned window — nothing corpus-sized
+  // shuffles except the pack's per-bucket sort.
+  // ---------------------------------------------------------------------
+  def assemblyPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = Dedup.decontaminate(spark, dir)
+      .filter(col("contaminated"))
+      .select(col("doc_id"))
+    val survivors = Catalog.documents(spark, dir)
+      .filter(col("doc_id") % Dedup.ContamEvalMod =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    val counts = survivors
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("min_cnt", min(col("cnt")).over(Window.partitionBy()))
+    val mixHash = TextOps.hash60(
+      concat(col("doc_id").cast("string"), lit(":mix")))
+    val bucket = TextOps.shardBucket(col("doc_id"))
+    val accepted = survivors
+      .join(broadcast(counts), "source")
+      .filter(pmod(mixHash, lit(MixScale)) * lit(100L) * col("cnt") <
+        lit(MixScale) * lit(MixBudgetPct) * col("min_cnt"))
+      .select(col("doc_id"), col("source"), bucket.as("bucket"),
+        when(bucket < TextOps.SplitTrainPct, "train")
+          .when(bucket < TextOps.SplitTrainPct + TextOps.SplitValPct, "val")
+          .otherwise("test").as("split"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    accepted
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("bucket"), col("split"),
+        col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / SeqWindowTokens)
+          .cast("long").as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val assemblyPipelineSql: String = {
+    val h = TextOps.hash60Sql("doc_id::VARCHAR || ':mix'")
+    val b = TextOps.shardBucketSql("doc_id")
+    val m = Dedup.ContamEvalMod
+    s"""WITH ${Dedup.shingleCteSql},
+       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % $m = 0),
+       |flagged AS (
+       | SELECT s.doc_id FROM (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % $m <> 0) s
+       | JOIN ev ON ev.h = s.h
+       | GROUP BY s.doc_id HAVING count(*) >= ${Dedup.ContamMinShared}),
+       |surv AS (
+       | SELECT * FROM documents
+       | WHERE doc_id % $m <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |cnts AS (
+       | SELECT source, count(*) AS cnt, min(count(*)) OVER () AS min_cnt
+       | FROM surv GROUP BY source),
+       |acc AS (
+       | SELECT d.doc_id, d.source, $b::INT AS bucket,
+       |  CASE WHEN $b < ${TextOps.SplitTrainPct} THEN 'train'
+       |       WHEN $b < ${TextOps.SplitTrainPct + TextOps.SplitValPct} THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  len(string_split_regex(lower(trim(d.text)), '\\s+'))::BIGINT AS n_tokens
+       | FROM surv d JOIN cnts c ON c.source = d.source
+       | WHERE ($h % $MixScale) * 100 * c.cnt < $MixScale * $MixBudgetPct * c.min_cnt)
+       |SELECT doc_id, source, bucket, split, n_tokens,
+       | ((cum - n_tokens) // $SeqWindowTokens)::BIGINT AS seq_id
+       |FROM (
+       | SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |   ROWS UNBOUNDED PRECEDING) AS cum
+       | FROM acc) t
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("z6_assembly_pipeline", assemblyPipeline, Some(assemblyPipelineSql),
+      "corpus assembly: decontaminate -> mix sources -> split -> pack, the post-curation composition (training-data extension)"),
     Q("z5_source_mix", sourceMixSample, Some(sourceMixSampleSql),
       "balanced source mixing: exact-integer deterministic downsample to the smallest source's share (training-data extension)"),
     Q("z1_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql),

@@ -92,6 +92,33 @@ class MixDecontamSpec extends SparkSuite {
     assert(weighted == balanced)
   }
 
+  test("z6 composes its stages consistently with x7/x5/z4 run standalone") {
+    val rows = Pipeline.assemblyPipeline(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0)).toSet
+    // stage 1: no eval doc and no flagged doc survives
+    assert(!ids.exists(_ % Dedup.ContamEvalMod == 0),
+      "eval-slice docs must not reach the assembled corpus")
+    val flagged = Dedup.decontaminate(spark, sfDir)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert((ids & flagged).isEmpty, "x7-flagged docs must be dropped")
+    // stage 3: bucket and split agree with x5's standalone assignment
+    val x5 = TextOps.splitAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    rows.foreach { r =>
+      assert(x5(r.getLong(0)) == ((r.getInt(2), r.getString(3))),
+        s"doc ${r.getLong(0)}: assembly (bucket, split) diverged from x5")
+    }
+    // stage 4: the packing cumsum holds over the ACCEPTED set per bucket
+    rows.groupBy(_.getInt(2)).foreach { case (_, shard) =>
+      var cum = 0L
+      shard.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(5) == cum / Pipeline.SeqWindowTokens)
+        cum += r.getLong(4)
+      }
+    }
+  }
+
   test("weighted z5 honors an asymmetric weight table and drops unweighted sources") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-mixw").toString
