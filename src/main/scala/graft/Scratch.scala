@@ -333,13 +333,18 @@ object Scratch {
 
   /** A fresh working dir for state that BACKS A CATALOG TABLE (DDL
     * `LOCATION`s): swept on the GENERAL artifact TTL, not the short run
-    * TTL. A registered table is served by reads for as long as it stays
-    * in the catalog, and parquet reads refresh no mtime — under the
-    * 24-hour run TTL a table created yesterday gets its files reaped out
-    * from under the catalog entry on the next same-kind sweep
-    * (missing-file read errors; the r7 ADVICE finding). Table locations
-    * are few (one per CREATE, not one per pipeline run), so the
-    * gigabytes-per-day argument behind the short run TTL does not apply.
+    * TTL. Parquet reads refresh no mtime, so under the 24-hour run TTL a
+    * table created yesterday gets its files reaped out from under the
+    * catalog entry on the next same-kind sweep (missing-file read
+    * errors; the r7 ADVICE finding). Table locations are few (one per
+    * CREATE, not one per pipeline run), so the gigabytes-per-day
+    * argument behind the short run TTL does not apply. The CONTRACT is
+    * the general TTL, not forever: a catalog table older than
+    * [[TtlHoursDefault]] whose location was never re-materialized is
+    * still outside it (same rule the run-TTL doc states for long-read
+    * run state) — a deployment keeping tables longer must raise
+    * `spark.graft.scratch.ttl.hours` or locate them outside scratch,
+    * which is where durable tables belong anyway.
     */
   def freshTableDir(spark: SparkSession, kind: String, srcDir: String): String =
     freshRunDirWithTtl(spark, kind, srcDir, ttlMs(spark))

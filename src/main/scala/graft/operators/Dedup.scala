@@ -334,11 +334,13 @@ object Dedup {
     * (corpus content, MinHash constants, J-threshold, df cap, shingle
     * kernel) — the content rides the Scratch content key, everything else
     * is named here. MinhashA/B derive deterministically from K, so
-    * (K, bands) pins the signature family.
+    * (K, P, bands) pins the signature family — P is an independent
+    * constant, so it is named explicitly (a modulus change with the same
+    * K must never serve the old relation).
     */
   private def neardupPairsVersion: String =
-    s"mh$MinhashK-b${MinhashK / BandRows}-t${(JaccardThreshold * 100).toInt}-" +
-      s"cap$DocFreqCap-$ShingleIndexVersion"
+    s"mh$MinhashK-p$MinhashP-b${MinhashK / BandRows}-" +
+      s"t${(JaccardThreshold * 100).toInt}-cap$DocFreqCap-$ShingleIndexVersion"
 
   /** d2's verified near-dup pair relation, PERSISTED via [[graft.Scratch]]
     * (sibling of the shingle/prefix/winnow indexes). Three registered
@@ -650,28 +652,31 @@ object Dedup {
   // n-gram content with a held-out evaluation set (the standard
   // train/test-leakage sweep a pretraining pipeline runs before any
   // training job; see the n-gram-overlap decontamination procedures
-  // described in the GPT-3 and The Pile papers). The eval set here is the
-  // deterministic doc_id % [[ContamEvalMod]] == 0 slice — a stand-in for
-  // the benchmark suite, which in production is a SMALL fixed corpus.
-  // That smallness is the scale design: the distinct eval shingle-hash
-  // set broadcasts, so the corpus side is a map-side semi-join over the
-  // persisted shingle index — no shuffle of the 100 TB side at all
-  // (the one aggregation shuffles only the contaminated survivors,
-  // keyed by doc id).
+  // described in the GPT-3 and The Pile papers). The production shape is
+  // [[decontaminateAgainst]]: the eval suite is an EXTERNAL corpus that
+  // is small by nature (benchmarks are MBs), so its distinct shingle set
+  // broadcasts and the 100 TB side is a map-side semi-join over the
+  // persisted shingle index. The REGISTERED query stands in a
+  // deterministic doc_id % [[ContamEvalMod]] slice for that suite —
+  // which, being corpus-PROPORTIONAL, must not be force-broadcast (at
+  // scale it would blow the broadcast limit): the registered plan leaves
+  // the join strategy to the optimizer, which broadcasts exactly when
+  // the eval side is actually small. The aggregation shuffles every doc
+  // sharing ≥ 1 eval shingle (reported rows include sub-threshold
+  // counts, so a pipeline can re-threshold without re-scanning).
   // ---------------------------------------------------------------------
   val ContamEvalMod = 50
-  /** Flag threshold: ≥ this many distinct shared shingles. Reported
-    * counts let a pipeline re-threshold without re-scanning.
-    */
+  /** Flag threshold: ≥ this many distinct shared shingles. */
   val ContamMinShared = 5
 
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleIndex(spark, dir)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-    val evalHashes = ex.filter(col("doc_id") % ContamEvalMod === 0)
-      .select(col("h")).distinct()
-    ex.filter(col("doc_id") % ContamEvalMod =!= 0)
-      .join(broadcast(evalHashes), "h")
+  /** Shared core: overlap counts of `train` postings against a distinct
+    * eval shingle-hash set. `hintBroadcast` is set only when the caller
+    * KNOWS the eval side is small (an external benchmark suite).
+    */
+  private def contamCounts(train: DataFrame, evalHashes: DataFrame,
+      hintBroadcast: Boolean): DataFrame =
+    train
+      .join(if (hintBroadcast) broadcast(evalHashes) else evalHashes, "h")
       // hs is distinct per document, so this count is the distinct
       // shared-shingle count
       .groupBy(col("doc_id"))
@@ -679,6 +684,30 @@ object Dedup {
       .select(col("doc_id"), col("n_shared_shingles"),
         (col("n_shared_shingles") >= ContamMinShared).as("contaminated"))
       .orderBy(col("doc_id"))
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleIndex(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val evalHashes = ex.filter(col("doc_id") % ContamEvalMod === 0)
+      .select(col("h")).distinct()
+    contamCounts(ex.filter(col("doc_id") % ContamEvalMod =!= 0),
+      evalHashes, hintBroadcast = false)
+  }
+
+  /** The deployment surface: decontaminate the corpus at `dir` against an
+    * EXPLICIT eval corpus (`doc_id`, `text`) — the benchmark suite a real
+    * pipeline holds out. The suite's distinct shingle set is
+    * force-broadcast (it is small by nature; that is what makes the
+    * 100 TB side a map-side semi-join with no corpus shuffle).
+    */
+  def decontaminateAgainst(evalDocs: DataFrame)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val evalHashes = evalDocs
+      .select(explode(shingle_hash60(col("text"), 3)).as("h"))
+      .distinct()
+    val ex = shingleIndex(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    contamCounts(ex, evalHashes, hintBroadcast = true)
   }
 
   val decontaminateSql: String =

@@ -270,22 +270,29 @@ object Pipeline {
     * count, so split and packing can never disagree on a document's
     * shard.
     */
-  def sequencePackAt(buckets: Int)(spark: SparkSession, dir: String): DataFrame = {
-    // THE shared shard expression (x5's bucket) — split and packing stay
-    // aligned by construction
-    val docs = Catalog.documents(spark, dir)
-      .select(col("doc_id"),
-        TextOps.shardBucket(col("doc_id"), buckets).as("bucket"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+  /** THE sharded pack stage (z4, z6's last stage — one cumsum rule):
+    * adds `seq_id` to rows carrying (doc_id, bucket, n_tokens), each
+    * bucket's cumulative sum computed independently.
+    */
+  private def packSeqId(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("bucket"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / SeqWindowTokens)
-          .cast("long").as("seq_id"))
-      .orderBy(col("doc_id"))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / SeqWindowTokens).cast("long"))
+      .drop("cum")
   }
+
+  def sequencePackAt(buckets: Int)(spark: SparkSession, dir: String): DataFrame =
+    // THE shared shard expression (x5's bucket) — split and packing stay
+    // aligned by construction
+    packSeqId(Catalog.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.shardBucket(col("doc_id"), buckets).as("bucket"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("seq_id"))
+      .orderBy(col("doc_id"))
 
   val sequencePackSql: String = {
     val b = TextOps.shardBucketSql("doc_id")
@@ -322,21 +329,30 @@ object Pipeline {
   val MixScale = 10000L
   val MixBudgetPct = 60L
 
-  def sourceMixSample(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Catalog.documents(spark, dir)
+  /** THE balanced-budget mix stage over ANY documents-shaped relation
+    * (z5 runs it over the raw table, z6 over decontamination survivors —
+    * one acceptance rule, never two copies): joins the per-source count
+    * dimension (broadcast; the global min is h1's pattern — a window
+    * over the aggregated dimension rows, never the corpus) and applies
+    * the integer acceptance compare, preserving the input's columns.
+    */
+  private def mixAccept(docs: DataFrame): DataFrame = {
+    val counts = docs
       .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
-      // global min over the handful of per-source rows — h1's pattern
-      // (window over an aggregated dimension relation, never the corpus)
       .withColumn("min_cnt", min(col("cnt")).over(Window.partitionBy()))
     val mixHash = TextOps.hash60(
       concat(col("doc_id").cast("string"), lit(":mix")))
-    Catalog.documents(spark, dir)
+    docs
       .join(broadcast(counts), "source")
       .filter(pmod(mixHash, lit(MixScale)) * lit(100L) * col("cnt") <
         lit(MixScale) * lit(MixBudgetPct) * col("min_cnt"))
+      .drop("cnt", "min_cnt")
+  }
+
+  def sourceMixSample(spark: SparkSession, dir: String): DataFrame =
+    mixAccept(Catalog.documents(spark, dir))
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
-  }
 
   val sourceMixSampleSql: String = {
     val h = TextOps.hash60Sql("doc_id::VARCHAR || ':mix'")
@@ -421,35 +437,22 @@ object Pipeline {
   // shuffles except the pack's per-bucket sort.
   // ---------------------------------------------------------------------
   def assemblyPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // every stage is the SAME code path as its standalone operator
+    // (contamCounts via x7, mixAccept via z5, splitCase via x5, packSeqId
+    // via z4) — the composition cannot drift from the pieces
     val flagged = Dedup.decontaminate(spark, dir)
       .filter(col("contaminated"))
       .select(col("doc_id"))
     val survivors = Catalog.documents(spark, dir)
       .filter(col("doc_id") % Dedup.ContamEvalMod =!= 0)
       .join(flagged, Seq("doc_id"), "left_anti")
-    val counts = survivors
-      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
-      .withColumn("min_cnt", min(col("cnt")).over(Window.partitionBy()))
-    val mixHash = TextOps.hash60(
-      concat(col("doc_id").cast("string"), lit(":mix")))
     val bucket = TextOps.shardBucket(col("doc_id"))
-    val accepted = survivors
-      .join(broadcast(counts), "source")
-      .filter(pmod(mixHash, lit(MixScale)) * lit(100L) * col("cnt") <
-        lit(MixScale) * lit(MixBudgetPct) * col("min_cnt"))
+    packSeqId(mixAccept(survivors)
       .select(col("doc_id"), col("source"), bucket.as("bucket"),
-        when(bucket < TextOps.SplitTrainPct, "train")
-          .when(bucket < TextOps.SplitTrainPct + TextOps.SplitValPct, "val")
-          .otherwise("test").as("split"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    accepted
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+        TextOps.splitCase(bucket).as("split"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
       .select(col("doc_id"), col("source"), col("bucket"), col("split"),
-        col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / SeqWindowTokens)
-          .cast("long").as("seq_id"))
+        col("n_tokens"), col("seq_id"))
       .orderBy(col("doc_id"))
   }
 

@@ -241,21 +241,26 @@ object TextOps {
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     splitAssignAt(ShardBuckets)(spark, dir)
 
-  /** x5 at an explicit bucket count: split thresholds scale with the
-    * count (bucket < buckets·80% → train …), so the 80/10/10 fractions
-    * hold for any count divisible by 100's granularity — and a document's
-    * BUCKET (hence its z4 pack shard) stays aligned with its split by
-    * construction.
+  /** THE split rule as one expression over a shard-bucket column —
+    * thresholds scale with the bucket count (bucket < buckets·80% →
+    * train …), so the 80/10/10 fractions hold at any count. Every split
+    * consumer (x5, z6's assembly stage) rides this one CASE; a rule that
+    * lived in two places would let them diverge the day the thresholds
+    * change.
+    */
+  def splitCase(bucket: Column, buckets: Int = ShardBuckets): Column =
+    when(bucket < buckets * SplitTrainPct / 100, "train")
+      .when(bucket < buckets * (SplitTrainPct + SplitValPct) / 100, "val")
+      .otherwise("test")
+
+  /** x5 at an explicit bucket count — a document's BUCKET (hence its z4
+    * pack shard) stays aligned with its split by construction.
     */
   def splitAssignAt(buckets: Int)(spark: SparkSession, dir: String): DataFrame = {
     val bucket = shardBucket(col("doc_id"), buckets)
-    val trainLt = buckets * SplitTrainPct / 100
-    val valLt = buckets * (SplitTrainPct + SplitValPct) / 100
     Catalog.documents(spark, dir)
       .select(col("doc_id"), bucket.as("bucket"),
-        when(bucket < trainLt, "train")
-          .when(bucket < valLt, "val")
-          .otherwise("test").as("split"))
+        splitCase(bucket, buckets).as("split"))
       .orderBy(col("doc_id"))
   }
 

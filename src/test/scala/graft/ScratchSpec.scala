@@ -11,9 +11,17 @@ import org.apache.spark.sql.functions._
 class ScratchSpec extends SparkSuite {
 
   // the sweep-dependent tests below need every materialize/freshRunDir
-  // call to actually sweep — disable the JVM-local sweep throttle (the
-  // throttle's own behavior has a dedicated test)
+  // call to actually sweep — disable the JVM-local sweep throttle for
+  // this suite (the throttle's own behavior has a dedicated test) and
+  // restore the shipped default afterwards: the session is JVM-shared,
+  // and leaking the conf would silently run every later suite with the
+  // throttle off
   spark.conf.set("spark.graft.scratch.sweep.interval.minutes", "0")
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.scratch.sweep.interval.minutes")
+    super.afterAll()
+  }
 
   private def newCorpus(): String = {
     val dir = Files.createTempDirectory("graft-scratch-src").toString

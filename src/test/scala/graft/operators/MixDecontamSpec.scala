@@ -37,6 +37,17 @@ class MixDecontamSpec extends SparkSuite {
       s"7-token quote = 5 shared shingles, flagged; got ${out.get(51L)}")
     assert(out(52L) == ((3L, false)),
       s"5-token quote = 3 shared shingles, unflagged; got ${out.get(52L)}")
+
+    // the deployment surface — an EXTERNAL eval corpus — must report the
+    // identical overlaps when handed the same suite explicitly
+    val tmp2 = Files.createTempDirectory("graft-decontam-ext").toString
+    docs.filter(_._1 != 50L).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val evalDf = Seq((50L, evalText)).toDF("doc_id", "text")
+    val ext = Dedup.decontaminateAgainst(evalDf)(spark, tmp2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(ext == out,
+      s"explicit-eval deployment form diverged from the slice form: $ext vs $out")
   }
 
   test("z5 acceptance equals the integer-arithmetic mirror, per source, deterministically") {
