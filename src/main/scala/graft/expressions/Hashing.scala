@@ -217,6 +217,33 @@ object Hash {
       Array[Any](nTok, stopHits, punct, nChars))
   }
 
+  /** Intra-document repetition counters (Gopher-style repetition rules,
+    * distinct from [[qualityStats]]'s quality counters) in ONE pass:
+    * token/bigram cardinalities plus the hottest bigram's occurrence
+    * count. All set/count state is per-document (bounded by the doc's own
+    * token count), so the kernel streams through a corpus with zero
+    * shuffle — the scale-correct alternative to an explode + per-doc
+    * groupBy, which would shuffle every bigram of every document.
+    */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = Ws.split(text.trim().toLowerCase().toString, -1)
+    val nTok = toks.length
+    val tokSet = new java.util.HashSet[String]()
+    var i = 0
+    while (i < nTok) { tokSet.add(toks(i)); i += 1 }
+    val bigrams = new java.util.HashMap[String, Integer]()
+    var top = 0
+    i = 0
+    while (i < nTok - 1) {
+      val c = bigrams.merge(toks(i) + " " + toks(i + 1), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > top) top = c.intValue
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, tokSet.size, math.max(nTok - 1, 0), bigrams.size, top))
+  }
+
   /** (a*b) mod (2^61-1) for 0 ≤ a,b < 2^61-1 — Mersenne folding: write the
     * 128-bit product in base 2^61 (2^61 ≡ 1 mod p) and sum the limbs.
     */
@@ -420,6 +447,35 @@ case class QualityStatsExpr(child: Expression, stopwords: Seq[String])
   override def prettyName: String = "quality_stats"
 }
 
+/** `repetition_stats(text): struct<n_tokens, n_distinct_tokens, n_bigrams,
+  * n_distinct_bigrams, top_bigram_hits>` — intra-document repetition
+  * counters in one codegen'd pass (see [[Hash.repetitionStats]]). Ratios
+  * derive in the outer projection, matching the SQL oracle's arithmetic.
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_distinct_tokens", IntegerType, nullable = false),
+      StructField("n_bigrams", IntegerType, nullable = false),
+      StructField("n_distinct_bigrams", IntegerType, nullable = false),
+      StructField("top_bigram_hits", IntegerType, nullable = false)))
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Hash.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Hash.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
 object HashFunctions {
   def simhash60(c: Column): Column = Shims.column(SimHash60(Shims.expression(c)))
   def shingle_hash60(c: Column, k: Int): Column =
@@ -432,4 +488,6 @@ object HashFunctions {
     Shims.column(MinHashSig(Shims.expression(c), a, b, p))
   def quality_stats(c: Column, stopwords: Seq[String]): Column =
     Shims.column(QualityStatsExpr(Shims.expression(c), stopwords))
+  def repetition_stats(c: Column): Column =
+    Shims.column(RepetitionStatsExpr(Shims.expression(c)))
 }

@@ -301,8 +301,50 @@ object TextOps {
        |FROM documents GROUP BY 1 ORDER BY detected_lang"""
       .stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // X8 — intra-document repetition signals (the Gopher repetition rules,
+  // the quality axis x2's counters don't cover: a document can have
+  // perfect length/punctuation stats and still be one bigram stuttered
+  // 500 times). One codegen'd kernel pass per row
+  // ([[graft.expressions.RepetitionStatsExpr]]) — per-document hash-map
+  // state bounded by the document's own token count, zero shuffle; the
+  // explode + per-doc groupBy alternative would shuffle every bigram of
+  // the corpus. Ratios derive in the outer projection; divide-by-zero
+  // (no bigrams) is an explicit NULL on both engines.
+  // ---------------------------------------------------------------------
+  def repetitionScores(spark: SparkSession, dir: String): DataFrame = {
+    val stats = graft.expressions.HashFunctions.repetition_stats(col("text"))
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), stats.as("s"))
+      .select(
+        col("doc_id"),
+        col("s.n_tokens").as("n_tokens"),
+        round(lit(1.0) - col("s.n_distinct_tokens").cast("double") /
+          col("s.n_tokens").cast("double"), 6).as("dup_token_ratio"),
+        col("s.n_distinct_bigrams").as("n_distinct_bigrams"),
+        when(col("s.n_bigrams") =!= 0,
+          round(col("s.top_bigram_hits").cast("double") /
+            col("s.n_bigrams").cast("double"), 6)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionScoresSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+       |b AS (SELECT doc_id, w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg FROM t)
+       |SELECT doc_id,
+       | len(w)::INT AS n_tokens,
+       | round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) AS dup_token_ratio,
+       | len(list_distinct(bg))::INT AS n_distinct_bigrams,
+       | CASE WHEN len(bg) = 0 THEN NULL
+       |  ELSE round(list_max(list_transform(list_distinct(bg),
+       |    x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg), 6)
+       | END AS top_bigram_frac
+       |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("x8_repetition", repetitionScores, Some(repetitionScoresSql),
+      "Gopher-style intra-document repetition signals via a one-pass codegen'd kernel (training-data extension)"),
     Q("x1_token_count", tokenCounts, Some(tokenCountsSql),
       "whitespace + BPE-ish token counting (training-data extension)"),
     Q("x5_split_assign", splitAssign, Some(splitAssignSql),
