@@ -502,8 +502,63 @@ object Monitoring {
       |FROM (SELECT o_orderkey, CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 1024) AS BIGINT) AS bytes FROM orders) t
       |ORDER BY bytes DESC, o_orderkey LIMIT 20""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // W5 — as-of (point-in-time) join: each purchase is joined to the most
+  // recent error by the same user at or before its timestamp — the
+  // temporal-correlation primitive the reference approximates with j4's
+  // minute-bucket equality (myapp/views.py:793-799 correlates metric and
+  // process rows by minute because SQL lacks the operator; as-of is the
+  // exact form). Spark has no ASOF JOIN; a per-pair range join would be
+  // quadratic per user. The scalable plan is the union-merge form every
+  // time-series engine uses (pandas merge_asof, kdb aj): tag both sides,
+  // union, and take a running last-non-null of the right side's timestamp
+  // over one per-user ordered window — ONE shuffle on user_id, per-row
+  // O(1) window state, linear in |left| + |right| at any scale. Ties
+  // (error ts == purchase ts) order the error first, making the match
+  // inclusive — exactly DuckDB's `ON p.ts >= e.ts` ASOF semantics, which
+  // the oracle runs natively.
+  // ---------------------------------------------------------------------
+  /** Union-merge as-of core over any (user_id, ts, event_id)-shaped sides
+    * (specs inject hand-built frames): left rows get `err_ts` = the max
+    * right ts ≤ their own ts within the same user_id, NULL when no right
+    * row precedes them.
+    */
+  def asofJoinOn(left: DataFrame, right: DataFrame): DataFrame = {
+    val r = right.select(col("user_id"), col("ts"), lit(0).as("side"),
+      lit(null).cast("long").as("event_id"), col("ts").as("err_ts"))
+    val l = left.select(col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id"), lit(null).cast("timestamp").as("err_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof_ts", last(col("err_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("asof_ts").as("err_ts"))
+  }
+
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.events(spark, dir)
+    asofJoinOn(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts")))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS event_id, p.ts AS ts, e.ts AS err_ts
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+      | ON p.user_id = e.user_id AND p.ts >= e.ts
+      |ORDER BY p.event_id""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("w5_asof_join", asofJoin, Some(asofJoinSql),
+      "as-of join via the union-merge window form; DuckDB native ASOF JOIN oracle (exact form of views.py:793-799's minute correlation)"),
     Q("p3_slow_queries", slowQueries, Some(slowQueriesSql),
       "interval-threshold filter + IST display + format_duration (views.py:396-407)"),
     Q("p4_idle_sessions", idleSessions, Some(idleSessionsSql),

@@ -372,7 +372,80 @@ object Relational {
       |ORDER BY nation""".stripMargin.replace('\n', ' ')
 
   /** Registry of this module's catalogued queries. */
+  // ---------------------------------------------------------------------
+  // J9 — range (interval) join: count the events falling inside each of a
+  // set of time windows — the incident-correlation primitive (j4's minute
+  // buckets and w5's as-of are its equality and latest-only special
+  // cases; the general form joins points to arbitrary intervals). Spark
+  // plans a raw `ON p.ts BETWEEN w.lo AND w.hi` as BroadcastNestedLoop —
+  // O(|wins|·|points|) and a scale-killer once the interval side outgrows
+  // a broadcast. The scalable form BUCKETS both sides on a fixed time
+  // grid: each interval explodes to the grid cells it overlaps
+  // (bounded by interval_len/bucket + 1 ≈ 3 cells here), points map to
+  // exactly one cell, and the join becomes an equi-join on the cell key
+  // followed by the exact containment filter inside the join — a hash
+  // shuffle both arms, never a loop join. A (window, point) pair shares
+  // exactly one cell (the point's), so no post-join dedup is needed.
+  // The count aggregate is keyed by window id; windows with no points
+  // survive via a left join back to the interval relation.
+  // ---------------------------------------------------------------------
+  /** Bucket width. Chosen ≥ the typical interval length so explosion
+    * stays ~2-3 cells per interval; a deployment tunes it to its interval
+    * distribution (width ≪ intervals wastes fan-out, width ≫ intervals
+    * wastes filter selectivity).
+    */
+  val RangeBucketSec = 300L
+  /** Half-open window length for the registered query. */
+  val RangeWindowMin = 10
+
+  /** Bucketed range-join core over any (win_id, win_start, win_end) ×
+    * (view_id, view_ts) pair of frames (specs inject hand-built ones):
+    * per-window counts of points with win_start ≤ ts < win_end, zero-point
+    * windows included.
+    */
+  def rangeJoinCounts(wins: DataFrame, points: DataFrame): DataFrame = {
+    def cell(ts: Column): Column =
+      floor(ts.cast("long") / lit(RangeBucketSec)).cast("long")
+    // end is exclusive, so a window ending exactly on a grid line gains
+    // only an empty trailing cell — harmless superset, exactness restored
+    // by the containment filter
+    val winCells = wins.withColumn("cell",
+      explode(sequence(cell(col("win_start")), cell(col("win_end")))))
+    val pointCells = points.withColumn("cell", cell(col("view_ts")))
+    val matched = winCells.join(pointCells, Seq("cell"))
+      .filter(col("view_ts") >= col("win_start") &&
+        col("view_ts") < col("win_end"))
+      .groupBy(col("win_id")).agg(count(lit(1)).as("n_views"))
+    wins.join(matched, Seq("win_id"), "left")
+      .select(col("win_id"), col("win_start"), col("win_end"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"))
+  }
+
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.events(spark, dir)
+    val wins = ev
+      .filter(col("event_type") === "error" && col("value") > 100)
+      .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+        (col("ts") + expr(s"INTERVAL $RangeWindowMin MINUTES")).as("win_end"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"))
+    rangeJoinCounts(wins, views).orderBy(col("win_id"))
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH wins AS (
+       | SELECT event_id AS win_id, ts AS win_start,
+       |  ts + INTERVAL $RangeWindowMin MINUTE AS win_end
+       | FROM events WHERE event_type = 'error' AND value > 100),
+       |v AS (SELECT ts FROM events WHERE event_type = 'view')
+       |SELECT w.win_id, w.win_start, w.win_end, count(v.ts) AS n_views
+       |FROM wins w LEFT JOIN v ON v.ts >= w.win_start AND v.ts < w.win_end
+       |GROUP BY w.win_id, w.win_start, w.win_end
+       |ORDER BY w.win_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("j9_range_join", rangeJoin, Some(rangeJoinSql),
+      "bucketed interval join: points-in-window counts as a grid equi-join, not a loop join (general form of views.py:793-799)"),
     Q("j6_anti_join", customersWithoutOrders, Some(customersWithoutOrdersSql),
       "anti-join, NOT-EXISTS form (apps.py:55-69)"),
     Q("j7_scalar_subquery", ordersAboveAverage, Some(ordersAboveAverageSql),

@@ -341,8 +341,62 @@ object TextOps {
        | END AS top_bigram_frac
        |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // X9 — vocabulary construction: the corpus-wide token frequency table a
+  // tokenizer build (BPE/WordPiece base vocabulary, frequency cutoffs)
+  // starts from. Classic word count with an explicit TWO-LEVEL aggregate:
+  // a first partial aggregate on (token, doc_id) makes BOTH outputs
+  // algebraic — total occurrences is a sum of per-doc counts and document
+  // frequency is a plain count of the first level's rows — so no
+  // distinct-expansion shuffle ever carries the corpus. Truncation to the
+  // top N happens BEFORE ranking: orderBy+limit plans
+  // TakeOrderedAndProject (k rows per partition to the driver, no global
+  // sort), and the rank window then runs over those N rows only — the h1
+  // pattern (windows over aggregated dimension-sized relations, never
+  // the base table). The (count desc, token) order is total, so the
+  // cutoff and ranks are deterministic on both engines.
+  // ---------------------------------------------------------------------
+  val VocabTopN = 30
+
+  /** Two-level vocabulary core over any (doc_id, text) frame (specs
+    * inject hand-built ones).
+    */
+  def vocabularyOf(docs: DataFrame, topN: Int = VocabTopN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    perDoc
+      .groupBy(col("tok"))
+      .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("tok"))))
+      .select(col("rank"), col("tok"), col("n_occurrences"), col("doc_freq"))
+  }
+
+  def vocabulary(spark: SparkSession, dir: String): DataFrame =
+    vocabularyOf(Catalog.documents(spark, dir)).orderBy(col("rank"))
+
+  val vocabularySql: String =
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       | FROM documents),
+       |agg AS (
+       | SELECT tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
+       | FROM tok WHERE length(tok) > 0 GROUP BY tok),
+       |top AS (SELECT * FROM agg ORDER BY n_occurrences DESC, tok LIMIT $VocabTopN)
+       |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, tok) AS INT) AS rank,
+       | tok, n_occurrences, doc_freq
+       |FROM top ORDER BY rank""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("x9_vocabulary", vocabulary, Some(vocabularySql),
+      "corpus vocabulary: top-N token frequency/doc-frequency table via a two-level algebraic aggregate (training-data extension)"),
     Q("x8_repetition", repetitionScores, Some(repetitionScoresSql),
       "Gopher-style intra-document repetition signals via a one-pass codegen'd kernel (training-data extension)"),
     Q("x1_token_count", tokenCounts, Some(tokenCountsSql),

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Hand-computed semantics for the round-8 temporal-join and vocabulary
+  * operators: w5's union-merge as-of core, j9's bucketed range-join core,
+  * and x9's two-level vocabulary aggregate.
+  */
+class AsofRangeVocabSpec extends SparkSuite {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // -- w5 -----------------------------------------------------------------
+
+  private def asofOf(left: Seq[(Long, String, Long)],
+      right: Seq[(Long, String)]): Map[Long, Option[String]] = {
+    import spark.implicits._
+    val l = left.map { case (u, t, id) => (u, ts(t), id) }
+      .toDF("user_id", "ts", "event_id")
+    val r = right.map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    Monitoring.asofJoinOn(l, r).collect()
+      .map(row => row.getLong(1) ->
+        Option(row.getTimestamp(3)).map(_.toString))
+      .toMap
+  }
+
+  test("w5 as-of picks the latest right row at or before each left row") {
+    val got = asofOf(
+      left = Seq((1L, "2024-01-01 10:00:00", 100L),
+        (1L, "2024-01-01 12:00:00", 101L)),
+      right = Seq((1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 11:30:00"),
+        (1L, "2024-01-01 13:00:00")))
+    assert(got(100L).contains("2024-01-01 09:00:00.0"), s"got $got")
+    assert(got(101L).contains("2024-01-01 11:30:00.0"), s"got $got")
+  }
+
+  test("w5 as-of tie is inclusive and users do not cross-match") {
+    val got = asofOf(
+      left = Seq((1L, "2024-01-01 10:00:00", 100L),
+        (2L, "2024-01-01 10:00:00", 200L)),
+      right = Seq((1L, "2024-01-01 10:00:00"), // exact tie -> matches
+        (2L, "2024-01-01 10:00:01"))) // after -> no match for user 2
+    assert(got(100L).contains("2024-01-01 10:00:00.0"), s"got $got")
+    assert(got(200L).isEmpty, s"got $got")
+  }
+
+  test("w5 as-of with no preceding right row yields NULL") {
+    val got = asofOf(
+      left = Seq((1L, "2024-01-01 08:00:00", 100L)),
+      right = Seq((1L, "2024-01-01 09:00:00")))
+    assert(got(100L).isEmpty)
+  }
+
+  // -- j9 -----------------------------------------------------------------
+
+  private def rangeOf(wins: Seq[(Long, String, String)],
+      points: Seq[(Long, String)]): Map[Long, Long] = {
+    import spark.implicits._
+    val w = wins.map { case (id, a, b) => (id, ts(a), ts(b)) }
+      .toDF("win_id", "win_start", "win_end")
+    val p = points.map { case (id, t) => (id, ts(t)) }
+      .toDF("view_id", "view_ts")
+    Relational.rangeJoinCounts(w, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+  }
+
+  test("j9 range join counts half-open [start, end) across bucket lines") {
+    // RangeBucketSec = 300: the window straddles the 10:05:00 grid line,
+    // so its cells are {10:00, 10:05} and matches must come from the
+    // containment filter, not the bucketing
+    val got = rangeOf(
+      wins = Seq((1L, "2024-01-01 10:02:00", "2024-01-01 10:08:00")),
+      points = Seq(
+        (10L, "2024-01-01 10:02:00"), // == start -> in
+        (11L, "2024-01-01 10:04:59"), // first cell -> in
+        (12L, "2024-01-01 10:06:00"), // second cell -> in
+        (13L, "2024-01-01 10:08:00"), // == end -> out (half-open)
+        (14L, "2024-01-01 10:01:59"))) // before -> out
+    assert(got == Map(1L -> 3L), s"got $got")
+  }
+
+  test("j9 zero-point windows survive and overlapping windows both count") {
+    val got = rangeOf(
+      wins = Seq(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+        (2L, "2024-01-01 10:05:00", "2024-01-01 10:15:00"),
+        (3L, "2024-01-02 00:00:00", "2024-01-02 00:10:00")), // no points
+      points = Seq((10L, "2024-01-01 10:07:00"))) // inside both 1 and 2
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L), s"got $got")
+  }
+
+  test("j9 window ending exactly on a grid line gains no phantom matches") {
+    val got = rangeOf(
+      wins = Seq((1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00")),
+      points = Seq((10L, "2024-01-01 10:05:00"), // == end, in trailing cell
+        (11L, "2024-01-01 10:09:59")))
+    assert(got == Map(1L -> 0L), s"got $got")
+  }
+
+  // -- x9 -----------------------------------------------------------------
+
+  private def vocabOf(docs: Seq[(Long, String)], topN: Int): Seq[(Int, String, Long, Long)] = {
+    import spark.implicits._
+    TextOps.vocabularyOf(docs.toDF("doc_id", "text"), topN)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+  }
+
+  test("x9 vocabulary counts occurrences and doc frequency independently") {
+    val got = vocabOf(Seq(
+      (1L, "spark spark table"),
+      (2L, "table row"),
+      (3L, "SPARK")), topN = 10)
+    // spark: 3 occurrences over docs {1,3}; table: 2 over {1,2}; row: 1 over {2}
+    assert(got == Seq((1, "spark", 3L, 2L), (2, "table", 2L, 2L),
+      (3, "row", 1L, 1L)), s"got $got")
+  }
+
+  test("x9 vocabulary breaks count ties by token and truncates to topN") {
+    val got = vocabOf(Seq((1L, "b a"), (2L, "a b c")), topN = 2)
+    // a and b tie at 2 -> lexicographic; c cut by topN
+    assert(got == Seq((1, "a", 2L, 2L), (2, "b", 2L, 2L)), s"got $got")
+  }
+}
