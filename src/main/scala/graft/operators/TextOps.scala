@@ -393,8 +393,68 @@ object TextOps {
        | tok, n_occurrences, doc_freq
        |FROM top ORDER BY rank""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // X10 — language-model scoring: per-document mean token surprisal under
+  // a unigram LM fitted on the corpus itself — the perplexity-filter
+  // shape (CCNet/KenLM-style quality filtering, where out-of-distribution
+  // documents score high). The LM "fit" is one token-count aggregate; the
+  // corpus total joins in as a 1-row broadcast (j7's scalar pattern);
+  // scoring joins tokens to their surprisals on the token key —
+  // dimension-vs-fact shape (vocabulary grows sub-linearly, Heaps' law),
+  // with join selection left to the optimizer like x7.
+  //
+  // Surprisal is QUANTIZED to whole bits computed in exact integer
+  // arithmetic: bits(tok) = floor(log2(T / c)) = bitlength(T DIV c) − 1
+  // (2^k ≤ T div c ≤ T/c, and T div c < 2^(k+1) bounds the rational from
+  // above). A float formulation — ln(c/T) rounded and decimal-summed —
+  // was tried first and FAILED the sf0.1 hash: the JVM's and DuckDB's ln
+  // disagree by 1 ulp on some inputs, and no rounding scale makes a
+  // transcendental bit-reproducible across engines. Integer bits keep
+  // the signal's ordering (rare token → high surprisal) and make every
+  // aggregate exact; the one double division (the mean) divides exact
+  // integers identically under IEEE on both engines.
+  // ---------------------------------------------------------------------
+  /** Quantized-surprisal scoring core over any (doc_id, text) frame
+    * (specs inject hand-built ones).
+    */
+  def lmSurprisalOf(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("t"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        (length(bin(expr("t DIV c"))) - 1).cast("long").as("bits"))
+    tok.join(bits, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_surprisal"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_surprisal"),
+        round(col("sum_surprisal") / col("n_tokens"), 6).as("avg_surprisal"))
+  }
+
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    lmSurprisalOf(Catalog.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val lmSurprisalSql: String =
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       | FROM documents),
+       |tok2 AS (SELECT * FROM tok WHERE length(tok) > 0),
+       |vocab AS (SELECT tok, count(*) AS c FROM tok2 GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+       |bits AS (SELECT tok, CAST(length(bin(t // c)) - 1 AS BIGINT) AS bits
+       | FROM vocab, tot)
+       |SELECT doc_id, count(*) AS n_tokens,
+       | CAST(sum(bits) AS BIGINT) AS sum_surprisal,
+       | round(CAST(sum(bits) AS BIGINT) / count(*), 6) AS avg_surprisal
+       |FROM tok2 JOIN bits USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("x10_lm_surprisal", lmSurprisal, Some(lmSurprisalSql),
+      "unigram-LM mean surprisal per document — the perplexity-filter shape in exact integer bits (training-data extension)"),
     Q("x9_vocabulary", vocabulary, Some(vocabularySql),
       "corpus vocabulary: top-N token frequency/doc-frequency table via a two-level algebraic aggregate (training-data extension)"),
     Q("x8_repetition", repetitionScores, Some(repetitionScoresSql),

@@ -124,4 +124,19 @@ class AsofRangeVocabSpec extends SparkSuite {
     // a and b tie at 2 -> lexicographic; c cut by topN
     assert(got == Seq((1, "a", 2L, 2L), (2, "b", 2L, 2L)), s"got $got")
   }
+
+  // -- x10 ----------------------------------------------------------------
+
+  test("x10 LM surprisal matches hand-computed floor-log2 bits") {
+    import spark.implicits._
+    // corpus: a:3, b:1, c:1, T=5
+    // bits(a) = bitlen(5 div 3 = 1) - 1 = 0   (p = 0.6 -> surprisal < 1 bit)
+    // bits(b) = bits(c) = bitlen(5 div 1) - 1 = bitlen(101b) - 1 = 2
+    val docs = Seq((1L, "a a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextOps.lmSurprisalOf(docs).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1: 4 tokens, sum = 0+0+0+2 = 2, mean = 0.5
+    assert(got(0) == ((1L, 4L, 2L, 0.5)), s"got ${got.toSeq}")
+    assert(got(1) == ((2L, 1L, 2L, 2.0)), s"got ${got.toSeq}")
+  }
 }

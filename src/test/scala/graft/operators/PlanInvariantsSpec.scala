@@ -19,13 +19,17 @@ class PlanInvariantsSpec extends SparkSuite {
 
   /** Plans allowed to contain a non-equi join:
     * - j7: the scalar subquery joins ONE broadcast row (constant cost);
+    * - x10: the corpus-total scalar joins ONE broadcast row onto the
+    *   dimension-sized vocabulary (j7's shape; the corpus-sized token
+    *   relation still joins by equi-key);
     * - n1: brute-force ANN, the labeled exact baseline (broadcast query
     *   set × single corpus scan);
     * - n2: the labeled O(n²) exact pair-mining baseline nothing
     *   production consumes.
     */
   private val nonEquiAllowed =
-    Set("j7_scalar_subquery", "n1_ann_brute", "n2_cosine_pairs")
+    Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
+      "n2_cosine_pairs")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
