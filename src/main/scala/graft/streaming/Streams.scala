@@ -261,6 +261,89 @@ object Sessionize {
   }
 }
 
+/** One as-of enrichment result: a left-side event with the latest
+  * right-side event time at or before its own (None when no right event
+  * precedes it) — the streaming twin of
+  * [[graft.operators.Monitoring.asofJoinOn]].
+  */
+case class AsofMatch(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+    err_ts: Option[java.sql.Timestamp])
+
+/** One buffered left-side event awaiting finalization. */
+case class AsofLeft(event_id: Long, ts: Long)
+
+/** Per-user as-of state between micro-batches. Right-side history at or
+  * below the watermark collapses into ONE scalar (`maxSettled`,
+  * Long.MinValue = none): a future left event's ts is ≥ the watermark,
+  * so of the settled errors only the max can ever be its match. Only
+  * events still above the watermark stay buffered — state is bounded by
+  * the watermark delay, never by stream lifetime.
+  */
+case class AsofState(maxSettled: Long, errs: List[Long], lefts: List[AsofLeft])
+
+object AsofEnrich {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** Streaming point-in-time enrichment: each `leftType` event is emitted
+    * exactly once — when the watermark passes its timestamp — carrying
+    * the max `rightType` event time at or before it (ties inclusive,
+    * like the batch twin and DuckDB's `ON l.ts >= r.ts` ASOF). Both
+    * sides buffer until the watermark because either may arrive out of
+    * order: a left event finalizes only once no in-watermark right event
+    * below its ts can still arrive (ts < watermark, strict — a right
+    * event AT the watermark is still admissible and could tie-match).
+    */
+  def enrich(events: Dataset[SessionEvent], leftType: String,
+      rightType: String, watermarkDelay: String = "10 minutes"): Dataset[AsofMatch] = {
+    implicit val stateEnc = Encoders.product[AsofState]
+    implicit val outEnc = Encoders.product[AsofMatch]
+    import events.sparkSession.implicits._
+
+    events
+      .filter(e => e.event_type == leftType || e.event_type == rightType)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent],
+            state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(
+            AsofState(Long.MinValue, Nil, Nil))
+          val evs = batch.toSeq
+          val errs = st.errs ++ evs.filter(_.event_type == rightType)
+            .map(_.ts.getTime)
+          val lefts = st.lefts ++ evs.filter(_.event_type == leftType)
+            .map(e => AsofLeft(e.event_id, e.ts.getTime))
+          val wm = state.getCurrentWatermarkMs()
+          // finalize every left the watermark has passed: its match set
+          // (settled scalar + every buffered error ≤ its ts) is complete
+          val (done, waiting) = lefts.partition(_.ts < wm)
+          val out = done.sortBy(l => (l.ts, l.event_id)).map { l =>
+            val m = (st.maxSettled :: errs.filter(_ <= l.ts)).max
+            AsofMatch(userId, l.event_id, new java.sql.Timestamp(l.ts),
+              if (m == Long.MinValue) None
+              else Some(new java.sql.Timestamp(m)))
+          }
+          // collapse settled errors; keep only above-watermark ones
+          val (settled, live) = errs.partition(_ < wm)
+          val maxSettled = (st.maxSettled :: settled).max
+          if (waiting.isEmpty && live.isEmpty && maxSettled == Long.MinValue)
+            state.remove()
+          else {
+            // the settled scalar is retained indefinitely — it is the
+            // match for any future left event of this user (the same
+            // per-key dimension state a stream-table join keeps); only
+            // buffered lefts need a wake-up, so only they set a timeout
+            state.update(AsofState(maxSettled, live, waiting))
+            if (waiting.nonEmpty)
+              state.setTimeoutTimestamp(waiting.map(_.ts).min + 1)
+          }
+          out.iterator
+      }
+  }
+}
+
 /** S5 — CSV export sink (reference template JS CSV builders,
   * index.html:338-371 et al. — server-side here).
   */

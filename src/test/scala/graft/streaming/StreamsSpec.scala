@@ -143,6 +143,79 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enriches with the latest prior error, buffering out-of-order arrivals") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = AsofEnrich.enrich(mem.toDS(), leftType = "purchase",
+      rightType = "error", watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("asof_test").outputMode("append").start()
+    try {
+      // the purchase arrives BEFORE its matching error (out of order);
+      // both are inside the watermark, so the match must still be exact
+      mem.addData(
+        SessionEvent(10, ts("2024-01-01 00:08:00"), 1, "purchase", 1.0),
+        SessionEvent(11, ts("2024-01-01 00:09:00"), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        SessionEvent(1, ts("2024-01-01 00:05:00"), 1, "error", 0.0),
+        SessionEvent(2, ts("2024-01-01 00:09:00"), 2, "error", 0.0)) // tie
+      q.processAllAvailable()
+      assert(spark.table("asof_test").isEmpty,
+        "nothing may emit before the watermark passes the purchases")
+      // advance the watermark far past both purchases
+      mem.addData(SessionEvent(99, ts("2024-01-01 01:00:00"), 9, "error", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_test").as[AsofMatch].collect()
+        .map(m => m.event_id -> m.err_ts.map(_.toString)).toMap
+      assert(rows == Map(
+        10L -> Some("2024-01-01 00:05:00.0"), // out-of-order error matched
+        11L -> Some("2024-01-01 00:09:00.0")), // tie is inclusive
+        s"got $rows")
+      // the settled scalar must survive for later purchases of user 1
+      mem.addData(SessionEvent(12, ts("2024-01-01 01:30:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(98, ts("2024-01-01 03:00:00"), 9, "error", 0.0))
+      q.processAllAvailable()
+      val later = spark.table("asof_test").as[AsofMatch].collect()
+        .filter(_.event_id == 12L).map(_.err_ts.map(_.toString)).toSeq
+      assert(later == Seq(Some("2024-01-01 00:05:00.0")), s"got $later")
+    } finally q.stop()
+  }
+
+  test("streaming as-of emits None when no error precedes, and agrees with the batch twin") {
+    import spark.implicits._
+    val events = Seq(
+      SessionEvent(1, ts("2024-01-01 00:02:00"), 1, "purchase", 1.0), // no prior
+      SessionEvent(2, ts("2024-01-01 00:05:00"), 1, "error", 0.0),
+      SessionEvent(3, ts("2024-01-01 00:07:00"), 1, "purchase", 1.0),
+      SessionEvent(4, ts("2024-01-01 00:06:30"), 2, "error", 0.0),
+      SessionEvent(5, ts("2024-01-01 00:07:30"), 2, "purchase", 1.0))
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = AsofEnrich.enrich(mem.toDS(), "purchase", "error", "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("asof_twin_test").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(SessionEvent(99, ts("2024-01-01 02:00:00"), 9, "error", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("asof_twin_test").as[AsofMatch].collect()
+        .map(m => (m.user_id, m.event_id, m.ts, m.err_ts.orNull)).toSet
+      val batch = graft.operators.Monitoring.asofJoinOn(
+          events.filter(_.event_type == "purchase").toDF()
+            .select(col("user_id"), col("ts"), col("event_id")),
+          events.filter(_.event_type == "error").toDF()
+            .select(col("user_id"), col("ts")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getTimestamp(3))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.exists { case (_, id, _, e) => id == 1L && e == null },
+        "purchase with no prior error must carry NULL")
+    } finally q.stop()
+  }
+
   test("CSV sink exports header + rows") {
     val dir = Files.createTempDirectory("graft_csv_").toString + "/out"
     Sinks.csvExport(graft.Catalog.nation(spark, sfDir), dir)
