@@ -443,7 +443,68 @@ object Relational {
        |GROUP BY w.win_id, w.win_start, w.win_end
        |ORDER BY w.win_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // G3 — ROLLUP grouping sets: the multi-granularity rollup a dashboard
+  // renders as group + subtotal + grand-total rows (the reference
+  // recomputes each granularity with separate queries; ROLLUP computes
+  // all levels in ONE pass — Spark expands grouping sets inside the
+  // aggregate, so partial aggregation and the single shuffle are
+  // preserved). Subtotal rows carry NULL group keys in both engines;
+  // sums stay exact-decimal internally, DOUBLE at the output edge (g1's
+  // canonicalization pattern).
+  // ---------------------------------------------------------------------
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Catalog.lineitem(spark, dir)
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    l.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qty).as("sum_qty_dec"), count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_dec").cast("double").as("sum_qty"), col("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  val rollupSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // A8 — pivot: per-day event counts spread across one column per event
+  // type (the wide shape every dashboard table renders). The pivot value
+  // list is EXPLICIT, so Spark skips the extra distinct-values collect
+  // job and the plan is one grouped conditional aggregate — identical
+  // shape to the oracle's FILTER counts; absent combinations are 0, not
+  // NULL, on both engines.
+  // ---------------------------------------------------------------------
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val p = Catalog.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", PivotTypes)
+      .count()
+    p.select(col("day") +:
+        PivotTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("day"))
+  }
+
+  val eventPivotSql: String = {
+    val cols = PivotTypes.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")
+    s"""SELECT CAST(ts AS DATE) AS day, $cols
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("g3_rollup", rollupSummary, Some(rollupSummarySql),
+      "ROLLUP grouping sets: group/subtotal/grand-total in one aggregate pass"),
+    Q("a8_pivot", eventPivot, Some(eventPivotSql),
+      "explicit-value pivot to the wide per-day dashboard shape"),
     Q("j9_range_join", rangeJoin, Some(rangeJoinSql),
       "bucketed interval join: points-in-window counts as a grid equi-join, not a loop join (general form of views.py:793-799)"),
     Q("j6_anti_join", customersWithoutOrders, Some(customersWithoutOrdersSql),
