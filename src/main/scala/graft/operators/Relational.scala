@@ -500,7 +500,71 @@ object Relational {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // P13 — exact interpolated percentiles per group (the latency-quantile
+  // rollup every monitoring dashboard needs; the reference renders only
+  // min/max/avg gauges — percentiles are the standard upgrade). EXACT
+  // percentile (not approx_percentile): both engines compute the same
+  // h = (n−1)·q linear interpolation in plain IEEE arithmetic — no
+  // transcendental, so the hash matches bit-for-bit with NO rounding
+  // (verified at sf0.01 and sf0.1). Exact percentile sorts within each
+  // group — per-group cardinality bounds the cost, the right trade for
+  // grouped monitoring rollups; a global percentile over 100 TB would
+  // use approx_percentile (t-digest, mergeable partials) instead, traded
+  // as documented here.
+  // ---------------------------------------------------------------------
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5, 0.95))").as("pct"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        col("pct").getItem(0).as("p50"),
+        col("pct").getItem(1).as("p95"),
+        col("n"))
+      .orderBy(col("event_type"))
+
+  val valuePercentilesSql: String =
+    """SELECT event_type,
+      | quantile_cont(value, [0.5, 0.95])[1] AS p50,
+      | quantile_cont(value, [0.5, 0.95])[2] AS p95,
+      | count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // F2 — JSON extraction: pull a typed field out of a JSON string column
+  // and aggregate it (events.props carries the reference's free-form
+  // payload; every monitoring store grows one of these). `get_json_object`
+  // evaluates per row with no shuffle — the extraction is scan-side work,
+  // so a 100 TB scan pays one parse per row and the aggregate shuffles
+  // only (type, partial-state). Missing/NULL payloads yield NULL (both
+  // engines), counted out by count(k).
+  // ---------------------------------------------------------------------
+  def jsonExtractStats(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Catalog.events(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k").cast("long")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonExtractStatsSql: String =
+    """SELECT event_type, count(k) AS n_with_k,
+      | min(k) AS min_k, max(k) AS max_k,
+      | CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT event_type,
+      |  CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("f2_json_extract", jsonExtractStats, Some(jsonExtractStatsSql),
+      "typed JSON field extraction + grouped rollup over the props payload column"),
+    Q("p13_percentiles", valuePercentiles, Some(valuePercentilesSql),
+      "exact interpolated per-group percentiles (p50/p95 latency-quantile rollup)"),
     Q("g3_rollup", rollupSummary, Some(rollupSummarySql),
       "ROLLUP grouping sets: group/subtotal/grand-total in one aggregate pass"),
     Q("a8_pivot", eventPivot, Some(eventPivotSql),
