@@ -422,7 +422,58 @@ object Lifecycle {
       | AND event_type IN ('click','view','signup','purchase','error')
       |ORDER BY event_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // S20 — incremental aggregate maintenance (materialized-view refresh):
+  // a persisted per-(day, type) rollup is updated from an appended delta
+  // by aggregating ONLY the delta and merging algebraic partials —
+  // count merges as sum-of-counts, sum as sum-of-sums, both kept
+  // exact-decimal until the output edge. At 100 TB this is THE pattern
+  // that replaces nightly full recomputes: the refresh cost scales with
+  // the delta, and the merge aggregate shuffles only rollup-sized rows
+  // (days × types). The ORACLE is the full recompute from the base
+  // table, so the gate itself proves incremental == full.
+  // ---------------------------------------------------------------------
+  private[graft] def dayTypeRollupFor(df: DataFrame): DataFrame =
+    df.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value_dec"))
+
+  /** One incremental refresh step: merge the delta's partial rollup into
+    * the persisted one (exposed for the multi-step spec).
+    */
+  def refreshRollup(rollupPath: String, delta: DataFrame)(
+      implicit spark: SparkSession): Unit =
+    rewrite(rollupPath) { cur =>
+      cur.unionByName(dayTypeRollupFor(delta))
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_value_dec")).as("sum_value_dec"))
+    }
+
+  def incrementalRollupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val scratch = graft.Scratch.freshRunDir(spark, "lifecycle_rollup_run", dir)
+    val rollup = s"$scratch/rollup"
+    val cutover = lit("2024-01-20").cast("timestamp")
+    val ev = Catalog.events(spark, dir)
+    dayTypeRollupFor(ev.filter(col("ts") < cutover)).write.parquet(rollup)
+    refreshRollup(rollup, ev.filter(col("ts") >= cutover))
+    spark.read.parquet(rollup)
+      .select(col("day"), col("event_type"), col("n"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val incrementalRollupPipelineSql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin.replace('\n', ' ')
+
   val all: Seq[graft.operators.Q] = Seq(
+    graft.operators.Q("s20_incremental_rollup", incrementalRollupPipeline,
+      Some(incrementalRollupPipelineSql),
+      "incremental materialized-rollup refresh: delta-only aggregation + algebraic partial merge, oracle = full recompute"),
     graft.operators.Q("s9_mutation_pipeline", mutationPipeline,
       Some(mutationPipelineSql),
       "upsert (×2, idempotent) + delete + update write path (views.py:33-44,113,168-170)"),

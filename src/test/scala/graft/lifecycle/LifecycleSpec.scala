@@ -29,6 +29,34 @@ class LifecycleSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() == before + 10)
   }
 
+  test("incremental rollup refresh equals full recompute across multiple deltas") {
+    implicit val s: SparkSession = spark
+    val ev = Catalog.events(spark, sfDir)
+    val rollup = Files.createTempDirectory("graft_roll_").toString + "/rollup"
+    // initial load: days < 10; then three uneven deltas (one empty)
+    val cuts = Seq("2024-01-10", "2024-01-11", "2024-01-11", "2024-01-25")
+    def upTo(d: String) = ev.filter(col("ts") < lit(d).cast("timestamp"))
+    Lifecycle.dayTypeRollupFor(upTo(cuts.head)).write.parquet(rollup)
+    cuts.sliding(2).foreach { case Seq(a, b) =>
+      Lifecycle.refreshRollup(rollup,
+        ev.filter(col("ts") >= lit(a).cast("timestamp") &&
+          col("ts") < lit(b).cast("timestamp")))
+    }
+    val got = spark.read.parquet(rollup)
+      .select(col("day"), col("event_type"), col("n"),
+        col("sum_value_dec").cast("double").as("sv"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val full = Lifecycle.dayTypeRollupFor(upTo(cuts.last))
+      .select(col("day"), col("event_type"), col("n"),
+        col("sum_value_dec").cast("double").as("sv"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == full,
+      s"incremental and full recompute disagree: ${got.size} vs ${full.size} keys")
+    assert(got.nonEmpty)
+  }
+
   test("delete removes exactly the matching rows") {
     implicit val s: SparkSession = spark
     val path = scratchEvents()
