@@ -521,7 +521,11 @@ object Monitoring {
   /** Union-merge as-of core over any (user_id, ts, event_id)-shaped sides
     * (specs inject hand-built frames): left rows get `err_ts` = the max
     * right ts ≤ their own ts within the same user_id, NULL when no right
-    * row precedes them.
+    * row precedes them. NULL keys are pinned to SQL join-equality
+    * semantics: a window PARTITION BY groups NULLs together, but
+    * `ON l.user_id = e.user_id` never matches NULL — so NULL-keyed left
+    * rows are emitted unmatched (the x3-era lesson: pin NULL semantics
+    * before a fixture change finds the divergence for you).
     */
   def asofJoinOn(left: DataFrame, right: DataFrame): DataFrame = {
     val r = right.select(col("user_id"), col("ts"), lit(0).as("side"),
@@ -532,7 +536,9 @@ object Monitoring {
       .orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
-      .withColumn("asof_ts", last(col("err_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts",
+        when(col("user_id").isNotNull,
+          last(col("err_ts"), ignoreNulls = true).over(w)))
       .filter(col("side") === 1)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("asof_ts").as("err_ts"))

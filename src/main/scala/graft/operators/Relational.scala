@@ -539,7 +539,11 @@ object Relational {
   // evaluates per row with no shuffle — the extraction is scan-side work,
   // so a 100 TB scan pays one parse per row and the aggregate shuffles
   // only (type, partial-state). Missing/NULL payloads yield NULL (both
-  // engines), counted out by count(k).
+  // engines), counted out by count(k). Pinned divergence on MALFORMED
+  // payloads: Spark's get_json_object returns NULL where DuckDB's
+  // json_extract raises — the fixture is valid-JSON-only; a deployment
+  // ingesting untrusted payloads keeps the Spark (NULL-tolerant) side and
+  // must not expect the oracle to run there.
   // ---------------------------------------------------------------------
   def jsonExtractStats(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("int")

@@ -54,6 +54,18 @@ class AsofRangeVocabSpec extends SparkSuite {
     assert(got(100L).isEmpty)
   }
 
+  test("w5 as-of NULL keys never match (SQL join equality, not window grouping)") {
+    import spark.implicits._
+    val l = Seq((Option.empty[Long], ts("2024-01-01 10:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+    val r = Seq((Option.empty[Long], ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val rows = Monitoring.asofJoinOn(l, r).collect()
+    assert(rows.length == 1, "NULL-keyed left rows must still be emitted")
+    assert(rows.head.isNullAt(3),
+      "a NULL-keyed right row must not match a NULL-keyed left row")
+  }
+
   // -- j9 -----------------------------------------------------------------
 
   private def rangeOf(wins: Seq[(Long, String, String)],
