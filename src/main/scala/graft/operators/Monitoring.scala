@@ -561,8 +561,76 @@ object Monitoring {
       | ON p.user_id = e.user_id AND p.ts >= e.ts
       |ORDER BY p.event_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // W6 — hopping (sliding) window aggregate: 10-minute windows every 5
+  // minutes — the moving-average family w2's tumbling decimation can't
+  // express (each event lands in size/hop = 2 windows, so consecutive
+  // windows overlap and smooth). Spark's `window(ts, size, hop)` expands
+  // the per-event window assignment scan-side (2 rows per event here)
+  // and the aggregate is a plain grouped shuffle on window-start —
+  // bounded fan-out, partial aggregation intact, no self-join against a
+  // generated window table. The oracle regenerates the same assignment
+  // as a UNION ALL of the two 5-min-aligned truncations (an event's
+  // covering starts are exactly trunc5(ts) and trunc5(ts) − 5 min).
+  // Sums stay exact-decimal to the DOUBLE edge (g1's rule).
+  // ---------------------------------------------------------------------
+  def hoppingWindowLoad(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+      .select(col("w.start").as("win_start"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy(col("win_start"))
+
+  val hoppingWindowLoadSql: String =
+    """SELECT win_start, count(*) AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      | SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, value
+      | FROM events WHERE event_type = 'purchase'
+      | UNION ALL
+      | SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, value
+      | FROM events WHERE event_type = 'purchase') t
+      |GROUP BY win_start ORDER BY win_start""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // W7 — moving average over a bounded ROW frame (last 4 purchases per
+  // user): the frame-aggregate window shape, complementing w1's offset
+  // functions (LAG) and w6's time-sliced windows. The frame sum stays
+  // EXACT DECIMAL — engines disagree on float summation order inside
+  // window frames (DuckDB segment-trees large frames) — and the mean is
+  // one IEEE double division by the frame count. Per-user partitions
+  // bound frame state; the shuffle is w1's exact shape.
+  // ---------------------------------------------------------------------
+  def movingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Catalog.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w), 6).as("moving_avg"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val movingAverageSql: String =
+    """SELECT user_id, event_id, value,
+      | round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |   / count(*) OVER w, 6) AS moving_avg
+      |FROM events WHERE event_type = 'purchase'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      | ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("w7_moving_average", movingAverage, Some(movingAverageSql),
+      "bounded-row-frame moving average, decimal-exact frame sum"),
+    Q("w6_hopping_window", hoppingWindowLoad, Some(hoppingWindowLoadSql),
+      "hopping 10-min/5-min sliding-window aggregate (moving smoothing family; window() expansion + one grouped shuffle)"),
     Q("w5_asof_join", asofJoin, Some(asofJoinSql),
       "as-of join via the union-merge window form; DuckDB native ASOF JOIN oracle (exact form of views.py:793-799's minute correlation)"),
     Q("p3_slow_queries", slowQueries, Some(slowQueriesSql),
