@@ -119,6 +119,21 @@ object Streams {
         col("latest.value").as("value"),
         col("n_in_bucket"))
 
+  /** Streaming twin of the batch w6 hopping-window aggregate: 10-min
+    * windows every 5 min under a watermark — each window's state is one
+    * partial aggregate, dropped once the watermark passes its end, and
+    * each event updates exactly size/hop = 2 window states. Append mode
+    * emits a window once, when it can no longer change.
+    */
+  def streamingHoppingLoad(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("n_events"), col("sum_value"))
+
   /** Split a batch into (valid, quarantined) instead of silently dropping
     * CHECK violations — the pipeline-grade version of [[validate]]: at
     * 100 TB, silently-vanished rows are an incident, a quarantine table is

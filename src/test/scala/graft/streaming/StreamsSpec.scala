@@ -143,6 +143,33 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping windows emit each closed window once, events in two windows") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val out = Streams.streamingHoppingLoad(mem.toDF())
+    val q = out.writeStream.format("memory")
+      .queryName("hop_test").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:07:00"), 1, "purchase", 2.0, null),
+        Ev(2, ts("2024-01-01 00:08:00"), 1, "purchase", 4.0, null),
+        Ev(3, ts("2024-01-01 00:11:00"), 1, "purchase", 8.0, null))
+      q.processAllAvailable()
+      // advance the watermark far past every window end
+      mem.addData(Ev(9, ts("2024-01-01 03:00:00"), 2, "purchase", 0.0, null))
+      q.processAllAvailable()
+      val rows = spark.table("hop_test").collect()
+        .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      // events at :07/:08 fall in the [00:00,00:10) and [00:05,00:15)
+      // windows; the :11 event in [00:05,00:15) and [00:10,00:20)
+      assert(rows("2024-01-01 00:00:00.0") == ((2L, 6.0)), s"got $rows")
+      assert(rows("2024-01-01 00:05:00.0") == ((3L, 14.0)), s"got $rows")
+      assert(rows("2024-01-01 00:10:00.0") == ((1L, 8.0)), s"got $rows")
+      // matches the batch twin's aggregate on the same rows by construction
+    } finally q.stop()
+  }
+
   test("streaming as-of enriches with the latest prior error, buffering out-of-order arrivals") {
     import spark.implicits._
     val mem = MemoryStream[SessionEvent](spark)
