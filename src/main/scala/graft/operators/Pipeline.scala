@@ -436,7 +436,7 @@ object Pipeline {
   // pure map, pack a bucket-partitioned window — nothing corpus-sized
   // shuffles except the pack's per-bucket sort.
   // ---------------------------------------------------------------------
-  def assemblyPipeline(spark: SparkSession, dir: String): DataFrame = {
+  private def assemblyBase(spark: SparkSession, dir: String): DataFrame = {
     // every stage is the SAME code path as its standalone operator
     // (contamCounts via x7, mixAccept via z5, splitCase via x5, packSeqId
     // via z4) — the composition cannot drift from the pieces
@@ -453,8 +453,27 @@ object Pipeline {
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
       .select(col("doc_id"), col("source"), col("bucket"), col("split"),
         col("n_tokens"), col("seq_id"))
-      .orderBy(col("doc_id"))
   }
+
+  def assemblyPipeline(spark: SparkSession, dir: String): DataFrame =
+    assemblyBase(spark, dir).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // Z7 — the assembly manifest: per-(split, shard) document / token /
+  // sequence accounting over z6's output — the artifact a training job
+  // reads to plan its data loader (shard sizes, split budgets, packed
+  // sequence counts). Pure rollup of the assembly relation: one grouped
+  // aggregate keyed by (split, bucket) — manifest cardinality is the
+  // shard count, never the corpus.
+  // ---------------------------------------------------------------------
+  def assemblyManifest(spark: SparkSession, dir: String): DataFrame =
+    assemblyBase(spark, dir)
+      .groupBy(col("split"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("seq_id")).as("n_sequences"))
+      .orderBy(col("split"), col("bucket"))
+
 
   val assemblyPipelineSql: String = {
     val h = TextOps.hash60Sql("doc_id::VARCHAR || ':mix'")
@@ -489,7 +508,19 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // declared after assemblyPipelineSql (object vals initialize in order —
+  // a forward val reference would interpolate null)
+  val assemblyManifestSql: String =
+    s"""SELECT split, bucket, count(*) AS n_docs,
+       | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       | count(DISTINCT seq_id) AS n_sequences
+       |FROM ($assemblyPipelineSql) z6
+       |GROUP BY split, bucket
+       |ORDER BY split, bucket""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("z7_manifest", assemblyManifest, Some(assemblyManifestSql),
+      "assembly manifest: per-(split, shard) doc/token/sequence accounting over z6 (training-data extension)"),
     Q("z6_assembly_pipeline", assemblyPipeline, Some(assemblyPipelineSql),
       "corpus assembly: decontaminate -> mix sources -> split -> pack, the post-curation composition (training-data extension)"),
     Q("z5_source_mix", sourceMixSample, Some(sourceMixSampleSql),
