@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.LatestPerKeyRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
 
@@ -113,8 +114,11 @@ object GraftExtensions {
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
       val _ = i
     }
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.LatestPerKeyRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.LatestPerKeyRewrite
+    Seq(graft.plans.LatestPerKeyRewrite, graft.plans.RangeJoinRewrite)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+      }
   }
 }
