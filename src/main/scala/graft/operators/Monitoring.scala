@@ -625,8 +625,39 @@ object Monitoring {
       | ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // A-family extension — distinct-cardinality SKETCH: distinct users per
+  // event type via the custom `bitmap_distinct` TypedImperativeAggregate
+  // (graft.expressions.BitmapDistinct). count(DISTINCT user_id) shuffles
+  // every distinct key; the sketch ships a constant 512 B bitmap per
+  // (partition, group) and merges by OR — the mergeable-state shape a
+  // 100 TB cardinality rollup needs. The registered output is the EXACT
+  // occupied-bucket count (== count(DISTINCT hash60(user) % m), which is
+  // what the oracle computes), so the sketch primitive itself is
+  // hash-checked; the transcendental occupancy inversion stays downstream.
+  // ---------------------------------------------------------------------
+  private val SketchBits = 4096
+
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        graft.expressions.SketchFunctions.bitmap_distinct(
+          TextOps.hash60(col("user_id").cast("string")), SketchBits)
+          .as("n_user_buckets"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val distinctSketchSql: String =
+    s"""SELECT event_type,
+       | CAST(count(DISTINCT ${TextOps.hash60Sql("CAST(user_id AS VARCHAR)")} % $SketchBits) AS BIGINT) AS n_user_buckets,
+       | count(*) AS n_events
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("a9_distinct_sketch", distinctSketch, Some(distinctSketchSql),
+      "distinct-user cardinality per event type via the bitmap_distinct fixed-state sketch aggregate (custom TypedImperativeAggregate)"),
     Q("w7_moving_average", movingAverage, Some(movingAverageSql),
       "bounded-row-frame moving average, decimal-exact frame sum"),
     Q("w6_hopping_window", hoppingWindowLoad, Some(hoppingWindowLoadSql),
