@@ -564,7 +564,64 @@ object Relational {
       |  CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // J10 — salted equi-join: the skew-mitigation form of a fact⋈dim join
+  // whose dim side is too big to broadcast and whose fact side has hot
+  // keys. A plain shuffle join sends every row of a hot key to ONE
+  // reducer — at 100 TB a single skewed user/tenant/domain stalls the
+  // stage (AQE skew splitting helps per-partition, not per-key). Salting
+  // splits each key's rows across R reducers: the fact side derives a
+  // deterministic salt in [0, R) from a high-cardinality column (its PK —
+  // NOT the join key: same key must land on many salts), the dim side
+  // replicates each row once per salt via explode(sequence), and the join
+  // key becomes (key, salt). Every fact row still matches each dim row
+  // exactly once, so the result IS the plain join — which is what the
+  // oracle computes. Cost: R× the dim shuffle volume, the standard trade.
+  // ---------------------------------------------------------------------
+  /** Salted fact⋈dim inner equi-join; identical rows to
+    * `fact.join(dim, factKey === dimKey)`. `saltSource` must be
+    * high-cardinality and NON-NULL (a PK): a NULL salt would drop the
+    * row, which the plain join would keep.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: Column, dimKey: Column,
+      saltSource: Column, salts: Int): DataFrame = {
+    val sf = fact.withColumn("graft_fact_salt", pmod(hash(saltSource), lit(salts)))
+    // shuffle_hash hint: the whole point is the non-broadcast plan; the
+    // replicated dim builds R small hash tables instead of one hot one
+    val sd = dim.withColumn("graft_dim_salt",
+      explode(sequence(lit(0), lit(salts - 1)))).hint("shuffle_hash")
+    sf.join(sd, factKey === dimKey &&
+        col("graft_fact_salt") === col("graft_dim_salt"))
+      .drop("graft_fact_salt", "graft_dim_salt")
+  }
+
+  /** Salt fan-out for the registered query — a deployment sizes R to its
+    * hottest key's row count over the per-task budget.
+    */
+  val JoinSalts = 8
+
+  def saltedSegmentActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.events(spark, dir)
+    val cust = Catalog.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    saltedJoin(ev, cust, col("user_id"), col("c_custkey"),
+        col("event_id"), JoinSalts)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val saltedSegmentActivitySql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      | count(DISTINCT user_id) AS n_users
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("j10_salted_join", saltedSegmentActivity, Some(saltedSegmentActivitySql),
+      "skew-mitigated salted equi-join: fact salt × replicated dim, result identical to the plain join (oracle = plain join)"),
     Q("f2_json_extract", jsonExtractStats, Some(jsonExtractStatsSql),
       "typed JSON field extraction + grouped rollup over the props payload column"),
     Q("p13_percentiles", valuePercentiles, Some(valuePercentilesSql),

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** saltedJoin: identical rows to the plain equi-join on a skewed fixture,
+  * planned as a shuffled hash join on (key, salt) — never a broadcast.
+  */
+class SaltedJoinSpec extends SparkSuite {
+
+  test("salted join equals the plain join on a hot-key fixture, incl. NULL keys") {
+    import spark.implicits._
+    // one hot key (0) carrying 90% of the fact rows, plus NULL fact keys
+    // (inner-join semantics: dropped by both forms) and a dim key with no
+    // fact rows (4)
+    val fact = ((0L until 900L).map(i => (i, Some(0L))) ++
+      (900L until 1000L).map(i => (i, Some(i % 4))) ++
+      Seq((1000L, None), (1001L, None)))
+      .toDF("row_id", "k").repartition(7)
+    val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "unused"))
+      .toDF("dk", "name")
+
+    val salted = Relational.saltedJoin(fact, dim, col("k"), col("dk"),
+      col("row_id"), salts = 8)
+    val plain = fact.join(dim, col("k") === col("dk"))
+
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("row_id", "k", "dk", "name").collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(canon(salted) == canon(plain))
+    assert(salted.count() == 1000) // 900 hot + 100 keys 0-3, NULLs dropped
+  }
+
+  test("the salted plan is a shuffled hash join keyed on (key, salt)") {
+    import spark.implicits._
+    val fact = (0L until 100L).map(i => (i, i % 3)).toDF("row_id", "k")
+    val dim = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("dk", "name")
+    val plan = Relational.saltedJoin(fact, dim, col("k"), col("dk"),
+      col("row_id"), salts = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salting exists to avoid the broadcast/hot-reducer plan:\n$plan")
+    assert(plan.contains("graft_fact_salt"),
+      s"join key must include the salt:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"dim must not broadcast:\n$plan")
+  }
+}
