@@ -574,8 +574,63 @@ object Similarity {
     ("WITH " + parts.mkString(", ") + ", " + scoredTailSql).replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // N6 — int8 scalar quantization: the storage path of a 100 TB vector
+  // corpus (4 B float32/dim → 1 B int8/dim + one scale per vector, the
+  // standard SQ8 layout IVF/HNSW stores serve from). Per vector:
+  // scale = max|x_i|, q_i = floor(x_i·127/scale + 0.5) ∈ [-127, 127].
+  // Pure per-row map work — no shuffle, no kernel state. EVERY arithmetic
+  // step is IEEE-double deterministic across engines (float→double
+  // promotion exact, one multiply, one divide, floor exact — the x10
+  // rule: no transcendentals, no multi-term float accumulation except
+  // over exact integers), so the registered rollup is hash-exact:
+  // integer checksum, L1 norm, zero-dim count per vector. NULL
+  // embeddings have no quantized form (excluded, the NullEmbeddingSpec
+  // contract); zero vectors quantize to all-zero and are KEPT — they are
+  // corpus members even without a direction.
+  // ---------------------------------------------------------------------
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = col("embedding")
+    val maxAbs = array_max(transform(emb, x => abs(x.cast("double"))))
+    val qArr = when(col("max_abs") > 0,
+      transform(emb, x =>
+        floor(x.cast("double") * 127 / col("max_abs") + 0.5).cast("long")))
+      .otherwise(transform(emb, _ => lit(0L)))
+    Catalog.embeddings(spark, dir)
+      .filter(emb.isNotNull)
+      .withColumn("max_abs", maxAbs)
+      .withColumn("q", qArr)
+      .select(
+        col("vec_id"),
+        round(col("max_abs"), 6).as("scale_r"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+        aggregate(col("q"), lit(0L),
+          (a, x) => a + when(x === 0L, 1L).otherwise(0L)).as("n_zero_dims"))
+      .orderBy(col("vec_id"))
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH base AS (
+      | SELECT vec_id, embedding::DOUBLE[] AS emb,
+      |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS max_abs
+      | FROM embeddings WHERE embedding IS NOT NULL),
+      |q AS (
+      | SELECT vec_id, max_abs,
+      |  CASE WHEN max_abs > 0
+      |   THEN list_transform(emb, x -> floor(x * 127 / max_abs + 0.5))
+      |   ELSE list_transform(emb, x -> 0.0) END AS qv
+      | FROM base)
+      |SELECT vec_id, round(max_abs, 6) AS scale_r,
+      | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      | CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+      | CAST(list_sum(list_transform(qv, x -> CASE WHEN x = 0 THEN 1.0 ELSE 0.0 END)) AS BIGINT) AS n_zero_dims
+      |FROM q ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("n6_quantize_int8", quantizeInt8, Some(quantizeInt8Sql),
+      "int8 scalar quantization (SQ8) of the embedding corpus: per-vector scale + exact integer checksums, zero-shuffle map work (training-data extension)"),
     Q("n1_ann_brute", annBruteForce, Some(annBruteForceSql),
       "brute-force cosine top-k, codegen'd kernel (training-data extension)"),
     Q("n2_cosine_pairs", cosinePairs, Some(cosinePairsSql),

@@ -39,6 +39,19 @@ class NullEmbeddingSpec extends SparkSuite {
     assert(ids.contains(1L) && ids.contains(2L) && ids.contains(5L))
   }
 
+  test("n6 quantization drops NULL embeddings, keeps zero vectors as all-zero") {
+    val rows = Similarity.quantizeInt8(spark, corpus).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L),
+      "NULL embedding (4) has no quantized form; everything else is kept")
+    val zero = rows.find(_.getLong(0) == 3L).get
+    // scale_r, q_sum, q_l1, n_zero_dims
+    assert(zero.getDouble(1) == 0.0 && zero.getLong(2) == 0L &&
+      zero.getLong(3) == 0L && zero.getLong(4) == 64L)
+    // unit vector 0.1 in every dim: every q_i = 127
+    val unit = rows.find(_.getLong(0) == 1L).get
+    assert(unit.getLong(2) == 127L * 64 && unit.getLong(4) == 0L)
+  }
+
   test("z2 dedup keeps NULL and zero embeddings (not duplicates of anything)") {
     val kept = Pipeline.embeddingDedup(spark, corpus).collect()
       .map(_.getLong(0)).toSet
