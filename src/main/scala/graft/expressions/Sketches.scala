@@ -6,9 +6,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.graftshim.Shims
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** `bitmap_distinct(bucket, m)` — distinct-count sketch over a bucketed
   * hash as a native Catalyst aggregate with FIXED-SIZE mergeable state.
@@ -94,6 +94,131 @@ case class BitmapDistinct(
   override def prettyName: String = "bitmap_distinct"
 }
 
+/** `topk_threshold(key, id, k)` — the LARGEST of the k lexicographically
+  * smallest (key, id) pairs per group, as a native Catalyst aggregate with
+  * BOUNDED mergeable state (a size-k max-heap, ≤ 16·k bytes per
+  * (partition, group)).
+  *
+  * This is the quota-sampling primitive: "keep each stratum's k smallest
+  * sample keys" needs only the k-th smallest pair per stratum — rows then
+  * keep/drop themselves by comparing their own (key, id) against the
+  * threshold, with no per-row rank state. The id is the tiebreak, so the
+  * order is TOTAL over distinct rows and the kept set is exactly the
+  * window form's `row_number() OVER (ORDER BY key, id) <= k` — the two
+  * formulations are provably the same set, but this one never shuffles
+  * the data rows: partial heaps combine map-side like any algebraic
+  * aggregate, and only ≤ k pairs per (partition, stratum) move. A window
+  * would shuffle the entire corpus by stratum and sort each group — at
+  * 100 TB with a handful of language strata that is a few reducers
+  * sorting terabytes each; the heap ships kilobytes.
+  *
+  * Groups with fewer than k rows return their maximum pair, so
+  * `(key, id) <= threshold` keeps every row — "quota not reached" needs
+  * no special case downstream. NULL key or id rows are ignored (they have
+  * no place in the total order); an all-NULL group returns NULL.
+  */
+case class TopKPairThreshold(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKPairThreshold.Heap]
+  with BinaryLike[Expression] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def createAggregationBuffer(): TopKPairThreshold.Heap =
+    new TopKPairThreshold.Heap(k)
+
+  override def update(
+      buf: TopKPairThreshold.Heap, input: InternalRow): TopKPairThreshold.Heap = {
+    val kv = left.eval(input)
+    val iv = right.eval(input)
+    if (kv != null && iv != null)
+      buf.offer(kv.asInstanceOf[Long], iv.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      a: TopKPairThreshold.Heap, b: TopKPairThreshold.Heap): TopKPairThreshold.Heap = {
+    val it = b.pq.iterator()
+    while (it.hasNext) { val p = it.next(); a.offer(p(0), p(1)) }
+    a
+  }
+
+  override def eval(buf: TopKPairThreshold.Heap): Any = {
+    val top = buf.pq.peek()
+    if (top == null) null else InternalRow(top(0), top(1))
+  }
+
+  override def serialize(buf: TopKPairThreshold.Heap): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.pq.size() * 16)
+    bb.putInt(buf.pq.size())
+    val it = buf.pq.iterator()
+    while (it.hasNext) { val p = it.next(); bb.putLong(p(0)); bb.putLong(p(1)) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPairThreshold.Heap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val h = new TopKPairThreshold.Heap(k)
+    var i = 0
+    while (i < n) { h.offer(bb.getLong(), bb.getLong()); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): TopKPairThreshold =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TopKPairThreshold =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKPairThreshold =
+    copy(left = newLeft, right = newRight)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_threshold requires BIGINT (key, id), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("id", LongType, nullable = false)))
+  override def prettyName: String = "topk_threshold"
+}
+
+object TopKPairThreshold {
+  /** A size-bounded MAX-heap of (key, id) pairs under lexicographic order:
+    * after any sequence of offers it holds the k smallest pairs seen, with
+    * the largest of those at the root. Offer is O(log k); state is ≤ k
+    * two-long arrays regardless of input size.
+    */
+  final class Heap(val k: Int) {
+    val pq = new java.util.PriorityQueue[Array[Long]](
+      math.max(1, k),
+      new java.util.Comparator[Array[Long]] {
+        // reversed compare → max-heap
+        def compare(a: Array[Long], b: Array[Long]): Int = {
+          val c = java.lang.Long.compare(b(0), a(0))
+          if (c != 0) c else java.lang.Long.compare(b(1), a(1))
+        }
+      })
+    def offer(key: Long, id: Long): Unit = {
+      if (pq.size() < k) { pq.add(Array(key, id)); () }
+      else {
+        val top = pq.peek()
+        if (key < top(0) || (key == top(0) && id < top(1))) {
+          pq.poll(); pq.add(Array(key, id)); ()
+        }
+      }
+    }
+  }
+}
+
 object SketchFunctions {
   /** Occupied-bucket count of an m-bit bitmap over `floorMod(c, numBits)`;
     * NULLs ignored (SQL `count(DISTINCT …)` semantics).
@@ -101,4 +226,13 @@ object SketchFunctions {
   def bitmap_distinct(c: Column, numBits: Int): Column =
     Shims.column(
       BitmapDistinct(Shims.expression(c), numBits).toAggregateExpression())
+
+  /** The largest of the k lexicographically smallest (key, id) pairs —
+    * a struct {k, id}, or NULL for an all-NULL group. See
+    * [[TopKPairThreshold]].
+    */
+  def topk_threshold(key: Column, id: Column, k: Int): Column =
+    Shims.column(
+      TopKPairThreshold(
+        Shims.expression(key), Shims.expression(id), k).toAggregateExpression())
 }

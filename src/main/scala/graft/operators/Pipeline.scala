@@ -518,7 +518,64 @@ object Pipeline {
        |GROUP BY split, bucket
        |ORDER BY split, bucket""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // Z8 — per-stratum quota sampling: cap each detected language's
+  // contribution at QuotaPerLang documents, chosen deterministically as
+  // the quota smallest by a dedicated sample key (hash60 of "quota:" +
+  // doc_id — salted differently from the x5 split shard so the sample is
+  // independent of split assignment; an unsalted key would put every
+  // sampled doc in the low split buckets). This is the data-mixing
+  // primitive that caps an over-represented language/source when
+  // assembling a training mix.
+  //
+  // Scale shape: the naive form is `row_number() OVER (PARTITION BY lang
+  // ORDER BY key) <= quota` — a full shuffle of the corpus into a handful
+  // of language reducers, each sorting terabytes at 100 TB. Here the
+  // corpus is never shuffled: one scan computes per-partition bounded
+  // top-K heaps ([[graft.expressions.TopKPairThreshold]], ≤ 16·K bytes
+  // per (partition, stratum), map-side combined), the per-stratum
+  // threshold pair broadcasts (≤ #languages rows), and a second scan
+  // keeps rows whose (key, doc_id) ≤ threshold. Ties are impossible —
+  // doc_id makes the order total — so the kept set equals the window
+  // form's exactly, which is what the DuckDB oracle computes.
+  // ---------------------------------------------------------------------
+  val QuotaPerLang = 100
+
+  def quotaSample(spark: SparkSession, dir: String): DataFrame =
+    quotaSampleAt(QuotaPerLang)(spark, dir)
+
+  /** z8 at an explicit quota — the deployment form. */
+  def quotaSampleAt(quota: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Catalog.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.detectedLang(col("text")).as("lang_det"),
+        TextOps.hash60(concat(lit("quota:"), col("doc_id").cast("string")))
+          .as("qk"))
+    val th = scored.groupBy(col("lang_det"))
+      .agg(graft.expressions.SketchFunctions
+        .topk_threshold(col("qk"), col("doc_id"), quota).as("th"))
+    scored.join(broadcast(th), Seq("lang_det"))
+      .filter(col("qk") < col("th.k") ||
+        (col("qk") === col("th.k") && col("doc_id") <= col("th.id")))
+      .select(col("lang_det"), col("doc_id"))
+      .orderBy(col("lang_det"), col("doc_id"))
+  }
+
+  val quotaSampleSql: String =
+    s"""WITH scored AS (
+       | SELECT doc_id, ${TextOps.detectedLangSql} AS lang_det,
+       |  ${TextOps.hash60Sql("'quota:' || doc_id::VARCHAR")} AS qk
+       | FROM documents),
+       |ranked AS (
+       | SELECT lang_det, doc_id,
+       |  row_number() OVER (PARTITION BY lang_det ORDER BY qk, doc_id) AS rn
+       | FROM scored)
+       |SELECT lang_det, doc_id FROM ranked WHERE rn <= $QuotaPerLang
+       |ORDER BY lang_det, doc_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("z8_quota_sample", quotaSample, Some(quotaSampleSql),
+      "per-language quota sampling: bounded top-K threshold aggregate + broadcast threshold filter, corpus never shuffled (training-data extension)"),
     Q("z7_manifest", assemblyManifest, Some(assemblyManifestSql),
       "assembly manifest: per-(split, shard) doc/token/sequence accounting over z6 (training-data extension)"),
     Q("z6_assembly_pipeline", assemblyPipeline, Some(assemblyPipelineSql),
