@@ -505,6 +505,80 @@ object Dedup {
       .orderBy(col("da"), col("db"))
 
   // ---------------------------------------------------------------------
+  // D7 — sub-document exact dedup (the C4/RefinedWeb line-dedup shape):
+  // documents are cut into non-overlapping ChunkTokens-token chunks, each
+  // chunk instance is a global FIRST occurrence or a DUPLICATE (the first
+  // is the lexicographically smallest (doc_id, position) among instances
+  // of the same chunk hash — deterministic, order-free), and the
+  // registered output is the per-document chunk accounting a curation run
+  // filters on (drop or trim docs that are mostly boilerplate chunks).
+  //
+  // Scale shape: explode is map-side (slim (hash, packed-pos) rows, never
+  // the text); first-occurrence selection is ONE hash-groupBy on the
+  // 8-byte chunk hash (d1's shape at chunk granularity); the flag-back
+  // join re-shuffles on the same hash key, so the aggregate's exchange is
+  // reused; the per-doc rollup shuffles BIGINT doc ids. No window over
+  // the instance table, no string shuffles.
+  //
+  // (doc_id, pos) packs into one BIGINT (pos < 2^20: MaxTokens=100k /
+  // ChunkTokens → ≤ 10^4 chunks per doc) so the min is a plain LONG min
+  // on both engines — exact integer arithmetic, no struct-ordering
+  // semantics to align. Deployments with doc_id ≥ 2^43 would switch the
+  // packing to min(struct(doc_id, pos)); the gate fixtures are far below.
+  // ---------------------------------------------------------------------
+  val ChunkTokens = 10
+  private val PosPack = 1L << 20
+
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = ChunkTokens
+    val chunkArr = when(col("nc") > 0,
+      transform(sequence(lit(0), col("nc") - 1),
+        i => concat_ws(" ", slice(col("w"), i * k + 1, lit(k)))))
+      .otherwise(typedLit(Seq.empty[String]))
+    val inst = Catalog.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .withColumn("nc", floor(size(col("w")) / k).cast("int"))
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      .select(col("doc_id"),
+        (col("doc_id") * PosPack + col("pos")).as("pk"),
+        hash60(col("chunk")).as("h"))
+    val firsts = inst.groupBy(col("h")).agg(min(col("pk")).as("fpk"))
+    val perDoc = inst.join(firsts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("pk") =!= col("fpk"), 1L).otherwise(0L)).as("n_dup_chunks"))
+    Catalog.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val chunkDedupSql: String = {
+    val k = ChunkTokens
+    s"""WITH toks AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       | FROM documents),
+       |pos AS (
+       | SELECT doc_id, w, unnest(range(len(w) // $k)) AS pos FROM toks),
+       |inst AS (
+       | SELECT doc_id, doc_id * $PosPack + pos AS pk,
+       |  ${hash60Sql(s"array_to_string(w[(pos*$k+1):(pos*$k+$k)], ' ')")} AS h
+       | FROM pos),
+       |firsts AS (SELECT h, min(pk) AS fpk FROM inst GROUP BY h),
+       |perdoc AS (
+       | SELECT i.doc_id, count(*) AS cnt,
+       |  CAST(sum(CASE WHEN i.pk <> f.fpk THEN 1 ELSE 0 END) AS BIGINT) AS dups
+       | FROM inst i JOIN firsts f ON f.h = i.h GROUP BY i.doc_id)
+       |SELECT d.doc_id,
+       | CAST(coalesce(p.cnt, 0) AS BIGINT) AS n_chunks,
+       | CAST(coalesce(p.dups, 0) AS BIGINT) AS n_dup_chunks
+       |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
   // D3 — SimHash near-dup pairs: 60-bit fingerprint per doc (custom
   // codegen'd Catalyst expression), pairs at Hamming distance ≤ 3 found
   // via 4-band pigeonhole (distance ≤ 3 ⇒ at least one 15-bit band equal —
@@ -737,5 +811,7 @@ object Dedup {
     Q("d5_winnow_pairs", winnowPairs, Some(winnowPairsSql),
       "winnowing rolling-hash fingerprint overlap pairs, value-set oracle in SQL (training-data extension)"),
     Q("d6_jaccard_indexed", ngramJaccardViaIndex, Some(minhashLshSql),
-      "exact 3-gram Jaccard over a persisted shingle index — the shared-feature-table execution strategy (training-data extension)"))
+      "exact 3-gram Jaccard over a persisted shingle index — the shared-feature-table execution strategy (training-data extension)"),
+    Q("d7_chunk_dedup", chunkDedup, Some(chunkDedupSql),
+      "sub-document exact dedup: per-document duplicate-chunk accounting over 10-token chunks, hash-groupBy first-occurrence (training-data extension)"))
 }
