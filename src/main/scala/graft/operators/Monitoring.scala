@@ -626,6 +626,67 @@ object Monitoring {
       |ORDER BY user_id, event_id""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // W8 — gap-filled time series (the monitoring-chart densification the
+  // reference's dashboards imply: a metric chart must show EVERY interval,
+  // carrying the last reading through silent gaps, not only intervals
+  // that happened to log). Per (event_type, hour): event count plus the
+  // last-observation-carried-forward value — the latest event's value by
+  // (ts, event_id) at or before the bucket.
+  //
+  // Scale shape: the ONLY data-sized operation is the hourly algebraic
+  // aggregate (count + max_by, map-side partials, one shuffle). The dense
+  // grid is types × hours — its size is set by the time span, NOT the
+  // corpus (a year of hours × a handful of types is ~10^5 rows at any
+  // SF), so the left join and the LOCF window both run over grid-sized
+  // input; the window partitions by type over a few hundred rows each.
+  // Densify AFTER aggregating — a LOCF window over raw events would sort
+  // the corpus.
+  // ---------------------------------------------------------------------
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Catalog.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_val"))
+    val bounds = hourly.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
+    val locf = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("n_events"),
+        last(col("last_val"), ignoreNulls = true).over(locf).as("value_filled"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val gapFillSql: String =
+    """WITH hourly AS (
+      | SELECT event_type, bucket, count(*) AS cnt,
+      |  max(CASE WHEN rn = 1 THEN value END) AS last_val
+      | FROM (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+      |   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |     ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) e
+      | GROUP BY event_type, bucket),
+      |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM hourly),
+      |grid AS (
+      | SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL '1 hour')) AS bucket
+      | FROM (SELECT DISTINCT event_type FROM hourly) t, bounds b)
+      |SELECT g.event_type, g.bucket,
+      | CAST(coalesce(h.cnt, 0) AS BIGINT) AS n_events,
+      | last_value(h.last_val IGNORE NULLS) OVER (
+      |  PARTITION BY g.event_type ORDER BY g.bucket
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      |FROM grid g LEFT JOIN hourly h
+      | ON h.event_type = g.event_type AND h.bucket = g.bucket
+      |ORDER BY g.event_type, g.bucket""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // A-family extension — distinct-cardinality SKETCH: distinct users per
   // event type via the custom `bitmap_distinct` TypedImperativeAggregate
   // (graft.expressions.BitmapDistinct). count(DISTINCT user_id) shuffles
@@ -660,6 +721,8 @@ object Monitoring {
       "distinct-user cardinality per event type via the bitmap_distinct fixed-state sketch aggregate (custom TypedImperativeAggregate)"),
     Q("w7_moving_average", movingAverage, Some(movingAverageSql),
       "bounded-row-frame moving average, decimal-exact frame sum"),
+    Q("w8_gap_fill", gapFill, Some(gapFillSql),
+      "gap-filled hourly series per event type: dense grid + last-observation-carried-forward over the aggregated buckets (chart densification)"),
     Q("w6_hopping_window", hoppingWindowLoad, Some(hoppingWindowLoadSql),
       "hopping 10-min/5-min sliding-window aggregate (moving smoothing family; window() expansion + one grouped shuffle)"),
     Q("w5_asof_join", asofJoin, Some(asofJoinSql),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** w8 gap-fill semantics on constructed gaps (the sf0.1 fixture is dense,
+  * so the gate alone under-exercises LOCF): silent hours carry the last
+  * value forward, the latest-in-bucket value is picked by (ts, event_id),
+  * and a type that starts mid-grid has NULL fills before its first
+  * observation — the grid spans the GLOBAL time range for every type.
+  */
+class GapFillSpec extends SparkSuite {
+
+  private lazy val corpus: String = {
+    val tmp = Files.createTempDirectory("graft-gapfill").toString
+    import spark.implicits._
+    Seq(
+      (1L, "2024-01-01 00:10:00", 1L, "m", 1.0),
+      (2L, "2024-01-01 01:05:00", 1L, "m", 2.0),
+      (3L, "2024-01-01 01:30:00", 1L, "m", 2.5), // latest in m@01
+      (4L, "2024-01-01 04:20:00", 1L, "m", 5.0),
+      (5L, "2024-01-01 03:40:00", 2L, "n", 7.0)) // n starts mid-grid
+      .toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .select(col("event_id"),
+        (unix_timestamp(col("ts_str")) * 1000000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("gaps carry the last value; pre-first-observation buckets are NULL") {
+    val got = Monitoring.gapFill(spark, corpus).collect().map { r =>
+      (r.getString(0), r.getTimestamp(1).toString.substring(11, 13),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toSeq
+    assert(got == Seq(
+      ("m", "00", 1L, Some(1.0)),
+      ("m", "01", 2L, Some(2.5)), // latest by (ts, event_id) within the hour
+      ("m", "02", 0L, Some(2.5)), // silent hour: carried forward
+      ("m", "03", 0L, Some(2.5)),
+      ("m", "04", 1L, Some(5.0)),
+      ("n", "00", 0L, None), // before n's first observation
+      ("n", "01", 0L, None),
+      ("n", "02", 0L, None),
+      ("n", "03", 1L, Some(7.0)),
+      ("n", "04", 0L, Some(7.0))), s"got ${got.mkString("\n")}")
+  }
+}

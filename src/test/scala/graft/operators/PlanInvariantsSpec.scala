@@ -25,11 +25,15 @@ class PlanInvariantsSpec extends SparkSuite {
     * - n1: brute-force ANN, the labeled exact baseline (broadcast query
     *   set × single corpus scan);
     * - n2: the labeled O(n²) exact pair-mining baseline nothing
-    *   production consumes.
+    *   production consumes;
+    * - w8: the grid constructor crossJoins the ONE-row (lo, hi) bounds
+    *   frame onto the distinct event types (j7's shape — both sides are
+    *   already aggregated; the corpus-sized path is the equi-keyed
+    *   hourly rollup).
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
-      "n2_cosine_pairs")
+      "n2_cosine_pairs", "w8_gap_fill")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
