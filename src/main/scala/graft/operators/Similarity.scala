@@ -627,8 +627,55 @@ object Similarity {
       | CAST(list_sum(list_transform(qv, x -> CASE WHEN x = 0 THEN 1.0 ELSE 0.0 END)) AS BIGINT) AS n_zero_dims
       |FROM q ORDER BY vec_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // N7 — ANN recall evaluation: the acceptance gate a pipeline runs
+  // before swapping brute force for an index. For each approximate
+  // method (n3 LSH, n4 IVF, n5 fitted IVF), how many of the exact
+  // top-K pairs (n1) does it return? Exact integer accounting (pair
+  // counts) plus recall as ONE IEEE division — the x10 rule: nothing
+  // transcendental, nothing accumulated in floats.
+  //
+  // Scale: every side is an already-rank-truncated ANN result
+  // (NQueries × TopK rows), so the joins and aggregates here are
+  // evaluation-set-sized regardless of corpus size. The exact arm is
+  // recomputed per method (3× n1) — an evaluation run, not a serving
+  // path; a deployment would persist n1's result once.
+  // ---------------------------------------------------------------------
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteForce(spark, dir).select(col("query_id"), col("vec_id"))
+    def one(name: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_expected"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(lit(name).as("method"), col("n_expected"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_expected"), 6).as("recall"))
+    one("n3_lsh", annLsh(spark, dir))
+      .unionAll(one("n4_ivf", annIvf(spark, dir)))
+      .unionAll(one("n5_ivf_kmeans", annIvfKmeans(spark, dir)))
+      .orderBy(col("method"))
+  }
+
+  val annRecallSql: String = {
+    def one(name: String, sql: String): String =
+      s"""SELECT '$name' AS method,
+         | CAST(count(*) AS BIGINT) AS n_expected,
+         | CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         | round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |   / count(*), 6) AS recall
+         |FROM ($annBruteForceSql) e
+         |LEFT JOIN ($sql) a USING (query_id, vec_id)""".stripMargin
+    (one("n3_lsh", annLshSql) + " UNION ALL " +
+      one("n4_ivf", annIvfSql) + " UNION ALL " +
+      one("n5_ivf_kmeans", annIvfKmeansSql) + " ORDER BY method")
+      .replace('\n', ' ')
+  }
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("n7_ann_recall", annRecall, Some(annRecallSql),
+      "ANN index acceptance: exact-integer recall of n3/n4/n5 against the n1 brute-force top-K (training-data extension)"),
     Q("n6_quantize_int8", quantizeInt8, Some(quantizeInt8Sql),
       "int8 scalar quantization (SQ8) of the embedding corpus: per-vector scale + exact integer checksums, zero-shuffle map work (training-data extension)"),
     Q("n1_ann_brute", annBruteForce, Some(annBruteForceSql),

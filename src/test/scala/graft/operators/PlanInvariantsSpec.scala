@@ -29,11 +29,13 @@ class PlanInvariantsSpec extends SparkSuite {
     * - w8: the grid constructor crossJoins the ONE-row (lo, hi) bounds
     *   frame onto the distinct event types (j7's shape — both sides are
     *   already aggregated; the corpus-sized path is the equi-keyed
-    *   hourly rollup).
+    *   hourly rollup);
+    * - n7: embeds n1 (the labeled brute-force baseline) as the exact
+    *   ground-truth arm it measures the indexes against.
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
-      "n2_cosine_pairs", "w8_gap_fill")
+      "n2_cosine_pairs", "w8_gap_fill", "n7_ann_recall")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
