@@ -642,18 +642,26 @@ object Similarity {
   // path; a deployment would persist n1's result once.
   // ---------------------------------------------------------------------
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = annBruteForce(spark, dir).select(col("query_id"), col("vec_id"))
-    def one(name: String, approx: DataFrame): DataFrame =
-      exact.join(
-          approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
-          Seq("query_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("n_expected"),
-          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
-        .select(lit(name).as("method"), col("n_expected"), col("n_hits"),
-          round(col("n_hits").cast("double") / col("n_expected"), 6).as("recall"))
-    one("n3_lsh", annLsh(spark, dir))
-      .unionAll(one("n4_ivf", annIvf(spark, dir)))
-      .unionAll(one("n5_ivf_kmeans", annIvfKmeans(spark, dir)))
+    // each arm executes ONCE: the exact pairs fan out over a 3-row method
+    // literal (not one n1 recompute per method — the d2/z1/z3 lesson),
+    // and the method-tagged approximate results union into one join side
+    val methods = spark.createDataFrame(
+      Seq(Tuple1("n3_lsh"), Tuple1("n4_ivf"), Tuple1("n5_ivf_kmeans")))
+      .toDF("method")
+    val expected = annBruteForce(spark, dir)
+      .select(col("query_id"), col("vec_id")).crossJoin(broadcast(methods))
+    def tag(name: String, approx: DataFrame): DataFrame =
+      approx.select(lit(name).as("method"), col("query_id"), col("vec_id"),
+        lit(1).as("hit"))
+    val approx = tag("n3_lsh", annLsh(spark, dir))
+      .unionAll(tag("n4_ivf", annIvf(spark, dir)))
+      .unionAll(tag("n5_ivf_kmeans", annIvfKmeans(spark, dir)))
+    expected.join(approx, Seq("method", "query_id", "vec_id"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_expected"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("method"), col("n_expected"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_expected"), 6).as("recall"))
       .orderBy(col("method"))
   }
 
