@@ -85,6 +85,38 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("TopKPairThreshold heap: threshold equals the sort-based k-th smallest") {
+    val pairGen = Gen.listOf(Gen.zip(hashGen, Gen.chooseNum(0L, 1L << 40)))
+      .map(_.distinct) // the operator's contract: (key, id) pairs are unique
+    val kGen = Gen.chooseNum(1, 8)
+    check("topk-threshold")(Prop.forAll(pairGen, kGen) { (pairs, k) =>
+      val h = new TopKPairThreshold.Heap(k)
+      pairs.foreach { case (a, b) => h.offer(a, b) }
+      val expect = pairs.sorted.take(k).lastOption
+      val got = Option(h.pq.peek()).map(p => (p(0), p(1)))
+      got == expect
+    })
+  }
+
+  test("TopKPairThreshold heap: merging split halves equals offering all") {
+    val pairGen = Gen.listOf(Gen.zip(hashGen, Gen.chooseNum(0L, 1L << 40)))
+      .map(_.distinct)
+    check("topk-merge")(Prop.forAll(pairGen, Gen.chooseNum(1, 6),
+      Gen.chooseNum(0, 100)) { (pairs, k, cut) =>
+      val (xs, ys) = pairs.splitAt(cut % (pairs.size + 1))
+      val whole = new TopKPairThreshold.Heap(k)
+      pairs.foreach { case (a, b) => whole.offer(a, b) }
+      val left = new TopKPairThreshold.Heap(k)
+      xs.foreach { case (a, b) => left.offer(a, b) }
+      val right = new TopKPairThreshold.Heap(k)
+      ys.foreach { case (a, b) => right.offer(a, b) }
+      val it = right.pq.iterator()
+      while (it.hasNext) { val p = it.next(); left.offer(p(0), p(1)) }
+      Option(left.pq.peek()).map(p => (p(0), p(1))) ==
+        Option(whole.pq.peek()).map(p => (p(0), p(1)))
+    })
+  }
+
   test("blockNorms: profile cosine upper-bounds vector cosine") {
     val vecGen = Gen.listOfN(32, Gen.chooseNum(-10.0f, 10.0f))
     check("blocknorm-bound")(Prop.forAll(vecGen, vecGen) { (xs, ys) =>
