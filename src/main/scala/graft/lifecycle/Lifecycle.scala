@@ -124,6 +124,13 @@ object Lifecycle {
   private def rewrite(path: String)(f: DataFrame => DataFrame)(
       implicit spark: SparkSession): Unit = rewriteAt(path)(f)
 
+  /** The rewrite-on-write protocol for sibling statement executors
+    * ([[SqlMutations]]'s MERGE): same staged-write + move-aside swap as
+    * every DELETE/UPDATE here.
+    */
+  private[lifecycle] def rewriteTable(path: String)(f: DataFrame => DataFrame)(
+      implicit spark: SparkSession): Unit = rewriteAt(path)(f)
+
   /** Unique per-call scratch suffix: two concurrent rewrites of the SAME
     * table must not share staged/backup roots — with a fixed name, writer
     * B's Overwrite deletes writer A's staged data and A's swap then

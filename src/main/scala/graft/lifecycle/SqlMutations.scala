@@ -1,9 +1,9 @@
 package graft.lifecycle
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Q
@@ -63,9 +63,126 @@ object SqlMutations {
         }
         Lifecycle.updateMulti(tables(tableName(u.table)), sets,
           u.condition.map(toColumn).getOrElse(lit(true)))
+      case m: MergeIntoTable => executeMerge(spark, m, tables)
       case other => throw new IllegalArgumentException(
-        "only DELETE and UPDATE statements are accepted by the mutation " +
-          s"surface; got: ${other.getClass.getSimpleName}")
+        "only DELETE, UPDATE, and MERGE statements are accepted by the " +
+          s"mutation surface; got: ${other.getClass.getSimpleName}")
+    }
+  }
+
+  private def nameAndAlias(plan: LogicalPlan): (String, String) = plan match {
+    case SubqueryAlias(id, child) => (tableName(child), id.name)
+    case r: UnresolvedRelation =>
+      val n = r.multipartIdentifier.mkString("."); (n, n)
+    case other => throw new IllegalArgumentException(
+      s"MERGE relations must be plain (optionally aliased) tables, got: $other")
+  }
+
+  private def assignTarget(a: Assignment): String = a.key match {
+    // `SET value = …` or `SET t.value = …` — the last part names the column
+    case k: UnresolvedAttribute => k.nameParts.last
+    case k => throw new IllegalArgumentException(
+      s"assignment target must be a column, got: $k")
+  }
+
+  /** `MERGE INTO target USING source ON cond WHEN …` compiled to ONE
+    * full-outer join + one projection over the rewrite-on-write protocol:
+    *
+    *   matched rows      → first applicable WHEN MATCHED action, in
+    *                       statement order (UPDATE rewrites columns,
+    *                       DELETE drops the row); no applicable action →
+    *                       row unchanged
+    *   target-only rows  → unchanged
+    *   source-only rows  → first applicable WHEN NOT MATCHED INSERT;
+    *                       none applicable → dropped
+    *
+    * Assignment right-hand sides all evaluate against the PRE-merge row
+    * (simultaneous semantics, like [[Lifecycle.updateMulti]]). `UPDATE/
+    * INSERT *` copy source columns by target-column name. Standard MERGE
+    * requires the ON condition to match each target row to at most one
+    * source row — enforced here (ambiguous matches would silently
+    * duplicate target rows after the join, the worst failure mode of a
+    * rewrite MERGE). WHEN NOT MATCHED BY SOURCE is not supported.
+    *
+    * Scale: the join IS the merge — an equi ON condition plans as a hash
+    * join on the key (broadcast when the delta is small, the common
+    * case); the rewrite writes one new table version. No per-row driver
+    * work anywhere.
+    */
+  private def executeMerge(spark: SparkSession, m: MergeIntoTable,
+      tables: String => String): Unit = {
+    implicit val s: SparkSession = spark
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported by the mutation surface")
+    val (tName, tAlias) = nameAndAlias(m.targetTable)
+    val (sName, sAlias) = nameAndAlias(m.sourceTable)
+    val source = spark.read.parquet(tables(sName))
+    val resolver = spark.sessionState.analyzer.resolver
+
+    Lifecycle.rewriteTable(tables(tName)) { target =>
+      val tCols = target.columns.toSeq
+      val joined = target.withColumn("__t", lit(1))
+        .withColumn("__tid", monotonically_increasing_id()).alias(tAlias)
+        .join(source.withColumn("__s", lit(1)).alias(sAlias),
+          toColumn(m.mergeCondition), "full_outer")
+      val matched = col("__t").isNotNull && col("__s").isNotNull
+      val tOnly = col("__t").isNotNull && col("__s").isNull
+
+      def actCond(c: Option[Expression]): Column =
+        c.map(toColumn).getOrElse(lit(true))
+      // index of the first action whose condition holds, else -1 — SQL
+      // tries WHEN clauses in statement order
+      def firstIdx(actions: Seq[MergeAction]): Column =
+        actions.zipWithIndex.foldRight(lit(-1)) { case ((a, i), els) =>
+          when(actCond(a.condition), lit(i)).otherwise(els)
+        }
+      val aidx = when(matched, firstIdx(m.matchedActions)).otherwise(lit(-1))
+      val iidx = when(!matched && !tOnly, firstIdx(m.notMatchedActions))
+        .otherwise(lit(-1))
+
+      val deleteIdx = m.matchedActions.zipWithIndex
+        .collect { case (_: DeleteAction, i) => i }
+      val deleted = deleteIdx.foldLeft(lit(false))((acc, i) => acc || aidx === i)
+      val keep = tOnly || (matched && !deleted) ||
+        (!matched && !tOnly && iidx =!= -1)
+
+      def assigned(assigns: Seq[Assignment], c: String, dflt: Column): Column =
+        assigns.find(a => resolver(assignTarget(a), c))
+          .map(a => toColumn(a.value)).getOrElse(dflt)
+
+      def colFor(c: String): Column = {
+        val fromT = col(s"$tAlias.$c")
+        val fromS = col(s"$sAlias.$c")
+        val nullOfType = lit(null).cast(target.schema(c).dataType)
+        // matched: fold ends at fromT, so aidx = -1 (or a DELETE index,
+        // already filtered) leaves the row unchanged — also the tOnly path
+        val matchedExpr = m.matchedActions.zipWithIndex.foldRight(fromT) {
+          case ((u: UpdateAction, i), els) =>
+            when(aidx === i, assigned(u.assignments, c, fromT)).otherwise(els)
+          case ((_: UpdateStarAction, i), els) =>
+            when(aidx === i, fromS).otherwise(els)
+          case (_, els) => els
+        }
+        val insertExpr = m.notMatchedActions.zipWithIndex.foldRight(nullOfType) {
+          case ((ins: InsertAction, i), els) =>
+            when(iidx === i, assigned(ins.assignments, c, nullOfType)).otherwise(els)
+          case ((_: InsertStarAction, i), els) =>
+            when(iidx === i, fromS).otherwise(els)
+          case (_, els) => els
+        }
+        when(matched || tOnly, matchedExpr).otherwise(insertExpr).as(c)
+      }
+
+      // standard MERGE rejects a target row matching >1 source row (a
+      // rewrite would silently duplicate it); count the worst offender by
+      // a synthetic per-row id so identical target rows don't collide
+      val dupMatches = joined.filter(matched)
+        .groupBy(col("__tid")).count().agg(max(col("count"))).head()
+      if (!dupMatches.isNullAt(0))
+        require(dupMatches.getLong(0) <= 1L,
+          "MERGE ON condition matched a target row to multiple source rows")
+
+      joined.filter(keep).select(tCols.map(colFor): _*)
     }
   }
 
@@ -99,7 +216,58 @@ object SqlMutations {
       |WHERE event_type <> 'click'
       |ORDER BY event_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // S21 gate entry: a literal MERGE statement end-to-end. Seed a scratch
+  // copy of `events` plus a deterministic delta derived from the fixture
+  // (halved purchase values as updates — exact IEEE halving, no rounding
+  // — and id-shifted error rows as inserts), run one MERGE exercising
+  // DELETE / UPDATE / INSERT * arms in priority order, read the table
+  // back. The oracle states the same final relation as pure SQL.
+  // ---------------------------------------------------------------------
+  private val InsertIdShift = 1000000000000L // far above any gate-SF event_id
+
+  def sqlMergePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.freshRunDir(spark, "sql_merge_run", dir)
+    val events = s"$scratch/events"
+    val delta = s"$scratch/events_delta"
+    val ev = graft.Catalog.events(spark, dir)
+    ev.write.parquet(events)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") / 2).as("value"), col("props"))
+      .unionAll(ev.filter(col("event_type") === "error")
+        .select((col("event_id") + InsertIdShift).as("event_id"), col("ts"),
+          col("user_id"), lit("backfill").as("event_type"),
+          lit(1.0).as("value"), col("props")))
+      .write.parquet(delta)
+    val tables = Map("events" -> events, "events_delta" -> delta)
+    execute(spark,
+      """MERGE INTO events t USING events_delta s ON t.event_id = s.event_id
+        |WHEN MATCHED AND s.value > 250 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET value = s.value, event_type = 'adjusted'
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, tables)
+    spark.read.parquet(events)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val sqlMergePipelineSql: String =
+    s"""WITH delta AS (
+       | SELECT event_id, value / 2 AS value FROM events
+       | WHERE event_type = 'purchase')
+       |SELECT e.event_id, e.user_id,
+       | CASE WHEN d.event_id IS NOT NULL THEN 'adjusted' ELSE e.event_type END AS event_type,
+       | CASE WHEN d.event_id IS NOT NULL THEN d.value ELSE e.value END AS value
+       |FROM events e LEFT JOIN delta d ON d.event_id = e.event_id
+       |WHERE NOT (d.event_id IS NOT NULL AND d.value > 250)
+       |UNION ALL
+       |SELECT event_id + $InsertIdShift, user_id, 'backfill', 1.0
+       |FROM events WHERE event_type = 'error'
+       |ORDER BY event_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
     Q("s19_sql_mutations", sqlMutationPipeline, Some(sqlMutationPipelineSql),
-      "literal DELETE / multi-assignment UPDATE statements through Spark's parser onto the Lifecycle rewrite ops (views.py:113,167-170 statement-surface parity)"))
+      "literal DELETE / multi-assignment UPDATE statements through Spark's parser onto the Lifecycle rewrite ops (views.py:113,167-170 statement-surface parity)"),
+    Q("s21_sql_merge", sqlMergePipeline, Some(sqlMergePipelineSql),
+      "literal MERGE INTO statement (DELETE/UPDATE/INSERT * arms, priority order) compiled to one full-outer join over the rewrite protocol"))
 }
