@@ -97,6 +97,32 @@ object Streams {
       Some(streamIngestRoundtripSql),
       "end-to-end streaming ingest: JSON file-watch, 1 s trigger, parquet sink, identity-checked (SURVEY 2.9)"))
 
+  /** Streaming UPSERT sink (the production serving-table pattern, the
+    * streaming twin of S9's ON CONFLICT DO NOTHING): each micro-batch
+    * dedupes within itself on the key and runs [[Lifecycle.upsert]]'s
+    * anti-join append against the serving table via `foreachBatch`.
+    * Because the upsert keeps only keys the table has never seen, a
+    * REPLAYED batch (failure/restart re-delivery, Structured Streaming's
+    * at-least-once foreachBatch contract) is a no-op — per-key
+    * exactly-once lands in the TABLE even though delivery is
+    * at-least-once. Per batch the cost is one anti-join against the
+    * table's key projection + an append; at scale the table side prunes
+    * to the key columns (and `upsertPartitioned` restricts it to touched
+    * partitions).
+    */
+  def upsertSink(events: DataFrame, tablePath: String, keys: Seq[String],
+      checkpointDir: String): DataStreamWriter[Row] = {
+    implicit val spark: SparkSession = events.sparkSession
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.lifecycle.Lifecycle.upsert(
+          tablePath, batch.dropDuplicates(keys), keys)
+      }
+  }
+
   /** Streaming W2 — 5-minute decimation with a 10-minute watermark: the
     * latest event per tumbling window, emitted once the window closes.
     * Late rows beyond the watermark are dropped — the explicit version of
