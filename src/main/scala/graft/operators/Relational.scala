@@ -187,6 +187,27 @@ object Relational {
       |ORDER BY user_id, day""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // E3 — set intersection, completing the set-op family (E1 DISTINCT,
+  // E2 EXCEPT): (user, day) pairs that both viewed AND purchased. Spark
+  // plans INTERSECT as a distinct + left-semi hash join on the pair —
+  // the same one-shuffle shape as E2's anti form.
+  // ---------------------------------------------------------------------
+  def viewersAndBuyers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.events(spark, dir)
+    def byDay(kind: String) = ev.filter(col("event_type") === kind)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    byDay("view").intersect(byDay("purchase"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val viewersAndBuyersSql: String =
+    """SELECT user_id, day FROM (
+      | SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+      | INTERSECT
+      | SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase') t
+      |ORDER BY user_id, day""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // G1 — grouped multi-aggregate (the TPC-H Q1 shape; SURVEY.md §2.4 notes
   // the reference's aggs are all global — grouped variants are our scale
   // path: partial map-side agg, 4 output rows from 600k inputs). Exact
@@ -648,6 +669,8 @@ object Relational {
       "ordered string aggregation (views.py:966-971)"),
     Q("e2_except", viewersNotBuyers, Some(viewersNotBuyersSql),
       "set difference (apps.py:55-69)"),
+    Q("e3_intersect", viewersAndBuyers, Some(viewersAndBuyersSql),
+      "set intersection — distinct + one-shuffle semi join (set-op family completion)"),
     Q("g1_pricing_summary", pricingSummary, Some(pricingSummarySql),
       "grouped multi-aggregate, map-side partial (SURVEY §2.4 grouped extension)"),
     Q("g2_segment_revenue", segmentRevenue, Some(segmentRevenueSql),
