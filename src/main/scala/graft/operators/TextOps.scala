@@ -452,6 +452,47 @@ object TextOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
   /** Registry of this module's catalogued queries. */
+  // ---------------------------------------------------------------------
+  // PII redaction (library API, spec-covered): the scrub pass a curation
+  // pipeline runs before anything ships — emails, E.164-ish phone
+  // numbers, and IPv4 literals replaced with typed placeholder tags, plus
+  // per-document match counts for the curation report. Pure
+  // `regexp_replace`/`regexp_count`-style column work: codegen'd,
+  // zero-shuffle, streams through 100 TB like every other x-op.
+  //
+  // NOT gate-registered, deliberately: the synthetic fixtures contain no
+  // PII (an all-zero oracle proves nothing), and redaction regexes are
+  // exactly where Java-regex vs RE2 dialect drift bites cross-engine
+  // hashing (the tokens() lesson) — RedactSpec pins the semantics on a
+  // constructed corpus instead.
+  // ---------------------------------------------------------------------
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9()\\[\\] .-]{6,}[0-9]"
+  private val Ipv4Re =
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** (redacted text, email count, phone count, ip count) as four columns
+    * over `text`. Order matters: emails first (a phone pattern could
+    * otherwise eat digit runs inside an address's local part).
+    */
+  def redact(text: Column): Seq[(String, Column)] = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    val clean = regexp_replace(noIp, PhoneRe, "<PHONE>")
+    Seq(
+      "redacted" -> clean,
+      "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+      "n_ips" -> size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))),
+      "n_phones" -> size(regexp_extract_all(noIp, lit(PhoneRe), lit(0))))
+  }
+
+  /** The per-document redaction pass over a documents table. */
+  def redactDocuments(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .select(col("doc_id") +: redact(col("text")).map {
+        case (n, c) => c.as(n)
+      }: _*)
+
   val all: Seq[Q] = Seq(
     Q("x10_lm_surprisal", lmSurprisal, Some(lmSurprisalSql),
       "unigram-LM mean surprisal per document — the perplexity-filter shape in exact integer bits (training-data extension)"),
