@@ -47,10 +47,12 @@ object Bench {
     // footers alone and decodes zero column bytes, leaving the first query
     // on each table to pay cold-IO inside its own timing.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // fail fast with the table name + observed schema if any fixture table
+    // doesn't analyze — one clear diagnostic beats 35 per-query failures
+    Catalog.assertReadable(spark, sfDir)
     Catalog.tableNames.foreach { t =>
-      try Catalog.table(spark, sfDir, t)
+      Catalog.table(spark, sfDir, t)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
     }
     // pre-build the shared persisted feature indexes: queries measure
     // steady-state cost; the one-time offline build is pipeline setup

@@ -44,19 +44,59 @@ object Catalog {
 
   /** The events (metric stream) table.
     *
-    * The fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a
-    * long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microseconds — exactly what DuckDB does when it coerces ns → its native
-    * µs TIMESTAMP — so both engines see identical values. The conf is set
-    * idempotently at read time so it works under any session (driver-created
-    * sessions included).
+    * Fixture generations have stored `ts` under different physical parquet
+    * encodings — TIMESTAMP(NANOS) in some, plain TIMESTAMP(MICROS) in others.
+    * A 100 TB lakehouse receives files from many writers, so this read adapts
+    * to the OBSERVED type instead of asserting one encoding:
+    *
+    *   - `LongType`: the file is TIMESTAMP(NANOS) read via
+    *     `spark.sql.legacy.parquet.nanosAsLong` (Spark's vectorized reader
+    *     rejects ns timestamps, [PARQUET_TYPE_ILLEGAL]); truncate to µs —
+    *     exactly what DuckDB does when it coerces ns → its native µs
+    *     TIMESTAMP — so both engines see identical values.
+    *   - `TimestampNTZType`: plain µs timestamp without UTC adjustment; cast
+    *     to session-TZ TimestampType (the session is pinned UTC, so values
+    *     are identical and the driver's schema_match vs DuckDB's TIMESTAMP
+    *     holds).
+    *   - `TimestampType`: pass through.
+    *
+    * The `nanosAsLong` conf is set idempotently before the read so the nanos
+    * branch works under any session (driver-created sessions included); it is
+    * a no-op for non-nanos files.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected ns-as-long, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP); fixture at " + path(dir, "events"))
+    }
   }
+
+  /** Fail-fast schema guard: analyze every registry table and fail with the
+    * table NAME and OBSERVED schema on the first problem. Bench/Smoke call
+    * this up front so a driver-side fixture regeneration produces ONE clear
+    * "events table unreadable: <cause>" diagnostic instead of N mysterious
+    * per-query failures (round-8 lesson: a swallowed per-table Throwable in
+    * the warmup turned one fixture change into 35 red queries).
+    */
+  def assertReadable(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { t =>
+      try table(spark, dir, t).schema // analysis forced; no job launched
+      catch { case e: Throwable =>
+        val physical =
+          try spark.read.parquet(path(dir, t)).schema.treeString
+          catch { case inner: Throwable => s"<unreadable: ${inner.getMessage}>" }
+        throw new IllegalStateException(
+          s"table '$t' at ${path(dir, t)} failed analysis: ${e.getMessage}\n" +
+            s"observed physical schema:\n$physical", e)
+      }
+    }
 
   /** ANALYZE-style persisted statistics for an engine-written table
     * (SURVEY.md §4; computed by [[graft.lifecycle.Stats.analyze]], refreshed

@@ -10,6 +10,9 @@ object Smoke {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = GraftSession.local(defaultCpus = 8)
+    // one clear "table X unreadable: cause + schema" beats a wall of
+    // per-query failures when the driver regenerates fixtures
+    Catalog.assertReadable(spark, dir)
     val n = SparkEntry.entry(spark).count()
     println(s"ENTRY rows=$n " + (if (n > 0) "OK" else "EMPTY!"))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
