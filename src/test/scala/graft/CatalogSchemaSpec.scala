@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The events fixture's `ts` physical encoding has changed across driver
+  * fixture generations (TIMESTAMP(NANOS) → plain µs), and a Catalog that
+  * asserts one encoding breaks every downstream query at once (round 8:
+  * 35/90 gate entries and 30 tests red from one hard-coded branch). These
+  * specs pin the contract: `Catalog.events` adapts to the OBSERVED type and
+  * yields identical values under every encoding a writer may produce, and
+  * `Catalog.assertReadable` turns a bad fixture into one diagnostic that
+  * names the table and its observed schema.
+  */
+class CatalogSchemaSpec extends SparkSuite {
+
+  private val t0 = Timestamp.valueOf("2024-01-15 10:30:00")
+  private val t1 = Timestamp.valueOf("2024-01-15 10:30:05")
+
+  /** Write an events-shaped parquet whose `ts` uses the given writer. */
+  private def writeVariant(dir: String)(tsCol: org.apache.spark.sql.Column): Unit = {
+    import spark.implicits._
+    Seq((1L, t0, 10.0, "u1"), (2L, t1, 20.0, "u2"))
+      .toDF("id", "raw_ts", "value", "user")
+      .withColumn("ts", tsCol).drop("raw_ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  private def readTs(dir: String): Seq[Timestamp] =
+    Catalog.events(spark, dir).select("ts").orderBy("ts")
+      .collect().map(_.getTimestamp(0)).toSeq
+
+  test("events adapts to ns-as-long, TIMESTAMP_NTZ, and TIMESTAMP encodings") {
+    val base = Files.createTempDirectory("graft_catalog_schema").toString
+    val expected = Seq(t0, t1)
+
+    // old fixtures: TIMESTAMP(NANOS) surfaces as LongType under nanosAsLong
+    writeVariant(s"$base/nanos")(
+      (unix_micros(col("raw_ts")) * lit(1000L)).as("ts"))
+    assert(readTs(s"$base/nanos") == expected)
+
+    // current fixtures: plain µs without UTC adjustment → TIMESTAMP_NTZ
+    writeVariant(s"$base/ntz")(col("raw_ts").cast(TimestampNTZType))
+    assert(Catalog.events(spark, s"$base/ntz").schema("ts").dataType ==
+      TimestampType)
+    assert(readTs(s"$base/ntz") == expected)
+
+    // a session-TZ timestamp writer: pass-through
+    writeVariant(s"$base/tz")(col("raw_ts"))
+    assert(readTs(s"$base/tz") == expected)
+  }
+
+  test("an unsupported ts encoding fails with a named, schema-bearing error") {
+    val base = Files.createTempDirectory("graft_catalog_guard").toString
+    writeVariant(base)(date_format(col("raw_ts"), "yyyy-MM-dd HH:mm:ss"))
+
+    val direct = intercept[IllegalStateException](Catalog.events(spark, base))
+    assert(direct.getMessage.contains("events.ts"))
+    assert(direct.getMessage.contains("StringType"))
+
+    // assertReadable over a full fixture dir: link every healthy table from
+    // the real sf0.001 fixtures, perturb only events — the guard must name
+    // the broken table and print the physical schema it observed
+    val full = Files.createTempDirectory("graft_catalog_guard_full").toString
+    Catalog.tableNames.filterNot(_ == "events").foreach { t =>
+      Files.createSymbolicLink(
+        Paths.get(full, s"$t.parquet"), Paths.get(sfDir, s"$t.parquet"))
+    }
+    writeVariant(full)(date_format(col("raw_ts"), "yyyy-MM-dd HH:mm:ss"))
+    val guard = intercept[IllegalStateException](
+      Catalog.assertReadable(spark, full))
+    assert(guard.getMessage.contains("table 'events'"))
+    assert(guard.getMessage.contains("observed physical schema"))
+    assert(guard.getMessage.contains("string"))
+
+    // and the healthy fixture dir passes the guard outright
+    Catalog.assertReadable(spark, sfDir)
+  }
+}
