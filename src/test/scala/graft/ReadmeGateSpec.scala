@@ -37,23 +37,31 @@ class ReadmeGateSpec extends AnyFunSuite {
       .toMap
     assert(claimed.nonEmpty, "README has no per-round gate rows to check")
 
+    // (greenCount, entryCount): a registry query ABSENT from the artifact
+    // is an analysis failure, not a skip (the driver omits queries that
+    // err), so the claimed total may legitimately EXCEED the entry count —
+    // r8's 55/90 has 55 all-green entries over a 90-query registry. Pure
+    // entry-counting would under-report that round as 55/55.
     val actual: Map[Int, (Int, Int)] = artifacts.map { p =>
       val round = p.getFileName.toString.replaceAll("\\D", "").toInt
       val txt = Files.readString(p)
-      val total = raw""""hash_match"""".r.findAllIn(txt).size
-      val pass = raw""""hash_match":\s*true""".r.findAllIn(txt).size
-      round -> (pass, total)
+      val entries = raw""""hash_match"""".r.findAllIn(txt).size
+      val green = raw""""hash_match":\s*true""".r.findAllIn(txt).size
+      round -> (green, entries)
     }.toMap
 
     // every CLAIMED row must match its artifact; a round with no row yet
     // (the artifact lands after the round's last commit) is honest and
     // passes — only a wrong number is drift
     claimed.foreach { case (round, (cp, ct)) =>
-      actual.get(round).foreach { case (ap, at) =>
-        assert((cp, ct) == (ap, at),
-          s"README claims $cp/$ct hash for round $round but " +
-            s"CORRECTNESS_r artifact records $ap/$at — the scoreboard " +
-            "must match the driver's gate")
+      actual.get(round).foreach { case (green, entries) =>
+        assert(cp == green,
+          s"README claims $cp green for round $round but the artifact " +
+            s"records $green hash-true entries — the scoreboard must " +
+            "match the driver's gate")
+        assert(ct >= entries,
+          s"README claims a $ct-query registry for round $round but the " +
+            s"artifact alone has $entries entries")
       }
       // and a claimed row must cite an artifact that exists — a gate
       // number with no artifact behind it is invented
@@ -61,5 +69,43 @@ class ReadmeGateSpec extends AnyFunSuite {
         s"README claims a gate result for round $round but no " +
           "CORRECTNESS artifact for it exists")
     }
+  }
+
+  test("Current-state prose matches the live registry and newest artifact") {
+    assume(Files.exists(repoFile("README.md")))
+    val readme = Files.readString(repoFile("README.md"))
+
+    // the registry count in prose must be the LIVE registry, not a stale one
+    val regRe = raw"Current state: (\d+) registered queries".r
+    val claimedReg = regRe.findFirstMatchIn(readme)
+      .map(_.group(1).toInt)
+      .getOrElse(fail("README lost its 'Current state: N registered queries' prose"))
+    assert(claimedReg == SparkEntry.queries.size,
+      s"README prose claims $claimedReg registered queries but the " +
+        s"registry has ${SparkEntry.queries.size}")
+
+    // the prose must cite the NEWEST driver artifact with its true green
+    // count (absence = red): round-8 lesson — a true-when-written claim
+    // went stale the moment a newer artifact landed
+    val artifacts: Map[Int, String] = {
+      val s = Files.list(Paths.get("."))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.matches("CORRECTNESS_r\\d+\\.json"))
+        .map(p => p.getFileName.toString.replaceAll("\\D", "").toInt ->
+          Files.readString(p))
+        .toMap
+      finally s.close()
+    }
+    assume(artifacts.nonEmpty, "no CORRECTNESS artifacts present (fresh clone)")
+    val (newestRound, newestTxt) = artifacts.maxBy(_._1)
+    val newestGreen = raw""""hash_match":\s*true""".r.findAllIn(newestTxt).size
+    val proseRe = raw"Newest driver artifact: r(\d+), (\d+)/(\d+) green".r
+    val m = proseRe.findFirstMatchIn(readme)
+      .getOrElse(fail("README lost its 'Newest driver artifact: rN, X/Y green' prose"))
+    assert(m.group(1).toInt == newestRound,
+      s"README cites r${m.group(1)} as newest but CORRECTNESS_r$newestRound exists")
+    assert(m.group(2).toInt == newestGreen,
+      s"README claims ${m.group(2)} green for r$newestRound but the " +
+        s"artifact records $newestGreen")
   }
 }
