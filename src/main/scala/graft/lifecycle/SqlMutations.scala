@@ -194,7 +194,13 @@ object SqlMutations {
   // original fixture.
   // ---------------------------------------------------------------------
   def sqlMutationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = graft.Scratch.freshRunDir(spark, "sql_mutation_run", dir)
+    // freshTableDir, not freshRunDir: the scratch copy IS the table behind
+    // the mutation surface's name→path registration (and the returned
+    // DataFrame's lazy read). Run-TTL state may be reaped 24 h after its
+    // last write — reads refresh no mtime — which would yank a registered
+    // table out from under a later `tables("events")` read. Table state
+    // gets the general artifact TTL (r8 ADVICE carry-over).
+    val scratch = graft.Scratch.freshTableDir(spark, "sql_mutation_run", dir)
     val events = s"$scratch/events"
     graft.Catalog.events(spark, dir).write.parquet(events)
     val tables = Map("events" -> events)
@@ -227,7 +233,8 @@ object SqlMutations {
   private val InsertIdShift = 1000000000000L // far above any gate-SF event_id
 
   def sqlMergePipeline(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = graft.Scratch.freshRunDir(spark, "sql_merge_run", dir)
+    // table-TTL scratch, same contract as sqlMutationPipeline above
+    val scratch = graft.Scratch.freshTableDir(spark, "sql_merge_run", dir)
     val events = s"$scratch/events"
     val delta = s"$scratch/events_delta"
     val ev = graft.Catalog.events(spark, dir)
