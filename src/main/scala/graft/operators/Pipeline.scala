@@ -259,6 +259,23 @@ object Pipeline {
   def sequencePack(spark: SparkSession, dir: String): DataFrame =
     sequencePackAt(TextOps.ShardBuckets)(spark, dir)
 
+  /** z4 with the bucket count DERIVED from the corpus ([[TextOps
+    * .shardBucketsFor]]): one map-side-combined agg pre-pass totals the
+    * corpus tokens (no shuffle of rows — 32 partials reach the driver),
+    * then the pack runs at the derived count. This is the deployment
+    * entry: the fixed-default [[sequencePack]] exists because the gate's
+    * oracle SQL is static text, and a deployment that already tracks
+    * corpus stats (e.g. via [[graft.lifecycle.Stats]]) can skip the
+    * pre-pass and call [[sequencePackAt]] directly.
+    */
+  def sequencePackAuto(spark: SparkSession, dir: String): DataFrame = {
+    val totalTokens = Catalog.documents(spark, dir)
+      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")))
+      .head().getLong(0)
+    sequencePackAt(TextOps.shardBucketsFor(totalTokens,
+      spark.sparkContext.defaultParallelism))(spark, dir)
+  }
+
   /** z4 at an explicit shard-bucket count. Each bucket's cumulative sum
     * is ONE task's sort+scan, so the bucket count bounds both the
     * parallelism and the per-task load of the pack: the registered gate

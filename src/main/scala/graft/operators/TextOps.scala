@@ -233,6 +233,31 @@ object TextOps {
     * agreement at a non-default count).
     */
   val ShardBuckets = 100
+
+  /** Token mass one pack task should own (~32M tokens ≈ 150-200 MB of
+    * text): well inside an executor task's memory/time budget, large
+    * enough that task overhead stays amortized.
+    */
+  val PackTaskTokenBudget: Long = 32L * 1000 * 1000
+
+  /** The documented sizing formula as code — derive a scale-safe bucket
+    * count from the corpus' total tokens instead of trusting a constant:
+    * buckets ≥ ceil(total / [[PackTaskTokenBudget]]) (per-task mass
+    * bounded), ≥ 4× the cluster parallelism (every core busy, stragglers
+    * amortized), never below [[ShardBuckets]] (the gate default). At 100
+    * TB (~2×10¹³ tokens) this lands in the hundreds of thousands —
+    * "tens of thousands of buckets, not 100" made executable. Capped at
+    * 2²⁰: beyond that, per-bucket overhead dominates and the budget
+    * should rise instead.
+    */
+  def shardBucketsFor(totalTokens: Long, parallelism: Int): Int = {
+    val byBudget =
+      math.ceil(math.max(totalTokens, 0L).toDouble / PackTaskTokenBudget).toLong
+    val byCores = 4L * math.max(parallelism, 1)
+    math.min(math.max(ShardBuckets.toLong, math.max(byBudget, byCores)),
+      1L << 20).toInt
+  }
+
   def shardBucket(id: Column, buckets: Int = ShardBuckets): Column =
     pmod(hash60(id.cast("string")), lit(buckets)).cast("int")
   def shardBucketSql(idExpr: String, buckets: Int = ShardBuckets): String =
