@@ -16,7 +16,8 @@ object SparkEntry {
     Monitoring.all ++ Relational.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ operators.Multimodal.all ++ lifecycle.Lifecycle.all ++
       lifecycle.Ddl.all ++ lifecycle.SqlMutations.all ++
-      streaming.Streams.all ++ operators.Pipeline.all
+      streaming.Streams.all ++ operators.Pipeline.all ++
+      operators.Search.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Catalog
+
+/** Keyword retrieval over the corpus — the text arm of similarity search
+  * (training-data extension; the reference has no text search). BM25 is
+  * the standard lexical ranking for corpus QA work: "find the documents
+  * most about X" for curation audits, and the retrieval step of
+  * retrieval-based decontamination when the benchmark side is a set of
+  * keyword probes.
+  *
+  * Scale shape (the 100 TB lens): the ONLY corpus-sized work is one
+  * codegen'd map pass (tokenize + per-doc length) and a posting explode
+  * RESTRICTED to the query terms before any shuffle — the grouped tf
+  * relation is O(matching docs × query terms), thousands of rows, not
+  * corpus-sized. Corpus stats (N, total tokens) are one
+  * map-side-combined aggregate; per-term document frequencies and the
+  * stats row join back in as broadcasts. Final top-k is a TakeOrdered,
+  * not a global sort.
+  *
+  * Cross-engine determinism (the x10 lesson — transcendentals are not
+  * bit-reproducible): idf is QUANTIZED to whole bits in exact integer
+  * arithmetic, idf_bits = floor(log2((N+1)/(df+0.5))) =
+  * bitlength((2N+2) div (2df+1)) − 1, which preserves the
+  * rare-term-weighs-more ordering. The tf saturation uses Robertson's
+  * k1 = 1.2, b = 0.75 as exact rationals (6/5, 3/4): multiplying
+  * numerator and denominator by 10·T gives
+  *   tf_norm = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+  * — ONE IEEE division of exactly-representable integers, identical in
+  * both engines. Each term's contribution idf_bits·tf_norm is scaled to
+  * integer MICRO-POINTS (round half-up at 1e6, same rule both engines
+  * for positives), so per-document sums and the top-k cut are exact
+  * integer arithmetic end to end.
+  */
+object Search {
+
+  /** Deterministic probe query for the registered gate entry. */
+  val QueryTerms: Seq[String] = Seq("spark", "vector", "merge")
+  val TopK = 10
+
+  /** BM25 top-k over any (doc_id, text) frame (specs inject hand-built
+    * corpora). Returns (doc_id, n_terms_matched, score_ppm) — integer
+    * micro-points, best first.
+    */
+  def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val withDl = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    // corpus stats: map-side partials only; one row reaches the driver side
+    val stats = withDl.agg(
+      count(lit(1)).cast("long").as("n"), sum(col("dl")).as("t"))
+    // postings restricted to the query terms BEFORE the shuffle — the tf
+    // relation is O(matching docs × terms)
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    // df as a window over the ALREADY-GROUPED tf relation: a `tf.groupBy
+    // (tok)` re-derivation plans as a second full corpus scan (Catalyst
+    // doesn't share unmaterialized subtrees), while the window shuffles
+    // only the O(matching docs × terms) tf rows by term
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+    val contribPpm: Column = {
+      val idfBits =
+        (length(bin(expr("(2*n + 2) div (2*df + 1)"))) - 1).cast("long")
+      val num = (idfBits * lit(22L) * col("tf") * col("t")).cast("double")
+      val den = (lit(10L) * col("tf") * col("t") + lit(3L) * col("t") +
+        lit(9L) * col("dl") * col("n")).cast("double")
+      round(num / den * lit(1000000.0), 0).cast("long")
+    }
+    withDf
+      .crossJoin(broadcast(stats))
+      .withColumn("ppm", contribPpm)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_matched"),
+        sum(col("ppm")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(Catalog.documents(spark, dir), QueryTerms, TopK)
+
+  val bm25TopKSql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       | FROM documents),
+       |dl2 AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM dl),
+       |stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS t
+       | FROM dl2),
+       |tf AS (
+       | SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN ($terms) GROUP BY doc_id, dl, tok),
+       |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |scored AS (
+       | SELECT tf.doc_id,
+       |  CAST(round(CAST((length(bin((2*n + 2) // (2*df + 1))) - 1) * 22 * tf * t AS DOUBLE)
+       |   / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ppm
+       | FROM tf JOIN dfreq USING (tok), stats)
+       |SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+       | CAST(sum(ppm) AS BIGINT) AS score_ppm
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("b1_bm25_topk", bm25TopK, Some(bm25TopKSql),
+      "BM25 keyword retrieval top-k: bit-quantized idf + exact-rational tf saturation in integer micro-points; per-term postings pruned before the shuffle (training-data extension)"))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** BM25 ranking semantics on hand-built corpora: tf saturation, idf
+  * weighting, length normalization, and the exact integer arithmetic of
+  * one fully hand-computed score.
+  */
+class SearchSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("a fully hand-computed score: one term, uniform doc lengths") {
+    // corpus: 4 docs, 2 tokens each -> N=4, T=8, dl=2
+    // query term "x": doc 1 has tf=2, doc 2 tf=1, docs 3-4 none -> df=2
+    val docs = corpus(
+      (1L, "x x"), (2L, "x y"), (3L, "y y"), (4L, "z z"))
+    val got = Search.bm25Of(docs, Seq("x"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // idf_bits = bitlength((2N+2) div (2df+1)) - 1 = bitlength(10 div 5)-1
+    //          = bitlength(2)-1 = 1
+    // tf_norm(tf) = 22*tf*T / (10*tf*T + 3*T + 9*dl*N)
+    //   tf=2: 352 / (160+24+72=256) = 1.375        -> 1375000 ppm
+    //   tf=1: 176 / (80+24+72=176)  = 1.0          -> 1000000 ppm
+    assert(got.toSeq == Seq((1L, 1L, 1375000L), (2L, 1L, 1000000L)))
+  }
+
+  test("rarer terms outweigh common ones at equal tf") {
+    // "rare" appears in 1 of 8 docs, "common" in all 8; probe docs have
+    // each term exactly once at the same doc length
+    val filler = (10L to 15L).map(i => (i, "common pad"))
+    val docs = corpus(Seq((1L, "rare pad"), (2L, "common pad")) ++ filler: _*)
+    val scores = Search.bm25Of(docs, Seq("rare", "common"), 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(1L) > scores(2L),
+      s"rare-term doc must outrank common-term doc: $scores")
+  }
+
+  test("longer documents score lower at equal tf (length normalization)") {
+    // enough non-matching filler that idf_bits > 0 (df=2 of N=8:
+    // (2N+2) div (2df+1) = 18 div 5 = 3 -> 1 bit)
+    val docs = corpus(
+      Seq((1L, "x pad"),
+        (2L, "x pad pad pad pad pad pad pad")) ++
+        (3L to 8L).map(i => (i, "y y")): _*)
+    val scores = Search.bm25Of(docs, Seq("x"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(1L) > scores(2L))
+  }
+
+  test("tf saturates: the second occurrence adds less than the first") {
+    // df=3 of N=7 -> (2N+2) div (2df+1) = 16 div 7 = 2 -> 1 idf bit
+    val docs = corpus(
+      Seq((1L, "x a b c"), (2L, "x x b c"), (3L, "x x x c")) ++
+        (4L to 7L).map(i => (i, "d d d d")): _*)
+    val s = Search.bm25Of(docs, Seq("x"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(3L) > s(2L) && s(2L) > s(1L))
+    assert(s(2L) - s(1L) > s(3L) - s(2L),
+      s"marginal gain must shrink with tf: $s")
+  }
+
+  test("top-k cuts by score then doc_id; docs matching no term are absent") {
+    val docs = corpus(
+      (5L, "x a"), (3L, "x a"), (4L, "x a"), (9L, "b b"), (8L, "c c"))
+    val got = Search.bm25Of(docs, Seq("x"), 2).collect().map(_.getLong(0))
+    // identical scores -> doc_id ascending breaks the tie deterministically
+    assert(got.toSeq == Seq(3L, 4L))
+  }
+
+  test("multi-term scores sum per-term contributions; n_terms_matched counts terms") {
+    val docs = corpus(
+      (1L, "x y"), (2L, "x a"), (3L, "y a"), (4L, "b b"))
+    val got = Search.bm25Of(docs, Seq("x", "y"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 2L && byId(2L)._2 == 1L && byId(3L)._2 == 1L)
+    // x and y are symmetric here (same df, same tf, same dl), so doc 1's
+    // score is exactly the sum of the single-term docs' scores
+    assert(byId(1L)._3 == byId(2L)._3 + byId(3L)._3)
+    assert(!byId.contains(4L))
+  }
+}
