@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Catalog
+
+/** Column profiling — the data-QA pre-pass every corpus/warehouse audit
+  * starts with: per-column row/null/distinct counts plus min/max, one
+  * output row per column (training-data extension; the reference's
+  * nearest shape is its table-stat introspection, `myapp/views.py:427-471`).
+  *
+  * Plan shape: ONE pass over the table. All per-column aggregates ride a
+  * single `agg` (Spark plans the multi-DISTINCT via one Expand — row
+  * growth ×(#distinct-agg columns), the standard exact-NDV cost), then
+  * the 1-row result unpivots to a row per column with `explode` — no
+  * per-column scans, no driver-side loop over data (the loop below is
+  * over SCHEMA fields at plan-build time).
+  *
+  * Scale: exact NDV is the oracle-checkable gate pin; at 100 TB swap
+  * `countDistinct` for `approx_count_distinct` (HLL, mergeable partials,
+  * no Expand) — [[profileOf]] takes the aggregate as a parameter so the
+  * deployment form is the same plan minus the Expand. Min/max render
+  * type-stably cross-engine: integers/strings cast directly, doubles
+  * round to 2 decimals through DECIMAL (both engines print `123.45`),
+  * timestamps format to `yyyy-MM-dd HH:mm:ss`.
+  */
+object Profile {
+
+  private def renderMinMax(f: StructField, agg: Column => Column): Column = {
+    val c = agg(col(f.name))
+    f.dataType match {
+      case DoubleType | FloatType =>
+        round(c, 2).cast(DecimalType(18, 2)).cast(StringType)
+      case TimestampType | TimestampNTZType =>
+        date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case _ => c.cast(StringType)
+    }
+  }
+
+  /** Profile every column of `df` in one aggregate pass.
+    * `ndv` defaults to exact `countDistinct`; pass
+    * `approx_count_distinct` for the HLL deployment form.
+    */
+  def profileOf(df: DataFrame,
+      ndv: Column => Column = countDistinct(_)): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      Seq(
+        count(col(f.name)).as(s"${f.name}__nonnull"),
+        ndv(col(f.name)).cast("long").as(s"${f.name}__ndv"),
+        renderMinMax(f, min).as(s"${f.name}__min"),
+        renderMinMax(f, max).as(s"${f.name}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+    val perCol = fields.map { f =>
+      struct(
+        lit(f.name).as("column_name"),
+        col("__n_rows").as("n_rows"),
+        (col("__n_rows") - col(s"${f.name}__nonnull")).as("n_nulls"),
+        col(s"${f.name}__ndv").as("n_distinct"),
+        col(s"${f.name}__min").as("min_value"),
+        col(s"${f.name}__max").as("max_value"))
+    }
+    one.select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    profileOf(Catalog.orders(spark, dir))
+
+  val columnProfileSql: String = {
+    def row(name: String, minmax: String => String): String =
+      s"""SELECT '$name' AS column_name, count(*)::BIGINT AS n_rows,
+         | (count(*) - count($name))::BIGINT AS n_nulls,
+         | count(DISTINCT $name)::BIGINT AS n_distinct,
+         | ${minmax(s"min($name)")} AS min_value,
+         | ${minmax(s"max($name)")} AS max_value FROM orders""".stripMargin
+    val asIs = (e: String) => s"$e::VARCHAR"
+    val dbl = (e: String) => s"CAST(round($e, 2) AS DECIMAL(18,2))::VARCHAR"
+    val ts = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+    Seq(
+      row("o_orderkey", asIs), row("o_custkey", asIs),
+      row("o_orderstatus", asIs), row("o_totalprice", dbl),
+      row("o_orderdate", ts), row("o_orderpriority", asIs))
+      .mkString("", " UNION ALL ", " ORDER BY column_name")
+      .replace('\n', ' ')
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("c1_column_profile", columnProfile, Some(columnProfileSql),
+      "per-column rows/nulls/exact-NDV/min/max profile in ONE aggregate pass (multi-distinct Expand), unpivoted to a row per column (data-QA extension)"))
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Column-profile semantics on a hand-built table: null accounting, exact
+  * NDV, type-stable min/max rendering, and the HLL deployment form.
+  */
+class ProfileSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("b"), Some(1.005), Some(Timestamp.valueOf("2024-01-02 03:04:05"))),
+    (2L, None, Some(2.0), None),
+    (3L, Some("a"), None, Some(Timestamp.valueOf("2024-02-03 00:00:00"))),
+    (3L, Some("a"), Some(10.5), None))
+    .toDF("id", "s", "d", "t")
+
+  private def rowFor(name: String) =
+    Profile.profileOf(df).collect()
+      .map(r => r.getString(0) -> r).toMap.apply(name)
+
+  test("rows, nulls, and exact distinct count per column") {
+    val s = rowFor("s")
+    assert(s.getLong(1) == 4 && s.getLong(2) == 1 && s.getLong(3) == 2)
+    val id = rowFor("id")
+    assert(id.getLong(2) == 0 && id.getLong(3) == 3)
+  }
+
+  test("min/max render type-stably: ints plain, doubles 2-dp, timestamps formatted") {
+    assert(rowFor("id").getString(4) == "1" && rowFor("id").getString(5) == "3")
+    assert(rowFor("s").getString(4) == "a" && rowFor("s").getString(5) == "b")
+    // doubles round through DECIMAL(18,2): 1.005 -> "1.01" (half-up), 10.5 -> "10.50"
+    assert(rowFor("d").getString(4) == "1.01" && rowFor("d").getString(5) == "10.50")
+    assert(rowFor("t").getString(4) == "2024-01-02 03:04:05")
+    assert(rowFor("t").getString(5) == "2024-02-03 00:00:00")
+  }
+
+  test("an all-NULL column profiles as nulls=n, ndv=0, min/max NULL") {
+    val d = df.withColumn("allnull", lit(null).cast("string"))
+    val r = Profile.profileOf(d).collect()
+      .map(r => r.getString(0) -> r).toMap.apply("allnull")
+    assert(r.getLong(2) == 4 && r.getLong(3) == 0)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("the approx (HLL) deployment form keeps the same shape, no Expand") {
+    val approx = Profile.profileOf(df, approx_count_distinct(_))
+    val rows = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // HLL is exact at these cardinalities
+    assert(rows("id") == 3 && rows("s") == 2)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "the HLL form must not pay the multi-distinct Expand")
+    assert(Profile.profileOf(df).queryExecution.executedPlan.toString
+      .contains("Expand"), "exact NDV is expected to plan via Expand")
+  }
+}
