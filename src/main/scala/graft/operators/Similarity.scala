@@ -681,7 +681,55 @@ object Similarity {
   }
 
   /** Registry of this module's catalogued queries. */
+  // ---------------------------------------------------------------------
+  // N8 — semantic decontamination: the embedding twin of x7's lexical
+  // shingle overlap. An eval/benchmark embedding set (here: the EvalSlice
+  // lowest vec_ids, standing in for an external suite) broadcasts; every
+  // corpus vector takes ONE map pass against it and keeps its max cosine.
+  // A corpus vector with max cosine ≥ the threshold is contamination —
+  // paraphrased or re-rendered eval content that lexical shingles miss.
+  //
+  // Scale: the eval side of a decontamination run is small by nature
+  // (benchmarks are thousands of rows, the corpus is billions) — a
+  // broadcast join with map-side partial max means the only shuffle is
+  // one (vec_id, max) row per corpus vector. For very large eval suites,
+  // pre-bucket both sides with the n3 LSH arm and intersect buckets
+  // instead ([[annLsh]]'s structure); the registered query pins the
+  // broadcast form.
+  // ---------------------------------------------------------------------
+  val EvalSlice = 50
+  val DecontamThreshold = 0.35
+
+  /** Core over any (vec_id, embedding) frame: corpus rows (id ≥ evalMax)
+    * scored by max cosine against the eval slice (id < evalMax).
+    */
+  def semanticDecontamOf(emb: DataFrame, evalMax: Int, tau: Double): DataFrame = {
+    val evalSet = broadcast(
+      emb.filter(col("vec_id") < evalMax)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ev")))
+    emb.filter(col("vec_id") >= evalMax)
+      .join(evalSet)
+      .groupBy(col("vec_id"))
+      .agg(max(round(cosine_sim(col("ev"), col("embedding")), 6)).as("max_cosine"))
+      .filter(col("max_cosine") >= tau)
+      .orderBy(col("max_cosine").desc, col("vec_id"))
+  }
+
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame =
+    semanticDecontamOf(nonZeroEmbeddings(spark, dir), EvalSlice,
+      DecontamThreshold)
+
+  val semanticDecontamSql: String =
+    s"""WITH nz AS (SELECT * FROM embeddings WHERE $nonZeroSql)
+       |SELECT c.vec_id,
+       | max(round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)) AS max_cosine
+       |FROM nz c JOIN nz q ON q.vec_id < $EvalSlice AND c.vec_id >= $EvalSlice
+       |GROUP BY c.vec_id HAVING max_cosine >= $DecontamThreshold
+       |ORDER BY max_cosine DESC, c.vec_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("n8_semantic_decontam", semanticDecontam, Some(semanticDecontamSql),
+      s"embedding-space decontamination: max cosine of each corpus vector vs a broadcast eval slice, flagged at $DecontamThreshold — the semantic twin of x7 (training-data extension)"),
     Q("n7_ann_recall", annRecall, Some(annRecallSql),
       "ANN index acceptance: exact-integer recall of n3/n4/n5 against the n1 brute-force top-K (training-data extension)"),
     Q("n6_quantize_int8", quantizeInt8, Some(quantizeInt8Sql),

@@ -11,6 +11,22 @@ import graft.SparkSuite
   */
 class MixDecontamSpec extends SparkSuite {
 
+  test("n8 flags corpus vectors by max cosine against ANY eval vector") {
+    import spark.implicits._
+    // eval slice: axis vectors e0=[1,0], e1=[0,1]. corpus:
+    //  - 50 duplicates e0 (max cosine 1.0 — contamination)
+    //  - 51 is 45° between them (cos ≈ 0.707107 to both)
+    //  - 52 is -e0: cosine -1 vs e0, 0 vs e1 → max 0.0, below τ → absent
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (50L, Seq(1f, 0f)), (51L, Seq(1f, 1f)), (52L, Seq(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontamOf(emb, evalMax = 50, tau = 0.35)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // ordered best-first; 45° rounds to 0.707107 at 6 dp
+    assert(out.toSeq == Seq((50L, 1.0), (51L, 0.707107)))
+  }
+
   test("x7 counts distinct shared shingles vs the eval slice and flags at the threshold") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-decontam").toString
