@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Catalog
+
+/** Snapshot reconciliation — diff two versions of a keyed table into
+  * added / removed / changed rows (training-data extension). This is the
+  * primitive behind incremental pipeline runs at 100 TB: "yesterday's
+  * crawl vs today's" decides what re-enters dedup/quality/packing, so
+  * the whole pipeline reprocesses a delta instead of the corpus.
+  *
+  * Plan shape: both sides reduce to (key, fingerprint) in a map pass —
+  * the 60-bit content hash, not the payload, crosses the wire — then ONE
+  * full-outer equi-join on the key classifies every row; unchanged rows
+  * (equal fingerprints) drop before the output. On bucketed layouts
+  * (`Layout.writeBucketed` on the key) the join plans Exchange-free;
+  * otherwise it is one hash-partitioned shuffle of 12-byte rows, with
+  * AQE handling skew.
+  */
+object Diff {
+
+  /** Classify `b` (new snapshot) against `a` (old snapshot) by `key`:
+    * `added` (key only in b), `removed` (only in a), `changed` (both,
+    * fingerprints differ). Equal-fingerprint rows are dropped.
+    */
+  def diffByKey(a: DataFrame, b: DataFrame, key: String, fp: Column): DataFrame =
+    // presence markers, NOT fingerprint nullness, decide added/removed: a
+    // NULL payload (e.g. a NULL-text document) fingerprints to NULL while
+    // being present — and two NULL fingerprints compare as unchanged via
+    // the null-safe <=>
+    a.select(col(key), lit(1).as("in_a"), fp.as("fp_a"))
+      .join(b.select(col(key), lit(1).as("in_b"), fp.as("fp_b")),
+        Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(!(col("fp_a") <=> col("fp_b")), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(key), col("status"))
+
+  // ---------------------------------------------------------------------
+  // U1 gate entry: two deterministic snapshot views of `documents` stand
+  // in for consecutive crawl days — the old snapshot is missing every
+  // 7th document (not yet crawled), the new one dropped every 5th
+  // (expired) and re-rendered every 11th (changed boilerplate, modelled
+  // as an upper-cased body). The diff must classify exactly those.
+  // ---------------------------------------------------------------------
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    diffByKey(oldSnap, newSnap, "doc_id", TextOps.hash60(col("text")))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDiffSql: String = {
+    val fpOld = TextOps.hash60Sql("text")
+    val fpNew = TextOps.hash60Sql(
+      "CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END")
+    s"""WITH a AS (SELECT doc_id, $fpOld AS fp_a FROM documents WHERE doc_id % 7 <> 0),
+       |b AS (SELECT doc_id, $fpNew AS fp_b FROM documents WHERE doc_id % 5 <> 0)
+       |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       | CASE WHEN a.doc_id IS NULL THEN 'added'
+       |      WHEN b.doc_id IS NULL THEN 'removed'
+       |      WHEN fp_a IS DISTINCT FROM fp_b THEN 'changed' END AS status
+       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       |WHERE (a.doc_id IS NULL OR b.doc_id IS NULL OR fp_a IS DISTINCT FROM fp_b)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("u1_corpus_diff", corpusDiff, Some(corpusDiffSql),
+      "snapshot diff: added/removed/changed via one full-outer join over map-side (key, content-fingerprint) pairs — the incremental-run primitive (training-data extension)"))
+}
