@@ -39,21 +39,32 @@ object Profile {
     }
   }
 
-  /** Profile every column of `df` in one aggregate pass.
-    * `ndv` defaults to exact `countDistinct`; pass
+  /** Profile every column of `df` in two aggregate passes combined by a
+    * one-row join. Two passes, not one: min/max carry variable-width
+    * (string/decimal-rendered) buffers, which disqualify hash
+    * aggregation — mixing them INTO the multi-DISTINCT plan forces the
+    * whole Expand output (rows × #columns) through a Sort +
+    * SortAggregate, a corpus-sized sort at scale. Split, the min/max
+    * pass is ONE group with no Expand and no sort, and the NDV pass's
+    * Expand aggregates hash-side (count buffers are fixed-width). The
+    * recombining crossJoin is 1 row × 1 broadcast row (j7's scalar
+    * shape). `ndv` defaults to exact `countDistinct`; pass
     * `approx_count_distinct` for the HLL deployment form.
     */
   def profileOf(df: DataFrame,
       ndv: Column => Column = countDistinct(_)): DataFrame = {
     val fields = df.schema.fields.toSeq
-    val aggs = fields.flatMap { f =>
+    val basicAggs = fields.flatMap { f =>
       Seq(
         count(col(f.name)).as(s"${f.name}__nonnull"),
-        ndv(col(f.name)).cast("long").as(s"${f.name}__ndv"),
         renderMinMax(f, min).as(s"${f.name}__min"),
         renderMinMax(f, max).as(s"${f.name}__max"))
     }
-    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+    val ndvAggs = fields.map { f =>
+      ndv(col(f.name)).cast("long").as(s"${f.name}__ndv")
+    }
+    val one = df.agg(count(lit(1)).as("__n_rows"), basicAggs: _*)
+      .crossJoin(broadcast(df.agg(ndvAggs.head, ndvAggs.tail: _*)))
     val perCol = fields.map { f =>
       struct(
         lit(f.name).as("column_name"),
