@@ -640,7 +640,60 @@ object Relational {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // O1 — robust outlier accounting per group: Tukey fences on the exact
+  // interpolated quartiles (lo = q1 − 1.5·IQR, hi = q3 + 1.5·IQR) and a
+  // per-type count of metric values outside them — the standard
+  // distribution-drift / bad-sensor sweep over a metric stream, and the
+  // numeric twin of x2's text-quality pre-filter. Determinism: quartiles
+  // are p13's exact interpolation; fences are plain IEEE +/×, no
+  // transcendental, so the hash matches with NO rounding. Plan: the
+  // per-type fence relation is a tiny aggregate broadcast back onto one
+  // more column-pruned scan — two scans, map-side conditional count,
+  // no corpus-sized shuffle (partial aggs only).
+  // ---------------------------------------------------------------------
+  def outlierBounds(spark: SparkSession, dir: String): DataFrame =
+    outlierBoundsOf(Catalog.events(spark, dir))
+
+  /** Fence core over any (event_type, value) frame (specs inject
+    * hand-built distributions).
+    */
+  def outlierBoundsOf(events: DataFrame): DataFrame = {
+    val fences = events
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25, 0.75))").as("q"))
+      .select(col("event_type"),
+        (col("q").getItem(0) - (col("q").getItem(1) - col("q").getItem(0)) * 1.5).as("lo_bound"),
+        (col("q").getItem(1) + (col("q").getItem(1) - col("q").getItem(0)) * 1.5).as("hi_bound"))
+    events
+      .join(broadcast(fences), "event_type")
+      .groupBy(col("event_type"), col("lo_bound"), col("hi_bound"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo_bound") ||
+          col("value") > col("hi_bound"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("n_outliers"),
+        col("lo_bound"), col("hi_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  val outlierBoundsSql: String =
+    """WITH f AS (
+      | SELECT event_type,
+      |  quantile_cont(value, [0.25, 0.75])[1] AS q1,
+      |  quantile_cont(value, [0.25, 0.75])[2] AS q3
+      | FROM events GROUP BY event_type)
+      |SELECT event_type, count(*) AS n,
+      | CAST(sum(CASE WHEN value < q1 - (q3 - q1) * 1.5
+      |   OR value > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      | q1 - (q3 - q1) * 1.5 AS lo_bound,
+      | q3 + (q3 - q1) * 1.5 AS hi_bound
+      |FROM events JOIN f USING (event_type)
+      |GROUP BY event_type, q1, q3 ORDER BY event_type"""
+      .stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("o1_outlier_bounds", outlierBounds, Some(outlierBoundsSql),
+      "Tukey-fence outlier accounting per metric type: exact quartiles, broadcast fences, map-side conditional count (monitoring + data-QA extension)"),
     Q("j10_salted_join", saltedSegmentActivity, Some(saltedSegmentActivitySql),
       "skew-mitigated salted equi-join: fact salt × replicated dim, result identical to the plain join (oracle = plain join)"),
     Q("f2_json_extract", jsonExtractStats, Some(jsonExtractStatsSql),

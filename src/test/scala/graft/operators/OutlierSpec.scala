@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** o1 Tukey-fence semantics on hand-built distributions: exact quartile
+  * interpolation, fence arithmetic, outlier counting, NULL handling.
+  */
+class OutlierSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("fences and outlier counts match the hand computation") {
+    // type A: values 1..5 plus a wild 100.
+    // sorted [1,2,3,4,5,100], n=6: h25 = 1.25 -> q1 = 2*0.75+3*0.25... no:
+    // exact interpolation h = (n-1)*q = 1.25 -> q1 = v[1] + 0.25*(v[2]-v[1])
+    //   = 2 + 0.25 = 2.25; h75 = 3.75 -> q3 = 4 + 0.75*1 = 4.75
+    // IQR = 2.5 -> lo = 2.25 - 3.75 = -1.5, hi = 4.75 + 3.75 = 8.5
+    // outliers: only 100 -> 1 of 6
+    val events = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(("A", _)) ++
+      Seq(10.0, 10.0, 10.0, 10.0).map(("B", _)))
+      .toDF("event_type", "value")
+    val rows = Relational.outlierBoundsOf(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows("A") == ((6L, 1L, -1.5, 8.5)))
+    // type B: constant distribution -> IQR 0, fences collapse to the
+    // value, nothing is outside a closed fence
+    assert(rows("B") == ((4L, 0L, 10.0, 10.0)))
+  }
+
+  test("NULL values count into n but never into outliers or quartiles") {
+    val events = Seq(("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(3.0)),
+      ("A", None), ("A", Some(1000.0)))
+      .toDF("event_type", "value")
+    val r = Relational.outlierBoundsOf(events).collect().head
+    // quartiles over [1,2,3,1000]: h25=0.75 -> 1.75; h75=2.25 -> 3+0.25*997
+    // = 252.25; IQR=250.5 -> lo=-373.0, hi=627.999... no outlier below;
+    // 1000 > hi -> 1 outlier. NULL row: counted in n, not comparable.
+    assert(r.getLong(1) == 5L && r.getLong(2) == 1L)
+  }
+}
