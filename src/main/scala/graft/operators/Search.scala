@@ -41,29 +41,30 @@ object Search {
   val QueryTerms: Seq[String] = Seq("spark", "vector", "merge")
   val TopK = 10
 
-  /** BM25 top-k over any (doc_id, text) frame (specs inject hand-built
-    * corpora). Returns (doc_id, n_terms_matched, score_ppm) — integer
-    * micro-points, best first.
+  /** (doc_id, toks, dl) over a (doc_id, text) frame — the shared map pass
+    * behind both the direct query and the index build.
     */
-  def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
-    val withDl = docs
+  private def withDl(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("dl"))
-    // corpus stats: map-side partials only; one row reaches the driver side
-    val stats = withDl.agg(
-      count(lit(1)).cast("long").as("n"), sum(col("dl")).as("t"))
-    // postings restricted to the query terms BEFORE the shuffle — the tf
-    // relation is O(matching docs × terms)
-    val tf = withDl
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-    // df as a window over the ALREADY-GROUPED tf relation: a `tf.groupBy
-    // (tok)` re-derivation plans as a second full corpus scan (Catalyst
-    // doesn't share unmaterialized subtrees), while the window shuffles
-    // only the O(matching docs × terms) tf rows by term
+
+  /** Corpus stats (N docs, T total tokens): map-side partials only. A
+    * NULL-text document counts into N (it is corpus mass) and contributes
+    * no tokens.
+    */
+  private def statsOf(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).cast("long").as("n"), sum(col("dl")).as("t"))
+
+  /** THE scoring tail, shared by the direct and indexed forms so they
+    * cannot diverge: takes a (doc_id, dl, tok, tf) relation already
+    * restricted to the query terms, computes df as a window over it (a
+    * groupBy re-derivation would re-plan the full corpus scan;
+    * the window shuffles only the O(matching docs × terms) rows), scores
+    * in integer micro-points, and cuts top-k.
+    */
+  private def scoreTf(tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     val withDf = tf.withColumn("df", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
     val contribPpm: Column = {
@@ -84,8 +85,72 @@ object Search {
       .limit(k)
   }
 
+  /** BM25 top-k over any (doc_id, text) frame (specs inject hand-built
+    * corpora). Returns (doc_id, n_terms_matched, score_ppm) — integer
+    * micro-points, best first.
+    */
+  def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val dl = withDl(docs)
+    // postings restricted to the query terms BEFORE the shuffle — the tf
+    // relation is O(matching docs × terms)
+    val tf = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    scoreTf(tf, statsOf(dl), k)
+  }
+
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     bm25Of(Catalog.documents(spark, dir), QueryTerms, TopK)
+
+  // ---------------------------------------------------------------------
+  // B2 — BM25 off the PERSISTED inverted index (d2's amortized pattern):
+  // the full postings relation (tok, doc_id, dl, tf) and the 1-row corpus
+  // stats build ONCE per corpus into Scratch and every search reads them.
+  // Postings are range-partitioned and sorted by term, so a query's
+  // `tok IN (…)` pushes to the parquet scan and row-group min/max stats
+  // skip everything but the probed terms — at 100 TB a search touches
+  // the few row groups holding its terms, not the corpus. Must return
+  // exactly b1's rows (same oracle): the index is derived state, never
+  // semantics.
+  // ---------------------------------------------------------------------
+  private val IndexVersion = "tok-sorted-v1"
+
+  private[operators] def postingsIndex(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.Scratch.materialize(spark, "bm25_postings", IndexVersion, dir) {
+      staging =>
+        withDl(Catalog.documents(spark, dir))
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+          .groupBy(col("tok"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).cast("long").as("tf"))
+          .repartitionByRange(col("tok"))
+          .sortWithinPartitions(col("tok"))
+          .write.parquet(staging)
+    }
+    spark.read.parquet(p)
+  }
+
+  private[operators] def statsIndex(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.Scratch.materialize(spark, "bm25_stats", IndexVersion, dir) {
+      staging =>
+        statsOf(withDl(Catalog.documents(spark, dir))).write.parquet(staging)
+    }
+    spark.read.parquet(p)
+  }
+
+  /** Bench warmup hook: build the postings + stats artifacts so steady-
+    * state timings measure search cost, not the one-time index build.
+    */
+  def prewarmIndexes(spark: SparkSession, dir: String): Unit = {
+    postingsIndex(spark, dir)
+    statsIndex(spark, dir)
+  }
+
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame =
+    scoreTf(
+      postingsIndex(spark, dir).filter(col("tok").isin(QueryTerms: _*)),
+      statsIndex(spark, dir), TopK)
 
   val bm25TopKSql: String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
@@ -113,5 +178,7 @@ object Search {
 
   val all: Seq[Q] = Seq(
     Q("b1_bm25_topk", bm25TopK, Some(bm25TopKSql),
-      "BM25 keyword retrieval top-k: bit-quantized idf + exact-rational tf saturation in integer micro-points; per-term postings pruned before the shuffle (training-data extension)"))
+      "BM25 keyword retrieval top-k: bit-quantized idf + exact-rational tf saturation in integer micro-points; per-term postings pruned before the shuffle (training-data extension)"),
+    Q("b2_bm25_indexed", bm25Indexed, Some(bm25TopKSql),
+      "BM25 off the persisted term-sorted inverted index + 1-row stats artifact — tok IN (…) pushes to the scan and row-group stats skip all but the probed terms; same oracle as b1 (the index is derived state) (training-data extension)"))
 }

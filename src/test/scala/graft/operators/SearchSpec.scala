@@ -73,6 +73,18 @@ class SearchSpec extends SparkSuite {
     assert(got.toSeq == Seq(3L, 4L))
   }
 
+  test("b2 serves b1's exact rows from the persisted index, with the term filter pushed") {
+    val direct = Search.bm25TopK(spark, sfDir).collect().toSeq
+    val indexed = Search.bm25Indexed(spark, sfDir)
+    assert(indexed.collect().toSeq == direct,
+      "the index is derived state — indexed retrieval must equal the direct form")
+    // the probe terms must reach the postings scan as a pushed In filter
+    // (that is the whole point of the term-sorted layout)
+    val scan = indexed.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [In(tok"),
+      s"tok IN (…) not pushed to the postings scan:\n$scan")
+  }
+
   test("multi-term scores sum per-term contributions; n_terms_matched counts terms") {
     val docs = corpus(
       (1L, "x y"), (2L, "x a"), (3L, "y a"), (4L, "b b"))
