@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Catalog
@@ -256,9 +256,21 @@ object Dedup {
   // hash-partitioned groupBy is the canonical exact-dedup plan at 100 TB
   // (one shuffle on a 8-byte key).
   // ---------------------------------------------------------------------
+  /** THE exact-dedup key (d1, u2's anti-join): 60-bit hash of the
+    * normalized 50-char prefix. One definition so every exact-dedup
+    * consumer agrees on the fingerprint.
+    */
+  def prefixFingerprint(text: Column): Column =
+    hash60(substring( // RE2-\s class, matching the oracle's 'g' replace
+      regexp_replace(lower(trim(text)), "[ \\t\\n\\f\\r]+", " "), 1, 50))
+
+  /** DuckDB mirror of [[prefixFingerprint]]. */
+  def prefixFingerprintSql(textExpr: String): String =
+    hash60Sql(
+      s"substr(regexp_replace(lower(trim($textExpr)), '\\s+', ' ', 'g'), 1, 50)")
+
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
-    val key = hash60(substring( // RE2-\s class, matching the oracle's 'g' replace
-      regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+", " "), 1, 50))
+    val key = prefixFingerprint(col("text"))
     Catalog.documents(spark, dir)
       .select(col("doc_id"), key.as("fp"))
       .groupBy(col("fp"))

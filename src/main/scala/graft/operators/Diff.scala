@@ -73,7 +73,72 @@ object Diff {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // U2 — incremental curation: the reason u1 exists, composed end to end.
+  // Only the diff's added/changed documents re-enter the pipeline; each
+  // passes the cheap quality gate (length floor) and an exact-dedup
+  // anti-join against the EXISTING corpus' prefix fingerprints (d1's
+  // key) — new content identical to something already retained is not
+  // re-ingested. At 100 TB this is the daily-run shape: work scales with
+  // the delta, the only corpus-sized contact is the fingerprint
+  // anti-join (8-byte keys, broadcastable when the delta is small —
+  // which is the point).
+  // ---------------------------------------------------------------------
+  val MinIngestChars = 100
+
+  /** Delta-curation core over two (doc_id, text) snapshots. */
+  def incrementalCurationOf(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val delta = diffByKey(oldSnap, newSnap, "doc_id",
+      TextOps.hash60(col("text")))
+      .filter(col("status") =!= "removed")
+    val existingFps = oldSnap
+      .select(Dedup.prefixFingerprint(col("text")).as("fp")).distinct()
+    newSnap.join(delta, "doc_id")
+      .filter(length(col("text")) >= MinIngestChars)
+      .withColumn("fp", Dedup.prefixFingerprint(col("text")))
+      .join(existingFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("status"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text"))
+    incrementalCurationOf(oldSnap, newSnap)
+  }
+
+  val incrementalCurationSql: String = {
+    val fpOld = TextOps.hash60Sql("text")
+    val newText = "CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END"
+    s"""WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+       |b AS (SELECT doc_id, $newText AS text FROM documents WHERE doc_id % 5 <> 0),
+       |delta AS (
+       | SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |  CASE WHEN a.doc_id IS NULL THEN 'added'
+       |       WHEN ${fpOld.replace("text", "a.text")} IS DISTINCT FROM ${fpOld.replace("text", "b.text")} THEN 'changed' END AS status
+       | FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       | WHERE b.doc_id IS NOT NULL
+       |  AND (a.doc_id IS NULL
+       |   OR ${fpOld.replace("text", "a.text")} IS DISTINCT FROM ${fpOld.replace("text", "b.text")})),
+       |fps AS (SELECT DISTINCT ${Dedup.prefixFingerprintSql("text")} AS fp
+       | FROM a WHERE text IS NOT NULL)
+       |SELECT b.doc_id, status, CAST(length(b.text) AS BIGINT) AS n_chars
+       |FROM b JOIN delta USING (doc_id)
+       |WHERE length(b.text) >= $MinIngestChars
+       | AND ${Dedup.prefixFingerprintSql("b.text")} NOT IN (SELECT fp FROM fps)
+       |ORDER BY b.doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
     Q("u1_corpus_diff", corpusDiff, Some(corpusDiffSql),
-      "snapshot diff: added/removed/changed via one full-outer join over map-side (key, content-fingerprint) pairs — the incremental-run primitive (training-data extension)"))
+      "snapshot diff: added/removed/changed via one full-outer join over map-side (key, content-fingerprint) pairs — the incremental-run primitive (training-data extension)"),
+    Q("u2_incremental_curation", incrementalCuration, Some(incrementalCurationSql),
+      "diff-driven delta curation: only added/changed docs re-enter the pipeline, pass the quality floor, and anti-join the existing corpus' exact-dedup fingerprints — daily-run work scales with the delta (training-data extension)"))
 }

@@ -35,4 +35,21 @@ class DiffSpec extends SparkSuite {
     val a = Seq((1L, "p"), (2L, "q")).toDF("id", "payload")
     assert(Diff.diffByKey(a, a, "id", TextOps.hash60(col("payload"))).isEmpty)
   }
+
+  test("u2 ingests only quality, non-duplicate delta documents") {
+    def long(tag: String) = tag + " body " * 30 // well past MinIngestChars
+    val oldSnap = Seq(
+      (1L, long("alpha")), (2L, long("beta")), (3L, "short old"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, long("alpha")),        // unchanged -> not in the delta
+      (2L, long("beta-edited")),  // changed, quality, unique -> ingested
+      (4L, long("alpha")),        // added but an exact dup of doc 1 -> anti-joined away
+      (5L, "tiny"),               // added but under the quality floor
+      (6L, long("gamma")))        // added, quality, unique -> ingested
+      .toDF("doc_id", "text")
+    val got = Diff.incrementalCurationOf(oldSnap, newSnap).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "changed"), (6L, "added")), s"got $got")
+  }
 }
