@@ -655,16 +655,24 @@ object Relational {
   def outlierBounds(spark: SparkSession, dir: String): DataFrame =
     outlierBoundsOf(Catalog.events(spark, dir))
 
-  /** Fence core over any (event_type, value) frame (specs inject
-    * hand-built distributions).
+  /** The per-type Tukey fence relation (event_type, lo_bound, hi_bound)
+    * — shared by the batch accounting (o1) and the streaming in-flight
+    * filter ([[graft.streaming.Streams.streamingFenceFilter]]), so batch
+    * and stream agree on what an outlier is.
     */
-  def outlierBoundsOf(events: DataFrame): DataFrame = {
-    val fences = events
+  def tukeyFences(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"))
       .agg(expr("percentile(value, array(0.25, 0.75))").as("q"))
       .select(col("event_type"),
         (col("q").getItem(0) - (col("q").getItem(1) - col("q").getItem(0)) * 1.5).as("lo_bound"),
         (col("q").getItem(1) + (col("q").getItem(1) - col("q").getItem(0)) * 1.5).as("hi_bound"))
+
+  /** Fence core over any (event_type, value) frame (specs inject
+    * hand-built distributions).
+    */
+  def outlierBoundsOf(events: DataFrame): DataFrame = {
+    val fences = tukeyFences(events)
     events
       .join(broadcast(fences), "event_type")
       .groupBy(col("event_type"), col("lo_bound"), col("hi_bound"))

@@ -187,6 +187,22 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Stream-STATIC join: flag in-flight events against the per-type
+    * Tukey fence relation ([[graft.operators.Relational.tukeyFences]],
+    * computed batch-side from history — o1's exact rule, so batch
+    * accounting and streaming flagging cannot disagree on what an
+    * outlier is). The static side broadcasts; per-event work is one
+    * stateless map-side comparison — no streaming state at all, which
+    * is the right anomaly-tagging shape at ingest rates (re-fit the
+    * fences batch-side on whatever cadence drift demands; a fence from
+    * a type unseen in history leaves is_outlier NULL, surfacing the
+    * novel type instead of silently passing it).
+    */
+  def streamingFenceFilter(events: DataFrame, fences: DataFrame): DataFrame =
+    events.join(broadcast(fences), Seq("event_type"), "left_outer")
+      .withColumn("is_outlier",
+        col("value") < col("lo_bound") || col("value") > col("hi_bound"))
+
   /** Streaming J4 — the minute-bucket correlation join (reference
     * myapp/views.py:793-799) as a stream-stream inner join: errors and
     * purchases correlate when their minute buckets coincide. Both sides

@@ -364,6 +364,40 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static fence filter flags outliers like the batch rule, stateless") {
+    import spark.implicits._
+    // fences fitted batch-side from history (o1's exact rule)
+    val history = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(("click", _)) ++
+      Seq(10.0, 10.0, 10.0, 10.0).map(("view", _)))
+      .toDF("event_type", "value")
+    val fences = graft.operators.Relational.tukeyFences(history)
+    val mem = MemoryStream[Ev](spark)
+    val out = Streams.streamingFenceFilter(mem.toDF(), fences)
+    val q = out.writeStream.format("memory")
+      .queryName("fence_test").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 3.0, "{}"),   // inside [-1.5, 8.5]
+        Ev(2, ts("2024-01-01 00:00:01"), 1, "click", 50.0, "{}"),  // outlier
+        Ev(3, ts("2024-01-01 00:00:02"), 1, "view", 10.0, "{}"),   // on the collapsed fence
+        Ev(4, ts("2024-01-01 00:00:03"), 1, "purchase", 7.0, "{}")) // type unseen in history
+      q.processAllAvailable()
+      val rows = spark.table("fence_test")
+        .select("event_id", "is_outlier").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+      assert(rows == Map(1L -> Some(false), 2L -> Some(true),
+        3L -> Some(false), 4L -> None), s"got $rows")
+      // and the streaming verdicts equal the batch twin's on the same rows
+      val batch = Streams.streamingFenceFilter(
+        spark.table("fence_test").select("event_id", "event_type", "value"),
+        fences).select("event_id", "is_outlier").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+      assert(batch == rows, "stream and batch twins disagree")
+    } finally q.stop()
+  }
+
   test("batch w4 sessionize applies the streaming gap rule (gaps-and-islands)") {
     import spark.implicits._
     // same burst shapes as the streaming sessionization test above; the
