@@ -699,7 +699,56 @@ object Relational {
       |GROUP BY event_type, q1, q3 ORDER BY event_type"""
       .stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // H2 — per-type equal-width value histograms: the distribution snapshot
+  // that pairs with o1's fences (drift shows up as mass moving between
+  // buckets before it crosses a fence). Two passes, o1's shape: per-type
+  // [min, max] is a tiny aggregate broadcast back onto a second
+  // column-pruned scan; bucket assignment is plain IEEE arithmetic
+  // (floor((v−lo)/w), capped into the last bucket so v = max lands in
+  // bucket B−1), so the hash matches with no rounding. A degenerate
+  // distribution (min = max ⇒ w = 0) puts all mass in bucket 0 by
+  // definition instead of dividing by zero. NULL values are excluded —
+  // they are o1/c1's accounting, not distribution mass.
+  // ---------------------------------------------------------------------
+  val HistBuckets = 10
+
+  def valueHistogramOf(events: DataFrame): DataFrame = {
+    val bounds = events
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val w = (col("hi") - col("lo")) / HistBuckets
+    val bucket = when(col("hi") === col("lo"), 0L)
+      .otherwise(least(
+        floor((col("value") - col("lo")) / w).cast("long"),
+        lit(HistBuckets - 1L)))
+    events.filter(col("value").isNotNull)
+      .join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    valueHistogramOf(Catalog.events(spark, dir))
+
+  val valueHistogramSql: String =
+    s"""WITH b AS (
+       | SELECT event_type, min(value) AS lo, max(value) AS hi
+       | FROM events GROUP BY event_type)
+       |SELECT event_type,
+       | CASE WHEN hi = lo THEN 0
+       |  ELSE least(floor((value - lo) / ((hi - lo) / $HistBuckets))::BIGINT, ${HistBuckets - 1})
+       | END AS bucket,
+       | count(*) AS n
+       |FROM events JOIN b USING (event_type)
+       |WHERE value IS NOT NULL
+       |GROUP BY event_type, bucket ORDER BY event_type, bucket"""
+      .stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("h2_value_histogram", valueHistogram, Some(valueHistogramSql),
+      s"per-type equal-width $HistBuckets-bucket value histogram: tiny bounds aggregate broadcast back, map-side bucket assignment in plain IEEE arithmetic (data-QA extension)"),
     Q("o1_outlier_bounds", outlierBounds, Some(outlierBoundsSql),
       "Tukey-fence outlier accounting per metric type: exact quartiles, broadcast fences, map-side conditional count (monitoring + data-QA extension)"),
     Q("j10_salted_join", saltedSegmentActivity, Some(saltedSegmentActivitySql),

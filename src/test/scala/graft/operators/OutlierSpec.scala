@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.sum
+
 import graft.SparkSuite
 
 /** o1 Tukey-fence semantics on hand-built distributions: exact quartile
@@ -26,6 +28,25 @@ class OutlierSpec extends SparkSuite {
     // type B: constant distribution -> IQR 0, fences collapse to the
     // value, nothing is outside a closed fence
     assert(rows("B") == ((4L, 0L, 10.0, 10.0)))
+  }
+
+  test("h2 buckets by equal width; max lands in the last bucket; w=0 collapses to bucket 0") {
+    val events = (Seq(0.0, 1.0, 5.0, 9.9, 10.0).map(("A", _)) ++
+      Seq(7.0, 7.0).map(("B", _)))
+      .toDF("event_type", "value")
+    val got = Relational.valueHistogramOf(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // A: range [0,10], w=1 → 0.0→b0, 1.0→b1, 5.0→b5, 9.9→b9, 10.0 capped→b9
+    assert(got == Map(
+      ("A", 0L) -> 1L, ("A", 1L) -> 1L, ("A", 5L) -> 1L, ("A", 9L) -> 2L,
+      ("B", 0L) -> 2L), s"got $got")
+  }
+
+  test("h2 excludes NULL values from distribution mass") {
+    val events = Seq(("A", Some(1.0)), ("A", None), ("A", Some(2.0)))
+      .toDF("event_type", "value")
+    assert(Relational.valueHistogramOf(events).agg(sum("n"))
+      .head().getLong(0) == 2L)
   }
 
   test("NULL values count into n but never into outliers or quartiles") {
