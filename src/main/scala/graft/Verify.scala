@@ -12,6 +12,18 @@ object Verify {
     }
     val spark = GraftSession.local(defaultCpus = 4, logLevel = "WARN")
     new java.io.File(outDir).mkdirs()
+    // fail-SOFT schema guard (unlike Smoke/Bench's assertReadable): one
+    // clear "table X unreadable" line per broken fixture table up front —
+    // the r8 regen surfaced as 35 cryptic per-query errors — but queries
+    // over healthy tables still verify and count, which beats an empty
+    // correctness artifact when one table is bad.
+    Catalog.tableNames.foreach { t =>
+      try Catalog.table(spark, sfDir, t).schema
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] TABLE '$t' UNREADABLE — every query " +
+          s"reading it will fail: ${e.getMessage}")
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
