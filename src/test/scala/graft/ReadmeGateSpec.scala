@@ -62,6 +62,13 @@ class ReadmeGateSpec extends AnyFunSuite {
         assert(ct >= entries,
           s"README claims a $ct-query registry for round $round but the " +
             s"artifact alone has $entries entries")
+        // the registry only grows, so no historical round can have run
+        // more queries than today's registry holds — bounds the
+        // denominator above too (a '55/9999 hash' overclaim must fail)
+        assert(ct <= math.max(entries, SparkEntry.queries.size),
+          s"README claims a $ct-query registry for round $round but the " +
+            s"live registry has only ${SparkEntry.queries.size} queries " +
+            s"(and the artifact $entries entries) — the denominator is invented")
       }
       // and a claimed row must cite an artifact that exists — a gate
       // number with no artifact behind it is invented
@@ -97,15 +104,37 @@ class ReadmeGateSpec extends AnyFunSuite {
       finally s.close()
     }
     assume(artifacts.nonEmpty, "no CORRECTNESS artifacts present (fresh clone)")
+    val greenIn = (txt: String) =>
+      raw""""hash_match":\s*true""".r.findAllIn(txt).size
     val (newestRound, newestTxt) = artifacts.maxBy(_._1)
-    val newestGreen = raw""""hash_match":\s*true""".r.findAllIn(newestTxt).size
+    val newestGreen = greenIn(newestTxt)
     val proseRe = raw"Newest driver artifact: r(\d+), (\d+)/(\d+) green".r
     val m = proseRe.findFirstMatchIn(readme)
       .getOrElse(fail("README lost its 'Newest driver artifact: rN, X/Y green' prose"))
-    assert(m.group(1).toInt == newestRound,
-      s"README cites r${m.group(1)} as newest but CORRECTNESS_r$newestRound exists")
-    assert(m.group(2).toInt == newestGreen,
-      s"README claims ${m.group(2)} green for r$newestRound but the " +
-        s"artifact records $newestGreen")
+    val citedRound = m.group(1).toInt
+    val citedGreen = m.group(2).toInt
+
+    // The cited round's claim must match its artifact EXACTLY — a wrong
+    // number is the round-7 overclaim all over again.
+    val citedTxt = artifacts.getOrElse(citedRound,
+      fail(s"README cites r$citedRound but no CORRECTNESS artifact for it exists"))
+    assert(citedGreen == greenIn(citedTxt),
+      s"README claims $citedGreen green for r$citedRound but the " +
+        s"artifact records ${greenIn(citedTxt)}")
+
+    // A NEWER artifact than the cited one is expected at every round
+    // boundary (the round-N artifact lands after round N's last commit),
+    // so mere existence is not drift — the r9 lesson is that the old
+    // freshness assertion guaranteed one red per round. Fail only on
+    // CONTRADICTION: a newer artifact recording FEWER greens than the
+    // README's current-state claim means the prose now overstates the
+    // engine (the r8 fixture break is exactly this shape) and must be
+    // rewritten, not merely refreshed.
+    artifacts.filter(_._1 > citedRound).foreach { case (round, txt) =>
+      assert(greenIn(txt) >= citedGreen,
+        s"CORRECTNESS_r$round records ${greenIn(txt)} green — a regression " +
+          s"from the $citedGreen the README claims for r$citedRound; the " +
+          "current-state prose overstates the engine and must be updated")
+    }
   }
 }
