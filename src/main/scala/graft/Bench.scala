@@ -107,7 +107,13 @@ object Bench {
     // "metric":"total" is the stable consumer contract; the methodology
     // rides in "method" (ADVICE r5: renaming the metric key breaks
     // downstream matchers silently)
-    println(s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // also persist the full line to a file: the driver captures only the
+    // last ~2 KB of stdout, which truncated 38 of 98 per-query timings out
+    // of BENCH_r09.json — a file survives regardless of capture policy
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write bench_local.json: ${e.getMessage}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -115,18 +115,22 @@ object Diff {
   }
 
   val incrementalCurationSql: String = {
-    val fpOld = TextOps.hash60Sql("text")
+    // generate the fingerprint expression per qualified column — string
+    // surgery over hash60Sql's output would silently corrupt the oracle
+    // if the generated SQL ever contained another 'text' substring
+    val fpA = TextOps.hash60Sql("a.text")
+    val fpB = TextOps.hash60Sql("b.text")
     val newText = "CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END"
     s"""WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
        |b AS (SELECT doc_id, $newText AS text FROM documents WHERE doc_id % 5 <> 0),
        |delta AS (
        | SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
        |  CASE WHEN a.doc_id IS NULL THEN 'added'
-       |       WHEN ${fpOld.replace("text", "a.text")} IS DISTINCT FROM ${fpOld.replace("text", "b.text")} THEN 'changed' END AS status
+       |       WHEN $fpA IS DISTINCT FROM $fpB THEN 'changed' END AS status
        | FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
        | WHERE b.doc_id IS NOT NULL
        |  AND (a.doc_id IS NULL
-       |   OR ${fpOld.replace("text", "a.text")} IS DISTINCT FROM ${fpOld.replace("text", "b.text")})),
+       |   OR $fpA IS DISTINCT FROM $fpB)),
        |fps AS (SELECT DISTINCT ${Dedup.prefixFingerprintSql("text")} AS fp
        | FROM a WHERE text IS NOT NULL)
        |SELECT b.doc_id, status, CAST(length(b.text) AS BIGINT) AS n_chars

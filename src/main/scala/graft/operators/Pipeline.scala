@@ -268,12 +268,29 @@ object Pipeline {
     * corpus stats (e.g. via [[graft.lifecycle.Stats]]) can skip the
     * pre-pass and call [[sequencePackAt]] directly.
     */
-  def sequencePackAuto(spark: SparkSession, dir: String): DataFrame = {
-    val totalTokens = Catalog.documents(spark, dir)
+  def sequencePackAuto(spark: SparkSession, dir: String): DataFrame =
+    sequencePackAuto(spark, dir, spark.sparkContext.defaultParallelism)
+
+  /** [[sequencePackAuto]] at an explicit cluster parallelism — the
+    * deployment entry sizes for the cluster it runs ON; tests size for
+    * the cluster they SIMULATE.
+    */
+  def sequencePackAuto(spark: SparkSession, dir: String, parallelism: Int): DataFrame =
+    sequencePackAt(derivedShardBuckets(spark, dir, parallelism))(spark, dir)
+
+  /** The bucket count [[sequencePackAuto]] packs at: the corpus-token
+    * pre-pass (map-side-combined, 32 partials reach the driver) fed
+    * through [[TextOps.shardBucketsFor]]. sum() is NULL over an empty
+    * corpus (or one whose every text is NULL) — read null-safely;
+    * shardBucketsFor clamps 0 to the gate default, so an empty corpus
+    * packs at the default count instead of throwing.
+    */
+  def derivedShardBuckets(spark: SparkSession, dir: String, parallelism: Int): Int = {
+    val row = Catalog.documents(spark, dir)
       .agg(sum(size(TextOps.tokens(col("text"))).cast("long")))
-      .head().getLong(0)
-    sequencePackAt(TextOps.shardBucketsFor(totalTokens,
-      spark.sparkContext.defaultParallelism))(spark, dir)
+      .head()
+    val totalTokens = if (row.isNullAt(0)) 0L else row.getLong(0)
+    TextOps.shardBucketsFor(totalTokens, parallelism)
   }
 
   /** z4 at an explicit shard-bucket count. Each bucket's cumulative sum

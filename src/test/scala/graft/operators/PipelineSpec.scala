@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSuite
+import graft.{Catalog, SparkSuite}
 
 /** Composition invariants for the z-family pipelines: survivor-selection
   * semantics (greedy vs connected-component) and the sub-quadratic
@@ -148,6 +148,45 @@ class PipelineSpec extends SparkSuite {
     val auto = Pipeline.sequencePackAuto(spark, sfDir).collect().toSeq
     val fixed = Pipeline.sequencePack(spark, sfDir).collect().toSeq
     assert(auto.nonEmpty && auto == fixed)
+  }
+
+  test("sequencePackAuto packs at a DERIVED non-default count end to end") {
+    // simulate a wider cluster: 128-way parallelism floors the derivation
+    // at 4×128 = 512 buckets — above the gate default, so this run proves
+    // the derived count actually reaches the pack (not just the formula)
+    val derived = Pipeline.derivedShardBuckets(spark, sfDir, 128)
+    assert(derived == 512, s"expected the 4×parallelism floor, got $derived")
+    val auto = Pipeline.sequencePackAuto(spark, sfDir, 128).collect().toSeq
+    val fixed = Pipeline.sequencePackAt(derived)(spark, sfDir).collect().toSeq
+    assert(auto.nonEmpty && auto == fixed)
+    // the non-default count took effect: some document lands in a bucket
+    // the 100-bucket default could never produce
+    val buckets = auto.map(_.getAs[Int]("bucket"))
+    assert(buckets.forall(b => b >= 0 && b < derived))
+    assert(buckets.exists(_ >= TextOps.ShardBuckets),
+      "every bucket id is below the default count — the derived count did not reach the shard expression")
+    // and the split formula agrees with the pack at the derived count too
+    val split = TextOps.splitAssignAt(derived)(spark, sfDir)
+      .select(col("doc_id"), col("bucket").as("sb"))
+    val pack = Pipeline.sequencePackAt(derived)(spark, sfDir)
+      .select(col("doc_id"), col("bucket").as("pb"))
+    assert(split.join(pack, "doc_id").collect()
+      .forall(r => r.getAs[Int]("sb") == r.getAs[Int]("pb")))
+  }
+
+  test("sequencePackAuto survives an empty and an all-NULL-text corpus") {
+    // ADVICE r9: the token-total pre-pass sums to NULL on these shapes;
+    // the deployment entry must clamp to the gate default, not NPE
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pack-empty").toString
+    val docs = Catalog.documents(spark, sfDir)
+    docs.limit(0).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Pipeline.derivedShardBuckets(spark, tmp, 4) == TextOps.ShardBuckets)
+    assert(Pipeline.sequencePackAuto(spark, tmp).collect().isEmpty)
+    val nulls = java.nio.file.Files.createTempDirectory("graft-pack-null").toString
+    docs.limit(3).withColumn("text", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(s"$nulls/documents.parquet")
+    assert(Pipeline.derivedShardBuckets(spark, nulls, 4) == TextOps.ShardBuckets)
+    Pipeline.sequencePackAuto(spark, nulls).collect()
   }
 
   test("z4 packing equals an independent per-shard prefix-sum recomputation") {
