@@ -32,7 +32,8 @@ object Stats {
     StructField("min_str", StringType),
     StructField("max_str", StringType),
     StructField("ndv", LongType),
-    StructField("null_count", LongType)))
+    StructField("null_count", LongType),
+    StructField("hot_key_rows", LongType)))
 
   private def isAtomic(dt: DataType): Boolean = dt match {
     case _: ArrayType | _: MapType | _: StructType | BinaryType => false
@@ -55,6 +56,25 @@ object Stats {
     }.toSeq
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = row.getLong(0)
+    // per-column hot-key mass (rows of the single most frequent non-NULL
+    // value) — what sizes a salted join's fan-out (Relational.saltsFor).
+    // ONE unpivoted two-level aggregation for ALL columns, not a groupBy
+    // job per column: stack() emits (column, value) pairs and both aggs
+    // combine map-side, so the cost is one shuffle of the distinct
+    // (column, value) partials regardless of column count. NULLs are
+    // excluded: an equi-join never matches them, so they can't be a hot
+    // JOIN key no matter how many rows carry them.
+    val hotCounts: Map[String, Long] =
+      if (cols.isEmpty || rows == 0L) Map.empty
+      else {
+        val stackArgs = cols
+          .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+        df.selectExpr(s"stack(${cols.length}, $stackArgs) AS (sc, sv)")
+          .filter(col("sv").isNotNull)
+          .groupBy(col("sc"), col("sv")).agg(count(lit(1)).as("n"))
+          .groupBy(col("sc")).agg(max(col("n")).as("hot"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     val fs = graft.Catalog.fsFor(tablePath, spark)
     val sizeBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(tablePath)).getLength
@@ -62,7 +82,8 @@ object Stats {
       val base = 1 + i * 4
       Row(c, rows, sizeBytes,
         row.getAs[String](base), row.getAs[String](base + 1),
-        row.getLong(base + 2), row.getLong(base + 3))
+        row.getLong(base + 2), row.getLong(base + 3),
+        hotCounts.getOrElse(c, 0L))
     }
     val statsDf = spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(out: _*)), statsSchema)
@@ -125,6 +146,21 @@ object Stats {
   /** Persisted on-disk size, if analyzed. */
   def sizeBytes(spark: SparkSession, tablePath: String): Option[Long] =
     snapshot(spark, tablePath).map(_._2)
+
+  /** Rows of `column`'s most frequent non-NULL value, if analyzed — the
+    * input to [[graft.operators.Relational.saltsFor]]. None when the
+    * table was never analyzed, the column is unknown/non-atomic, or the
+    * stats predate the hot-key column (schema drift degrades to "no
+    * stats", same as every other consumer here).
+    */
+  def hotKeyRows(spark: SparkSession, tablePath: String,
+      column: String): Option[Long] =
+    try read(spark, tablePath)
+      .filter(_.schema.fieldNames.contains("hot_key_rows"))
+      .flatMap(_.filter(col("column") === column)
+        .select(col("hot_key_rows"))
+        .head(1).headOption.map(_.getLong(0)))
+    catch { case _: Exception => None }
 
   /** Apply a broadcast hint iff the persisted stats say the table is small
     * BOTH by on-disk bytes AND by row count — the ANALYZE → plan feedback

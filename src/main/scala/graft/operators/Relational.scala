@@ -617,10 +617,45 @@ object Relational {
       .drop("graft_fact_salt", "graft_dim_salt")
   }
 
-  /** Salt fan-out for the registered query — a deployment sizes R to its
-    * hottest key's row count over the per-task budget.
+  /** Salt fan-out for the registered query — the gate default. A
+    * deployment derives R from persisted statistics instead
+    * ([[saltsForTable]]); the static oracle SQL pins this one.
     */
   val JoinSalts = 8
+
+  /** Rows one reducer should own for a single hot key (~1M narrow fact
+    * rows ≈ tens of MB of build/probe work): small enough that the
+    * hottest key's slice finishes with its stage, large enough that the
+    * R× dim replication stays cheap.
+    */
+  val SaltTaskRowBudget: Long = 1L * 1000 * 1000
+
+  /** The salt-sizing formula as code (the z4 `shardBucketsFor` discipline
+    * applied to j10): R = ceil(hottest key's rows / per-task budget).
+    * 1 when no key outgrows a task (salting pure overhead — skip it);
+    * capped at 1024 because beyond that the R× dim replication dominates
+    * and the dim side should be pre-partitioned or the key pre-split
+    * instead.
+    */
+  def saltsFor(hotKeyRows: Long,
+      perTaskBudget: Long = SaltTaskRowBudget): Int = {
+    val need = math.ceil(
+      math.max(hotKeyRows, 0L).toDouble / math.max(perTaskBudget, 1L)).toLong
+    math.min(math.max(need, 1L), 1024L).toInt
+  }
+
+  /** Stats-driven fan-out: size R from the fact table's persisted ANALYZE
+    * statistics ([[graft.lifecycle.Stats.hotKeyRows]] of the join-key
+    * column) — the cost knowledge a 100 TB deployment already maintains
+    * re-entering the skew decision, exactly as `Stats.maybeBroadcast`
+    * does for the broadcast decision. Falls back to the gate default when
+    * the table was never analyzed (or predates hot-key stats).
+    */
+  def saltsForTable(spark: SparkSession, factTablePath: String,
+      keyColumn: String, perTaskBudget: Long = SaltTaskRowBudget,
+      default: Int = JoinSalts): Int =
+    graft.lifecycle.Stats.hotKeyRows(spark, factTablePath, keyColumn)
+      .map(saltsFor(_, perTaskBudget)).getOrElse(default)
 
   def saltedSegmentActivity(spark: SparkSession, dir: String): DataFrame = {
     val ev = Catalog.events(spark, dir)
