@@ -24,6 +24,19 @@ object Bench {
     */
   val Repeats = 3
 
+  /** Current commit SHA, read straight from .git (no subprocess): the
+    * round-end artifacts this main writes become attributable to the
+    * exact commit they measured — ADVICE r9's traceability gap.
+    */
+  private def gitHead(): String =
+    try {
+      val read = (p: String) => new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))).trim
+      val head = read(".git/HEAD")
+      if (head.startsWith("ref: ")) read(".git/" + head.stripPrefix("ref: "))
+      else head
+    } catch { case _: Throwable => "" }
+
   private def loadavg(): String =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
@@ -107,13 +120,20 @@ object Bench {
     // "metric":"total" is the stable consumer contract; the methodology
     // rides in "method" (ADVICE r5: renaming the metric key breaks
     // downstream matchers silently)
-    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}"""
+    val sha = gitHead()
+    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // also persist the full line to a file: the driver captures only the
     // last ~2 KB of stdout, which truncated 38 of 98 per-query timings out
     // of BENCH_r09.json — a file survives regardless of capture policy
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write bench_local.json: ${e.getMessage}") }
+    // round-end scan attribution (ADVICE r9): this main runs on the
+    // round's final commit, so the SHA written here names the tree any
+    // same-round LEAKCHECK/COPYCHECK scan saw
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("leakcheck_meta.json"),
+      s"""{"commit":"$sha","written_by":"graft.Bench","written_at":"${java.time.Instant.now()}"}\n""")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write leakcheck_meta.json: ${e.getMessage}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

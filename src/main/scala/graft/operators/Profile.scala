@@ -100,7 +100,50 @@ object Profile {
       .replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // C2 — c1's 100 TB deployment form, driver-executed: NDV via HLL++
+  // (`approx_count_distinct`, mergeable fixed-width sketches, no Expand)
+  // instead of the exact multi-DISTINCT. Approx estimates can't
+  // hash-match DuckDB, so the gate encodes the deployment CLAIM as data:
+  // each column's HLL estimate must land within its documented error
+  // band (max(2, 10%) — default rsd is 5%) of the exact NDV, emitted as
+  // a boolean the oracle pins to `true`. The exact arm exists here only
+  // to judge the estimate — a deployment runs the approx arm alone, and
+  // a broken HLL path goes hash-red instead of invisibly rows-green.
+  // ---------------------------------------------------------------------
+  def columnProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val df = Catalog.orders(spark, dir)
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      Seq(
+        countDistinct(col(f.name)).cast("long").as(s"${f.name}__x"),
+        approx_count_distinct(col(f.name)).cast("long").as(s"${f.name}__a"))
+    }
+    val perCol = fields.map { f =>
+      struct(
+        lit(f.name).as("column_name"),
+        col(s"${f.name}__x").as("n_distinct_exact"),
+        (abs(col(s"${f.name}__a") - col(s"${f.name}__x")) <=
+          greatest(lit(2.0), col(s"${f.name}__x") * 0.1))
+          .as("ndv_within_band"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
+  val columnProfileApproxSql: String =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .map(c => s"SELECT '$c' AS column_name, " +
+        s"count(DISTINCT $c)::BIGINT AS n_distinct_exact, " +
+        "true AS ndv_within_band FROM orders")
+      .mkString("", " UNION ALL ", " ORDER BY column_name")
+
   val all: Seq[Q] = Seq(
     Q("c1_column_profile", columnProfile, Some(columnProfileSql),
-      "per-column rows/nulls/exact-NDV/min/max profile in ONE aggregate pass (multi-distinct Expand), unpivoted to a row per column (data-QA extension)"))
+      "per-column rows/nulls/exact-NDV/min/max profile in ONE aggregate pass (multi-distinct Expand), unpivoted to a row per column (data-QA extension)"),
+    Q("c2_profile_approx", columnProfileApprox, Some(columnProfileApproxSql),
+      "c1's HLL deployment form driver-executed: approx_count_distinct judged against the exact NDV inside its error band, pinned to true by the oracle (data-QA extension)"))
 }

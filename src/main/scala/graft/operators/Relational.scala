@@ -735,6 +735,60 @@ object Relational {
       .stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // O2 — o1's 100 TB deployment form, driver-executed: fences from
+  // approx_percentile (bounded rank error ≤ n/accuracy, mergeable
+  // fixed-size partials, no per-group value buffering) instead of the
+  // exact interpolated quartiles — the exact→approx swap SCALE.md
+  // documents for o1/p13, run by the gate instead of living in prose.
+  // Approx fences can't hash-match DuckDB, so the deployment claim rides
+  // as data: the outlier count under the approx fences must agree with
+  // the exact count within max(3, 10%), a boolean the oracle pins to
+  // `true` — a broken approx path goes hash-red, not invisibly
+  // rows-green. The exact arm exists only to judge the approx one.
+  // ---------------------------------------------------------------------
+  val ApproxPercentileAccuracy = 10000
+
+  def outlierBoundsApprox(spark: SparkSession, dir: String): DataFrame =
+    outlierBoundsApproxOf(Catalog.events(spark, dir))
+
+  /** o2 core over any (event_type, value) frame. */
+  def outlierBoundsApproxOf(events: DataFrame): DataFrame = {
+    val approxF = events
+      .groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, array(0.25, 0.75), $ApproxPercentileAccuracy)").as("q"))
+      .select(col("event_type"),
+        (col("q").getItem(0) - (col("q").getItem(1) - col("q").getItem(0)) * 1.5).as("lo_a"),
+        (col("q").getItem(1) + (col("q").getItem(1) - col("q").getItem(0)) * 1.5).as("hi_a"))
+    events
+      .join(broadcast(tukeyFences(events)), "event_type")
+      .join(broadcast(approxF), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo_bound") ||
+          col("value") > col("hi_bound"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("value") < col("lo_a") ||
+          col("value") > col("hi_a"), 1L).otherwise(0L)).as("n_out_approx"))
+      .select(col("event_type"), col("n"), col("n_outliers"),
+        (abs(col("n_out_approx") - col("n_outliers")) <=
+          greatest(lit(3.0), col("n_outliers") * 0.1)).as("approx_agrees"))
+      .orderBy(col("event_type"))
+  }
+
+  val outlierBoundsApproxSql: String =
+    """WITH f AS (
+      | SELECT event_type,
+      |  quantile_cont(value, [0.25, 0.75])[1] AS q1,
+      |  quantile_cont(value, [0.25, 0.75])[2] AS q3
+      | FROM events GROUP BY event_type)
+      |SELECT event_type, count(*) AS n,
+      | CAST(sum(CASE WHEN value < q1 - (q3 - q1) * 1.5
+      |   OR value > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      | true AS approx_agrees
+      |FROM events JOIN f USING (event_type)
+      |GROUP BY event_type, q1, q3 ORDER BY event_type"""
+      .stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // H2 — per-type equal-width value histograms: the distribution snapshot
   // that pairs with o1's fences (drift shows up as mass moving between
   // buckets before it crosses a fence). Two passes, o1's shape: per-type
@@ -786,6 +840,8 @@ object Relational {
       s"per-type equal-width $HistBuckets-bucket value histogram: tiny bounds aggregate broadcast back, map-side bucket assignment in plain IEEE arithmetic (data-QA extension)"),
     Q("o1_outlier_bounds", outlierBounds, Some(outlierBoundsSql),
       "Tukey-fence outlier accounting per metric type: exact quartiles, broadcast fences, map-side conditional count (monitoring + data-QA extension)"),
+    Q("o2_outlier_approx", outlierBoundsApprox, Some(outlierBoundsApproxSql),
+      "o1's approx_percentile deployment form driver-executed: approx-fence outlier counts judged against the exact counts inside a rank-error band, pinned to true by the oracle (data-QA extension)"),
     Q("j10_salted_join", saltedSegmentActivity, Some(saltedSegmentActivitySql),
       "skew-mitigated salted equi-join: fact salt × replicated dim, result identical to the plain join (oracle = plain join)"),
     Q("f2_json_extract", jsonExtractStats, Some(jsonExtractStatsSql),

@@ -57,6 +57,19 @@ object Search {
   private def statsOf(dl: DataFrame): DataFrame =
     dl.agg(count(lit(1)).cast("long").as("n"), sum(col("dl")).as("t"))
 
+  /** One term's score contribution in integer micro-points, over columns
+    * (tf, dl, df, n, t) — the determinism kernel shared by every form
+    * (see the object doc for the derivation).
+    */
+  private def contribPpm: Column = {
+    val idfBits =
+      (length(bin(expr("(2*n + 2) div (2*df + 1)"))) - 1).cast("long")
+    val num = (idfBits * lit(22L) * col("tf") * col("t")).cast("double")
+    val den = (lit(10L) * col("tf") * col("t") + lit(3L) * col("t") +
+      lit(9L) * col("dl") * col("n")).cast("double")
+    round(num / den * lit(1000000.0), 0).cast("long")
+  }
+
   /** THE scoring tail, shared by the direct and indexed forms so they
     * cannot diverge: takes a (doc_id, dl, tok, tf) relation already
     * restricted to the query terms, computes df as a window over it (a
@@ -64,18 +77,9 @@ object Search {
     * the window shuffles only the O(matching docs × terms) rows), scores
     * in integer micro-points, and cuts top-k.
     */
-  private def scoreTf(tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
-    val withDf = tf.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
-    val contribPpm: Column = {
-      val idfBits =
-        (length(bin(expr("(2*n + 2) div (2*df + 1)"))) - 1).cast("long")
-      val num = (idfBits * lit(22L) * col("tf") * col("t")).cast("double")
-      val den = (lit(10L) * col("tf") * col("t") + lit(3L) * col("t") +
-        lit(9L) * col("dl") * col("n")).cast("double")
-      round(num / den * lit(1000000.0), 0).cast("long")
-    }
-    withDf
+  private def scoreTf(tf: DataFrame, stats: DataFrame, k: Int): DataFrame =
+    tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
       .crossJoin(broadcast(stats))
       .withColumn("ppm", contribPpm)
       .groupBy(col("doc_id"))
@@ -83,7 +87,6 @@ object Search {
         sum(col("ppm")).as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("doc_id"))
       .limit(k)
-  }
 
   /** BM25 top-k over any (doc_id, text) frame (specs inject hand-built
     * corpora). Returns (doc_id, n_terms_matched, score_ppm) — integer
@@ -152,6 +155,69 @@ object Search {
       postingsIndex(spark, dir).filter(col("tok").isin(QueryTerms: _*)),
       statsIndex(spark, dir), TopK)
 
+  // ---------------------------------------------------------------------
+  // B3 — BM25 over a query BATCH: real curation audits score hundreds of
+  // probes in one pass, not one. `terms` becomes a (query_id, tok)
+  // relation; the scoring kernel is b1/b2's unchanged; the per-query
+  // top-k is a rank window the optimizer executes as WindowGroupLimit
+  // (per-partition k-heaps map-side, never a global sort). Scale shape:
+  // postings restrict to the batch's DISTINCT terms — shared terms are
+  // scanned and df-counted ONCE, then fan out to their queries by a
+  // broadcast join of the tiny probe relation. The registered entry rides
+  // b2's persisted index unchanged (which is the point of having it);
+  // [[bm25BatchOf]] is the same tail over an ad-hoc corpus.
+  // ---------------------------------------------------------------------
+  /** Probe batch for the registered gate entry. */
+  val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> QueryTerms,
+    2L -> Seq("join", "hash", "stream"),
+    3L -> Seq("scan", "filter", "batch", "slow"))
+
+  private def probesOf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    BatchQueries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "tok")
+  }
+
+  /** Batch scoring tail over a (doc_id, dl, tok, tf) relation already
+    * restricted to the batch's distinct terms. df is computed BEFORE the
+    * probe join — it is a corpus property of the term, and a term shared
+    * by two queries must count its documents once, not twice.
+    */
+  private def scoreTfBatch(tf: DataFrame, probes: DataFrame,
+      stats: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .join(broadcast(probes), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("ppm", contribPpm)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_matched"),
+        sum(col("ppm")).as("score_ppm"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Batch BM25 over any (doc_id, text) frame + (query_id, tok) probes. */
+  def bm25BatchOf(docs: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val dl = withDl(docs)
+    val tf = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .join(broadcast(probes.select(col("tok")).distinct()), "tok")
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    scoreTfBatch(tf, probes, statsOf(dl), k)
+  }
+
+  def bm25Batch(spark: SparkSession, dir: String): DataFrame = {
+    val allTerms = BatchQueries.flatMap(_._2).distinct
+    scoreTfBatch(
+      postingsIndex(spark, dir).filter(col("tok").isin(allTerms: _*)),
+      probesOf(spark), statsIndex(spark, dir), TopK)
+  }
+
   val bm25TopKSql: String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH dl AS (
@@ -176,9 +242,46 @@ object Search {
        |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
   }
 
+  val bm25BatchSql: String = {
+    val probeRows = BatchQueries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val allTerms = BatchQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH probes(query_id, tok) AS (VALUES $probeRows),
+       |dl AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       | FROM documents),
+       |dl2 AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM dl),
+       |stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS t
+       | FROM dl2),
+       |tf AS (
+       | SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN ($allTerms) GROUP BY doc_id, dl, tok),
+       |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |scored AS (
+       | SELECT p.query_id, tf.doc_id,
+       |  CAST(round(CAST((length(bin((2*n + 2) // (2*df + 1))) - 1) * 22 * tf * t AS DOUBLE)
+       |   / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ppm
+       | FROM tf JOIN dfreq USING (tok) JOIN probes p USING (tok), stats),
+       |agg AS (
+       | SELECT query_id, doc_id, count(*)::BIGINT AS n_terms_matched,
+       |  CAST(sum(ppm) AS BIGINT) AS score_ppm
+       | FROM scored GROUP BY query_id, doc_id),
+       |ranked AS (
+       | SELECT *, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY score_ppm DESC, doc_id)::BIGINT AS rank
+       | FROM agg)
+       |SELECT query_id, doc_id, n_terms_matched, score_ppm, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
     Q("b1_bm25_topk", bm25TopK, Some(bm25TopKSql),
       "BM25 keyword retrieval top-k: bit-quantized idf + exact-rational tf saturation in integer micro-points; per-term postings pruned before the shuffle (training-data extension)"),
     Q("b2_bm25_indexed", bm25Indexed, Some(bm25TopKSql),
-      "BM25 off the persisted term-sorted inverted index + 1-row stats artifact — tok IN (…) pushes to the scan and row-group stats skip all but the probed terms; same oracle as b1 (the index is derived state) (training-data extension)"))
+      "BM25 off the persisted term-sorted inverted index + 1-row stats artifact — tok IN (…) pushes to the scan and row-group stats skip all but the probed terms; same oracle as b1 (the index is derived state) (training-data extension)"),
+    Q("b3_bm25_batch", bm25Batch, Some(bm25BatchSql),
+      "BM25 over a probe BATCH off b2's postings: shared terms scanned + df-counted once, fanned out by a broadcast probe join, per-query top-k via a WindowGroupLimit rank cut (training-data extension)"))
 }

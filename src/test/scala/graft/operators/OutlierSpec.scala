@@ -49,6 +49,26 @@ class OutlierSpec extends SparkSuite {
       .head().getLong(0) == 2L)
   }
 
+  test("o2 approx-fence counts agree with exact inside the band on hand-built and fixture data") {
+    // hand-built: at fixture-sized groups the rank error (n/accuracy) is
+    // far below one rank, so approx == exact and every band bit is true
+    val events = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(("A", _)) ++
+      Seq(10.0, 10.0, 10.0, 10.0).map(("B", _)))
+      .toDF("event_type", "value")
+    val rows = Relational.outlierBoundsApproxOf(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows("A")._1 == 6L && rows("A")._3, s"got $rows")
+    assert(rows("B") == ((4L, 0L, true)))
+    // the exact columns are o1's (same fence rule, same accounting)
+    val o1 = Relational.outlierBoundsOf(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.view.mapValues(v => (v._1, v._2)).toMap == o1)
+    // and the real fixture agrees everywhere — the claim the oracle pins
+    val fx = Relational.outlierBoundsApprox(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.forall(_.getBoolean(3)))
+  }
+
   test("NULL values count into n but never into outliers or quartiles") {
     val events = Seq(("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(3.0)),
       ("A", None), ("A", Some(1000.0)))

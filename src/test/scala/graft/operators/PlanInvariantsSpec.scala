@@ -32,11 +32,12 @@ class PlanInvariantsSpec extends SparkSuite {
     *   hourly rollup);
     * - n7: embeds n1 (the labeled brute-force baseline) as the exact
     *   ground-truth arm it measures the indexes against;
-    * - b1/b2: the corpus-stats scalar (N, total tokens) crossJoins ONE
-    *   broadcast row onto the already-pruned tf relation (j7's shape —
-    *   the corpus-sized side reduced to O(matching docs × terms) before
-    *   the join; b2 reads the same 1-row relation from the persisted
-    *   stats artifact);
+    * - b1/b2/b3: the corpus-stats scalar (N, total tokens) crossJoins
+    *   ONE broadcast row onto the already-pruned tf relation (j7's
+    *   shape — the corpus-sized side reduced to O(matching docs ×
+    *   terms) before the join; b2/b3 read the same 1-row relation from
+    *   the persisted stats artifact, and b3's probe fan-out is a
+    *   broadcast EQUI-join on tok);
     * - n8: the decontamination sweep is a broadcast eval-slice × corpus
     *   map pass (n1's labeled shape — the eval side of a decontamination
     *   run is small by nature; the LSH-bucketed variant is the documented
@@ -47,8 +48,8 @@ class PlanInvariantsSpec extends SparkSuite {
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
       "n2_cosine_pairs", "w8_gap_fill", "n7_ann_recall",
-      "b1_bm25_topk", "b2_bm25_indexed", "n8_semantic_decontam",
-      "c1_column_profile")
+      "b1_bm25_topk", "b2_bm25_indexed", "b3_bm25_batch",
+      "n8_semantic_decontam", "c1_column_profile")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

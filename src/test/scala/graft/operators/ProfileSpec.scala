@@ -48,6 +48,17 @@ class ProfileSpec extends SparkSuite {
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("c2 judges every column's HLL estimate inside the band on the fixture") {
+    val rows = Profile.columnProfileApprox(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)),
+      s"HLL estimate outside its error band: ${rows.mkString(", ")}")
+    // the exact column is c1's n_distinct for the same columns
+    val c1 = Profile.columnProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == c1)
+  }
+
   test("the approx (HLL) deployment form keeps the same shape, no Expand") {
     val approx = Profile.profileOf(df, approx_count_distinct(_))
     val rows = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap

@@ -85,6 +85,48 @@ class SearchSpec extends SparkSuite {
       s"tok IN (…) not pushed to the postings scan:\n$scan")
   }
 
+  test("b3 batch equals per-query single runs and rides the postings index") {
+    // every query's batch slice must equal its own single-query run —
+    // batching is an execution optimization, never a semantics change
+    // (the df of a term shared across queries must not double-count)
+    val batch = Search.bm25Batch(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(batch.keySet == Search.BatchQueries.map(_._1).toSet)
+    Search.BatchQueries.foreach { case (qid, terms) =>
+      val single = Search.bm25Of(graft.Catalog.documents(spark, sfDir),
+          terms, Search.TopK).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val slice = batch(qid).sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(slice == single, s"batch slice for query $qid diverges")
+    }
+    // ranks are 1..k dense per query
+    batch.values.foreach { rows =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val plan = Search.bm25Batch(spark, sfDir).queryExecution.executedPlan.toString
+    // the batch's distinct terms push to the postings scan...
+    assert(plan.contains("PushedFilters: [In(tok"),
+      s"batch terms not pushed to the postings scan:\n$plan")
+    // ...and the per-query top-k is a WindowGroupLimit rank cut, not a
+    // global sort of all scored (query, doc) pairs
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must plan as WindowGroupLimit:\n$plan")
+  }
+
+  test("bm25BatchOf restricts shared work to distinct terms on an ad-hoc corpus") {
+    val docs = corpus(
+      (1L, "x y"), (2L, "x a"), (3L, "y a"), (4L, "b b"))
+    val probes = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("query_id", "tok")
+    val got = Search.bm25BatchOf(docs, probes, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q1 = Search.bm25Of(docs, Seq("x", "y"), 10).collect()
+      .map(r => (1L, r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val q2 = Search.bm25Of(docs, Seq("x"), 10).collect()
+      .map(r => (2L, r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.filter(_._1 == 1L).toSeq == q1 && got.filter(_._1 == 2L).toSeq == q2)
+  }
+
   test("multi-term scores sum per-term contributions; n_terms_matched counts terms") {
     val docs = corpus(
       (1L, "x y"), (2L, "x a"), (3L, "y a"), (4L, "b b"))

@@ -63,4 +63,52 @@ class StreamUpsertSpec extends SparkSuite {
       "conflicting keys keep the ORIGINAL row (DO NOTHING semantics)")
     assert(got(3L)._2 == 3.0 && got(5L)._2 == 5.0)
   }
+
+  test("upsert sink under load: duplicate-key micro-batches hold the 1 s budget and per-key exactly-once") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-supsert-load").toString
+    val table = s"$tmp/serving"
+    // seed with batch 1's shape so every later batch is all-duplicate work
+    Seq(Ev(0, ts("2024-01-01 00:00:00"), 0, "click", 1.0, null))
+      .toDF().write.parquet(table)
+
+    val mem = MemoryStream[Ev](spark)
+    val q = Streams.upsertSink(mem.toDF(), table, Seq("event_id"),
+      s"$tmp/ckpt").start()
+    val Batches = 8
+    try {
+      (1 to Batches).foreach { b =>
+        // 200 rows over 100 keys: every key duplicated IN the batch, and
+        // the whole key range re-delivered EVERY batch — the worst-case
+        // replay shape the sink's anti-join must absorb each trigger
+        mem.addData((0 until 200).map { i =>
+          Ev((i % 100).toLong, ts("2024-01-01 00:00:00"), i.toLong,
+            "click", b.toDouble, null)
+        }: _*)
+        q.processAllAvailable()
+      }
+      // per-key exactly-once in the TABLE despite 16× re-delivery per key
+      val served = spark.read.parquet(table)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n"),
+          min(col("value")).as("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(served.keySet == (0L until 100L).toSet)
+      assert(served.values.forall(_._1 == 1L),
+        s"a replayed key re-appended: ${served.filter(_._2._1 > 1L)}")
+      // first delivery wins everywhere (key 0 from the seed, the rest
+      // from batch 1) — DO NOTHING semantics under load
+      assert(served.values.forall(_._2 == 1.0))
+      // end-to-end latency: the measured per-trigger execution time must
+      // hold the sink's 1 s budget. Median over the loaded batches — one
+      // GC/box-noise outlier must not flake the suite (Bench's median
+      // discipline), but a sink that CAN'T keep up fails every batch.
+      val durs = q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      assert(durs.size >= Batches / 2, s"too few measured triggers: $durs")
+      val median = durs.sorted.apply(durs.size / 2)
+      assert(median < 1000L,
+        s"median micro-batch ${median} ms breaches the 1 s trigger budget ($durs)")
+    } finally q.stop()
+  }
 }
