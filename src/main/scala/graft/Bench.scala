@@ -123,17 +123,21 @@ object Bench {
     val sha = gitHead()
     val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
-    // also persist the full line to a file: the driver captures only the
-    // last ~2 KB of stdout, which truncated 38 of 98 per-query timings out
-    // of BENCH_r09.json — a file survives regardless of capture policy
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write bench_local.json: ${e.getMessage}") }
-    // round-end scan attribution (ADVICE r9): this main runs on the
-    // round's final commit, so the SHA written here names the tree any
-    // same-round LEAKCHECK/COPYCHECK scan saw
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("leakcheck_meta.json"),
-      s"""{"commit":"$sha","written_by":"graft.Bench","written_at":"${java.time.Instant.now()}"}\n""")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write leakcheck_meta.json: ${e.getMessage}") }
+    // FULL runs also persist to files (a BENCH_ONLY iteration run must
+    // not clobber the round artifact with a 2-query slice):
+    // - bench_local.json: the driver captures only the last ~2 KB of
+    //   stdout, which truncated 38 of 98 per-query timings out of
+    //   BENCH_r09.json — a file survives regardless of capture policy
+    // - leakcheck_meta.json (ADVICE r9): this main runs on the round's
+    //   final commit, so the SHA names the tree any same-round
+    //   LEAKCHECK/COPYCHECK scan saw
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] could not write bench_local.json: ${e.getMessage}") }
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("leakcheck_meta.json"),
+        s"""{"commit":"$sha","written_by":"graft.Bench","written_at":"${java.time.Instant.now()}"}\n""")
+      catch { case e: Throwable => System.err.println(s"[bench] could not write leakcheck_meta.json: ${e.getMessage}") }
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

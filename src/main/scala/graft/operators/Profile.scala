@@ -114,10 +114,16 @@ object Profile {
   def columnProfileApprox(spark: SparkSession, dir: String): DataFrame = {
     val df = Catalog.orders(spark, dir)
     val fields = df.schema.fields.toSeq
-    val aggs = fields.flatMap { f =>
-      Seq(
-        countDistinct(col(f.name)).cast("long").as(s"${f.name}__x"),
-        approx_count_distinct(col(f.name)).cast("long").as(s"${f.name}__a"))
+    // two passes recombined by the 1-row crossJoin — profileOf's own
+    // discipline, for the same reason: folding the HLL aggs INTO the
+    // multi-DISTINCT agg drags them through the Expand (one extra
+    // branch × every row, measured 2.3× the split cost); split, the
+    // exact pass is c1's Expand and the HLL pass is one plain hash agg
+    val exactAggs = fields.map { f =>
+      countDistinct(col(f.name)).cast("long").as(s"${f.name}__x")
+    }
+    val hllAggs = fields.map { f =>
+      approx_count_distinct(col(f.name)).cast("long").as(s"${f.name}__a")
     }
     val perCol = fields.map { f =>
       struct(
@@ -127,7 +133,8 @@ object Profile {
           greatest(lit(2.0), col(s"${f.name}__x") * 0.1))
           .as("ndv_within_band"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    df.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(broadcast(df.agg(hllAggs.head, hllAggs.tail: _*)))
       .select(explode(array(perCol: _*)).as("p"))
       .select(col("p.*"))
       .orderBy(col("column_name"))

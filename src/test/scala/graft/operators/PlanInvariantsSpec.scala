@@ -42,14 +42,15 @@ class PlanInvariantsSpec extends SparkSuite {
     *   map pass (n1's labeled shape — the eval side of a decontamination
     *   run is small by nature; the LSH-bucketed variant is the documented
     *   path for large eval suites);
-    * - c1: the profile's two aggregate passes (min/max pass, NDV pass)
-    *   recombine as a 1-row × 1-broadcast-row crossJoin (j7's shape).
+    * - c1/c2: the profile's two aggregate passes (min/max or HLL pass,
+    *   NDV pass) recombine as a 1-row × 1-broadcast-row crossJoin
+    *   (j7's shape).
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
       "n2_cosine_pairs", "w8_gap_fill", "n7_ann_recall",
       "b1_bm25_topk", "b2_bm25_indexed", "b3_bm25_batch",
-      "n8_semantic_decontam", "c1_column_profile")
+      "n8_semantic_decontam", "c1_column_profile", "c2_profile_approx")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
