@@ -835,7 +835,83 @@ object Relational {
        |GROUP BY event_type, bucket ORDER BY event_type, bucket"""
       .stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // H3 — histogram DRIFT between two corpus snapshots: h2's equal-width
+  // layout with the bounds SHARED across both snapshots (per-type
+  // [min, max] over their union — per-snapshot bounds would misalign the
+  // buckets and manufacture drift), masses counted per (snapshot, type,
+  // bucket), and the per-type L1 distance Σ|n_old − n_new| reported in
+  // exact integer counts, so the hash matches with no rounding. This is
+  // the day-over-day distribution check that catches mass moving BETWEEN
+  // buckets before anything crosses an o1 fence. Plan: ONE scan — both
+  // snapshot memberships are row flags, each row contributes its
+  // (0/1, 0/1) pair to one partial-aggregated rollup, and the only
+  // shuffled relation is (types × buckets) rows; the union bounds are
+  // the usual tiny broadcast. Snapshot views are u1's deterministic
+  // event slices.
+  // ---------------------------------------------------------------------
+  def histogramDrift(spark: SparkSession, dir: String): DataFrame =
+    histogramDriftOf(Catalog.events(spark, dir),
+      col("event_id") % 7 =!= 0, col("event_id") % 5 =!= 0)
+
+  /** h3 core: drift of `inNew`'s value distribution against `inOld`'s
+    * over any frame carrying (event_type, value) — the membership flags
+    * are arbitrary row predicates (a dt-partitioned deployment passes
+    * day predicates and the scan prunes to the two days).
+    */
+  def histogramDriftOf(events: DataFrame, inOld: Column,
+      inNew: Column): DataFrame = {
+    val rows = events.filter(col("value").isNotNull && (inOld || inNew))
+    val bounds = rows
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val w = (col("hi") - col("lo")) / HistBuckets
+    val bucket = when(col("hi") === col("lo"), 0L)
+      .otherwise(least(
+        floor((col("value") - col("lo")) / w).cast("long"),
+        lit(HistBuckets - 1L)))
+    rows
+      .join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(sum(when(inOld, 1L).otherwise(0L)).as("b_old"),
+        sum(when(inNew, 1L).otherwise(0L)).as("b_new"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("b_old")).cast("long").as("n_old"),
+        sum(col("b_new")).cast("long").as("n_new"),
+        sum(abs(col("b_old") - col("b_new"))).cast("long").as("l1_drift"),
+        sum(when(col("b_old") =!= col("b_new"), 1L).otherwise(0L))
+          .cast("long").as("n_buckets_changed"))
+      .orderBy(col("event_type"))
+  }
+
+  val histogramDriftSql: String =
+    s"""WITH e AS (
+       | SELECT event_type, value,
+       |  CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END AS in_old,
+       |  CASE WHEN event_id % 5 <> 0 THEN 1 ELSE 0 END AS in_new
+       | FROM events
+       | WHERE value IS NOT NULL AND (event_id % 7 <> 0 OR event_id % 5 <> 0)),
+       |b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+       | FROM e GROUP BY event_type),
+       |h AS (
+       | SELECT event_type,
+       |  CASE WHEN hi = lo THEN 0
+       |   ELSE least(floor((value - lo) / ((hi - lo) / $HistBuckets))::BIGINT, ${HistBuckets - 1})
+       |  END AS bucket,
+       |  CAST(sum(in_old) AS BIGINT) AS b_old,
+       |  CAST(sum(in_new) AS BIGINT) AS b_new
+       | FROM e JOIN b USING (event_type) GROUP BY event_type, bucket)
+       |SELECT event_type,
+       | CAST(sum(b_old) AS BIGINT) AS n_old,
+       | CAST(sum(b_new) AS BIGINT) AS n_new,
+       | CAST(sum(abs(b_old - b_new)) AS BIGINT) AS l1_drift,
+       | CAST(sum(CASE WHEN b_old <> b_new THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_changed
+       |FROM h GROUP BY event_type ORDER BY event_type"""
+      .stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("h3_histogram_drift", histogramDrift, Some(histogramDriftSql),
+      "snapshot-over-snapshot histogram drift: shared-bounds h2 buckets, per-type exact-integer L1 distance in ONE flagged scan — distribution drift caught before it crosses an o1 fence (data-QA extension)"),
     Q("h2_value_histogram", valueHistogram, Some(valueHistogramSql),
       s"per-type equal-width $HistBuckets-bucket value histogram: tiny bounds aggregate broadcast back, map-side bucket assignment in plain IEEE arithmetic (data-QA extension)"),
     Q("o1_outlier_bounds", outlierBounds, Some(outlierBoundsSql),

@@ -69,6 +69,30 @@ class OutlierSpec extends SparkSuite {
     assert(fx.nonEmpty && fx.forall(_.getBoolean(3)))
   }
 
+  test("h3 drift: shared union bounds, exact L1 over aligned buckets, NULL/degenerate edges") {
+    import org.apache.spark.sql.functions.col
+    // type A over [0,10] (w=1): old = ids 1-4, new = ids 3-5 —
+    //   old buckets: id1 0.0→b0, id2 10.0→b9(cap), id3 5.0→b5, id4 9.9→b9
+    //   new buckets: id3 5.0→b5, id4 9.9→b9, id5 0.5→b0
+    //   per bucket |old−new|: b0 |1−1|=0, b5 0, b9 |2−1|=1 → L1=1, 1 changed
+    // type B: constant value in both → bucket 0 both sides, zero drift
+    // plus a NULL value and a row in NEITHER snapshot — both excluded
+    val events = Seq(
+      (1L, "A", Some(0.0)), (2L, "A", Some(10.0)), (3L, "A", Some(5.0)),
+      (4L, "A", Some(9.9)), (5L, "A", Some(0.5)),
+      (6L, "B", Some(7.0)), (7L, "B", Some(7.0)),
+      (8L, "A", None), (99L, "A", Some(3.0)))
+      .toDF("event_id", "event_type", "value")
+    val got = Relational.histogramDriftOf(events,
+        col("event_id") <= 4 || col("event_id") === 6L,
+        (col("event_id") >= 3 && col("event_id") <= 7))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A") == ((4L, 3L, 1L, 1L)), s"got $got")
+    assert(got("B") == ((1L, 2L, 1L, 1L)), s"got $got")
+  }
+
   test("NULL values count into n but never into outliers or quartiles") {
     val events = Seq(("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(3.0)),
       ("A", None), ("A", Some(1000.0)))
