@@ -40,11 +40,17 @@ object Stats {
     case _ => true
   }
 
-  /** Compute and persist stats for a parquet table. One job, one pass:
+  /** Compute and persist stats for a parquet table. One pass:
     * `count(*)` plus (min, max, approx NDV, null count) per atomic column,
-    * all combining map-side — the scan cost is the whole cost.
+    * all combining map-side — the scan cost is the whole cost. A second
+    * pass adds per-column hot-key mass (what sizes salted-join fan-out);
+    * it roughly doubles ANALYZE's cost (one more scan, unpivoted to
+    * rows × columns pairs before the map-side combine), so
+    * `withHotKeys = false` keeps the cheap form — consumers degrade to
+    * the gate-default salt count, same as stats that predate the column.
     */
-  def analyze(spark: SparkSession, tablePath: String): DataFrame = {
+  def analyze(spark: SparkSession, tablePath: String,
+      withHotKeys: Boolean = true): DataFrame = {
     val df = spark.read.parquet(tablePath)
     val cols = df.schema.fields.filter(f => isAtomic(f.dataType)).map(_.name)
     val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c =>
@@ -64,8 +70,12 @@ object Stats {
     // (column, value) partials regardless of column count. NULLs are
     // excluded: an equi-join never matches them, so they can't be a hot
     // JOIN key no matter how many rows carry them.
+    // NULL (not 0) when the pass is skipped: 0 means "no non-NULL value
+    // occurs twice" and would size salting to R=1; NULL means "unknown"
+    // and consumers fall back to their default
     val hotCounts: Map[String, Long] =
       if (cols.isEmpty || rows == 0L) Map.empty
+      else if (!withHotKeys) Map.empty
       else {
         val stackArgs = cols
           .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
@@ -80,10 +90,12 @@ object Stats {
       new org.apache.hadoop.fs.Path(tablePath)).getLength
     val out = cols.zipWithIndex.map { case (c, i) =>
       val base = 1 + i * 4
+      val hot: java.lang.Long =
+        if (!withHotKeys) null
+        else java.lang.Long.valueOf(hotCounts.getOrElse(c, 0L))
       Row(c, rows, sizeBytes,
         row.getAs[String](base), row.getAs[String](base + 1),
-        row.getLong(base + 2), row.getLong(base + 3),
-        hotCounts.getOrElse(c, 0L))
+        row.getLong(base + 2), row.getLong(base + 3), hot)
     }
     val statsDf = spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(out: _*)), statsSchema)
@@ -157,7 +169,10 @@ object Stats {
       column: String): Option[Long] =
     try read(spark, tablePath)
       .filter(_.schema.fieldNames.contains("hot_key_rows"))
-      .flatMap(_.filter(col("column") === column)
+      // NULL = the analyze skipped the hot-key pass (withHotKeys=false) —
+      // unknown, not zero; getLong on a NULL cell would silently read 0
+      .flatMap(_.filter(col("column") === column &&
+          col("hot_key_rows").isNotNull)
         .select(col("hot_key_rows"))
         .head(1).headOption.map(_.getLong(0)))
     catch { case _: Exception => None }

@@ -61,6 +61,13 @@ class SaltedJoinSpec extends SparkSuite {
     assert(derived == 10, s"expected stats-derived R=10, got $derived")
     assert(saltsForTable(spark, s"$scratch/never_analyzed", "k",
       perTaskBudget = 100L) == JoinSalts)
+    // the cheap ANALYZE form (withHotKeys=false) writes NULL, not 0 —
+    // consumers must fall back to the default, not derive R=1
+    val p2 = s"$scratch/fact_cheap"
+    fact.write.parquet(p2)
+    Stats.analyze(spark, p2, withHotKeys = false)
+    assert(Stats.hotKeyRows(spark, p2, "k").isEmpty)
+    assert(saltsForTable(spark, p2, "k", perTaskBudget = 100L) == JoinSalts)
     // and the join at the DERIVED fan-out is still exactly the plain join
     val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("dk", "name")
