@@ -843,12 +843,13 @@ object Relational {
   // bucket), and the per-type L1 distance Σ|n_old − n_new| reported in
   // exact integer counts, so the hash matches with no rounding. This is
   // the day-over-day distribution check that catches mass moving BETWEEN
-  // buckets before anything crosses an o1 fence. Plan: ONE scan — both
-  // snapshot memberships are row flags, each row contributes its
-  // (0/1, 0/1) pair to one partial-aggregated rollup, and the only
-  // shuffled relation is (types × buckets) rows; the union bounds are
-  // the usual tiny broadcast. Snapshot views are u1's deterministic
-  // event slices.
+  // buckets before anything crosses an o1 fence. Plan: ONE flagged pass
+  // over the rows instead of one scan per snapshot — each row
+  // contributes its (0/1, 0/1) membership pair to a single
+  // partial-aggregated rollup, the only shuffled relation is
+  // (types × buckets) rows, and the union bounds are h2's tiny
+  // broadcast pre-pass. Snapshot views are u1's deterministic event
+  // slices.
   // ---------------------------------------------------------------------
   def histogramDrift(spark: SparkSession, dir: String): DataFrame =
     histogramDriftOf(Catalog.events(spark, dir),
