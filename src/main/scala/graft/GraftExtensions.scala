@@ -102,7 +102,10 @@ object GraftExtensions {
         graft.operators.TextOps.LangMarkers.map(_._2)))),
     ("quality_stats", info("quality_stats",
       "quality_stats(text) - struct<n_tokens, stop_hits, punct_chars, n_chars> quality counters"),
-      one(QualityStatsExpr(_, graft.operators.TextOps.Stopwords))))
+      one(QualityStatsExpr(_, graft.operators.TextOps.Stopwords))),
+    ("norm_text", info("norm_text",
+      "norm_text(text) - NFC + ROOT-locale lowercase + zero-width strip + whitespace collapse"),
+      one(NormText)))
 
   /** Imperative registration for an existing session: the SQL functions
     * AND the optimizer rule, so conf-less sessions get the same plans as

@@ -77,8 +77,15 @@ object Stats {
       if (cols.isEmpty || rows == 0L) Map.empty
       else if (!withHotKeys) Map.empty
       else {
+        // names reach SQL as both a string literal and an identifier —
+        // escape each notation's own quote (analyze takes arbitrary
+        // parquet, and a quote in a column name must not break the pass)
         val stackArgs = cols
-          .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+          .map { c =>
+            val lit = c.replace("'", "''")
+            val id = c.replace("`", "``")
+            s"'$lit', CAST(`$id` AS STRING)"
+          }.mkString(", ")
         df.selectExpr(s"stack(${cols.length}, $stackArgs) AS (sc, sv)")
           .filter(col("sv").isNotNull)
           .groupBy(col("sc"), col("sv")).agg(count(lit(1)).as("n"))

@@ -518,6 +518,26 @@ object TextOps {
         case (n, c) => c.as(n)
       }: _*)
 
+  // ---------------------------------------------------------------------
+  // Text normalization (library API, spec-covered): the canonicalization
+  // a pipeline runs BEFORE fingerprinting/dedup so byte-different
+  // renderings of the same text (decomposed accents, zero-width junk,
+  // NBSP spacing, case) collapse to one form — see
+  // expressions/Normalize.scala for the exact canonical form and why
+  // it is NOT gate-registered (the redact precedent: cross-engine
+  // Unicode tables don't promise hash equality).
+  // ---------------------------------------------------------------------
+  /** Codegen'd normalization column ([[graft.expressions.Norm.normText]]). */
+  def normalizeText(text: Column): Column =
+    graft.expressions.NormalizeFunctions.norm_text(text)
+
+  /** The normalize-then-fingerprint composition d1-style exact dedup
+    * should run on dirty corpora: normalization folds rendering noise,
+    * the 60-bit hash keys the anti-join.
+    */
+  def normalizedFingerprint(text: Column): Column =
+    hash60(normalizeText(text))
+
   val all: Seq[Q] = Seq(
     Q("x10_lm_surprisal", lmSurprisal, Some(lmSurprisalSql),
       "unigram-LM mean surprisal per document — the perplexity-filter shape in exact integer bits (training-data extension)"),
