@@ -32,9 +32,30 @@ object Bench {
     try {
       val read = (p: String) => new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))).trim
-      val head = read(".git/HEAD")
-      if (head.startsWith("ref: ")) read(".git/" + head.stripPrefix("ref: "))
-      else head
+      // .git may be a worktree gitfile ("gitdir: <path>")
+      val gitDir = {
+        val g = java.nio.file.Paths.get(".git")
+        if (java.nio.file.Files.isRegularFile(g)) {
+          val t = read(".git")
+          if (t.startsWith("gitdir: ")) t.stripPrefix("gitdir: ") else ".git"
+        } else ".git"
+      }
+      val head = read(s"$gitDir/HEAD")
+      if (!head.startsWith("ref: ")) head
+      else {
+        val ref = head.stripPrefix("ref: ")
+        val loose = java.nio.file.Paths.get(s"$gitDir/$ref")
+        if (java.nio.file.Files.exists(loose)) read(loose.toString)
+        else {
+          // after git gc / pack-refs the loose ref is gone; packed-refs
+          // lines are "<sha> <refname>"
+          val src = scala.io.Source.fromFile(s"$gitDir/packed-refs")
+          try src.getLines()
+            .collectFirst { case l if l.endsWith(" " + ref) => l.split(" ")(0) }
+            .getOrElse("")
+          finally src.close()
+        }
+      }
     } catch { case _: Throwable => "" }
 
   private def loadavg(): String =

@@ -104,7 +104,7 @@ object GraftExtensions {
       "quality_stats(text) - struct<n_tokens, stop_hits, punct_chars, n_chars> quality counters"),
       one(QualityStatsExpr(_, graft.operators.TextOps.Stopwords))),
     ("norm_text", info("norm_text",
-      "norm_text(text) - NFC + ROOT-locale lowercase + zero-width strip + whitespace collapse"),
+      "norm_text(text) - zero-width strip + ROOT-locale lowercase + NFC + whitespace collapse (in that order)"),
       one(NormText)))
 
   /** Imperative registration for an existing session: the SQL functions

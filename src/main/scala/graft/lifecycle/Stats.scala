@@ -78,11 +78,13 @@ object Stats {
       else if (!withHotKeys) Map.empty
       else {
         // names reach SQL as both a string literal and an identifier —
-        // escape each notation's own quote (analyze takes arbitrary
-        // parquet, and a quote in a column name must not break the pass)
+        // escape each notation's own metacharacters (analyze takes
+        // arbitrary parquet; an unescaped backslash would mangle the
+        // literal's label and record hot 0 — not NULL — for the column,
+        // silently deriving R=1 instead of the default)
         val stackArgs = cols
           .map { c =>
-            val lit = c.replace("'", "''")
+            val lit = c.replace("\\", "\\\\").replace("'", "''")
             val id = c.replace("`", "``")
             s"'$lit', CAST(`$id` AS STRING)"
           }.mkString(", ")

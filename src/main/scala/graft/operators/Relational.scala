@@ -695,13 +695,23 @@ object Relational {
     * filter ([[graft.streaming.Streams.streamingFenceFilter]]), so batch
     * and stream agree on what an outlier is.
     */
-  def tukeyFences(events: DataFrame): DataFrame =
+  def tukeyFences(events: DataFrame): DataFrame = {
+    val (lo, hi) = fenceBounds(col("q"))
     events
       .groupBy(col("event_type"))
       .agg(expr("percentile(value, array(0.25, 0.75))").as("q"))
-      .select(col("event_type"),
-        (col("q").getItem(0) - (col("q").getItem(1) - col("q").getItem(0)) * 1.5).as("lo_bound"),
-        (col("q").getItem(1) + (col("q").getItem(1) - col("q").getItem(0)) * 1.5).as("hi_bound"))
+      .select(col("event_type"), lo.as("lo_bound"), hi.as("hi_bound"))
+  }
+
+  /** Tukey's fences from a [q1, q3] quartile array — ONE definition of
+    * the arithmetic so the exact (o1), approx (o2), and streaming
+    * consumers can never disagree on what an outlier is.
+    */
+  private def fenceBounds(q: Column): (Column, Column) = {
+    val q1 = q.getItem(0)
+    val q3 = q.getItem(1)
+    (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+  }
 
   /** Fence core over any (event_type, value) frame (specs inject
     * hand-built distributions).
@@ -753,12 +763,11 @@ object Relational {
 
   /** o2 core over any (event_type, value) frame. */
   def outlierBoundsApproxOf(events: DataFrame): DataFrame = {
+    val (loA, hiA) = fenceBounds(col("q"))
     val approxF = events
       .groupBy(col("event_type"))
       .agg(expr(s"approx_percentile(value, array(0.25, 0.75), $ApproxPercentileAccuracy)").as("q"))
-      .select(col("event_type"),
-        (col("q").getItem(0) - (col("q").getItem(1) - col("q").getItem(0)) * 1.5).as("lo_a"),
-        (col("q").getItem(1) + (col("q").getItem(1) - col("q").getItem(0)) * 1.5).as("hi_a"))
+      .select(col("event_type"), loA.as("lo_a"), hiA.as("hi_a"))
     events
       .join(broadcast(tukeyFences(events)), "event_type")
       .join(broadcast(approxF), "event_type")
@@ -802,15 +811,22 @@ object Relational {
   // ---------------------------------------------------------------------
   val HistBuckets = 10
 
+  /** h2's equal-width bucket assignment over per-type [lo, hi] — ONE
+    * definition so h3's drift layout can never diverge from h2's
+    * histogram (their comparability is h3's whole premise).
+    */
+  private def bucketOf(value: Column, lo: Column, hi: Column): Column = {
+    val w = (hi - lo) / HistBuckets
+    when(hi === lo, 0L)
+      .otherwise(least(floor((value - lo) / w).cast("long"),
+        lit(HistBuckets - 1L)))
+  }
+
   def valueHistogramOf(events: DataFrame): DataFrame = {
     val bounds = events
       .groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val w = (col("hi") - col("lo")) / HistBuckets
-    val bucket = when(col("hi") === col("lo"), 0L)
-      .otherwise(least(
-        floor((col("value") - col("lo")) / w).cast("long"),
-        lit(HistBuckets - 1L)))
+    val bucket = bucketOf(col("value"), col("lo"), col("hi"))
     events.filter(col("value").isNotNull)
       .join(broadcast(bounds), "event_type")
       .groupBy(col("event_type"), bucket.as("bucket"))
@@ -866,11 +882,7 @@ object Relational {
     val bounds = rows
       .groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val w = (col("hi") - col("lo")) / HistBuckets
-    val bucket = when(col("hi") === col("lo"), 0L)
-      .otherwise(least(
-        floor((col("value") - col("lo")) / w).cast("long"),
-        lit(HistBuckets - 1L)))
+    val bucket = bucketOf(col("value"), col("lo"), col("hi"))
     rows
       .join(broadcast(bounds), "event_type")
       .groupBy(col("event_type"), bucket.as("bucket"))

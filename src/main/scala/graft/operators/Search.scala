@@ -187,8 +187,11 @@ object Search {
   private def scoreTfBatch(tf: DataFrame, probes: DataFrame,
       stats: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // dedupe (query_id, tok): a repeated probe row would double that
+    // term's contribution, while the single-query form dedupes via isin —
+    // batching must never be a semantics change
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
-      .join(broadcast(probes), "tok")
+      .join(broadcast(probes.distinct()), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("ppm", contribPpm)
       .groupBy(col("query_id"), col("doc_id"))

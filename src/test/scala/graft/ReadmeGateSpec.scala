@@ -62,13 +62,18 @@ class ReadmeGateSpec extends AnyFunSuite {
         assert(ct >= entries,
           s"README claims a $ct-query registry for round $round but the " +
             s"artifact alone has $entries entries")
-        // the registry only grows, so no historical round can have run
-        // more queries than today's registry holds — bounds the
-        // denominator above too (a '55/9999 hash' overclaim must fail)
-        assert(ct <= math.max(entries, SparkEntry.queries.size),
-          s"README claims a $ct-query registry for round $round but the " +
-            s"live registry has only ${SparkEntry.queries.size} queries " +
-            s"(and the artifact $entries entries) — the denominator is invented")
+        // bound the denominator above too (a '55/9999 hash' overclaim
+        // must fail) — by the largest registry any artifact or the live
+        // session has ever seen, NOT the live size alone: a legitimate
+        // future deprecation shrinking the registry must not retro-fail
+        // accurate historical rows
+        val maxKnownRegistry = math.max(SparkEntry.queries.size,
+          actual.values.map(_._2).max)
+        assert(ct <= math.max(entries, maxKnownRegistry),
+          s"README claims a $ct-query registry for round $round but no " +
+            s"registry that large ever existed (largest known: " +
+            s"$maxKnownRegistry; artifact entries: $entries) — the " +
+            "denominator is invented")
       }
       // and a claimed row must cite an artifact that exists — a gate
       // number with no artifact behind it is invented

@@ -125,6 +125,12 @@ class SearchSpec extends SparkSuite {
     val q2 = Search.bm25Of(docs, Seq("x"), 10).collect()
       .map(r => (2L, r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got.filter(_._1 == 1L).toSeq == q1 && got.filter(_._1 == 2L).toSeq == q2)
+    // a DUPLICATE probe row must not double the term's contribution —
+    // the single-query form dedupes via isin, the batch must match it
+    val dupProbes = Seq((2L, "x"), (2L, "x")).toDF("query_id", "tok")
+    val dup = Search.bm25BatchOf(docs, dupProbes, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(dup == q2, s"duplicate probe row changed scores: $dup vs $q2")
   }
 
   test("multi-term scores sum per-term contributions; n_terms_matched counts terms") {
