@@ -38,8 +38,10 @@ object Catalog {
   /** Plain parquet read; filters/projections push down to the scan. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
-      case "events" => events(spark, dir)
-      case other    => spark.read.parquet(path(dir, other))
+      case "events"     => events(spark, dir)
+      case "documents"  => documents(spark, dir)
+      case "embeddings" => embeddings(spark, dir)
+      case other        => spark.read.parquet(path(dir, other))
     }
 
   /** The events (metric stream) table.
@@ -112,8 +114,55 @@ object Catalog {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** Widen drifted integer columns back to BIGINT where the operator code
+    * reads them as long. No-op (no cast in the plan, pushdown untouched)
+    * when the schema is already canonical; a cast only appears for a
+    * drifted file — degraded pushdown on that column beats the r8 outcome
+    * of every consumer erroring at once. Absent/exotic columns are left
+    * for [[assertReadable]]'s named diagnostic.
+    */
+  private def widenToLong(df: DataFrame, names: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    names.foldLeft(df) { (d, c) =>
+      d.schema.find(_.name == c).map(_.dataType) match {
+        case Some(ByteType | ShortType | IntegerType) =>
+          d.withColumn(c, col(c).cast(LongType))
+        case _ => d
+      }
+    }
+  }
+
+  /** The documents (text corpus) table — the events.ts adaptive-read
+    * discipline applied to its drift-prone columns: a regeneration that
+    * writes 32-bit ids/counts (pandas/pyarrow defaults vary) widens back
+    * to the BIGINT every consumer reads.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    widenToLong(spark.read.parquet(path(dir, "documents")),
+      Seq("doc_id", "n_chars"))
+
+  /** The embeddings table. The vector kernels (`cosine_sim`,
+    * `dot_product`, `block_norms`) are float32-typed, and numpy writers
+    * flip between float32 and float64 by default — adapt the OBSERVED
+    * element type instead of asserting one: a float64 (or integer-typed)
+    * vector casts down to the kernels' element type on read; ids widen
+    * like documents'. Anything else fails with a named diagnostic here
+    * rather than N per-query analysis errors.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = widenToLong(
+      spark.read.parquet(path(dir, "embeddings")), Seq("vec_id"))
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(DoubleType | IntegerType | LongType, _) =>
+        raw.withColumn("embedding",
+          col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: unsupported physical type $other (expected " +
+          "an array of float/double/int); fixture at " + path(dir, "embeddings"))
+    }
+  }
 
   /** Write a time-series table date-partitioned (`dt=YYYY-MM-DD/` dirs) —
     * the 100 TB layout for the metric/event family (SURVEY.md §4

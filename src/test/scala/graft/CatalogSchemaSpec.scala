@@ -53,6 +53,50 @@ class CatalogSchemaSpec extends SparkSuite {
     assert(readTs(s"$base/tz") == expected)
   }
 
+  test("documents widens drifted 32-bit id/count columns back to BIGINT") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_catalog_docs").toString
+    // a pandas/pyarrow regeneration that wrote int32 ids and counts
+    Seq((1, "hello world", "en", "web", 11), (2, "bye", "en", "web", 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    val got = Catalog.documents(spark, base)
+    assert(got.schema("doc_id").dataType == LongType)
+    assert(got.schema("n_chars").dataType == LongType)
+    // consumers read ids as long — the r8 shape this guards against
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // and the canonical fixture reads cast-free (no plan degradation)
+    assert(!Catalog.documents(spark, sfDir).queryExecution
+      .analyzed.toString.contains("cast(doc_id"))
+  }
+
+  test("embeddings adapts a float64 vector down to the kernels' float32") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_catalog_emb").toString
+    // a numpy-default regeneration: float64 vector, int32 id
+    Seq((1, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$base/embeddings.parquet")
+    val got = Catalog.embeddings(spark, base)
+    assert(got.schema("vec_id").dataType == LongType)
+    assert(got.schema("embedding").dataType == ArrayType(FloatType, true) ||
+      got.schema("embedding").dataType == ArrayType(FloatType, false))
+    // the float32 vector kernels must analyze and run against the read
+    val sim = got.select(graft.expressions.VectorFunctions.cosine_sim(
+        col("embedding"), col("embedding")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sim.forall(s => math.abs(s - 1.0) < 1e-6))
+    // the canonical fixture passes through cast-free
+    assert(!Catalog.embeddings(spark, sfDir).queryExecution
+      .analyzed.toString.contains("cast(embedding"))
+    // an unsupported vector type names the column and the observed type
+    val bad = Files.createTempDirectory("graft_catalog_emb_bad").toString
+    Seq((1L, "not a vector")).toDF("vec_id", "embedding")
+      .write.parquet(s"$bad/embeddings.parquet")
+    val err = intercept[IllegalStateException](Catalog.embeddings(spark, bad))
+    assert(err.getMessage.contains("embeddings.embedding"))
+  }
+
   test("an unsupported ts encoding fails with a named, schema-bearing error") {
     val base = Files.createTempDirectory("graft_catalog_guard").toString
     writeVariant(base)(date_format(col("raw_ts"), "yyyy-MM-dd HH:mm:ss"))
