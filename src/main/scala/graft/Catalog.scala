@@ -117,19 +117,41 @@ object Catalog {
   /** Widen drifted integer columns back to BIGINT where the operator code
     * reads them as long. No-op (no cast in the plan, pushdown untouched)
     * when the schema is already canonical; a cast only appears for a
-    * drifted file — degraded pushdown on that column beats the r8 outcome
-    * of every consumer erroring at once. Absent/exotic columns are left
-    * for [[assertReadable]]'s named diagnostic.
+    * drifted file. The trade under drift, stated honestly: the ENGINE
+    * keeps working (driver-side getLong collects included) and value
+    * hashes still match the oracle (the compare stringifies values), but
+    * schema_match can go false on queries projecting the column raw,
+    * since DuckDB serves the file's own integer width — a partial,
+    * diagnosable red instead of r8's total one. Pinning the oracle SQL
+    * to ::BIGINT everywhere would close even that; deliberately not done
+    * wholesale (static oracle churn is its own gate risk). Name matching
+    * is case-insensitive, mirroring Spark's own resolution — a
+    * case-drifted DOC_ID still resolves in queries, so it must also
+    * still widen.
     */
   private def widenToLong(df: DataFrame, names: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
     names.foldLeft(df) { (d, c) =>
-      d.schema.find(_.name == c).map(_.dataType) match {
-        case Some(ByteType | ShortType | IntegerType) =>
-          d.withColumn(c, col(c).cast(LongType))
+      d.schema.find(_.name.equalsIgnoreCase(c)).map(f => (f.name, f.dataType)) match {
+        case Some((actual, ByteType | ShortType | IntegerType)) =>
+          d.withColumn(actual, col(actual).cast(LongType))
         case _ => d
       }
     }
+  }
+
+  /** Fail the catalog read — not N downstream queries — when a required
+    * column is missing entirely (a renamed/dropped column is the one
+    * drift widening cannot absorb). Case-insensitive like resolution.
+    */
+  private def requireColumns(df: DataFrame, table: String,
+      names: Seq[String], at: String): DataFrame = {
+    val missing = names.filterNot(c =>
+      df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$table: required column(s) ${missing.mkString(", ")} absent from " +
+        s"fixture at $at; observed schema:\n${df.schema.treeString}")
+    df
   }
 
   /** The documents (text corpus) table — the events.ts adaptive-read
@@ -138,7 +160,9 @@ object Catalog {
     * to the BIGINT every consumer reads.
     */
   def documents(spark: SparkSession, dir: String): DataFrame =
-    widenToLong(spark.read.parquet(path(dir, "documents")),
+    widenToLong(
+      requireColumns(spark.read.parquet(path(dir, "documents")),
+        "documents", Seq("doc_id", "text"), path(dir, "documents")),
       Seq("doc_id", "n_chars"))
 
   /** The embeddings table. The vector kernels (`cosine_sim`,
@@ -152,10 +176,18 @@ object Catalog {
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val raw = widenToLong(
-      spark.read.parquet(path(dir, "embeddings")), Seq("vec_id"))
+      requireColumns(spark.read.parquet(path(dir, "embeddings")),
+        "embeddings", Seq("vec_id", "embedding"), path(dir, "embeddings")),
+      Seq("vec_id"))
     raw.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => raw
-      case ArrayType(DoubleType | IntegerType | LongType, _) =>
+      // one drift policy with widenToLong: every numeric element width a
+      // writer plausibly emits adapts to the kernels' float32. Under
+      // float64 drift the oracle computes on the wider values, so
+      // 6-dp-rounded similarity scores CAN diverge at rounding borders —
+      // engine survival is chosen over oracle agreement for drifted
+      // fixtures (canonical fixtures are float32 and unaffected).
+      case ArrayType(DoubleType | ByteType | ShortType | IntegerType | LongType, _) =>
         raw.withColumn("embedding",
           col("embedding").cast(ArrayType(FloatType)))
       case other => throw new IllegalStateException(

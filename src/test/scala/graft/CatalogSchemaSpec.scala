@@ -70,6 +70,29 @@ class CatalogSchemaSpec extends SparkSuite {
       .analyzed.toString.contains("cast(doc_id"))
   }
 
+  test("a renamed required column fails the CATALOG read with a named diagnostic") {
+    import spark.implicits._
+    // widening can't absorb a dropped/renamed column — it must fail once
+    // at the catalog, not as ~30 per-query unresolved-column errors
+    val base = Files.createTempDirectory("graft_catalog_docs_missing").toString
+    Seq((1L, "hello")).toDF("id", "text")
+      .write.parquet(s"$base/documents.parquet")
+    val err = intercept[IllegalStateException](Catalog.documents(spark, base))
+    assert(err.getMessage.contains("doc_id") &&
+      err.getMessage.contains("documents"))
+  }
+
+  test("a case-drifted int32 id column still widens (Spark resolves case-insensitively)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_catalog_docs_case").toString
+    Seq((7, "hello")).toDF("DOC_ID", "text")
+      .write.parquet(s"$base/documents.parquet")
+    val got = Catalog.documents(spark, base)
+    assert(got.schema.fields.exists(f =>
+      f.name == "DOC_ID" && f.dataType == LongType))
+    assert(got.select(col("doc_id")).collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("embeddings adapts a float64 vector down to the kernels' float32") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_catalog_emb").toString
