@@ -235,7 +235,48 @@ object Multimodal {
        |WHERE n > 0 ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // M5 — exact media dedup by content hash: the first pass every
+  // image/audio corpus runs — byte-identical payloads collapse to one
+  // keeper no matter what their ids/metadata say. The hash covers the
+  // bytes AFTER the 10-byte header (a real pipeline hashes the codec
+  // payload, not container metadata — and the synthetic header embeds
+  // doc_id, so whole-blob hashing could never find a duplicate). The
+  // portable blob hash is md5(hex(payload)): DuckDB's md5 only takes
+  // VARCHAR and both engines hex() blobs to identical uppercase, so the
+  // 60-bit fingerprint matches bit-for-bit. NULL media (NULL-text docs)
+  // is excluded — absent payloads are not "identical" content.
+  // Plan: one codegen'd map pass (slice + md5 builtins), one
+  // hash-partitioned aggregate on the 8-byte fingerprint; only groups
+  // with >1 copy emit (the dedup-report shape, delta-sized output).
+  // ---------------------------------------------------------------------
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaDedupOf(mediaTable(spark, dir))
+
+  /** m5 core over any (doc_id, media) frame. */
+  def mediaDedupOf(media: DataFrame): DataFrame =
+    media
+      .filter(col("media").isNotNull)
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(hex(substring(media, 11))), 1, 15), 16, 10) AS BIGINT)")
+          .as("payload_fp"))
+      .groupBy(col("payload_fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("keeper_doc_id"))
+
+  val mediaDedupSql: String =
+    """WITH fp AS (
+      | SELECT doc_id,
+      |  CAST('0x' || substr(md5(hex(encode(text))), 1, 15) AS BIGINT) AS payload_fp
+      | FROM documents WHERE text IS NOT NULL)
+      |SELECT payload_fp, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+      |FROM fp GROUP BY payload_fp HAVING count(*) > 1
+      |ORDER BY keeper_doc_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("m5_media_dedup", mediaDedup, Some(mediaDedupSql),
+      "exact media dedup by payload content hash — byte-identical blobs collapse to one keeper; portable md5-over-hex blob fingerprint, delta-sized duplicate report (training-data extension)"),
     Q("m1_decode_frames", decodeFrames, Some(decodeFramesSql),
       "binary media decode via mapPartitions, stub kernel, real plumbing (training-data extension)"),
     Q("m4_media_features", mediaFeatures, Some(mediaFeaturesSql),

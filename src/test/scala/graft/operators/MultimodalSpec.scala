@@ -32,6 +32,25 @@ class MultimodalSpec extends SparkSuite {
     assert(out.getInt(4) == 0 && out.isNullAt(5))
   }
 
+  test("m5 dedup: byte-identical payloads collapse across different headers; NULLs excluded") {
+    import spark.implicits._
+    // docs 1/8/3 share an identical payload under DIFFERENT doc_ids (so
+    // different synthetic headers — whole-blob hashing would never match
+    // them); 4 is unique; 5 is NULL text (no payload, not a duplicate);
+    // 6/7 share a non-ASCII payload (byte-level, not codepoint-level, eq)
+    val docs = Seq(
+      (1L, Some("same payload")), (8L, Some("same payload")),
+      (3L, Some("same payload")), (4L, Some("unique")),
+      (5L, None), (6L, Some("héllo ✓")), (7L, Some("héllo ✓")))
+      .toDF("doc_id", "text")
+    val got = Multimodal.mediaDedupOf(Multimodal.mediaTableOf(docs))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(1), r.getLong(0))))
+      .toMap // keeper -> (n_copies, fp)
+    assert(got.keySet == Set(1L, 6L), s"got $got")
+    assert(got(1L)._1 == 3L && got(6L)._1 == 2L)
+    assert(got(1L)._2 != got(6L)._2, "distinct payloads must not collide")
+  }
+
   test("m4 features: normalized histogram (sums to ~1), UTF-8 bytes, empty excluded") {
     import spark.implicits._
     val docs = Seq((1L, "héllo ünïcode ✓"), (2L, "abc"), (3L, ""))
