@@ -250,15 +250,27 @@ object Multimodal {
   // hash-partitioned aggregate on the 8-byte fingerprint; only groups
   // with >1 copy emit (the dedup-report shape, delta-sized output).
   // ---------------------------------------------------------------------
+  /** The synthetic container header's size ('G','R' + 4+4 hex chars —
+    * see [[mediaTableOf]]); payload bytes start right after it.
+    */
+  val HeaderBytes = 10
+
   def mediaDedup(spark: SparkSession, dir: String): DataFrame =
     mediaDedupOf(mediaTable(spark, dir))
 
-  /** m5 core over any (doc_id, media) frame. */
+  /** m5 core over any (doc_id, media) frame. The fingerprint is the
+    * pipeline-wide [[TextOps.hash60]] over the hex rendering — ONE
+    * shared definition, so the media dedup key can never fork from the
+    * text pipeline's (the `prefixFingerprint` discipline). NULL media
+    * and header-only blobs (no payload bytes) are both excluded: m3/m4
+    * already treat empty payloads as non-content, and N header-only
+    * blobs are not N−1 droppable "duplicates".
+    */
   def mediaDedupOf(media: DataFrame): DataFrame =
     media
-      .filter(col("media").isNotNull)
+      .filter(col("media").isNotNull && length(col("media")) > HeaderBytes)
       .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(hex(substring(media, 11))), 1, 15), 16, 10) AS BIGINT)")
+        TextOps.hash60(hex(expr(s"substring(media, ${HeaderBytes + 1})")))
           .as("payload_fp"))
       .groupBy(col("payload_fp"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
@@ -266,10 +278,10 @@ object Multimodal {
       .orderBy(col("keeper_doc_id"))
 
   val mediaDedupSql: String =
-    """WITH fp AS (
-      | SELECT doc_id,
-      |  CAST('0x' || substr(md5(hex(encode(text))), 1, 15) AS BIGINT) AS payload_fp
-      | FROM documents WHERE text IS NOT NULL)
+    s"""WITH fp AS (
+      | SELECT doc_id, ${TextOps.hash60Sql("hex(encode(text))")} AS payload_fp
+      | FROM documents
+      | WHERE text IS NOT NULL AND octet_length(encode(text)) > 0)
       |SELECT payload_fp, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
       |FROM fp GROUP BY payload_fp HAVING count(*) > 1
       |ORDER BY keeper_doc_id""".stripMargin.replace('\n', ' ')

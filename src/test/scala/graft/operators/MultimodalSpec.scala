@@ -41,11 +41,14 @@ class MultimodalSpec extends SparkSuite {
     val docs = Seq(
       (1L, Some("same payload")), (8L, Some("same payload")),
       (3L, Some("same payload")), (4L, Some("unique")),
-      (5L, None), (6L, Some("héllo ✓")), (7L, Some("héllo ✓")))
+      (5L, None), (6L, Some("héllo ✓")), (7L, Some("héllo ✓")),
+      (9L, Some("")), (10L, Some("")))
       .toDF("doc_id", "text")
     val got = Multimodal.mediaDedupOf(Multimodal.mediaTableOf(docs))
       .collect().map(r => r.getLong(2) -> ((r.getLong(1), r.getLong(0))))
       .toMap // keeper -> (n_copies, fp)
+    // 9/10 are header-only blobs (empty payload): non-content like
+    // m3/m4's exclusion, NOT a duplicate pair
     assert(got.keySet == Set(1L, 6L), s"got $got")
     assert(got(1L)._1 == 3L && got(6L)._1 == 2L)
     assert(got(1L)._2 != got(6L)._2, "distinct payloads must not collide")
