@@ -53,6 +53,60 @@ object Hash {
     ArrayData.toArrayData(out)
   }
 
+  /** POSITIONAL 60-bit hashes of the k-word windows of a text: element i is
+    * the hash of tokens [i, i+k) — every overlapping window, duplicates
+    * kept, position = array index. The instance stream exact-substring
+    * dedup consumes (the Lee et al. 2022 granularity: a duplicated span of
+    * length ≥ k shows as a run of equal window hashes), vs
+    * [[shingleHash60]]'s positionless distinct set. Same tokenization and
+    * md5-prefix hash as every other kernel, so the DuckDB oracle
+    * reproduces it term for term. O(text), codegen-friendly; < k tokens →
+    * empty array.
+    */
+  def windowHash60(text: UTF8String, k: Int): ArrayData = {
+    val toks = Ws.split(text.trim().toLowerCase().toString, -1)
+    if (toks.length < k) return ArrayData.toArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = md5Prefix60(sb.toString)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Hashing-trick linear-classifier margin (the fastText / CCNet
+    * model-based quality-filter shape): each whitespace token maps to a
+    * weight bucket via its salted 60-bit feature hash mod `weights.length`,
+    * and the margin is the integer sum of the bucket weights over the
+    * document. Exact integer arithmetic end to end, so the keep/drop cut
+    * reproduces bit-for-bit cross-engine. The weight vector is bound at
+    * construction: a TRAINED model in deployment, a hash-derived
+    * pseudo-model in the gate (where the oracle must recompute it).
+    * O(text) per row, one tokenization pass, codegen-friendly.
+    */
+  def classifierMargin(text: UTF8String, weights: Array[Long],
+      salt: UTF8String): Long = {
+    val toks = Ws.split(text.trim().toLowerCase().toString, -1)
+    val s = salt.toString
+    val d = weights.length
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc += weights((md5Prefix60(s + toks(i)) % d).toInt)
+      i += 1
+    }
+    acc
+  }
+
   /** K-permutation MinHash signature of a feature-hash set in one pass:
     * sig[i] = min over h of (a[i]·(h mod P) + b[i]) mod P, P = 2^31-1.
     * Matches the SQL-expressible affine family the DuckDB oracle can
@@ -337,6 +391,58 @@ case class ShingleHash60(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hash60"
 }
 
+/** `window_hash60(text, k): array<bigint>` — positional overlapping k-word
+  * window hashes in one codegen'd pass (see [[Hash.windowHash60]]); the
+  * exact-substring-dedup instance stream.
+  */
+case class WindowHash60(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "window_hash60 requires k >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Hash.windowHash60(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Hash.windowHash60($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WindowHash60 =
+    copy(child = newChild)
+  override def prettyName: String = "window_hash60"
+}
+
+/** `classifier_margin(text): bigint` — hashing-trick linear-classifier
+  * margin in one codegen'd pass (see [[Hash.classifierMargin]]). The
+  * weight vector and feature salt are bound at construction and referenced
+  * from generated code — a broadcast-by-closure model, the fastText
+  * deployment shape.
+  */
+case class ClassifierMarginExpr(child: Expression, weights: Seq[Long],
+    salt: String) extends UnaryExpression {
+  require(weights.nonEmpty, "classifier_margin requires a non-empty weight vector")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  @transient private lazy val weightsArr = weights.toArray
+  @transient private lazy val saltUtf8 = UTF8String.fromString(salt)
+  override protected def nullSafeEval(input: Any): Any =
+    Hash.classifierMargin(input.asInstanceOf[UTF8String], weightsArr, saltUtf8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("classifierWeights", weightsArr, "long[]")
+    val sRef = ctx.addReferenceObj("classifierSalt", saltUtf8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Hash.classifierMargin($c, $wRef, $sRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ClassifierMarginExpr =
+    copy(child = newChild)
+  override def prettyName: String = "classifier_margin"
+}
+
 /** `lang_id(text): string` — marker-stopword language identification in a
   * single codegen'd pass (see [[Hash.langId]]). The marker table is bound
   * at construction and referenced from generated code.
@@ -480,6 +586,10 @@ object HashFunctions {
   def simhash60(c: Column): Column = Shims.column(SimHash60(Shims.expression(c)))
   def shingle_hash60(c: Column, k: Int): Column =
     Shims.column(ShingleHash60(Shims.expression(c), k))
+  def window_hash60(c: Column, k: Int): Column =
+    Shims.column(WindowHash60(Shims.expression(c), k))
+  def classifier_margin(c: Column, weights: Seq[Long], salt: String): Column =
+    Shims.column(ClassifierMarginExpr(Shims.expression(c), weights, salt))
   def lang_id(c: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
     Shims.column(LangIdExpr(Shims.expression(c), langs, markers))
   def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Catalog
-import graft.expressions.HashFunctions.{shingle_hash60, simhash60}
+import graft.expressions.HashFunctions.{shingle_hash60, simhash60, window_hash60}
 
 /** Deduplication operators for training-data pipelines (builder prompt
   * north-star): exact/prefix dedup, MinHash+LSH, SimHash, and exact n-gram
@@ -808,6 +808,96 @@ object Dedup {
        | n_shared_shingles >= $ContamMinShared AS contaminated
        |FROM shared ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // D8 — exact substring-duplication detection (the overlapping-window
+  // granularity of Lee et al. 2022, "Deduplicating Training Data Makes
+  // Language Models Better"): EVERY k-token window of every document is
+  // hashed positionally; a window duplicated ACROSS documents marks its
+  // span as memorization/boilerplate risk, and a run of r consecutive
+  // duplicated windows pins an exact duplicated substring of r+k-1 tokens.
+  // Completes the dedup granularity ladder: d1 whole-document, d7
+  // non-overlapping chunks, d8 overlapping windows (span-exact).
+  //
+  // Scale shape: the window hashes come from ONE codegen'd kernel pass
+  // ([[graft.expressions.WindowHash60]] — the text never re-splits per
+  // window, and only (doc_id, pos, 8-byte hash) rows leave the scan, never
+  // window strings); cross-doc detection is min(doc)≠max(doc) in ONE
+  // hash-groupBy — no distinct-count, no pair join, so cost is linear in
+  // corpus tokens, not quadratic in duplicates; the flag-back join
+  // re-shuffles on the same hash so the aggregate's exchange is reused;
+  // the longest-run window partitions by doc_id — per-document bounded
+  // state (MaxTokens), never a global sort. Lee et al. build suffix
+  // arrays; this is the hash-window formulation a shuffle engine prefers —
+  // span resolution k (production dials k to ~50; the gate uses 8 so the
+  // short fixture docs carry windows).
+  // ---------------------------------------------------------------------
+  val SpanTokens = 8
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SpanTokens
+    val inst = Catalog.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(window_hash60(col("text"), k)).as(Seq("pos", "h")))
+    val spans = inst.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+    val flagged = inst.join(spans, Seq("h"))
+      .select(col("doc_id"), col("pos"), (col("d0") =!= col("d1")).as("dup"))
+    val perDoc = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.filter(col("dup"))
+      .withColumn("isl", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("isl")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("mr"))
+    Catalog.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("mr") + (k - 1), lit(0L)).as("max_dup_span"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupSpansSql: String = {
+    val k = SpanTokens
+    s"""WITH toks AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       | FROM documents),
+       |pos AS (
+       | SELECT doc_id, w, unnest(range(len(w) - $k + 1)) AS pos
+       | FROM toks WHERE len(w) >= $k),
+       |inst AS (
+       | SELECT doc_id, pos,
+       |  ${hash60Sql(s"array_to_string(w[(pos+1):(pos+$k)], ' ')")} AS h
+       | FROM pos),
+       |spans AS (SELECT h, min(doc_id) AS d0, max(doc_id) AS d1 FROM inst GROUP BY h),
+       |flagged AS (
+       | SELECT i.doc_id, i.pos, (s.d0 <> s.d1) AS dup
+       | FROM inst i JOIN spans s ON s.h = i.h),
+       |runs AS (
+       | SELECT doc_id, count(*) AS run FROM (
+       |  SELECT doc_id,
+       |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM flagged WHERE dup)
+       | GROUP BY doc_id, isl),
+       |perdoc AS (
+       | SELECT doc_id, count(*) AS nw,
+       |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS nd
+       | FROM flagged GROUP BY doc_id),
+       |mx AS (SELECT doc_id, max(run) AS mr FROM runs GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | CAST(coalesce(p.nw, 0) AS BIGINT) AS n_windows,
+       | CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_windows,
+       | CAST(coalesce(m.mr + $k - 1, 0) AS BIGINT) AS max_dup_span
+       |FROM documents d
+       |LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+       |LEFT JOIN mx m ON m.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("x7_decontaminate", decontaminate, Some(decontaminateSql),
@@ -825,5 +915,7 @@ object Dedup {
     Q("d6_jaccard_indexed", ngramJaccardViaIndex, Some(minhashLshSql),
       "exact 3-gram Jaccard over a persisted shingle index — the shared-feature-table execution strategy (training-data extension)"),
     Q("d7_chunk_dedup", chunkDedup, Some(chunkDedupSql),
-      "sub-document exact dedup: per-document duplicate-chunk accounting over 10-token chunks, hash-groupBy first-occurrence (training-data extension)"))
+      "sub-document exact dedup: per-document duplicate-chunk accounting over 10-token chunks, hash-groupBy first-occurrence (training-data extension)"),
+    Q("d8_dup_spans", dupSpans, Some(dupSpansSql),
+      "exact substring-duplication detection: overlapping k-token window hashes, cross-doc duplicated windows + longest duplicated span per document (training-data extension)"))
 }

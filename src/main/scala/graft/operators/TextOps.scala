@@ -538,7 +538,66 @@ object TextOps {
   def normalizedFingerprint(text: Column): Column =
     hash60(normalizeText(text))
 
+  // ---------------------------------------------------------------------
+  // X11 — model-based quality filtering (the fastText / CCNet classifier
+  // shape, the one modern curation step x2's hand-written heuristics
+  // don't cover): a LINEAR model over hashing-trick bag-of-words features
+  // scores every document map-side, and the margin's sign is the
+  // keep/drop verdict. The model is a bound weight vector indexed by
+  // each token's salted 60-bit feature hash mod D — exactly fastText's
+  // bucket table — applied in ONE codegen'd tokenization pass
+  // ([[graft.expressions.ClassifierMarginExpr]]): zero shuffle, zero
+  // UDF, weights broadcast by closure reference.
+  //
+  // Integer weights keep the margin EXACT cross-engine (the x10 lesson:
+  // float dot products drift by ulps between engines; a real deployment
+  // quantizes its trained float weights to integer micro-units the same
+  // way b1 quantizes idf). The GATE binds a hash-derived pseudo-model —
+  // W[b] = b − (D−1)/2 over D = 2001 buckets, i.e. weight =
+  // (hash mod 2001) − 1000 — because the sandbox has no trained model
+  // and the DuckDB oracle must recompute the weights from scratch;
+  // deployments pass their trained vector to [[classifierScoresOf]]
+  // unchanged (ClassifierSpec runs one).
+  // ---------------------------------------------------------------------
+  val ClassifierBuckets = 2001
+  val ClassifierSalt = "w:"
+
+  /** The gate pseudo-model: W[b] = b − 1000 over 2001 buckets. */
+  val GateClassifierWeights: Seq[Long] =
+    (0 until ClassifierBuckets).map(b => b.toLong - 1000L)
+
+  /** Score `docs` with a bound linear model: margin = Σ W[bucket(token)],
+    * keep = margin ≥ 0. NULL text propagates NULL (unscorable, surfaced
+    * not swallowed).
+    */
+  def classifierScoresOf(docs: DataFrame, weights: Seq[Long],
+      salt: String = ClassifierSalt): DataFrame =
+    docs.select(col("doc_id"),
+        graft.expressions.HashFunctions
+          .classifier_margin(col("text"), weights, salt).as("margin"))
+      .withColumn("keep", col("margin") >= 0)
+      .orderBy(col("doc_id"))
+
+  def classifierScores(spark: SparkSession, dir: String): DataFrame =
+    classifierScoresOf(Catalog.documents(spark, dir), GateClassifierWeights)
+
+  val classifierScoresSql: String = {
+    val d = ClassifierBuckets
+    val half = (d - 1) / 2
+    s"""WITH m AS (
+       | SELECT doc_id,
+       |  CAST(list_sum(list_transform(
+       |    string_split_regex(lower(trim(text)), '\\s+'),
+       |    t -> ${hash60Sql("'" + ClassifierSalt + "' || t")} % $d - $half))
+       |   AS BIGINT) AS margin
+       | FROM documents)
+       |SELECT doc_id, margin, margin >= 0 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("x11_classifier_margin", classifierScores, Some(classifierScoresSql),
+      "model-based quality filter: hashing-trick linear-classifier margin in exact integer arithmetic, one codegen'd pass (training-data extension)"),
     Q("x10_lm_surprisal", lmSurprisal, Some(lmSurprisalSql),
       "unigram-LM mean surprisal per document — the perplexity-filter shape in exact integer bits (training-data extension)"),
     Q("x9_vocabulary", vocabulary, Some(vocabularySql),
