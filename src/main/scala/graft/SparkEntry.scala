@@ -17,7 +17,8 @@ object SparkEntry {
       Similarity.all ++ operators.Multimodal.all ++ lifecycle.Lifecycle.all ++
       lifecycle.Ddl.all ++ lifecycle.SqlMutations.all ++
       streaming.Streams.all ++ operators.Pipeline.all ++
-      operators.Search.all ++ operators.Profile.all ++ operators.Diff.all
+      operators.Search.all ++ operators.Profile.all ++ operators.Diff.all ++
+      operators.Skip.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
