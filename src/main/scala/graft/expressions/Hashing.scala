@@ -312,6 +312,45 @@ object Hash {
     r
   }
 
+  /** splitmix64 finalizer — the bit mixer behind the Bloom probe family. */
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    z
+  }
+
+  /** Set key's k Bloom probe bits in `buf` (double hashing, Kirsch &
+    * Mitzenmacher 2006: pos_i = h1 + i·h2 mod m — k independent-enough
+    * probes from two mixes of the key). MUST stay bit-identical to
+    * [[bloomContains]]: build and probe share this position family.
+    */
+  def bloomSet(buf: Array[Long], key: Long, numBits: Int, k: Int): Unit = {
+    val h1 = mix64(key)
+    val h2 = mix64(key + 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val b = java.lang.Math.floorMod(h1 + i * h2, numBits.toLong).toInt
+      buf(b >>> 6) |= 1L << (b & 63)
+      i += 1
+    }
+  }
+
+  /** Probe: false = DEFINITELY absent, true = maybe present. */
+  def bloomContains(key: Long, words: Array[Long], k: Int): Boolean = {
+    val numBits = words.length * 64
+    val h1 = mix64(key)
+    val h2 = mix64(key + 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val b = java.lang.Math.floorMod(h1 + i * h2, numBits.toLong).toInt
+      if ((words(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** First 60 bits of md5(utf8(s)) — first 15 hex chars as a BIGINT. */
   def md5Prefix60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -441,6 +480,34 @@ case class ClassifierMarginExpr(child: Expression, weights: Seq[Long],
   override protected def withNewChildInternal(newChild: Expression): ClassifierMarginExpr =
     copy(child = newChild)
   override def prettyName: String = "classifier_margin"
+}
+
+/** `bloom_might_contain(key): boolean` — Bloom membership probe against a
+  * bound word array (built by [[BloomBuild]]); false = definitely absent,
+  * true = maybe present. The filter words ride into generated code the
+  * way [[ClassifierMarginExpr]]'s weights do — broadcast-by-closure,
+  * no join in the plan.
+  */
+case class BloomMightContain(child: Expression, words: Seq[Long], k: Int)
+    extends UnaryExpression {
+  require(words.nonEmpty && k >= 1, "bloom probe requires words and k >= 1")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT, got ${other.catalogString}")
+  }
+  @transient private lazy val wordsArr = words.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    Hash.bloomContains(input.asInstanceOf[Long], wordsArr, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bloomWords", wordsArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Hash.bloomContains($c, $wRef, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
 }
 
 /** `lang_id(text): string` — marker-stopword language identification in a
@@ -590,6 +657,8 @@ object HashFunctions {
     Shims.column(WindowHash60(Shims.expression(c), k))
   def classifier_margin(c: Column, weights: Seq[Long], salt: String): Column =
     Shims.column(ClassifierMarginExpr(Shims.expression(c), weights, salt))
+  def bloom_might_contain(c: Column, words: Seq[Long], k: Int): Column =
+    Shims.column(BloomMightContain(Shims.expression(c), words, k))
   def lang_id(c: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
     Shims.column(LangIdExpr(Shims.expression(c), langs, markers))
   def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =

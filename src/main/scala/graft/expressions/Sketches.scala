@@ -94,6 +94,80 @@ case class BitmapDistinct(
   override def prettyName: String = "bitmap_distinct"
 }
 
+/** `bloom_build(key, m, k)` — build an m-bit Bloom filter over BIGINT keys
+  * as a native Catalyst aggregate with FIXED-SIZE mergeable state: `update`
+  * sets the key's k probe bits ([[Hash.bloomSet]], the same double-hashing
+  * family [[BloomMightContain]] probes), `merge` is a word-wise OR, `eval`
+  * returns the m/64 words as `array<bigint>`.
+  *
+  * This is the build half of SEMI-JOIN REDUCTION: instead of shuffling a
+  * huge probe side into an anti/semi join, build the filter over the
+  * (smaller) build side in one aggregate pass — m/8 bytes per (partition,
+  * group) regardless of cardinality, combining map-side like any algebraic
+  * aggregate — then bind the words into a codegen'd probe that lets
+  * definitely-absent rows skip the join entirely. Only "maybe" rows (true
+  * hits + the filter's false positives) reach the exact join, so results
+  * stay EXACT. NULL keys are ignored (they never equi-join anyway).
+  */
+case class BloomBuild(
+    child: Expression,
+    numBits: Int,
+    numProbes: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(numBits > 0 && numBits % 64 == 0,
+    s"numBits must be a positive multiple of 64, got $numBits")
+  require(numProbes >= 1, s"numProbes must be >= 1, got $numProbes")
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](numBits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) Hash.bloomSet(buf, v.asInstanceOf[Long], numBits, numProbes)
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): BloomBuild =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BloomBuild =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): BloomBuild =
+    copy(child = newChild)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_build requires a BIGINT key, got ${child.dataType.sql}")
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_build"
+}
+
 /** `topk_threshold(key, id, k)` — the LARGEST of the k lexicographically
   * smallest (key, id) pairs per group, as a native Catalyst aggregate with
   * BOUNDED mergeable state (a size-k max-heap, ≤ 16·k bytes per
@@ -226,6 +300,14 @@ object SketchFunctions {
   def bitmap_distinct(c: Column, numBits: Int): Column =
     Shims.column(
       BitmapDistinct(Shims.expression(c), numBits).toAggregateExpression())
+
+  /** Bloom-filter words over BIGINT keys — the build half of semi-join
+    * reduction; probe with [[HashFunctions.bloom_might_contain]]. NULLs
+    * ignored. See [[BloomBuild]].
+    */
+  def bloom_build(c: Column, numBits: Int, numProbes: Int): Column =
+    Shims.column(
+      BloomBuild(Shims.expression(c), numBits, numProbes).toAggregateExpression())
 
   /** The largest of the k lexicographically smallest (key, id) pairs —
     * a struct {k, id}, or NULL for an all-NULL group. See

@@ -898,6 +898,69 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // D9 — Bloom-prefiltered exact dedup against an existing corpus: the
+  // SEMI-JOIN REDUCTION pattern every 100 TB anti-join wants. The naive
+  // incremental-ingest plan anti-joins the ENTIRE incoming batch against
+  // the ENTIRE existing corpus — both sides shuffle on the fingerprint.
+  // Here the existing side builds an m-bit Bloom filter in ONE mergeable
+  // fixed-state aggregate pass ([[graft.expressions.BloomBuild]] — m/8
+  // bytes per partition, word-OR merge, the a9 sketch discipline), the
+  // words bind into a codegen'd probe on the incoming scan
+  // ([[graft.expressions.BloomMightContain]] — broadcast-by-closure, no
+  // join in the plan), and ONLY probe hits (true duplicates + the
+  // filter's false positives) reach the exact anti-join. Results are
+  // EXACT — the Bloom can only send extra rows INTO the verify join,
+  // never drop a survivor — so the oracle is the plain NOT IN.
+  //
+  // Sizing: FPP ≈ (1 − e^(−kn/m))^k; the gate's m = 2^17, k = 4 holds
+  // FPP < 1e-4 at the fixture's n. A deployment sizes m from ANALYZE's
+  // row count (10 bits/key ≈ 1% FPP) — at 1e9 existing keys that is a
+  // ~1.2 GB filter, built distributed and shipped once per executor,
+  // against which the avoided alternative is shuffling the full incoming
+  // batch. The gate split (doc_id mod 3) stands in for the
+  // yesterday's-corpus / today's-batch boundary u1/u2 model with real
+  // snapshots.
+  // ---------------------------------------------------------------------
+  val BloomBits = 1 << 17
+  val BloomProbes = 4
+  private val IncomingMod = 3
+
+  /** Keys of `incoming` (doc_id, fp) NOT present in `existing` (fp) —
+    * exact, via Bloom prefilter + anti-join over probe hits only.
+    */
+  def bloomNewDocs(incoming: DataFrame, existing: DataFrame,
+      numBits: Int = BloomBits, probes: Int = BloomProbes): DataFrame = {
+    import graft.expressions.HashFunctions.bloom_might_contain
+    import graft.expressions.SketchFunctions.bloom_build
+    val words = existing
+      .agg(bloom_build(col("fp"), numBits, probes).as("w"))
+      .collect().head.getSeq[Long](0)
+    val hit = bloom_might_contain(col("fp"), words, probes)
+    val definite = incoming.filter(!hit)
+    val verified = incoming.filter(hit)
+      .join(existing.select(col("fp")), Seq("fp"), "left_anti")
+    definite.select(col("doc_id"), col("fp"))
+      .union(verified.select(col("doc_id"), col("fp")))
+  }
+
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog.documents(spark, dir)
+      .select(col("doc_id"), prefixFingerprint(col("text")).as("fp"))
+    val existing = docs.filter(col("doc_id") % IncomingMod =!= 0)
+    val incoming = docs.filter(col("doc_id") % IncomingMod === 0)
+    bloomNewDocs(incoming, existing).orderBy(col("doc_id"))
+  }
+
+  val bloomDedupSql: String = {
+    val fp = prefixFingerprintSql("text")
+    s"""WITH f AS (SELECT doc_id, $fp AS fp FROM documents)
+       |SELECT doc_id, fp FROM f
+       |WHERE doc_id % $IncomingMod = 0 AND fp NOT IN (
+       | SELECT fp FROM f WHERE doc_id % $IncomingMod <> 0 AND fp IS NOT NULL)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
     Q("x7_decontaminate", decontaminate, Some(decontaminateSql),
@@ -917,5 +980,7 @@ object Dedup {
     Q("d7_chunk_dedup", chunkDedup, Some(chunkDedupSql),
       "sub-document exact dedup: per-document duplicate-chunk accounting over 10-token chunks, hash-groupBy first-occurrence (training-data extension)"),
     Q("d8_dup_spans", dupSpans, Some(dupSpansSql),
-      "exact substring-duplication detection: overlapping k-token window hashes, cross-doc duplicated windows + longest duplicated span per document (training-data extension)"))
+      "exact substring-duplication detection: overlapping k-token window hashes, cross-doc duplicated windows + longest duplicated span per document (training-data extension)"),
+    Q("d9_bloom_dedup", bloomDedup, Some(bloomDedupSql),
+      "Bloom-prefiltered exact dedup against an existing corpus: semi-join reduction — fixed-state distributed filter build, codegen'd probe, anti-join over hits only (training-data extension)"))
 }
