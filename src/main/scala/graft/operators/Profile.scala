@@ -148,9 +148,98 @@ object Profile {
         "true AS ndv_within_band FROM orders")
       .mkString("", " UNION ALL ", " ORDER BY column_name")
 
+  // ---------------------------------------------------------------------
+  // C3 — pairwise Pearson correlation over a table's numeric columns: the
+  // relationship half of a data profile (c1 describes columns alone; c3
+  // says which move together — the screen that catches leaky/duplicated
+  // features before a table feeds a model). Profiled here: lineitem's
+  // four measures, all 6 unordered pairs.
+  //
+  // Cross-engine exactness (the x10/b1 lesson applied to corr): naive
+  // `corr()` accumulates FLOATS in engine-specific orders — DuckDB and
+  // Spark would disagree in the last ulps and the gate hash would be
+  // flaky forever. Instead every moment (n, Σx, Σy, Σxy, Σx², Σy²)
+  // accumulates as an EXACT DECIMAL (inputs are 2-decimal measures, so
+  // products are exact 4-decimal values; sums are exact in 38 digits),
+  // and only the FINAL Pearson formula runs in doubles. Each double op
+  // (×, −, ÷, sqrt) is correctly-rounded IEEE-754, so two engines given
+  // the same exact moments and the same expression tree produce the SAME
+  // double, bit for bit — determinism without surrendering hardware
+  // floats where they're safe.
+  //
+  // Plan/scale shape: ONE scan, one hash aggregate with 37 fixed-width
+  // buffers (map-side partials; bytes crossing the wire = 37 decimals ×
+  // #partitions, independent of table size), then a 1-row projection
+  // explodes to a row per pair. Pairwise-complete semantics (a pair's
+  // moments count only rows where BOTH sides are non-null) — the
+  // standard corr treatment, conditional CASE inside each sum.
+  // ---------------------------------------------------------------------
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val CorrPairs: Seq[(String, String)] =
+    for { i <- CorrCols.indices; j <- (i + 1) until CorrCols.size }
+      yield (CorrCols(i), CorrCols(j))
+
+  /** Pairwise Pearson correlation over `cols` of `df` from exact decimal
+    * moments — see the block comment above for the determinism argument.
+    */
+  def corrOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs =
+      for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield (cols(i), cols(j))
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    val aggs = pairs.flatMap { case (x, y) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      val xd = when(both, dec(x))
+      val yd = when(both, dec(y))
+      val tag = s"${x}__$y"
+      Seq(
+        count(when(both, lit(1))).as(s"n__$tag"),
+        sum(xd).as(s"sx__$tag"), sum(yd).as(s"sy__$tag"),
+        sum(xd * yd).as(s"sxy__$tag"),
+        sum(xd * xd).as(s"sxx__$tag"), sum(yd * yd).as(s"syy__$tag"))
+    }
+    val perPair = pairs.map { case (x, y) =>
+      val tag = s"${x}__$y"
+      val n = col(s"n__$tag").cast("double")
+      val d = (p: String) => col(s"${p}__$tag").cast("double")
+      val corr = (n * d("sxy") - d("sx") * d("sy")) /
+        (sqrt(n * d("sxx") - d("sx") * d("sx")) *
+          sqrt(n * d("syy") - d("sy") * d("sy")))
+      struct(
+        lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"n__$tag").as("n_pairs"), corr.as("corr_val"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(perPair: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  def numericCorr(spark: SparkSession, dir: String): DataFrame =
+    corrOf(Catalog.lineitem(spark, dir), CorrCols)
+
+  val numericCorrSql: String = CorrPairs.map { case (x, y) =>
+    val xd = s"CAST($x AS DECIMAL(18,2))"
+    val yd = s"CAST($y AS DECIMAL(18,2))"
+    val both = s"$x IS NOT NULL AND $y IS NOT NULL"
+    s"""SELECT '$x' AS col_x, '$y' AS col_y, n_pairs,
+       | (n * sxy - sx * sy)
+       |   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_val
+       |FROM (SELECT count(CASE WHEN $both THEN 1 END)::BIGINT AS n_pairs,
+       | CAST(count(CASE WHEN $both THEN 1 END) AS DOUBLE) AS n,
+       | CAST(sum(CASE WHEN $both THEN $xd END) AS DOUBLE) AS sx,
+       | CAST(sum(CASE WHEN $both THEN $yd END) AS DOUBLE) AS sy,
+       | CAST(sum(CASE WHEN $both THEN $xd * $yd END) AS DOUBLE) AS sxy,
+       | CAST(sum(CASE WHEN $both THEN $xd * $xd END) AS DOUBLE) AS sxx,
+       | CAST(sum(CASE WHEN $both THEN $yd * $yd END) AS DOUBLE) AS syy
+       | FROM lineitem) m""".stripMargin.replace('\n', ' ')
+  }.mkString("", " UNION ALL ", " ORDER BY col_x, col_y")
+
   val all: Seq[Q] = Seq(
     Q("c1_column_profile", columnProfile, Some(columnProfileSql),
       "per-column rows/nulls/exact-NDV/min/max profile in ONE aggregate pass (multi-distinct Expand), unpivoted to a row per column (data-QA extension)"),
     Q("c2_profile_approx", columnProfileApprox, Some(columnProfileApproxSql),
-      "c1's HLL deployment form driver-executed: approx_count_distinct judged against the exact NDV inside its error band, pinned to true by the oracle (data-QA extension)"))
+      "c1's HLL deployment form driver-executed: approx_count_distinct judged against the exact NDV inside its error band, pinned to true by the oracle (data-QA extension)"),
+    Q("c3_numeric_corr", numericCorr, Some(numericCorrSql),
+      "pairwise Pearson correlation over lineitem's numeric measures from EXACT decimal moment sums in one fixed-width aggregate pass; only the final formula runs in (correctly-rounded, engine-identical) doubles (data-QA extension)"))
 }

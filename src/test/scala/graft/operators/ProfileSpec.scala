@@ -70,4 +70,36 @@ class ProfileSpec extends SparkSuite {
     assert(Profile.profileOf(df).queryExecution.executedPlan.toString
       .contains("Expand"), "exact NDV is expected to plan via Expand")
   }
+
+  test("c3 corrOf: known correlations, pairwise-complete null handling") {
+    // y = 2x (perfect +), z = -x (perfect -), w decorrelated by a null
+    val d = Seq(
+      (1.0, 2.0, Some(-1.0), Some(5.0)),
+      (2.0, 4.0, Some(-2.0), None),
+      (3.0, 6.0, Some(-3.0), Some(1.0)),
+      (4.0, 8.0, None, Some(3.0)))
+      .toDF("x", "y", "z", "w")
+    val rows = Profile.corrOf(d, Seq("x", "y", "z", "w")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val xy = rows(("x", "y"))
+    assert(xy.getLong(2) == 4 && math.abs(xy.getDouble(3) - 1.0) < 1e-12)
+    val xz = rows(("x", "z"))
+    // z's null row drops from the x-z pair only (pairwise-complete)
+    assert(xz.getLong(2) == 3 && math.abs(xz.getDouble(3) + 1.0) < 1e-12)
+    val xw = rows(("x", "w"))
+    assert(xw.getLong(2) == 3 && math.abs(xw.getDouble(3)) < 1.0)
+    assert(rows.size == 6)
+  }
+
+  test("c3 gate query: 6 pairs over lineitem, all finite in [-1, 1]") {
+    val rows = Profile.numericCorr(spark, sfDir).collect()
+    assert(rows.length == 6)
+    assert(rows.forall { r =>
+      val c = r.getDouble(3); !c.isNaN && math.abs(c) <= 1.0
+    })
+    // the plan is one aggregate over one scan — no join, no Expand
+    val plan = Profile.numericCorr(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Expand"))
+  }
 }
