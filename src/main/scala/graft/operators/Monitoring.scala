@@ -715,8 +715,93 @@ object Monitoring {
        | count(*) AS n_events
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // W9 — ordered funnel (sequential-pattern) analysis: per user, the first
+  // signup, the first click strictly AFTER that signup, and the first
+  // purchase strictly AFTER that click — the product-analytics
+  // MATCH_RECOGNIZE/funnel shape (ClickHouse windowFunnel, Amplitude
+  // funnels) the reference's activity views stop short of. "Ordered"
+  // matters: min-per-type pivoting (the naive form) counts a user whose
+  // purchase PRECEDED signup; this one doesn't.
+  //
+  // Plan shape — ONE shuffle end to end: both running-min windows share
+  // the (user_id; ts, event_id) spec, so Catalyst plans one Exchange +
+  // one Sort feeding two stacked Window operators, and the closing
+  // groupBy(user_id) reuses the same partitioning (no second Exchange).
+  // The chained-window trick: the running min of signup ts is CONSTANT
+  // from the first signup on, so "click with ts > running-signup-min" is
+  // exactly "click after the FIRST signup", and one more layer gives
+  // "purchase after the first such click" — no self-joins, no
+  // per-user collect, state = one timestamp per window per row.
+  // At 100 TB: shuffle bytes = the 4 projected columns, and skewed users
+  // cost one sort run each — same class as w3/w4, AQE-splittable.
+  // ---------------------------------------------------------------------
+  val FunnelSteps = Seq("signup", "click", "purchase")
+
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(step1, step2, step3) = FunnelSteps
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withS1 = Catalog.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("s1_seen",
+        min(when(col("event_type") === step1, col("ts"))).over(w))
+    val withS2 = withS1
+      .withColumn("s2_cand",
+        when(col("event_type") === step2 && col("s1_seen").isNotNull &&
+          col("ts") > col("s1_seen"), col("ts")))
+      .withColumn("s2_seen", min(col("s2_cand")).over(w))
+    withS2
+      .withColumn("s3_cand",
+        when(col("event_type") === step3 && col("s2_seen").isNotNull &&
+          col("ts") > col("s2_seen"), col("ts")))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === step1, col("ts"))).as("signup_ts"),
+        min(col("s2_cand")).as("click_ts"),
+        min(col("s3_cand")).as("purchase_ts"))
+      .select(
+        col("user_id"), col("signup_ts"), col("click_ts"), col("purchase_ts"),
+        when(col("purchase_ts").isNotNull, 3)
+          .when(col("click_ts").isNotNull, 2)
+          .when(col("signup_ts").isNotNull, 1)
+          .otherwise(0).cast("long").as("reached_step"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelSql: String = {
+    val Seq(step1, step2, step3) = FunnelSteps
+    val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+    s"""WITH l1 AS (
+       | SELECT user_id, ts, event_id, event_type,
+       |  min(CASE WHEN event_type = '$step1' THEN ts END) $over AS s1_seen
+       | FROM events),
+       |l2 AS (
+       | SELECT *,
+       |  CASE WHEN event_type = '$step2' AND s1_seen IS NOT NULL
+       |        AND ts > s1_seen THEN ts END AS s2_cand
+       | FROM l1),
+       |l3 AS (
+       | SELECT *, min(s2_cand) $over AS s2_seen FROM l2),
+       |agg AS (
+       | SELECT user_id,
+       |  min(CASE WHEN event_type = '$step1' THEN ts END) AS signup_ts,
+       |  min(s2_cand) AS click_ts,
+       |  min(CASE WHEN event_type = '$step3' AND s2_seen IS NOT NULL
+       |        AND ts > s2_seen THEN ts END) AS purchase_ts
+       | FROM l3 GROUP BY user_id)
+       |SELECT user_id, signup_ts, click_ts, purchase_ts,
+       | CAST(CASE WHEN purchase_ts IS NOT NULL THEN 3
+       |      WHEN click_ts IS NOT NULL THEN 2
+       |      WHEN signup_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |   AS reached_step
+       |FROM agg ORDER BY user_id""".stripMargin.replace('\n', ' ')
+  }
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("w9_funnel", funnel, Some(funnelSql),
+      "ordered signup->click->purchase funnel per user via stacked running-min windows sharing one Exchange+Sort; the closing per-user aggregate reuses the window partitioning (product-analytics extension)"),
     Q("a9_distinct_sketch", distinctSketch, Some(distinctSketchSql),
       "distinct-user cardinality per event type via the bitmap_distinct fixed-state sketch aggregate (custom TypedImperativeAggregate)"),
     Q("w7_moving_average", movingAverage, Some(movingAverageSql),
