@@ -62,4 +62,60 @@ class SkipScanSpec extends SparkSuite {
     val opened = df.inputFiles.length.toLong
     assert(opened >= 1 && ts.length < stats.getLong(3) * opened)
   }
+
+  // --- s23: Z-order 2-D skipping ---------------------------------------
+
+  private val zu = Some((0L, 3L))
+  private val zw = Some((Skip.ZGateWindow._1, Skip.ZGateWindow._2))
+
+  test("z-order skip-scan equals the plain 2-D predicate scan row for row") {
+    val viaZ = Skip.zSkipScan(spark, sfDir, zu, zw)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val plain = Catalog.events(spark, sfDir)
+      .filter(col("user_id") >= 0L && col("user_id") <= 3L &&
+        col("ts") >= lit(zw.get._1).cast("timestamp") &&
+        col("ts") < lit(zw.get._2).cast("timestamp"))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(viaZ == plain && plain.nonEmpty)
+  }
+
+  test("one z-layout prunes on EITHER dimension; the 1-D ts layout cannot") {
+    val total = spark.read.parquet(Skip.zClusteredEvents(spark, sfDir))
+      .inputFiles.length
+    // user-range-only query: the z-layout skips...
+    val userOnly = Skip.selectFilesZ(spark, sfDir, zu, None)
+    assert(userOnly.nonEmpty && userOnly.length < total,
+      s"z-layout user-only: ${userOnly.length} of $total")
+    // ...while the ts-range-clustered layout's zonemaps intersect the
+    // full user range in EVERY file (no user clustering -> no skipping)
+    val tsStats = spark.read.parquet(Skip.fileStats(spark, sfDir))
+    val (uLo, uHi) = (zu.get._1, zu.get._2)
+    val tsLayoutHits = spark.read
+      .parquet(Skip.clusteredEvents(spark, sfDir))
+      .groupBy(col("_metadata.file_path"))
+      .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+      .filter(col("hi") >= uLo && col("lo") <= uHi)
+      .count()
+    assert(tsLayoutHits == tsStats.count(),
+      "the 1-D ts layout was expected to open every file for a user query")
+    // ts-only query: the z-layout still skips on time too
+    val tsOnly = Skip.selectFilesZ(spark, sfDir, None,
+      Some(("2024-01-02 00:00:00", "2024-01-05 00:00:00")))
+    assert(tsOnly.nonEmpty && tsOnly.length < total,
+      s"z-layout ts-only: ${tsOnly.length} of $total")
+    // both dimensions constrain -> at least as sharp as either alone
+    val both = Skip.selectFilesZ(spark, sfDir, zu,
+      Some(("2024-01-02 00:00:00", "2024-01-05 00:00:00")))
+    assert(both.length <= math.min(userOnly.length, tsOnly.length))
+  }
+
+  test("z-key interleaving: adjacent cells differ in low bits (locality)") {
+    import spark.implicits._
+    val rows = Seq((0, 0), (1, 0), (0, 1), (255, 255), (15, 3))
+      .toDF("x", "y")
+      .select(Skip.zkey(col("x"), col("y")).as("z"))
+      .collect().map(_.getInt(0))
+    // interleave(x=odd bits, y=even bits): hand-computed Morton codes
+    assert(rows.toSeq == Seq(0, 2, 1, 0xFFFF, 0xAF))
+  }
 }
