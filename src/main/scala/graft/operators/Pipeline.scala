@@ -607,7 +607,76 @@ object Pipeline {
        |SELECT lang_det, doc_id FROM ranked WHERE rn <= $QuotaPerLang
        |ORDER BY lang_det, doc_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // Z9 — curriculum (difficulty-stratified) sampling: bucket the corpus
+  // into length deciles and keep a deterministic hash-fraction that GROWS
+  // with difficulty — the length-curriculum mix (short/easy documents
+  // thinned, long/hard documents kept) a staged pre-training run feeds
+  // its later phases. Complements z8 (hard per-stratum COUNT quotas, for
+  // caps) with per-stratum RATES (for proportions): a rate survives a
+  // corpus doubling unchanged, a quota does not.
+  //
+  // Plan/scale shape: difficulty = x1's whitespace token count (one
+  // codegen'd map pass); decile BOUNDARIES come from one exact-percentile
+  // aggregate (tiny result, broadcast back — o1/p13's documented trade:
+  // `approx_percentile` is the 100 TB swap, same plan minus the per-group
+  // value buffering); bucketing + the keep decision are pure map-side
+  // arithmetic on a broadcast 9-double array — the corpus itself is
+  // never shuffled, only the 10-row accounting aggregates. Determinism:
+  // the keep coin is hash60 of a salted doc key mod 1000 against an
+  // integer per-decile threshold — replayable, engine-exact (z8/x5's
+  // discipline), no rand().
+  // ---------------------------------------------------------------------
+  private val CurriculumDeciles = 10
+
+  def curriculumSample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Catalog.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("toks"))
+    val qs = (1 until CurriculumDeciles).map(_ / 10.0)
+    val bounds = toks.agg(
+      expr(s"percentile(toks, array(${qs.mkString(",")}))").as("b"))
+    val decile = (0 until CurriculumDeciles - 1)
+      .map(i => when(col("toks") > col("b").getItem(i), 1).otherwise(0))
+      .reduce(_ + _)
+    val keep = pmod(
+      TextOps.hash60(concat(lit("curr:"), col("doc_id").cast("string"))),
+      lit(1000)) < (col("decile") + 1) * 100
+    toks.crossJoin(broadcast(bounds))
+      .withColumn("decile", decile.cast("long"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(keep, lit(1))).as("n_kept"),
+        coalesce(sum(when(keep, col("toks"))), lit(0L)).as("kept_tokens"))
+      .orderBy(col("decile"))
+  }
+
+  val curriculumSampleSql: String = {
+    val qs = (1 until CurriculumDeciles).map(_ / 10.0)
+    val decile = (1 until CurriculumDeciles)
+      .map(i => s"CASE WHEN toks > b[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val keep = s"${TextOps.hash60Sql("'curr:' || doc_id::VARCHAR")} % 1000" +
+      " < (decile + 1) * 100"
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS toks
+       | FROM documents WHERE text IS NOT NULL),
+       |bnd AS (SELECT quantile_cont(toks, [${qs.mkString(",")}]) AS b FROM t),
+       |d AS (SELECT doc_id, toks, CAST($decile AS BIGINT) AS decile
+       | FROM t CROSS JOIN bnd)
+       |SELECT decile, count(*) AS n_docs,
+       | CAST(count(CASE WHEN $keep THEN 1 END) AS BIGINT) AS n_kept,
+       | COALESCE(CAST(sum(CASE WHEN $keep THEN toks END) AS BIGINT), 0)
+       |   AS kept_tokens
+       |FROM d GROUP BY decile ORDER BY decile""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("z9_curriculum", curriculumSample, Some(curriculumSampleSql),
+      "length-curriculum stratified sampling: exact-percentile decile bounds broadcast back, deterministic hash-rate keep per stratum, corpus never shuffled (training-data extension)"),
     Q("z8_quota_sample", quotaSample, Some(quotaSampleSql),
       "per-language quota sampling: bounded top-K threshold aggregate + broadcast threshold filter, corpus never shuffled (training-data extension)"),
     Q("z7_manifest", assemblyManifest, Some(assemblyManifestSql),

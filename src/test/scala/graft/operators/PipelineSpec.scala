@@ -189,6 +189,29 @@ class PipelineSpec extends SparkSuite {
     Pipeline.sequencePackAuto(spark, nulls).collect()
   }
 
+  test("z9 curriculum: deciles partition the corpus, rates rise, top keeps all") {
+    val rows = Pipeline.curriculumSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    val nonNull = Catalog.documents(spark, sfDir)
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_._2).sum == nonNull, "deciles must partition the corpus")
+    // the top decile's threshold is 1000/1000 — every document kept
+    val top = rows.last
+    assert(top._3 == top._2 && top._4 > 0)
+    // rate envelope: each decile's keep fraction within ±0.25 of its
+    // nominal (d+1)/10 (hash-Bernoulli at these stratum sizes)
+    rows.foreach { case (d, n, kept, _) =>
+      if (n >= 20)
+        assert(math.abs(kept.toDouble / n - (d + 1) / 10.0) < 0.25,
+          s"decile $d: kept $kept of $n")
+    }
+    // deterministic: a second run is bit-identical
+    assert(Pipeline.curriculumSample(spark, sfDir).collect().toSeq
+      .map(_.toString) == rows.toSeq.map(r =>
+        s"[${r._1},${r._2},${r._3},${r._4}]"))
+  }
+
   test("z4 packing equals an independent per-shard prefix-sum recomputation") {
     val rows = Pipeline.sequencePack(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
