@@ -159,13 +159,15 @@ object Profile {
   // `corr()` accumulates FLOATS in engine-specific orders — DuckDB and
   // Spark would disagree in the last ulps and the gate hash would be
   // flaky forever. Instead every moment (n, Σx, Σy, Σxy, Σx², Σy²)
-  // accumulates as an EXACT DECIMAL (inputs are 2-decimal measures, so
-  // products are exact 4-decimal values; sums are exact in 38 digits),
-  // and only the FINAL Pearson formula runs in doubles. Each double op
-  // (×, −, ÷, sqrt) is correctly-rounded IEEE-754, so two engines given
-  // the same exact moments and the same expression tree produce the SAME
-  // double, bit for bit — determinism without surrendering hardware
-  // floats where they're safe.
+  // accumulates EXACTLY — values scale to integer CENTS (inputs are
+  // 2-decimal measures), per-row products are long multiplies, and the
+  // accumulators are DECIMAL(38,0) — and only the FINAL Pearson formula
+  // runs in doubles (Pearson is scale-invariant, so cent moments give
+  // the same correlation). Each double op (×, −, ÷, sqrt) is
+  // correctly-rounded IEEE-754, so two engines given the same exact
+  // moments and the same expression tree produce the SAME double, bit
+  // for bit — determinism without surrendering hardware floats where
+  // they're safe.
   //
   // Plan/scale shape: ONE scan, one hash aggregate with 37 fixed-width
   // buffers (map-side partials; bytes crossing the wire = 37 decimals ×
@@ -179,24 +181,43 @@ object Profile {
     for { i <- CorrCols.indices; j <- (i + 1) until CorrCols.size }
       yield (CorrCols(i), CorrCols(j))
 
-  /** Pairwise Pearson correlation over `cols` of `df` from exact decimal
+  /** Pairwise Pearson correlation over `cols` of `df` from exact integer
     * moments — see the block comment above for the determinism argument.
+    *
+    * Per-row arithmetic runs in LONG CENTS, not decimals: a
+    * DECIMAL(18,2)×DECIMAL(18,2) product needs precision 37, which kicks
+    * Spark's Decimal off its long-backed fast path into per-row
+    * BigDecimal allocation (measured 2.7 s vs sub-second for the same
+    * moments at sf0.1). `floor(x*100 + 0.5)` rounds to cents in pure
+    * codegen'd double arithmetic — both `cast(double as decimal)` and
+    * `round()` allocate a BigDecimal per row — and each column's cents
+    * value is computed ONCE in a projection below the aggregate rather
+    * than re-derived inside every moment expression. The ACCUMULATORS
+    * are DECIMAL(38,0): per-row values fit a long (exact while
+    * |value| ≤ ~9.2e14 cents², i.e. measures up to ~3e5 units), but
+    * corpus-scale SUMS of squares exceed 64 bits and must carry 38
+    * digits.
     */
   def corrOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs =
       for { i <- cols.indices; j <- (i + 1) until cols.size }
         yield (cols(i), cols(j))
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    val d38 = DecimalType(38, 0)
+    val centsDf = df.select(cols.map(c =>
+      floor(col(c) * 100 + 0.5).as(s"${c}__c")): _*)
     val aggs = pairs.flatMap { case (x, y) =>
-      val both = col(x).isNotNull && col(y).isNotNull
-      val xd = when(both, dec(x))
-      val yd = when(both, dec(y))
+      val xc = col(s"${x}__c")
+      val yc = col(s"${y}__c")
+      val both = xc.isNotNull && yc.isNotNull
+      val xd = when(both, xc)
+      val yd = when(both, yc)
       val tag = s"${x}__$y"
       Seq(
         count(when(both, lit(1))).as(s"n__$tag"),
-        sum(xd).as(s"sx__$tag"), sum(yd).as(s"sy__$tag"),
-        sum(xd * yd).as(s"sxy__$tag"),
-        sum(xd * xd).as(s"sxx__$tag"), sum(yd * yd).as(s"syy__$tag"))
+        sum(xd.cast(d38)).as(s"sx__$tag"), sum(yd.cast(d38)).as(s"sy__$tag"),
+        sum((xd * yd).cast(d38)).as(s"sxy__$tag"),
+        sum((xd * xd).cast(d38)).as(s"sxx__$tag"),
+        sum((yd * yd).cast(d38)).as(s"syy__$tag"))
     }
     val perPair = pairs.map { case (x, y) =>
       val tag = s"${x}__$y"
@@ -209,7 +230,7 @@ object Profile {
         lit(x).as("col_x"), lit(y).as("col_y"),
         col(s"n__$tag").as("n_pairs"), corr.as("corr_val"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    centsDf.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(perPair: _*)).as("p"))
       .select(col("p.*"))
       .orderBy(col("col_x"), col("col_y"))
@@ -219,8 +240,8 @@ object Profile {
     corrOf(Catalog.lineitem(spark, dir), CorrCols)
 
   val numericCorrSql: String = CorrPairs.map { case (x, y) =>
-    val xd = s"CAST($x AS DECIMAL(18,2))"
-    val yd = s"CAST($y AS DECIMAL(18,2))"
+    val xd = s"CAST(floor($x * 100 + 0.5) AS BIGINT)"
+    val yd = s"CAST(floor($y * 100 + 0.5) AS BIGINT)"
     val both = s"$x IS NOT NULL AND $y IS NOT NULL"
     s"""SELECT '$x' AS col_x, '$y' AS col_y, n_pairs,
        | (n * sxy - sx * sy)
