@@ -293,6 +293,129 @@ object TopKPairThreshold {
   }
 }
 
+/** `heavy_hitters(key, k)` — Misra-Gries frequent-elements sketch over
+  * string keys as a native Catalyst aggregate with BOUNDED mergeable
+  * state: at most k (key, counter) pairs per buffer, ever.
+  *
+  * Update is the classic MG step (Misra & Gries 1982): increment a
+  * present key, insert while fewer than k counters, otherwise decrement
+  * ALL counters and drop zeros. Merge follows Agarwal et al. 2013
+  * ("Mergeable Summaries"): sum counters pointwise, and if more than k
+  * keys survive, subtract the (k+1)-th largest count from every counter
+  * and drop non-positives — the result carries the SAME deterministic
+  * guarantee as a single-pass sketch:
+  *
+  *   true_count − n/(k+1)  ≤  counter  ≤  true_count
+  *
+  * so every key with true frequency above n/(k+1) is GUARANTEED present
+  * (the gate pins exactly this claim as data; no probabilistic step, no
+  * hash family, nothing engine-divergent). `eval` emits the surviving
+  * pairs key-sorted as array<struct<key,est>>.
+  *
+  * Scale rationale: exact top-k-by-frequency is a full groupBy — at
+  * 100 TB the distinct-key shuffle IS the cost (the a9 argument for
+  * cardinality, replayed for frequency). This aggregate ships ≤ k pairs
+  * per (partition, group) regardless of cardinality and combines
+  * map-side; k trades memory for the frequency floor you can certify.
+  */
+case class HeavyHitters(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.toString
+      buf.get(key) match {
+        case Some(c) => buf.update(key, c + 1)
+        case None if buf.size < k => buf.update(key, 1L)
+        case None =>
+          // decrement-all: the step that buys the n/(k+1) guarantee
+          val dead = List.newBuilder[String]
+          buf.foreach { case (ky, c) =>
+            if (c == 1L) dead += ky else buf.update(ky, c - 1)
+          }
+          dead.result().foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (ky, c) => a.update(ky, a.getOrElse(ky, 0L) + c) }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest count, drop non-positives
+      val cut = a.values.toArray.sortBy(-_).apply(k)
+      val dead = List.newBuilder[String]
+      a.foreach { case (ky, c) =>
+        if (c - cut <= 0L) dead += ky else a.update(ky, c - cut)
+      }
+      dead.result().foreach(a.remove)
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val sorted = buf.toArray.sortBy(_._1)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      sorted.map { case (ky, c) =>
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(ky), c)
+      })
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val entries = buf.toArray
+    val keys = entries.map(_._1.getBytes("UTF-8"))
+    val bb = ByteBuffer.allocate(
+      4 + keys.map(_.length + 12).sum)
+    bb.putInt(entries.length)
+    entries.zip(keys).foreach { case ((_, c), kb) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new Buf()
+    (0 until n).foreach { _ =>
+      val kb = new Array[Byte](bb.getInt()); bb.get(kb)
+      buf.update(new String(kb, "UTF-8"), bb.getLong())
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HeavyHitters =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): HeavyHitters =
+    copy(child = newChild)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"heavy_hitters requires a STRING key, got ${child.dataType.sql}")
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      StructField("key", org.apache.spark.sql.types.StringType),
+      StructField("est", LongType))), containsNull = false)
+  override def prettyName: String = "heavy_hitters"
+}
+
 object SketchFunctions {
   /** Occupied-bucket count of an m-bit bitmap over `floorMod(c, numBits)`;
     * NULLs ignored (SQL `count(DISTINCT …)` semantics).
@@ -317,4 +440,12 @@ object SketchFunctions {
     Shims.column(
       TopKPairThreshold(
         Shims.expression(key), Shims.expression(id), k).toAggregateExpression())
+
+  /** Misra-Gries frequent-elements sketch: ≤ k surviving (key, est)
+    * pairs, key-sorted; every key with frequency > n/(k+1) guaranteed
+    * present. NULL keys ignored. See [[HeavyHitters]].
+    */
+  def heavy_hitters(key: Column, k: Int): Column =
+    Shims.column(
+      HeavyHitters(Shims.expression(key), k).toAggregateExpression())
 }

@@ -716,6 +716,53 @@ object Monitoring {
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // A10 — heavy hitters (frequent elements) via the Misra-Gries sketch
+  // ([[graft.expressions.HeavyHitters]]): WHICH keys dominate, the
+  // frequency companion to a9's HOW-MANY-distinct. Exact top-by-frequency
+  // is a full distinct-key groupBy — at 100 TB the sketch ships ≤ k pairs
+  // per partition instead.
+  //
+  // Gate discipline (the c2/o2 "claim as data" pattern): MG's guarantee
+  // is DETERMINISTIC — every key with frequency > n/(k+1) is present,
+  // with estimate in [exact − n/(k+1), exact] — so the gate emits, for
+  // each TRUE heavy hitter (exact count > n/(k+1), recomputed exactly on
+  // the fixture), booleans `in_sketch` and `est_within_bound` that the
+  // oracle pins to `true`. The exact arm exists to judge the sketch; a
+  // deployment runs the sketch alone. On the fixtures 'en' (~44% of
+  // documents) clears the 25% floor at k=3.
+  // ---------------------------------------------------------------------
+  val HeavyK = 3
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog.documents(spark, dir)
+      .filter(col("lang").isNotNull).select(col("lang"))
+    val sketch = docs.agg(
+      graft.expressions.SketchFunctions.heavy_hitters(col("lang"), HeavyK)
+        .as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key").as("lang"), col("e.est").as("est"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_exact") > col("n") / lit(HeavyK + 1.0))
+      .join(broadcast(sketch), Seq("lang"), "left")
+      .select(col("lang"), col("n_exact"),
+        col("est").isNotNull.as("in_sketch"),
+        (col("est").isNotNull && col("est") <= col("n_exact") &&
+          (col("n_exact") - col("est")) <= col("n") / lit(HeavyK + 1.0))
+          .as("est_within_bound"))
+      .orderBy(col("lang"))
+  }
+
+  val heavyHittersSql: String =
+    s"""SELECT lang, count(*) AS n_exact, true AS in_sketch,
+       | true AS est_within_bound
+       |FROM documents WHERE lang IS NOT NULL GROUP BY lang
+       |HAVING count(*) > (SELECT count(*) FROM documents
+       |  WHERE lang IS NOT NULL) / ${HeavyK + 1}.0
+       |ORDER BY lang""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // W9 — ordered funnel (sequential-pattern) analysis: per user, the first
   // signup, the first click strictly AFTER that signup, and the first
   // purchase strictly AFTER that click — the product-analytics
@@ -804,6 +851,8 @@ object Monitoring {
       "ordered signup->click->purchase funnel per user via stacked running-min windows sharing one Exchange+Sort; the closing per-user aggregate reuses the window partitioning (product-analytics extension)"),
     Q("a9_distinct_sketch", distinctSketch, Some(distinctSketchSql),
       "distinct-user cardinality per event type via the bitmap_distinct fixed-state sketch aggregate (custom TypedImperativeAggregate)"),
+    Q("a10_heavy_hitters", heavyHitters, Some(heavyHittersSql),
+      "Misra-Gries frequent-elements sketch (bounded mergeable state, <= k pairs per partition): deterministic n/(k+1) guarantee judged against exact counts, booleans pinned true by the oracle"),
     Q("w7_moving_average", movingAverage, Some(movingAverageSql),
       "bounded-row-frame moving average, decimal-exact frame sum"),
     Q("w8_gap_fill", gapFill, Some(gapFillSql),

@@ -495,6 +495,40 @@ object Relational {
       .stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // G4 — CUBE: g3's rollup gives the (a,b) → (a) → () prefix ladder; cube
+  // adds the (b)-only slice, i.e. every subset of the grouping set — the
+  // full OLAP cross-tab a BI layer asks for in one statement.
+  // `grouping_id()` disambiguates a NULL that MEANS "subtotal" from a
+  // NULL in the data — the standard cube-reading discipline (both
+  // engines emit the same bit vector, left column = MSB). Plan: ONE
+  // Expand (×4 grouping sets) into one hash aggregate — same cost class
+  // as c1's multi-distinct; partials combine map-side, so the shuffle
+  // carries ≤ 4×|distinct groups| rows, not the corpus.
+  // ---------------------------------------------------------------------
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Catalog.lineitem(spark, dir)
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    l.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qty).as("sum_qty_dec"), count(lit(1)).as("n_items"),
+        grouping_id().cast("long").as("gid"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_qty_dec").cast("double").as("sum_qty"), col("n_items"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  val cubeSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // A8 — pivot: per-day event counts spread across one column per event
   // type (the wide shape every dashboard table renders). The pivot value
   // list is EXPLICIT, so Spark skips the extra distinct-values collect
@@ -939,6 +973,8 @@ object Relational {
       "exact interpolated per-group percentiles (p50/p95 latency-quantile rollup)"),
     Q("g3_rollup", rollupSummary, Some(rollupSummarySql),
       "ROLLUP grouping sets: group/subtotal/grand-total in one aggregate pass"),
+    Q("g4_cube", cubeSummary, Some(cubeSummarySql),
+      "CUBE over two dimensions with grouping_id disambiguating subtotal NULLs from data NULLs: every grouping subset in ONE Expand + hash aggregate"),
     Q("a8_pivot", eventPivot, Some(eventPivotSql),
       "explicit-value pivot to the wide per-day dashboard shape"),
     Q("j9_range_join", rangeJoin, Some(rangeJoinSql),
