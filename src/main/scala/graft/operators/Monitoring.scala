@@ -845,8 +845,58 @@ object Monitoring {
        |FROM agg ORDER BY user_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // W10 — cohort retention: users grouped by signup week (their cohort),
+  // then counted as retained in each whole-week offset where ANY activity
+  // occurs — the triangle matrix behind every retention chart, and w9's
+  // companion (the funnel says who converts; retention says who comes
+  // back). Offsets are exact integer arithmetic on epoch seconds
+  // (floor((t − t₀)/604800)), cohort weeks are Monday-truncated in both
+  // engines; pre-signup activity (negative offsets) is excluded — it is
+  // acquisition noise, not retention.
+  //
+  // Plan shape — two shuffles total: ONE window over user_id attaches
+  // each user's cohort instant (same exchange class as w9; the running
+  // min is constant after the first signup so no join back), then ONE
+  // grouped distinct-count over (cohort_week, offset). The distinct
+  // shuffles (cohort, offset, user) triples — bounded by activity rows,
+  // and at 100 TB the a9/a10 sketch family is the documented swap for
+  // the distinct count.
+  // ---------------------------------------------------------------------
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val cohortTs = min(when(col("event_type") === "signup", col("ts"))).over(w)
+    Catalog.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("cohort_ts", cohortTs)
+      .filter(col("cohort_ts").isNotNull && col("ts") >= col("cohort_ts"))
+      .select(
+        date_trunc("week", col("cohort_ts")).as("cohort_week"),
+        floor((unix_timestamp(col("ts")) - unix_timestamp(col("cohort_ts")))
+          / 604800L).as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionSql: String =
+    """WITH c AS (
+      | SELECT user_id, ts,
+      |  min(CASE WHEN event_type = 'signup' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS cohort_ts
+      | FROM events)
+      |SELECT CAST(date_trunc('week', cohort_ts) AS TIMESTAMP) AS cohort_week,
+      | CAST(floor((epoch(ts) - epoch(cohort_ts)) / 604800) AS BIGINT)
+      |   AS week_offset,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+      |FROM c WHERE cohort_ts IS NOT NULL AND ts >= cohort_ts
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("w10_retention", retention, Some(retentionSql),
+      "cohort retention triangle: signup-week cohorts x whole-week activity offsets with exact distinct-user counts; one user window + one grouped distinct, two shuffles total (product-analytics extension)"),
     Q("w9_funnel", funnel, Some(funnelSql),
       "ordered signup->click->purchase funnel per user via stacked running-min windows sharing one Exchange+Sort; the closing per-user aggregate reuses the window partitioning (product-analytics extension)"),
     Q("a9_distinct_sketch", distinctSketch, Some(distinctSketchSql),

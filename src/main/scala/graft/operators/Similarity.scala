@@ -727,7 +727,142 @@ object Similarity {
        |GROUP BY c.vec_id HAVING max_cosine >= $DecontamThreshold
        |ORDER BY max_cosine DESC, c.vec_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // N9 — product quantization (PQ) + ADC scoring: the OTHER standard
+  // compressed-vector serving layout next to n6's SQ8 (Jégou et al. 2011).
+  // The Dim=64 vector splits into PqM=8 subvectors; each quantizes to the
+  // NEAREST (L2) codeword of its subspace's PqKs=16-entry codebook, so a
+  // vector stores as 8 half-byte codes — 256 float bytes → 8 bytes, 32×,
+  // vs SQ8's 4×. Queries score against the RECONSTRUCTED codeword
+  // concatenation (asymmetric distance computation: full-precision query
+  // × quantized corpus), and the gate emits n7-style per-query recall of
+  // the ADC top-k against n1's exact top-k — exact integer accounting,
+  // recall as one IEEE division.
+  //
+  // The codebooks are deterministic LCG floats (n4's synthetic-quantizer
+  // discipline — a real deployment k-means-fits them per subspace, n5's
+  // machinery; on uniform-noise fixtures a fit buys little and the gate
+  // needs the oracle to REGENERATE the codebooks in SQL). Encoding is an
+  // exact argmax (ties → highest code, both engines), reconstruction
+  // concatenates the chosen codewords in subspace order, and scoring
+  // reuses n1's round-to-6dp + id tiebreak, so the whole pipeline is
+  // bit-reproducible cross-engine.
+  //
+  // Scale: encoding is one map pass (128 8-dim dots per vector, zero
+  // shuffle); the codes relation is 9 bytes/vector — the thing a 100 TB
+  // vector store actually persists; ADC scoring is a broadcast-query
+  // scan with per-query TopK, n1's plan shape at 1/32 the bytes.
+  // ---------------------------------------------------------------------
+  val PqM = 8
+  val PqKs = 16
+  val PqSubDim: Int = Dim / PqM
+
+  private def pqComponent(m: Int, k: Int, d: Int): Float = {
+    val x = (1103515245L * ((m * PqKs + k) * PqSubDim + d + 12345L) + 54321L) &
+      0x7fffffffL
+    (x.toDouble / 0x80000000L.toDouble - 0.5).toFloat
+  }
+
+  /** [m][k][subdim] codebooks — deterministic, regenerated by the oracle. */
+  private[operators] lazy val pqCodebooks: Seq[Seq[Seq[Float]]] =
+    (0 until PqM).map(m => (0 until PqKs).map(k =>
+      (0 until PqSubDim).map(d => pqComponent(m, k, d))))
+
+  /** One code column per subspace: the nearest codeword in L2 — PQ's
+    * actual objective (a codeword-exact vector must round-trip; argmax
+    * raw dot would drift toward long codewords). Scored via the
+    * argmin‖v−c‖² = argmax(v·c − ‖c‖²/2) identity so the kernel dot is
+    * reused and the oracle mirrors the identical expression tree
+    * (`list_inner_product(cb.v, cb.v)` sums in the same order as the
+    * kernel's self-dot). Ties → highest code, both engines.
+    */
+  private[operators] def pqCodeCols(v: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until PqM).map { m =>
+      val sub = slice(v, m * PqSubDim + 1, PqSubDim)
+      val dots = array((0 until PqKs).map { k =>
+        val cw = typedLit(pqCodebooks(m)(k))
+        struct((dot_product(sub, cw) - dot_product(cw, cw) * 0.5).as("d"),
+          lit(k).as("c"))
+      }: _*)
+      element_at(reverse(array_sort(dots)), 1).getField("c")
+    }
+
+  /** Reconstructed (decoded) vector from the PqM code columns. */
+  private def pqReconstruct(codes: Seq[org.apache.spark.sql.Column]) =
+    flatten(array((0 until PqM).map { m =>
+      element_at(typedLit(pqCodebooks(m)), codes(m) + 1)
+    }: _*))
+
+  def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = nonZeroEmbeddings(spark, dir)
+    val recon = e.select(col("vec_id"),
+      pqReconstruct(pqCodeCols(col("embedding"))).as("recon"))
+    val queries = broadcast(
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val pqTop = recon.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("recon")), 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    annBruteForce(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+      .join(pqTop, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_expected"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_expected"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_expected"), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val pqAdcRecallSql: String = {
+    val lcg = s"((1103515245 * ((m.range * $PqKs + k.range) * $PqSubDim " +
+      "+ d.range + 12345) + 54321) & 2147483647)"
+    s"""WITH $embCte,
+       |cb AS (
+       | SELECT m.range AS m, k.range AS k,
+       |  list(CAST($lcg::DOUBLE / 2147483648 - 0.5 AS FLOAT)::DOUBLE
+       |    ORDER BY d.range) AS v
+       | FROM range($PqM) m, range($PqKs) k, range($PqSubDim) d
+       | GROUP BY m.range, k.range),
+       |subdots AS (
+       | SELECT e.vec_id, cb.m, cb.k,
+       |  list_inner_product(
+       |    e.emb[cb.m * $PqSubDim + 1 : cb.m * $PqSubDim + $PqSubDim],
+       |    cb.v) - list_inner_product(cb.v, cb.v) * 0.5 AS ip
+       | FROM e, cb),
+       |codes AS (
+       | SELECT vec_id, m, k FROM (
+       |  SELECT vec_id, m, k,
+       |   row_number() OVER (PARTITION BY vec_id, m ORDER BY ip DESC, k DESC) AS rk
+       |  FROM subdots) t WHERE rk = 1),
+       |recon AS (
+       | SELECT c.vec_id, flatten(list(cb.v ORDER BY c.m)) AS r
+       | FROM codes c JOIN cb ON cb.m = c.m AND cb.k = c.k
+       | GROUP BY c.vec_id),
+       |pqtop AS (
+       | SELECT query_id, vec_id FROM (
+       |  SELECT q.vec_id AS query_id, r.vec_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY round(list_cosine_similarity(q.emb, r.r), 6) DESC, r.vec_id) AS rank
+       |  FROM e q JOIN recon r ON q.vec_id < $NQueries AND r.vec_id <> q.vec_id) t
+       | WHERE rank <= $TopK)
+       |SELECT query_id, CAST(count(*) AS BIGINT) AS n_expected,
+       | CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       | round(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |   / count(*), 6) AS recall
+       |FROM ($annBruteForceSql) x
+       |LEFT JOIN pqtop p USING (query_id, vec_id)
+       |GROUP BY query_id ORDER BY query_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("n9_pq_adc", pqAdcRecall, Some(pqAdcRecallSql),
+      "product quantization (8 subspaces x 16 codewords, 32x compression) + asymmetric-distance top-k, per-query recall vs the exact n1 baseline in exact integer accounting"),
     Q("n8_semantic_decontam", semanticDecontam, Some(semanticDecontamSql),
       s"embedding-space decontamination: max cosine of each corpus vector vs a broadcast eval slice, flagged at $DecontamThreshold — the semantic twin of x7 (training-data extension)"),
     Q("n7_ann_recall", annRecall, Some(annRecallSql),

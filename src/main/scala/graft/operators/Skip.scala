@@ -176,14 +176,17 @@ object Skip {
     graft.Scratch.materialize(spark, "events_zorder", ZLayoutVersion, dir) {
       staging =>
         val ev = Catalog.events(spark, dir)
-        // dimension bounds: one tiny agg, driver state = 4 scalars
+        // dimension bounds: one tiny agg, driver state = 4 scalars.
+        // min/max are NULL over an empty table (the sequencePackAuto
+        // lesson) — any bounds work there, the layout writes zero rows
         val b = ev.agg(
           min(col("user_id")), max(col("user_id")),
           min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
           .head()
+        def at(i: Int, dflt: Long): Long = if (b.isNullAt(i)) dflt else b.getLong(i)
         val z = zkey(
-          bucket8(col("user_id"), b.getLong(0), b.getLong(1)),
-          bucket8(unix_timestamp(col("ts")), b.getLong(2), b.getLong(3)))
+          bucket8(col("user_id"), at(0, 0L), at(1, 1L)),
+          bucket8(unix_timestamp(col("ts")), at(2, 0L), at(3, 1L)))
         ev.withColumn("__z", z)
           .repartitionByRange(LayoutFiles, col("__z"))
           .sortWithinPartitions(col("__z"))

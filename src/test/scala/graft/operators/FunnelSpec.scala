@@ -72,4 +72,44 @@ class FunnelSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected a single hash exchange, got $exchanges:\n$plan")
   }
+
+  // --- w10 retention on a second hand-built fixture -----------------------
+
+  private lazy val retDir: String = {
+    val d = Files.createTempDirectory("retention").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(
+      // user 1: signs up Mon Jan 1, active same week, week 2, and week 2
+      // AGAIN (distinct-count must not double-count)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup"),
+      (2L, ts("2024-01-03 10:00:00"), 1L, "click"),
+      (3L, ts("2024-01-16 10:00:00"), 1L, "view"),
+      (4L, ts("2024-01-17 10:00:00"), 1L, "click"),
+      // user 2: same cohort week (signs up Wed Jan 3); pre-signup click
+      // on Jan 2 must NOT count (negative offset); active week 1
+      (5L, ts("2024-01-02 09:00:00"), 2L, "click"),
+      (6L, ts("2024-01-03 09:00:00"), 2L, "signup"),
+      (7L, ts("2024-01-11 09:00:00"), 2L, "view"),
+      // user 3: never signs up -> excluded entirely
+      (8L, ts("2024-01-04 08:00:00"), 3L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("retention: cohorts by signup week, whole-week offsets, pre-signup excluded") {
+    val rows = Monitoring.retention(spark, retDir).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // both users cohort to the Jan-1 Monday week
+    // offset 0: u1 (signup+click), u2 (signup) -> 2
+    assert(rows(("2024-01-01", 0L)) == 2)
+    // offset 1: u2's Jan-11 view (8d after Jan-3) AND u1's nothing -> 1
+    assert(rows(("2024-01-01", 1L)) == 1)
+    // offset 2: u1's Jan-16/17 events, distinct-counted once -> 1
+    assert(rows(("2024-01-01", 2L)) == 1)
+    // no other cells: u3 never signed up, u2's pre-signup click dropped
+    assert(rows.size == 3)
+  }
 }

@@ -44,13 +44,23 @@ class PlanInvariantsSpec extends SparkSuite {
     *   path for large eval suites);
     * - c1/c2: the profile's two aggregate passes (min/max or HLL pass,
     *   NDV pass) recombine as a 1-row × 1-broadcast-row crossJoin
-    *   (j7's shape).
+    *   (j7's shape);
+    * - z9: the decile-bounds scalar (ONE row of 9 percentiles)
+    *   crossJoins broadcast onto the token relation (j7's shape — the
+    *   corpus side is map-only after it);
+    * - a10: the global-count scalar crossJoins ONE broadcast row onto
+    *   the per-key exact counts (j7's shape; the sketch side is an
+    *   equi-join);
+    * - n9: the ADC scan is broadcast queries × reconstructed corpus
+    *   with a non-equi self-exclusion (n1's labeled shape — PQ changes
+    *   the bytes scanned, not the scan shape).
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
       "n2_cosine_pairs", "w8_gap_fill", "n7_ann_recall",
       "b1_bm25_topk", "b2_bm25_indexed", "b3_bm25_batch",
-      "n8_semantic_decontam", "c1_column_profile", "c2_profile_approx")
+      "n8_semantic_decontam", "c1_column_profile", "c2_profile_approx",
+      "z9_curriculum", "a10_heavy_hitters", "n9_pq_adc")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
