@@ -832,6 +832,57 @@ object Relational {
       .stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // O3 — MAD (median absolute deviation) robust outliers: the
+  // breakdown-resistant companion to o1's Tukey fences. Quartile fences
+  // move when HALF the tail is junk; the MAD's 50% breakdown point
+  // survives grossly contaminated feeds (Hampel's identifier — the
+  // robust-statistics standard for exactly the bad-sensor case o1
+  // screens for). Outlier: |x − med| > mad·1.4826·3 (the Gaussian
+  // consistency constant, written in the SAME multiplication order in
+  // both engines — float products are order-sensitive).
+  //
+  // Plan: three tiny-agg-broadcast-rescan passes (o1 pays two) — median
+  // per type, MAD per type over the deviation rescans, then the
+  // conditional count; every aggregate is per-type-tiny and every
+  // corpus-sized pass is map-side. The exact→approx percentile swap is
+  // o1/o2's documented trade.
+  // ---------------------------------------------------------------------
+  def madOutliersOf(events: DataFrame): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = events.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    events.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 1.4826 * 3,
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("n_outliers"),
+        col("med"), col("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliersOf(Catalog.events(spark, dir))
+
+  val madOutliersSql: String =
+    """WITH m AS (
+      | SELECT event_type, quantile_cont(value, 0.5) AS med
+      | FROM events GROUP BY event_type),
+      |md AS (
+      | SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      | FROM events JOIN m USING (event_type) GROUP BY event_type)
+      |SELECT event_type, count(*) AS n,
+      | CAST(sum(CASE WHEN abs(value - med) > mad * 1.4826 * 3
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      | med, mad
+      |FROM events JOIN m USING (event_type) JOIN md USING (event_type)
+      |GROUP BY event_type, med, mad ORDER BY event_type"""
+      .stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // H2 — per-type equal-width value histograms: the distribution snapshot
   // that pairs with o1's fences (drift shows up as mass moving between
   // buckets before it crosses a fence). Two passes, o1's shape: per-type
@@ -965,6 +1016,8 @@ object Relational {
       "Tukey-fence outlier accounting per metric type: exact quartiles, broadcast fences, map-side conditional count (monitoring + data-QA extension)"),
     Q("o2_outlier_approx", outlierBoundsApprox, Some(outlierBoundsApproxSql),
       "o1's approx_percentile deployment form driver-executed: approx-fence outlier counts judged against the exact counts inside a rank-error band, pinned to true by the oracle (data-QA extension)"),
+    Q("o3_mad_outliers", madOutliers, Some(madOutliersSql),
+      "MAD robust outlier accounting per metric type (Hampel identifier, 50% breakdown point): median + median-absolute-deviation via tiny-agg-broadcast-rescan passes, map-side conditional count (data-QA extension)"),
     Q("j10_salted_join", saltedSegmentActivity, Some(saltedSegmentActivitySql),
       "skew-mitigated salted equi-join: fact salt × replicated dim, result identical to the plain join (oracle = plain join)"),
     Q("f2_json_extract", jsonExtractStats, Some(jsonExtractStatsSql),

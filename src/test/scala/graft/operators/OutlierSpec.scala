@@ -30,6 +30,36 @@ class OutlierSpec extends SparkSuite {
     assert(rows("B") == ((4L, 0L, 10.0, 10.0)))
   }
 
+  test("o3 MAD: hand computation, and robustness where Tukey fences break down") {
+    // clean: [1..7] + wild 100: med of [1,2,3,4,5,6,7,100] = 4.5;
+    // adevs = [3.5,2.5,1.5,0.5,0.5,1.5,2.5,95.5] -> MAD = med = 2.0
+    // threshold 2*1.4826*3 = 8.8956 -> only 100 (adev 95.5) is out
+    val clean = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0).map(("A", _))
+    // contaminated: 6 good values near 10, FIVE junk at 1000 (38% of
+    // the feed. q3 lands inside the junk mass -> the Tukey hi fence
+    // blows past 1000 and o1 counts ZERO outliers; the median/MAD stay
+    // with the good mass and o3 still flags all 5)
+    val dirty = (Seq(9.0, 9.5, 10.0, 10.0, 10.5, 11.0) ++
+      Seq.fill(5)(1000.0)).map(("B", _))
+    val df = (clean ++ dirty).toDF("event_type", "value")
+    val mad = Relational.madOutliersOf(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(mad("A") == ((8L, 1L, 4.5, 2.0)))
+    // B sorted: [9, 9.5, 10, 10, 10.5, 11, 1000×5], n=11 -> med = v[5] = 11;
+    // adevs sorted [0, 0.5, 1, 1, 1.5, 2, 989×5] -> MAD = 2; threshold
+    // 2*1.4826*3 = 8.8956 -> the five 989-deviation rows flag
+    val (bn, bOut, bMed, bMad) = mad("B")
+    assert(bn == 11L && bOut == 5L, s"MAD must flag all junk: $bOut")
+    assert(bMed == 11.0 && bMad == 2.0)
+    // the same contaminated feed defeats the quartile fences
+    val tukeyB = Relational.outlierBoundsOf(df).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap.apply("B")
+    assert(tukeyB == 0L,
+      "expected the 38%-contaminated feed to defeat Tukey fences " +
+        s"(the scenario o3 exists for), got $tukeyB outliers")
+  }
+
   test("h2 buckets by equal width; max lands in the last bucket; w=0 collapses to bucket 0") {
     val events = (Seq(0.0, 1.0, 5.0, 9.9, 10.0).map(("A", _)) ++
       Seq(7.0, 7.0).map(("B", _)))
