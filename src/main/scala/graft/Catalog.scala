@@ -211,6 +211,30 @@ object Catalog {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a parquet table whose FILES carry evolved schemas — the
+    * long-lived-table reality at 100 TB: years of daily writes accrete
+    * columns, and old files simply lack the new ones. `mergeSchema`
+    * unions all footers (rows from pre-column files surface the column
+    * as NULL), then the result aligns to the caller's EXPECTED serving
+    * schema: expected-but-absent columns materialize as typed NULLs,
+    * narrower physical types cast up (INT history under a LONG
+    * contract), columns retired from the contract drop, and order pins
+    * to the contract — so downstream operators never see a
+    * write-history-dependent shape. Schema CONFLICTS (same column,
+    * incompatible types) still fail fast in the merge, which is the
+    * correct outcome: that is corruption, not evolution.
+    */
+  def readEvolved(spark: SparkSession, path: String,
+      expected: org.apache.spark.sql.types.StructType): DataFrame = {
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    val present = merged.schema.fieldNames.toSet
+    val aligned = expected.fields.toSeq.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    merged.select(aligned: _*)
+  }
+
   /** Storage metadata table — the engine-native mapping of the reference's
     * `pg_total_relation_size` / `pg_relation_size` introspection
     * (myapp/views.py:427-430,471; SURVEY.md §2.8): one row per registered
