@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -286,7 +287,112 @@ object Multimodal {
       |FROM fp GROUP BY payload_fp HAVING count(*) > 1
       |ORDER BY keeper_doc_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // M6 — content-defined chunking (CDC) dedup: SUB-file duplicate
+  // detection for binary media, the byte-level analogue of d7/d8's text
+  // granularity ladder and the technique behind LBFS/restic/FastCDC
+  // (Muthitacharoen et al. 2001). Fixed-size chunking breaks on the
+  // FIRST inserted byte (every later chunk shifts); CDC cuts where a
+  // hash of the TRAILING CdcWindow bytes hits a divisor condition, so
+  // boundaries depend only on LOCAL content and re-align immediately
+  // after an edit — the shift-invariance MultimodalSpec pins.
+  //
+  // Boundary rule: position i (byte index, ≥ CdcWindow) ends a chunk iff
+  // hash60(hex of bytes i−W+1..i) % CdcDivisor == 0; the payload end
+  // always closes the last chunk. Expected chunk length = CdcDivisor
+  // bytes. A chunk's key is the pipeline hash60 over its hex rendering
+  // (m5's portable-blob-fingerprint discipline), and a chunk counts as
+  // DUPLICATED only across ≥ 2 distinct docs (d8's cross-doc rule —
+  // internal repetition is not shareable storage).
+  //
+  // Plan/scale: hex + per-position window hashes are one codegen'd map
+  // pass over an exploded position relation (linear in payload bytes —
+  // the same cost class as scanning them); boundaries survive at ~1/D
+  // density, so everything after the filter is chunk-sized, not
+  // byte-sized. Shuffles: per-doc boundary window, chunk-key groupBy,
+  // per-doc rollup — all on 8-byte keys.
+  // ---------------------------------------------------------------------
+  val CdcWindow = 16
+  val CdcDivisor = 64
+
+  /** Per-doc CDC chunk spans (doc_id, len, key) over a media frame. */
+  def cdcChunksOf(media: DataFrame): DataFrame = {
+    val p = media
+      .filter(col("media").isNotNull && length(col("media")) > HeaderBytes)
+      .select(col("doc_id"),
+        hex(expr(s"substring(media, ${HeaderBytes + 1})")).as("hx"))
+      .withColumn("blen", (length(col("hx")) / 2).cast("long"))
+    val pos = p.select(col("doc_id"), col("hx"), col("blen"),
+      explode(when(col("blen") >= CdcWindow,
+        expr(s"sequence(CAST($CdcWindow AS BIGINT), blen)"))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as("i"))
+    val bnd = pos
+      .filter(pmod(TextOps.hash60(
+        expr(s"substring(hx, CAST(2*(i-$CdcWindow)+1 AS INT), ${2 * CdcWindow})")),
+        lit(CdcDivisor)) === 0)
+      .select(col("doc_id"), col("i").as("b"))
+    val allB = bnd.union(p.select(col("doc_id"), col("blen").as("b"))).distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+    allB
+      .withColumn("s", coalesce(lag(col("b"), 1).over(w), lit(0L)))
+      .filter(col("b") > col("s"))
+      .join(p.select(col("doc_id"), col("hx")), "doc_id")
+      .select(col("doc_id"), (col("b") - col("s")).as("len"),
+        TextOps.hash60(expr(
+          "substring(hx, CAST(2*s+1 AS INT), CAST(2*(b-s) AS INT))")).as("key"))
+  }
+
+  /** m6 gate: per-doc chunk accounting with cross-media duplicate mass. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcDedupOf(mediaTable(spark, dir))
+
+  def cdcDedupOf(media: DataFrame): DataFrame = {
+    val chunks = cdcChunksOf(media)
+    val shared = chunks.groupBy(col("key"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    chunks.join(shared, "key")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        coalesce(sum(when(col("ndocs") > 1, col("len"))), lit(0L))
+          .as("dup_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cdcDedupSql: String = {
+    val winHash = TextOps.hash60Sql(
+      s"substr(hx, CAST(2*(i-$CdcWindow)+1 AS INT), ${2 * CdcWindow})")
+    val chunkHash = TextOps.hash60Sql("substr(hx, CAST(2*s+1 AS INT), CAST(2*(e-s) AS INT))")
+    s"""WITH p AS (
+       | SELECT doc_id, hex(encode(text)) AS hx,
+       |  octet_length(encode(text)) AS blen
+       | FROM documents
+       | WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+       |pos AS (
+       | SELECT doc_id, hx, unnest(range($CdcWindow, blen + 1)) AS i FROM p),
+       |b AS (
+       | SELECT doc_id, i AS b FROM pos
+       | WHERE $winHash % $CdcDivisor = 0
+       | UNION SELECT doc_id, blen FROM p),
+       |sp AS (
+       | SELECT doc_id,
+       |  coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS s,
+       |  b AS e FROM b),
+       |k AS (
+       | SELECT sp.doc_id, (e - s) AS len, $chunkHash AS key
+       | FROM sp JOIN p USING (doc_id) WHERE e > s),
+       |st AS (SELECT key, count(DISTINCT doc_id) AS ndocs FROM k GROUP BY key)
+       |SELECT doc_id, count(*) AS n_chunks,
+       | CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       | CAST(coalesce(sum(CASE WHEN ndocs > 1 THEN len END), 0) AS BIGINT)
+       |   AS dup_bytes
+       |FROM k JOIN st USING (key)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("m6_cdc_dedup", cdcDedup, Some(cdcDedupSql),
+      "content-defined chunking (LBFS/FastCDC shape) over binary payloads: trailing-window hash boundaries, cross-media duplicate-chunk accounting — sub-file dedup granularity for media (training-data extension)"),
     Q("m5_media_dedup", mediaDedup, Some(mediaDedupSql),
       "exact media dedup by payload content hash — byte-identical blobs collapse to one keeper; portable md5-over-hex blob fingerprint, delta-sized duplicate report (training-data extension)"),
     Q("m1_decode_frames", decodeFrames, Some(decodeFramesSql),

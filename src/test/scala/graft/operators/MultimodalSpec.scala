@@ -74,4 +74,58 @@ class MultimodalSpec extends SparkSuite {
     assert((0 until 8).map(d => abc.getDouble(2 + d)) ==
       Seq(0.0, 0.333333, 0.333333, 0.333333, 0.0, 0.0, 0.0, 0.0))
   }
+
+  // --- m6 content-defined chunking ---------------------------------------
+
+  private def mediaOf(texts: (Long, String)*) = {
+    import spark.implicits._
+    Multimodal.mediaTableOf(texts.toSeq.toDF("doc_id", "text"))
+  }
+
+  private def chunksOf(texts: (Long, String)*): Map[Long, Seq[(Long, Long)]] =
+    Multimodal.cdcChunksOf(mediaOf(texts: _*)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+
+  test("m6 chunk lengths tile the payload exactly; short payloads = 1 chunk") {
+    val base = ("x" * 500) + ("the quick brown fox " * 40)
+    val got = chunksOf(1L -> base, 2L -> "tiny")
+    assert(got(1L).map(_._1).sum == base.getBytes("UTF-8").length.toLong)
+    // payloads shorter than the window can have no interior boundary
+    assert(got(2L) == Seq((4L, got(2L).head._2)))
+  }
+
+  test("m6 shift-invariance: a front insertion re-syncs; fixed-size would not") {
+    // same long tail, different-length prefixes -> after the CDC window
+    // re-syncs inside the tail, chunking must realign and the docs share
+    // their tail chunks (the entire reason CDC exists). The tail must be
+    // content-VARIED: a repeating phrase has only |phrase| distinct
+    // windows, which can statistically miss the 1/64 boundary condition
+    // entirely
+    val tail = (1 to 600).map(i => s"token$i word${i * 7 % 97}").mkString(" ")
+    val got = chunksOf(10L -> ("AAA" + tail), 11L -> ("BBBBBBBBBB" + tail))
+    val keys10 = got(10L).map(_._2).toSet
+    val keys11 = got(11L).map(_._2).toSet
+    val shared = keys10.intersect(keys11)
+    assert(shared.nonEmpty,
+      s"no shared chunks after a prefix edit: ${got(10L).size}/${got(11L).size} chunks")
+    // the overwhelming majority of the tail's chunk mass re-aligns
+    assert(shared.size * 2 >= keys10.size,
+      s"only ${shared.size} of ${keys10.size} chunks re-aligned")
+  }
+
+  test("m6 dedup accounting: identical payloads share every chunk, cross-doc only") {
+    import spark.implicits._
+    val text = ("shared payload body " * 50)
+    val rows = Multimodal.cdcDedupOf(mediaOf(1L -> text, 2L -> text, 3L -> "solo unlike anything"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val bytes = text.getBytes("UTF-8").length.toLong
+    Seq(1L, 2L).foreach { d =>
+      val (n, dup, db) = rows(d)
+      assert(n > 0 && dup == n && db == bytes,
+        s"doc $d: all $n chunks must be shared, got $dup / $db bytes")
+    }
+    val (n3, dup3, db3) = rows(3L)
+    assert(n3 >= 1 && dup3 == 0L && db3 == 0L, "unique payload has no dup mass")
+  }
 }
