@@ -893,8 +893,60 @@ object Monitoring {
       |FROM c WHERE cohort_ts IS NOT NULL AND ts >= cohort_ts
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // A11 — time-decayed engagement (trending) scores: each event weighs
+  // 2^(−age_days) at the pinned as-of instant — a one-day half-life —
+  // so yesterday's click counts half of today's. The standard decayed
+  // counter behind "trending now" rails and activity leaderboards.
+  //
+  // Exactness (the x10 rule vs the textbook exp(−λ·age) form, whose
+  // transcendental diverges by ulps across engines): with integer day
+  // buckets the weights are DYADIC RATIONALS, so the score accumulates
+  // as an exact integer numerator over the common denominator 2^DecayCap
+  // — sum(1 << (cap − bucket)) in plain long arithmetic — and the ONLY
+  // float op is the final division, identical in both engines. Events
+  // older than DecayCap days carry weight < 2^−cap ≈ 0 and drop
+  // explicitly (both engines, same predicate) rather than shifting by a
+  // negative amount.
+  //
+  // Scale: one grouped sum of longs, map-side partials. The numerator
+  // is bounded by 2^cap × group rows — at 10^12-row groups swap the
+  // accumulator to DECIMAL(38,0) (c3's documented move); cap=40 leaves
+  // 2^23 rows of headroom in a long.
+  // ---------------------------------------------------------------------
+  val DecayCap = 40
+
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val age = (unix_timestamp(lit(Q.AsOfEnd)) - unix_timestamp(col("ts")))
+    val bucket = floor(age / 86400L)
+    Catalog.events(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") >= 0 && col("bucket") <= DecayCap)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr(s"shiftleft(1L, $DecayCap - CAST(bucket AS INT))")).as("num"))
+      .select(col("event_type"), col("n_events"),
+        (col("num").cast("double") / math.pow(2.0, DecayCap))
+          .as("decayed_score"))
+      .orderBy(col("event_type"))
+  }
+
+  val decayedEngagementSql: String =
+    s"""WITH b AS (
+       | SELECT event_type,
+       |  CAST(floor((epoch(TIMESTAMP '${Q.AsOfEnd}') - epoch(ts)) / 86400)
+       |    AS BIGINT) AS bucket
+       | FROM events)
+       |SELECT event_type, count(*) AS n_events,
+       | CAST(CAST(sum(1::BIGINT << CAST(($DecayCap - bucket) AS INT)) AS BIGINT)
+       |   AS DOUBLE) / ${math.pow(2.0, DecayCap)} AS decayed_score
+       |FROM b WHERE bucket >= 0 AND bucket <= $DecayCap
+       |GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("a11_decayed_engagement", decayedEngagement, Some(decayedEngagementSql),
+      "time-decayed (1-day half-life) engagement scores as exact dyadic rationals: integer numerator over 2^cap, the only float op is the final division — trending/leaderboard extension"),
     Q("w10_retention", retention, Some(retentionSql),
       "cohort retention triangle: signup-week cohorts x whole-week activity offsets with exact distinct-user counts; one user window + one grouped distinct, two shuffles total (product-analytics extension)"),
     Q("w9_funnel", funnel, Some(funnelSql),

@@ -98,6 +98,26 @@ class FunnelSpec extends SparkSuite {
     d
   }
 
+  test("a11 decay: hand-computed dyadic weights; over-cap events drop") {
+    val d = Files.createTempDirectory("decay").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // as-of 2024-02-01 00:00: ages 0d, 1d, 2d, 2d -> 1 + 0.5 + 0.25 + 0.25
+    Seq(
+      (1L, ts("2024-01-31 12:00:00"), 1L, "click"),
+      (2L, ts("2024-01-30 12:00:00"), 1L, "click"),
+      (3L, ts("2024-01-29 12:00:00"), 2L, "click"),
+      (4L, ts("2024-01-29 18:00:00"), 2L, "click"),
+      // 80 days old: weight < 2^-40 -> dropped by the cap, not shifted
+      (5L, ts("2023-11-13 00:00:00"), 3L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.parquet(s"$d/events.parquet")
+    val r = Monitoring.decayedEngagement(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 4, "the over-cap event must not count")
+    assert(r.head.getDouble(2) == 2.0, s"exact dyadic sum, got ${r.head.getDouble(2)}")
+  }
+
   test("retention: cohorts by signup week, whole-week offsets, pre-signup excluded") {
     val rows = Monitoring.retention(spark, retDir).collect()
       .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2))
