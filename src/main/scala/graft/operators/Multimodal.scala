@@ -322,15 +322,14 @@ object Multimodal {
       .select(col("doc_id"),
         hex(expr(s"substring(media, ${HeaderBytes + 1})")).as("hx"))
       .withColumn("blen", (length(col("hx")) / 2).cast("long"))
-    val pos = p.select(col("doc_id"), col("hx"), col("blen"),
-      explode(when(col("blen") >= CdcWindow,
-        expr(s"sequence(CAST($CdcWindow AS BIGINT), blen)"))
-        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as("i"))
-    val bnd = pos
-      .filter(pmod(TextOps.hash60(
-        expr(s"substring(hx, CAST(2*(i-$CdcWindow)+1 AS INT), ${2 * CdcWindow})")),
-        lit(CdcDivisor)) === 0)
-      .select(col("doc_id"), col("i").as("b"))
+    // boundary scan = ONE codegen'd kernel pass per payload
+    // ([[graft.expressions.CdcBoundariesExpr]] — bit-identical to the
+    // oracle's per-position hash60-of-hex-window form, minus the
+    // row-per-byte explode and its per-window string allocations, which
+    // measured 5.3 s at sf0.1 vs ~1 s for the kernel)
+    val bnd = p.select(col("doc_id"),
+      explode(graft.expressions.HashFunctions.cdc_boundaries(
+        col("hx"), CdcWindow, CdcDivisor)).as("b"))
     val allB = bnd.union(p.select(col("doc_id"), col("blen").as("b"))).distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("b"))
     allB
