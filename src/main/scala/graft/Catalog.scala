@@ -227,9 +227,14 @@ object Catalog {
   def readEvolved(spark: SparkSession, path: String,
       expected: org.apache.spark.sql.types.StructType): DataFrame = {
     val merged = spark.read.option("mergeSchema", "true").parquet(path)
-    val present = merged.schema.fieldNames.toSet
+    // presence must match Spark's own (default case-INsensitive) column
+    // resolution — an exact-string check would silently NULL a contract
+    // column whose physical spelling differs only in case, when a plain
+    // select would have resolved it
+    val present = merged.schema.fieldNames.map(_.toLowerCase).toSet
     val aligned = expected.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (present.contains(f.name.toLowerCase))
+        col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }
     merged.select(aligned: _*)

@@ -887,8 +887,8 @@ object Monitoring {
       |    OVER (PARTITION BY user_id) AS cohort_ts
       | FROM events)
       |SELECT CAST(date_trunc('week', cohort_ts) AS TIMESTAMP) AS cohort_week,
-      | CAST(floor((epoch(ts) - epoch(cohort_ts)) / 604800) AS BIGINT)
-      |   AS week_offset,
+      | CAST(floor((floor(epoch(ts)) - floor(epoch(cohort_ts))) / 604800)
+      |   AS BIGINT) AS week_offset,
       | CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
       |FROM c WHERE cohort_ts IS NOT NULL AND ts >= cohort_ts
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
@@ -934,8 +934,8 @@ object Monitoring {
   val decayedEngagementSql: String =
     s"""WITH b AS (
        | SELECT event_type,
-       |  CAST(floor((epoch(TIMESTAMP '${Q.AsOfEnd}') - epoch(ts)) / 86400)
-       |    AS BIGINT) AS bucket
+       |  CAST(floor((epoch(TIMESTAMP '${Q.AsOfEnd}')
+       |    - floor(epoch(ts))) / 86400) AS BIGINT) AS bucket
        | FROM events)
        |SELECT event_type, count(*) AS n_events,
        | CAST(CAST(sum(1::BIGINT << CAST(($DecayCap - bucket) AS INT)) AS BIGINT)

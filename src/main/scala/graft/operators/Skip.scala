@@ -57,51 +57,68 @@ object Skip {
           .write.parquet(staging)
     }
 
-  /** The per-file zonemap relation for the clustered layout: one
-    * aggregation pass grouped by `_metadata.file_path`.
+  // --- shared zonemap scaffold (s22 linear + s23 z-order + any future
+  // --- clustered layout): stats build, stats-filtered file selection,
+  // --- selected-files scan with the empty fallback -----------------------
+
+  /** Per-file zonemap builder: one aggregation pass grouped by
+    * `_metadata.file_path`, coalesced to one metadata-sized artifact.
     */
-  private[operators] def fileStats(spark: SparkSession, dir: String): String = {
-    val layout = clusteredEvents(spark, dir)
-    graft.Scratch.materialize(spark, "events_tsrange_stats", LayoutVersion, dir) {
-      staging =>
-        spark.read.schema(Catalog.events(spark, dir).schema).parquet(layout)
-          .groupBy(col("_metadata.file_path").as("file"))
-          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
-            count(lit(1)).as("nrows"))
-          .coalesce(1).write.parquet(staging)
+  private def buildFileStats(spark: SparkSession, dir: String, layout: String,
+      name: String, version: String, aggs: Seq[Column]): String =
+    graft.Scratch.materialize(spark, name, version, dir) { staging =>
+      spark.read.schema(Catalog.events(spark, dir).schema).parquet(layout)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1).write.parquet(staging)
     }
+
+  /** File paths whose zonemap row satisfies `pred` — the filter runs in
+    * Spark over the stats relation; only matching paths reach the driver.
+    */
+  private def matchingFiles(spark: SparkSession, statsPath: String,
+      schema: StructType, pred: Column): Seq[String] =
+    spark.read.schema(schema).parquet(statsPath)
+      .filter(pred).select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Open exactly `sel` with the events schema; zero files → an empty
+    * relation WITH the schema (explicit: a pruned-to-nothing read must
+    * not depend on footer inference).
+    */
+  private def scanSelected(spark: SparkSession, dir: String,
+      sel: Seq[String]): DataFrame = {
+    val schema = Catalog.events(spark, dir).schema
+    if (sel.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(sel: _*)
   }
 
+  /** The per-file zonemap relation for the clustered layout. */
+  private[operators] def fileStats(spark: SparkSession, dir: String): String =
+    buildFileStats(spark, dir, clusteredEvents(spark, dir),
+      "events_tsrange_stats", LayoutVersion,
+      Seq(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+        count(lit(1)).as("nrows")))
+
   /** File paths whose [lo, hi] range intersects the half-open window
-    * [loTs, hiTs) — the filter runs in Spark over the stats relation; only
-    * matching paths reach the driver.
+    * [loTs, hiTs).
     */
   private[operators] def selectFiles(spark: SparkSession, dir: String,
       loTs: String, hiTs: String): Seq[String] =
-    spark.read.schema(statsSchema).parquet(fileStats(spark, dir))
-      .filter(col("hi") >= lit(loTs).cast("timestamp") &&
+    matchingFiles(spark, fileStats(spark, dir), statsSchema,
+      col("hi") >= lit(loTs).cast("timestamp") &&
         col("lo") < lit(hiTs).cast("timestamp"))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
 
   /** Windowed scan over the clustered layout opening ONLY intersecting
     * files, with the exact predicate re-applied (zonemaps overapproximate:
     * a file may intersect the window without every row matching).
     */
   def skipScan(spark: SparkSession, dir: String,
-      loTs: String, hiTs: String): DataFrame = {
-    val schema = Catalog.events(spark, dir).schema
-    val sel = selectFiles(spark, dir, loTs, hiTs)
-    val base =
-      if (sel.isEmpty)
-        // zero intersecting files — an empty relation with the table
-        // schema (explicit schema: a pruned-to-nothing read must not
-        // depend on footer inference)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(sel: _*)
-    base.filter(col("ts") >= lit(loTs).cast("timestamp") &&
-      col("ts") < lit(hiTs).cast("timestamp"))
-  }
+      loTs: String, hiTs: String): DataFrame =
+    scanSelected(spark, dir, selectFiles(spark, dir, loTs, hiTs))
+      .filter(col("ts") >= lit(loTs).cast("timestamp") &&
+        col("ts") < lit(hiTs).cast("timestamp"))
 
   // gate window: a 6-hour mid-horizon slice (events span Jan 2024)
   val GateLo = "2024-01-10 00:00:00"
@@ -195,19 +212,12 @@ object Skip {
     }
 
   /** Two-dimensional per-file zonemaps for the z-order layout. */
-  private[operators] def zFileStats(spark: SparkSession, dir: String): String = {
-    val layout = zClusteredEvents(spark, dir)
-    graft.Scratch.materialize(spark, "events_zorder_stats", ZLayoutVersion, dir) {
-      staging =>
-        spark.read.schema(Catalog.events(spark, dir).schema).parquet(layout)
-          .groupBy(col("_metadata.file_path").as("file"))
-          .agg(
-            min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
-            min(col("ts")).as("t_lo"), max(col("ts")).as("t_hi"),
-            count(lit(1)).as("nrows"))
-          .coalesce(1).write.parquet(staging)
-    }
-  }
+  private[operators] def zFileStats(spark: SparkSession, dir: String): String =
+    buildFileStats(spark, dir, zClusteredEvents(spark, dir),
+      "events_zorder_stats", ZLayoutVersion,
+      Seq(min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+        min(col("ts")).as("t_lo"), max(col("ts")).as("t_hi"),
+        count(lit(1)).as("nrows")))
 
   /** Files whose 2-D zonemap rectangle intersects the query rectangle
     * (user_id in [uLo, uHi] × ts in [loTs, hiTs)). An unconstrained
@@ -216,7 +226,6 @@ object Skip {
     */
   private[operators] def selectFilesZ(spark: SparkSession, dir: String,
       users: Option[(Long, Long)], window: Option[(String, String)]): Seq[String] = {
-    val stats = spark.read.schema(zStatsSchema).parquet(zFileStats(spark, dir))
     val uPred = users.map { case (lo, hi) =>
       col("u_hi") >= lo && col("u_lo") <= hi
     }.getOrElse(lit(true))
@@ -224,8 +233,7 @@ object Skip {
       col("t_hi") >= lit(lo).cast("timestamp") &&
         col("t_lo") < lit(hi).cast("timestamp")
     }.getOrElse(lit(true))
-    stats.filter(uPred && tPred).select(col("file"))
-      .collect().map(_.getString(0)).toSeq
+    matchingFiles(spark, zFileStats(spark, dir), zStatsSchema, uPred && tPred)
   }
 
   /** 2-D skip scan: open only rectangle-intersecting files, re-apply the
@@ -233,20 +241,14 @@ object Skip {
     */
   def zSkipScan(spark: SparkSession, dir: String,
       users: Option[(Long, Long)], window: Option[(String, String)]): DataFrame = {
-    val schema = Catalog.events(spark, dir).schema
-    val sel = selectFilesZ(spark, dir, users, window)
-    val base =
-      if (sel.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(sel: _*)
     val uPred = users.map { case (lo, hi) =>
       col("user_id") >= lo && col("user_id") <= hi
     }.getOrElse(lit(true))
     val tPred = window.map { case (lo, hi) =>
       col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")
     }.getOrElse(lit(true))
-    base.filter(uPred && tPred)
+    scanSelected(spark, dir, selectFilesZ(spark, dir, users, window))
+      .filter(uPred && tPred)
   }
 
   // gate rectangle: a user slice crossed with a mid-horizon fortnight —
