@@ -105,7 +105,26 @@ object GraftExtensions {
       one(QualityStatsExpr(_, graft.operators.TextOps.Stopwords))),
     ("norm_text", info("norm_text",
       "norm_text(text) - zero-width strip + ROOT-locale lowercase + NFC + whitespace collapse (in that order)"),
-      one(NormText)))
+      one(NormText)),
+    ("window_hash60", info("window_hash60",
+      "window_hash60(text[, k]) - positional 60-bit k-word window hashes (overlapping, duplicates kept)"),
+      es => es match {
+        case Seq(text) => WindowHash60(text, graft.operators.Dedup.ChunkTokens)
+        case Seq(text, k) => WindowHash60(text, intLit(k, "window_hash60"))
+        case _ => throw new IllegalArgumentException(
+          "window_hash60 expects (text) or (text, k)")
+      }),
+    ("cdc_boundaries", info("cdc_boundaries",
+      "cdc_boundaries(hex_text[, w, d]) - content-defined chunk boundary byte positions over a hex payload rendering"),
+      es => es match {
+        case Seq(hx) => CdcBoundariesExpr(hx,
+          graft.operators.Multimodal.CdcWindow,
+          graft.operators.Multimodal.CdcDivisor.toLong)
+        case Seq(hx, w, d) => CdcBoundariesExpr(hx,
+          intLit(w, "cdc_boundaries"), intLit(d, "cdc_boundaries").toLong)
+        case _ => throw new IllegalArgumentException(
+          "cdc_boundaries expects (hex_text) or (hex_text, w, d)")
+      }))
 
   /** Imperative registration for an existing session: the SQL functions
     * AND the optimizer rule, so conf-less sessions get the same plans as

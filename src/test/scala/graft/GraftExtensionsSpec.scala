@@ -69,4 +69,22 @@ class GraftExtensionsSpec extends SparkSuite {
     }
     assert(viaSql == viaApi && viaSql.length == 3)
   }
+
+  test("cdc_boundaries and window_hash60 SQL forms match the column API") {
+    GraftExtensions.registerAll(spark)
+    import org.apache.spark.sql.functions._
+    val hx = "AB" * 200 // 200 identical payload bytes
+    val viaSql = spark.sql(s"SELECT cdc_boundaries('$hx') AS b").head().getSeq[Long](0)
+    val viaApi = spark.range(1)
+      .select(expressions.HashFunctions.cdc_boundaries(
+        lit(hx), operators.Multimodal.CdcWindow,
+        operators.Multimodal.CdcDivisor).as("b"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaApi)
+    // explicit-arg form with divisor 1: EVERY position from w on
+    val all = spark.sql(s"SELECT cdc_boundaries('$hx', 4, 1) AS b").head().getSeq[Long](0)
+    assert(all == (4L to 200L))
+    val wh = spark.sql("SELECT window_hash60('a b c d', 2) AS h").head().getSeq[Long](0)
+    assert(wh.length == 3)
+  }
 }
