@@ -97,4 +97,18 @@ class PlanInvariantsSpec extends SparkSuite {
     val scans = "events\\.parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected 1 events scan, plan has $scans")
   }
+
+  test("w10/a11 hold their shuffle budgets (2 and 1 exchanges)") {
+    // the SCALE.md claims as plan assertions: retention = one user window
+    // + one grouped distinct (no cohort join back); decay = one grouped
+    // sum of longs
+    def exchanges(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    }
+    assert(exchanges("w10_retention") <= 2,
+      s"w10 grew a shuffle: ${exchanges("w10_retention")}")
+    assert(exchanges("a11_decayed_engagement") == 1)
+  }
 }
