@@ -227,13 +227,15 @@ object Catalog {
   def readEvolved(spark: SparkSession, path: String,
       expected: org.apache.spark.sql.types.StructType): DataFrame = {
     val merged = spark.read.option("mergeSchema", "true").parquet(path)
-    // presence must match Spark's own (default case-INsensitive) column
-    // resolution — an exact-string check would silently NULL a contract
-    // column whose physical spelling differs only in case, when a plain
-    // select would have resolved it
-    val present = merged.schema.fieldNames.map(_.toLowerCase).toSet
+    // presence must match Spark's OWN column resolution — the session
+    // resolver follows spark.sql.caseSensitive and is locale-independent,
+    // where an exact-string (or default-locale-lowercased) check would
+    // silently NULL a column a plain select resolves, or claim presence
+    // for one it doesn't
+    val resolver = spark.sessionState.analyzer.resolver
+    val physical = merged.schema.fieldNames.toSeq
     val aligned = expected.fields.toSeq.map { f =>
-      if (present.contains(f.name.toLowerCase))
+      if (physical.exists(resolver(_, f.name)))
         col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }

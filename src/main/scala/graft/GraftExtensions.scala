@@ -109,7 +109,11 @@ object GraftExtensions {
     ("window_hash60", info("window_hash60",
       "window_hash60(text[, k]) - positional 60-bit k-word window hashes (overlapping, duplicates kept)"),
       es => es match {
-        case Seq(text) => WindowHash60(text, graft.operators.Dedup.ChunkTokens)
+        // one-arg default = the d8 engine constant (SpanTokens, the
+        // exact-substring-dedup window the only engine consumer uses) —
+        // the winnow_fingerprints lesson: a mismatched default makes SQL
+        // streams silently join nothing against the persisted relation
+        case Seq(text) => WindowHash60(text, graft.operators.Dedup.SpanTokens)
         case Seq(text, k) => WindowHash60(text, intLit(k, "window_hash60"))
         case _ => throw new IllegalArgumentException(
           "window_hash60 expects (text) or (text, k)")

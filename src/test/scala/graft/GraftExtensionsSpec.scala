@@ -86,5 +86,15 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(all == (4L to 200L))
     val wh = spark.sql("SELECT window_hash60('a b c d', 2) AS h").head().getSeq[Long](0)
     assert(wh.length == 3)
+    // the one-arg default must be the d8 ENGINE constant (SpanTokens),
+    // not some other module's window — the winnow_fingerprints lesson
+    val text = (1 to 12).map(i => s"t$i").mkString(" ")
+    val viaDefault = spark.sql(s"SELECT window_hash60('$text') AS h")
+      .head().getSeq[Long](0)
+    val viaEngine = spark.range(1)
+      .select(expressions.HashFunctions.window_hash60(
+        lit(text), operators.Dedup.SpanTokens).as("h"))
+      .head().getSeq[Long](0)
+    assert(viaDefault == viaEngine && viaDefault.length == 12 - operators.Dedup.SpanTokens + 1)
   }
 }

@@ -98,17 +98,21 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(scans == 1, s"expected 1 events scan, plan has $scans")
   }
 
-  test("w10/a11 hold their shuffle budgets (2 and 1 exchanges)") {
+  test("w10/a11 hold their shuffle budgets (2 and 1 work exchanges)") {
     // the SCALE.md claims as plan assertions: retention = one user window
     // + one grouped distinct (no cohort join back); decay = one grouped
-    // sum of longs
+    // sum of longs. ALL Exchange flavors count (a regression to range or
+    // single partitioning is still a shuffle) — each query's trailing
+    // ORDER BY legitimately adds one rangepartitioning presentation sort
+    // on top of the work budget.
     def exchanges(name: String): Int = {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
-      "Exchange hashpartitioning".r.findAllIn(plan).length
+      "Exchange ".r.findAllIn(plan).length
     }
-    assert(exchanges("w10_retention") <= 2,
+    assert(exchanges("w10_retention") <= 3,
       s"w10 grew a shuffle: ${exchanges("w10_retention")}")
-    assert(exchanges("a11_decayed_engagement") == 1)
+    assert(exchanges("a11_decayed_engagement") <= 2,
+      s"a11 grew a shuffle: ${exchanges("a11_decayed_engagement")}")
   }
 }
