@@ -280,7 +280,66 @@ object Search {
        |ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // B4 — exact PHRASE search: "these tokens, consecutively" — the classic
+  // retrieval step BM25's bag-of-words scoring cannot express (b1 ranks a
+  // doc containing "scan ... table" identically to one containing
+  // "table scan"). Positional postings via one `posexplode` map pass,
+  // pruned to the phrase's terms BEFORE any shuffle, then the Lucene
+  // phrase-query shape re-expressed relationally: word i at position p
+  // anchors an occurrence at p − i, so an exact occurrence is an
+  // EQUI-join of the per-word posting arms on (doc_id, anchor) — no
+  // positional inequality, no window, no per-doc array crunching at
+  // match time. Engines disagree on position BASE (posexplode is
+  // 0-based, DuckDB ordinality 1-based) but anchors only ever meet
+  // anchors from the same engine — only doc_id and counts cross the
+  // hash compare.
+  //
+  // Scale: the join arms are each O(df(word)) rows of 16 bytes; a
+  // deployment persists the positional postings exactly like b2's
+  // (tok-sorted, partition-pruned) relation — same Scratch discipline,
+  // positions are one extra INT column.
+  // ---------------------------------------------------------------------
+  val Phrase: Seq[String] = Seq("table", "scan")
+
+  def phraseSearchOf(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    val pos = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+    val arms = phrase.zipWithIndex.map { case (w, i) =>
+      pos.filter(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - i).as("anchor"))
+    }
+    arms.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("doc_id"))
+  }
+
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchOf(graft.Catalog.documents(spark, dir), Phrase)
+
+  val phraseSearchSql: String = {
+    val arms = Phrase.zipWithIndex.map { case (w, i) =>
+      s"(SELECT doc_id, pos - $i AS anchor FROM toks WHERE tok = '$w')"
+    }
+    val joined = arms.head + arms.tail
+      .map(a => s" JOIN $a USING (doc_id, anchor)").mkString
+    s"""WITH base AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       | FROM documents WHERE text IS NOT NULL),
+       |idx AS (
+       | SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos FROM base),
+       |toks AS (SELECT doc_id, tk[pos] AS tok, pos FROM idx)
+       |SELECT doc_id, count(*) AS n_occurrences
+       |FROM $joined
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("b4_phrase_search", phraseSearch, Some(phraseSearchSql),
+      "exact phrase search via positional postings + the anchor equi-join (word i at pos p anchors p-i): the consecutive-tokens semantics bag-of-words BM25 cannot express (training-data extension)"),
     Q("b1_bm25_topk", bm25TopK, Some(bm25TopKSql),
       "BM25 keyword retrieval top-k: bit-quantized idf + exact-rational tf saturation in integer micro-points; per-term postings pruned before the shuffle (training-data extension)"),
     Q("b2_bm25_indexed", bm25Indexed, Some(bm25TopKSql),

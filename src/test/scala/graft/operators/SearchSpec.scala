@@ -145,4 +145,23 @@ class SearchSpec extends SparkSuite {
     assert(byId(1L)._3 == byId(2L)._3 + byId(3L)._3)
     assert(!byId.contains(4L))
   }
+
+  test("b4 phrase: consecutive-only, multi-occurrence, overlap, repeated-word") {
+    val docs = Seq(
+      (1L, "a table scan here"),           // one occurrence
+      (2L, "scan table"),                  // reversed -> no match
+      (3L, "table then scan"),             // gap -> no match
+      (4L, "table scan and table scan"),   // two occurrences
+      (5L, "table table scan"),            // anchor overlap -> one
+      (6L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    val got = Search.phraseSearchOf(docs, Seq("table", "scan")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 4L -> 2L, 5L -> 1L))
+    // repeated-word phrase: overlapping occurrences each count
+    val rep = Search.phraseSearchOf(
+      Seq((1L, "scan scan scan")).toDF("doc_id", "text"), Seq("scan", "scan"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(1L -> 2L))
+  }
 }
