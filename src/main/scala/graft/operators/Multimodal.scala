@@ -86,10 +86,15 @@ object Multimodal {
   def decodeFramesCore(spark: SparkSession, dir: String): DataFrame =
     decodeFramesOf(mediaTable(spark, dir))
 
-  /** The decode pass over an explicit media relation (spec entry point). */
+  /** The decode pass over an explicit media relation (spec entry point).
+    * NULL blobs are excluded BEFORE the kernel (the m5/m6 discipline —
+    * there is nothing to decode, and a partition-mapped codec must never
+    * die on one hollow row); a production ingest routes them to a
+    * quarantine relation instead.
+    */
   def decodeFramesOf(media: DataFrame): DataFrame = {
     val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(frameSchema)
-    val out = media.mapPartitions { rows =>
+    val out = media.filter(col("media").isNotNull).mapPartitions { rows =>
       // per-partition decoder init would go here
       rows.map(r => decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
     }(enc)
@@ -117,7 +122,8 @@ object Multimodal {
       |   [CAST('0x' || substr(hx, 2*i-1, 2) AS INT) for i in range(1, n + 1)],
       |   'sum')::DOUBLE / n, 6) AS mean_byte
       |FROM (SELECT doc_id, source, hex(encode(text)) AS hx,
-      |        octet_length(encode(text)) AS n FROM documents) t
+      |        octet_length(encode(text)) AS n FROM documents
+      |      WHERE text IS NOT NULL) t
       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
   /** "Resize" planning: bucket frames into target resolutions and count —
@@ -137,7 +143,7 @@ object Multimodal {
   val resizePlanSql: String =
     """SELECT CASE WHEN width >= 64 THEN '64x48' WHEN width >= 32 THEN '32x24' ELSE '16x12' END AS target,
       | count(*) AS n_frames, round(avg(payload_bytes), 6) AS avg_payload
-      |FROM (SELECT (doc_id % 64 + 16)::INT AS width, octet_length(encode(text))::INT AS payload_bytes FROM documents) t
+      |FROM (SELECT (doc_id % 64 + 16)::INT AS width, octet_length(encode(text))::INT AS payload_bytes FROM documents WHERE text IS NOT NULL) t
       |GROUP BY 1 ORDER BY target""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
