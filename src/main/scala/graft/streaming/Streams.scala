@@ -318,6 +318,90 @@ object Sessionize {
   }
 }
 
+/** One funnel progression row: emitted once per user when the quiet
+  * horizon elapses — the streaming twin of
+  * [[graft.operators.Monitoring.funnel]]'s per-user output.
+  */
+case class FunnelResult(user_id: Long, signup_ts: Option[java.sql.Timestamp],
+    click_ts: Option[java.sql.Timestamp],
+    purchase_ts: Option[java.sql.Timestamp], reached_step: Long)
+
+/** Per-user funnel state between micro-batches. The batch funnel's closed
+  * form is t1 = min signup, t2 = min click > t1, t3 = min purchase > t2
+  * — each a MINIMUM, so late data can only LOWER them, and a lowered t1
+  * can newly QUALIFY a click the machine already saw (ditto t2 for
+  * purchases). Exactness under lateness therefore needs candidate pools,
+  * but bounded ones: a future signup carries ts ≥ watermark, so only
+  * clicks with ts ≥ watermark can ever be re-qualified by it — older
+  * buffered candidates prune every batch, and the current t2/t3 minima
+  * fold in as scalar candidates (they stay valid under any lower t1/t2).
+  * State is watermark-delay-bounded, never stream-lifetime-bounded (the
+  * AsofState argument).
+  */
+case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long],
+    clicks: List[Long], purchases: List[Long], lastTs: Long)
+
+object StreamingFunnel {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** Streaming ordered funnel over [[SessionEvent]]s: per user, the first
+    * signup, first click strictly after it, first purchase strictly after
+    * that — w9's exact semantics maintained incrementally, emitted once
+    * per user when `quietMs` of event-time inactivity elapses.
+    */
+  def funnel(events: Dataset[SessionEvent], quietMs: Long): Dataset[FunnelResult] = {
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[FunnelResult]
+    import events.sparkSession.implicits._
+
+    def minOpt(a: Option[Long], b: Option[Long]): Option[Long] =
+      (a.toList ++ b.toList).minOption
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent],
+            state: GroupState[FunnelState]) =>
+          val st = state.getOption
+            .getOrElse(FunnelState(None, None, None, Nil, Nil, Long.MinValue))
+          val evs = batch.toSeq
+          val wm = state.getCurrentWatermarkMs()
+
+          val t1 = minOpt(st.t1,
+            evs.filter(_.event_type == "signup").map(_.ts.getTime)
+              .minOption)
+          // candidate pools: buffered + this batch; the previous minima
+          // ride along as scalars (valid under any lowered threshold)
+          val clickPool = st.clicks ++ st.t2 ++
+            evs.filter(_.event_type == "click").map(_.ts.getTime)
+          val t2 = t1.flatMap(c1 => clickPool.filter(_ > c1).minOption)
+          val purchasePool = st.purchases ++ st.t3 ++
+            evs.filter(_.event_type == "purchase").map(_.ts.getTime)
+          val t3 = t2.flatMap(c2 => purchasePool.filter(_ > c2).minOption)
+
+          val lastTs = (st.lastTs +: evs.map(_.ts.getTime)).max
+          if (state.hasTimedOut || (lastTs != Long.MinValue && lastTs + quietMs <= wm)) {
+            state.remove()
+            val ts = (o: Option[Long]) => o.map(new java.sql.Timestamp(_))
+            Iterator.single(FunnelResult(userId, ts(t1), ts(t2), ts(t3),
+              if (t3.isDefined) 3L else if (t2.isDefined) 2L
+              else if (t1.isDefined) 1L else 0L))
+          } else {
+            // prune: only candidates a FUTURE (ts >= wm) signup/click
+            // could re-qualify need buffering
+            state.update(FunnelState(t1, t2, t3,
+              clickPool.filter(_ >= wm).distinct,
+              purchasePool.filter(_ >= wm).distinct, lastTs))
+            state.setTimeoutTimestamp(lastTs + quietMs)
+            Iterator.empty
+          }
+      }
+  }
+}
+
 /** One as-of enrichment result: a left-side event with the latest
   * right-side event time at or before its own (None when no right event
   * precedes it) — the streaming twin of

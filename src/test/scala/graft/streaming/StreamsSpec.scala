@@ -398,6 +398,72 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel matches w9, incl. late-signup re-qualification") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = StreamingFunnel.funnel(mem.toDS(), quietMs = 30 * 60 * 1000)
+    val q = out.writeStream.format("memory")
+      .queryName("funnel_test").outputMode("append").start()
+    try {
+      mem.addData(
+        // user 1: clean full conversion
+        SessionEvent(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
+        SessionEvent(2, ts("2024-01-01 10:05:00"), 1, "click", 0.0),
+        SessionEvent(3, ts("2024-01-01 10:10:00"), 1, "purchase", 0.0),
+        // user 2: click arrives BEFORE any signup is known
+        SessionEvent(4, ts("2024-01-01 10:02:00"), 2, "click", 0.0),
+        // user 3: click genuinely precedes the signup -> stops at 1
+        SessionEvent(5, ts("2024-01-01 09:00:00"), 3, "click", 0.0),
+        SessionEvent(6, ts("2024-01-01 09:30:00"), 3, "signup", 0.0))
+      q.processAllAvailable()
+      // user 2's LATE signup (within the watermark) must RE-QUALIFY the
+      // already-seen 10:02 click — the case the candidate pools exist
+      // for; a drop-early machine would report step 1
+      mem.addData(
+        SessionEvent(7, ts("2024-01-01 10:01:00"), 2, "signup", 0.0),
+        SessionEvent(8, ts("2024-01-01 10:03:00"), 2, "purchase", 0.0))
+      q.processAllAvailable()
+      // far-future event advances the watermark past every quiet horizon
+      mem.addData(SessionEvent(99, ts("2024-01-01 20:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_test").as[FunnelResult].collect()
+        .map(r => r.user_id -> r).toMap
+      assert(got.keySet == Set(1L, 2L, 3L), s"got ${got.keySet}")
+      assert(got(1L).reached_step == 3)
+      assert(got(2L).reached_step == 3 &&
+        got(2L).click_ts.contains(ts("2024-01-01 10:02:00")),
+        s"late signup must re-qualify the buffered click: ${got(2L)}")
+      assert(got(3L).reached_step == 1 && got(3L).click_ts.isEmpty)
+
+      // batch-twin equivalence: w9 over the same events agrees per user
+      val tmp = Files.createTempDirectory("graft-funnel-batch").toString
+      Seq(
+        (1L, "2024-01-01 10:00:00", 1L, "signup"),
+        (2L, "2024-01-01 10:05:00", 1L, "click"),
+        (3L, "2024-01-01 10:10:00", 1L, "purchase"),
+        (4L, "2024-01-01 10:02:00", 2L, "click"),
+        (7L, "2024-01-01 10:01:00", 2L, "signup"),
+        (8L, "2024-01-01 10:03:00", 2L, "purchase"),
+        (5L, "2024-01-01 09:00:00", 3L, "click"),
+        (6L, "2024-01-01 09:30:00", 3L, "signup"))
+        .toDF("event_id", "ts_str", "user_id", "event_type")
+        .select(col("event_id"),
+          (unix_timestamp(col("ts_str")) * 1000000000L).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val batch = graft.operators.Monitoring.funnel(spark, tmp).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)),
+          Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+          r.getLong(4)))).toMap
+      Seq(1L, 2L, 3L).foreach { u =>
+        val s = got(u)
+        assert(batch(u) == ((s.signup_ts, s.click_ts, s.purchase_ts,
+          s.reached_step)), s"user $u: batch ${batch(u)} vs stream $s")
+      }
+    } finally q.stop()
+  }
+
   test("batch w4 sessionize applies the streaming gap rule (gaps-and-islands)") {
     import spark.implicits._
     // same burst shapes as the streaming sessionization test above; the
