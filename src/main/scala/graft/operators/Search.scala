@@ -337,7 +337,62 @@ object Search {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // B5 — proximity (within-window) search: "A then B within W tokens" —
+  // phrase search's relaxation, the NEAR operator. The naive positional
+  // predicate (b.pos − a.pos BETWEEN 1 AND W) is a band NON-equi join
+  // Spark would plan as a nested loop, so the j9/RangeJoinRewrite grid
+  // discipline applies to TOKEN POSITIONS: bucket positions by W, the
+  // second arm registers in its own cell and the one below (a band of
+  // width W crosses at most one cell boundary), and the join is a plain
+  // (doc_id, cell) EQUI-join with the exact predicate as residual. Each
+  // qualifying pair matches exactly one of the two cells — no dedup
+  // needed. Arms are posting-pruned before the shuffle, b4's property.
+  // ---------------------------------------------------------------------
+  val ProxFirst = "table"
+  val ProxSecond = "merge"
+  val ProxWindow = 4
+
+  def proximitySearchOf(docs: DataFrame, first: String, second: String,
+      window: Int): DataFrame = {
+    val pos = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val a = pos.filter(col("tok") === first)
+      .select(col("doc_id"), col("pos").as("pa"),
+        floor(col("pos") / window).as("cell"))
+    val b = pos.filter(col("tok") === second)
+      .select(col("doc_id"), col("pos").as("pb"),
+        explode(array(floor(col("pos") / window),
+          floor(col("pos") / window) - 1)).as("cell"))
+    a.join(b, Seq("doc_id", "cell"))
+      .filter(col("pb") - col("pa") >= 1 && col("pb") - col("pa") <= window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("doc_id"))
+  }
+
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame =
+    proximitySearchOf(graft.Catalog.documents(spark, dir),
+      ProxFirst, ProxSecond, ProxWindow)
+
+  val proximitySearchSql: String =
+    s"""WITH base AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       | FROM documents WHERE text IS NOT NULL),
+       |idx AS (
+       | SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos FROM base),
+       |toks AS (SELECT doc_id, tk[pos] AS tok, pos FROM idx),
+       |a AS (SELECT doc_id, pos FROM toks WHERE tok = '$ProxFirst'),
+       |b AS (SELECT doc_id, pos FROM toks WHERE tok = '$ProxSecond')
+       |SELECT a.doc_id, count(*) AS n_pairs
+       |FROM a JOIN b ON a.doc_id = b.doc_id
+       | AND b.pos - a.pos BETWEEN 1 AND $ProxWindow
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("b5_proximity_search", proximitySearch, Some(proximitySearchSql),
+      "proximity (NEAR) search: 'A then B within W tokens' as a grid-banded EQUI-join over positional postings — the j9 range-join discipline applied to token positions (training-data extension)"),
     Q("b4_phrase_search", phraseSearch, Some(phraseSearchSql),
       "exact phrase search via positional postings + the anchor equi-join (word i at pos p anchors p-i): the consecutive-tokens semantics bag-of-words BM25 cannot express (training-data extension)"),
     Q("b1_bm25_topk", bm25TopK, Some(bm25TopKSql),

@@ -164,4 +164,27 @@ class SearchSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rep == Map(1L -> 2L))
   }
+
+  test("b5 proximity: window edges, order, cell boundaries, equi-join plan") {
+    val docs = Seq(
+      (1L, "table merge"),                    // gap 1 -> in
+      (2L, "table x y z merge"),              // gap 4 = window -> in
+      (3L, "table x y z w merge"),            // gap 5 -> out
+      (4L, "merge table"),                    // wrong order -> out
+      (5L, "table a merge b table c merge"))  // pairs: (0,2),(0,6)? gap 6 out; (4,6) -> 2
+      .toDF("doc_id", "text")
+    val df = Search.proximitySearchOf(docs, "table", "merge", 4)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 2L), s"got $got")
+    // grid boundary: a at pos 3 (cell 0), b at pos 4 (cell 1) — only the
+    // below-cell registration of b can meet a
+    val edge = Search.proximitySearchOf(
+      Seq((9L, "x y z table merge")).toDF("doc_id", "text"), "table", "merge", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edge == Map(9L -> 1L))
+    // the banding must plan an equi-join, never a nested loop
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
