@@ -1007,7 +1007,96 @@ object Relational {
        |FROM h GROUP BY event_type ORDER BY event_type"""
       .stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // O4 — exact two-sample Kolmogorov–Smirnov drift per metric type: the
+  // DISTRIBUTION-level companion to h3's bucket L1. The KS statistic
+  // D = max_x |F_old(x) − F_new(x)| is the classic drift test (binning-
+  // free, sensitive anywhere on the CDF — h3 only sees mass that crosses
+  // one of its 10 bucket edges). Snapshot membership reuses h3's flag
+  // predicates so the two tests are directly comparable on the same
+  // slices.
+  //
+  // Cross-engine determinism (the x10/BM25 lesson): the supremum is
+  // computed as an INTEGER — at each distinct value,
+  // |cum_old·n_new − cum_new·n_old| (the CDF gap cleared of both
+  // denominators), maxed exactly, and only then divided once
+  // (IEEE division of exactly-representable integers) and scaled to
+  // micro-points, round half-up in both engines.
+  //
+  // Plan shape: one flagged scan collapses to distinct (type, value)
+  // rows with per-snapshot counts (map-side partials), the ECDF is a
+  // running-sum window per type over those DISTINCT values, and the
+  // output is one row per type. At 100 TB the per-type sort of distinct
+  // values is the bottleneck; the documented swap is the binned ECDF on
+  // h2's shared-bounds grid (D within one bucket's mass), or quantile
+  // sketches (KLL) when n_old·n_new nears BIGINT range.
+  // ---------------------------------------------------------------------
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftOf(Catalog.events(spark, dir),
+      col("event_id") % 7 =!= 0, col("event_id") % 5 =!= 0)
+
+  /** o4 core: exact KS drift of `inNew`'s value distribution against
+    * `inOld`'s over any frame carrying (event_type, value).
+    */
+  def ksDriftOf(events: DataFrame, inOld: Column, inNew: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = events.filter(col("value").isNotNull && (inOld || inNew))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(inOld, 1L).otherwise(0L)).as("c_old"),
+        sum(when(inNew, 1L).otherwise(0L)).as("c_new"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    g.withColumn("cum_old", sum(col("c_old")).over(cum))
+      .withColumn("cum_new", sum(col("c_new")).over(cum))
+      .withColumn("n_old", sum(col("c_old")).over(whole))
+      .withColumn("n_new", sum(col("c_new")).over(whole))
+      .withColumn("gap",
+        abs(col("cum_old") * col("n_new") - col("cum_new") * col("n_old")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_old")).cast("long").as("n_old"),
+        max(col("n_new")).cast("long").as("n_new"),
+        max(col("gap")).cast("long").as("d_num"))
+      .withColumn("ks_ppm",
+        round(col("d_num").cast("double") /
+          (col("n_old") * col("n_new")).cast("double") * 1000000.0, 0)
+          .cast("long"))
+      .orderBy(col("event_type"))
+  }
+
+  val ksDriftSql: String =
+    """WITH e AS (
+      | SELECT event_type, value,
+      |  CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END AS in_old,
+      |  CASE WHEN event_id % 5 <> 0 THEN 1 ELSE 0 END AS in_new
+      | FROM events
+      | WHERE value IS NOT NULL AND (event_id % 7 <> 0 OR event_id % 5 <> 0)),
+      |g AS (
+      | SELECT event_type, value,
+      |  CAST(sum(in_old) AS BIGINT) AS c_old,
+      |  CAST(sum(in_new) AS BIGINT) AS c_new
+      | FROM e GROUP BY event_type, value),
+      |c AS (
+      | SELECT event_type,
+      |  sum(c_old) OVER (PARTITION BY event_type ORDER BY value
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_old,
+      |  sum(c_new) OVER (PARTITION BY event_type ORDER BY value
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_new,
+      |  sum(c_old) OVER (PARTITION BY event_type) AS n_old,
+      |  sum(c_new) OVER (PARTITION BY event_type) AS n_new
+      | FROM g)
+      |SELECT event_type,
+      | CAST(max(n_old) AS BIGINT) AS n_old,
+      | CAST(max(n_new) AS BIGINT) AS n_new,
+      | CAST(max(abs(cum_old*n_new - cum_new*n_old)) AS BIGINT) AS d_num,
+      | CAST(round(CAST(max(abs(cum_old*n_new - cum_new*n_old)) AS DOUBLE)
+      |  / CAST(max(n_old)*max(n_new) AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ks_ppm
+      |FROM c GROUP BY event_type ORDER BY event_type"""
+      .stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("o4_ks_drift", ksDrift, Some(ksDriftSql),
+      "exact two-sample Kolmogorov–Smirnov drift per metric type on h3's snapshot slices: integer-exact CDF-gap supremum over distinct values, ONE terminal division to micro-points — binning-free drift h3's bucket L1 can miss (data-QA extension)"),
     Q("h3_histogram_drift", histogramDrift, Some(histogramDriftSql),
       "snapshot-over-snapshot histogram drift: shared-bounds h2 buckets, per-type exact-integer L1 distance in ONE flagged scan — distribution drift caught before it crosses an o1 fence (data-QA extension)"),
     Q("h2_value_histogram", valueHistogram, Some(valueHistogramSql),

@@ -390,7 +390,107 @@ object Search {
        | AND b.pos - a.pos BETWEEN 1 AND $ProxWindow
        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // B6 — BOOLEAN retrieval: MUST terms (all required) + MUST-NOT terms
+  // (any disqualifies), survivors ranked by BM25 over the MUST terms.
+  // The classic filtered-query shape (Lucene's BooleanQuery with
+  // MUST/MUST_NOT clauses) b1's pure bag-of-words top-k cannot express.
+  //
+  // Semantics pinned here: df stays the CORPUS document frequency of each
+  // term (scoring is a corpus property; the boolean filter selects
+  // documents, it does not re-weigh terms), so the df window runs over
+  // the unfiltered must-term postings and eligibility filters AFTER.
+  //
+  // Scale shape: every arm is posting-pruned — the must/must-not posting
+  // slices are O(df(term)) rows read off b2's term-sorted index
+  // (tok IN (…) pushes to the scan); eligibility is a tiny
+  // countDistinct==|must| cut anti-joined against the must-not doc set;
+  // the corpus is never rescanned.
+  // ---------------------------------------------------------------------
+  val MustTerms: Seq[String] = Seq("spark", "stream")
+  val MustNotTerms: Seq[String] = Seq("dup")
+
+  /** Boolean-filtered BM25 over any (doc_id, text) frame. Returns
+    * (doc_id, n_terms_matched, score_ppm), best first, top-k.
+    */
+  def booleanSearchOf(docs: DataFrame, must: Seq[String],
+      mustNot: Seq[String], k: Int): DataFrame = {
+    val dl = withDl(docs)
+    val tf = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(must ++ mustNot: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    booleanTail(tf, statsOf(dl), must, mustNot, k)
+  }
+
+  /** The boolean scoring tail over a (doc_id, dl, tok, tf) relation
+    * already restricted to must ∪ mustNot — shared by the ad-hoc and
+    * indexed forms so they cannot diverge.
+    */
+  private def booleanTail(tf: DataFrame, stats: DataFrame,
+      must: Seq[String], mustNot: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus df BEFORE any eligibility filtering (see object doc)
+    val mustTf = tf.filter(col("tok").isin(must: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val hasAll = mustTf.groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("nt"))
+      .filter(col("nt") === must.size).select(col("doc_id"))
+    val blocked = tf.filter(col("tok").isin(mustNot: _*))
+      .select(col("doc_id")).distinct()
+    val eligible = hasAll.join(blocked, Seq("doc_id"), "left_anti")
+    mustTf.join(eligible, Seq("doc_id"), "left_semi")
+      .crossJoin(broadcast(stats))
+      .withColumn("ppm", contribPpm)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_matched"),
+        sum(col("ppm")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Registered entry: rides b2's persisted postings + stats artifacts. */
+  def booleanSearch(spark: SparkSession, dir: String): DataFrame =
+    booleanTail(
+      postingsIndex(spark, dir)
+        .filter(col("tok").isin(MustTerms ++ MustNotTerms: _*)),
+      statsIndex(spark, dir), MustTerms, MustNotTerms, TopK)
+
+  val booleanSearchSql: String = {
+    val mustIn = MustTerms.map(t => s"'$t'").mkString(", ")
+    val notIn = MustNotTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       | FROM documents),
+       |dl2 AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM dl),
+       |stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS t
+       | FROM dl2),
+       |tf AS (
+       | SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN ($mustIn, $notIn) GROUP BY doc_id, dl, tok),
+       |mtf AS (SELECT * FROM tf WHERE tok IN ($mustIn)),
+       |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM mtf GROUP BY tok),
+       |has_all AS (SELECT doc_id FROM mtf GROUP BY doc_id
+       | HAVING count(DISTINCT tok) = ${MustTerms.size}),
+       |blocked AS (SELECT DISTINCT doc_id FROM tf WHERE tok IN ($notIn)),
+       |eligible AS (SELECT doc_id FROM has_all
+       | WHERE doc_id NOT IN (SELECT doc_id FROM blocked)),
+       |scored AS (
+       | SELECT mtf.doc_id,
+       |  CAST(round(CAST((length(bin((2*n + 2) // (2*df + 1))) - 1) * 22 * tf * t AS DOUBLE)
+       |   / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ppm
+       | FROM mtf JOIN dfreq USING (tok) JOIN eligible USING (doc_id), stats)
+       |SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+       | CAST(sum(ppm) AS BIGINT) AS score_ppm
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("b6_boolean_search", booleanSearch, Some(booleanSearchSql),
+      "boolean retrieval (MUST all / MUST-NOT any) ranked by BM25 over the MUST terms, corpus df preserved under filtering; rides b2's term-sorted postings (training-data extension)"),
     Q("b5_proximity_search", proximitySearch, Some(proximitySearchSql),
       "proximity (NEAR) search: 'A then B within W tokens' as a grid-banded EQUI-join over positional postings — the j9 range-join discipline applied to token positions (training-data extension)"),
     Q("b4_phrase_search", phraseSearch, Some(phraseSearchSql),

@@ -123,6 +123,51 @@ class OutlierSpec extends SparkSuite {
     assert(got("B") == ((1L, 2L, 1L, 1L)), s"got $got")
   }
 
+  test("o4 KS: hand-computed supremum, ties, identical samples, shared rows") {
+    import org.apache.spark.sql.functions.col
+    // old = {1,2,3}, new = {2,4}: distinct values 1,2,3,4
+    //   cum_old 1,2,3,3 / cum_new 0,1,1,2; gaps |c_o*2 - c_n*3|:
+    //   v=1: 2; v=2: 1; v=3: 3; v=4: 0 -> d_num=3, D = 3/(3*2) = 0.5
+    val df = Seq(
+      ("A", 1.0, "old"), ("A", 2.0, "old"), ("A", 3.0, "old"),
+      ("A", 2.0, "new"), ("A", 4.0, "new"),
+      // type B: identical samples (one row shared by BOTH sides) -> D = 0
+      ("B", 7.0, "both"), ("B", 9.0, "both"))
+      .toDF("event_type", "value", "s")
+    val got = Relational.ksDriftOf(df,
+        col("s") === "old" || col("s") === "both",
+        col("s") === "new" || col("s") === "both")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A") == ((3L, 2L, 3L, 500000L)), s"got $got")
+    assert(got("B") == ((2L, 2L, 0L, 0L)))
+    // within-sample TIES collapse into one ECDF step, not two:
+    // old = {1,1,3} vs new = {1,3}: v=1 gap |2*2-1*3|=1; v=3 gap 0
+    //   -> d_num=1, D=1/6 -> 166667 ppm
+    val ties = Seq(("T", 1.0, "old"), ("T", 1.0, "old"), ("T", 3.0, "old"),
+      ("T", 1.0, "new"), ("T", 3.0, "new")).toDF("event_type", "value", "s")
+    val t = Relational.ksDriftOf(ties,
+        col("s") === "old", col("s") === "new")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(t.toSeq == Seq((3L, 2L, 1L, 166667L)), s"got ${t.toSeq}")
+  }
+
+  test("o4 detects a pure location shift that h3's shared bounds can blur") {
+    import org.apache.spark.sql.functions.col
+    // new = old + 0.6 within one h2 bucket width: every value moves but
+    // few cross a bucket edge; KS sees the full shift
+    val old = (1 to 50).map(i => ("S", i.toDouble, "old"))
+    val shifted = (1 to 50).map(i => ("S", i.toDouble + 0.6, "new"))
+    val df = (old ++ shifted).toDF("event_type", "value", "s")
+    val ks = Relational.ksDriftOf(df, col("s") === "old", col("s") === "new")
+      .collect().head
+    // at x = k+0.6 the old CDF leads by exactly one step everywhere
+    // except the extremes -> D = 1/50
+    assert(ks.getLong(3) == 50L * 1 * 1 * 50 / 50 * 1)
+    assert(ks.getLong(4) == 20000L, s"got ${ks.getLong(4)}")
+  }
+
   test("NULL values count into n but never into outliers or quartiles") {
     val events = Seq(("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(3.0)),
       ("A", None), ("A", Some(1000.0)))

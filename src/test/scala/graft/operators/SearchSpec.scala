@@ -165,6 +165,43 @@ class SearchSpec extends SparkSuite {
     assert(rep == Map(1L -> 2L))
   }
 
+  test("b6 boolean: MUST-all and MUST-NOT select docs; scoring stays b1's") {
+    val docs = corpus(
+      (1L, "x y pad"),       // both musts -> eligible
+      (2L, "x pad pad"),     // missing y -> out
+      (3L, "y pad pad"),     // missing x -> out
+      (4L, "x y bad"),       // both musts but must-not -> out
+      (5L, "x y x pad"),     // eligible, higher tf(x)
+      (6L, "bad pad pad"))   // nothing
+    val got = Search.booleanSearchOf(docs, Seq("x", "y"), Seq("bad"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == Set(1L, 5L), s"eligibility wrong: ${got.toSeq}")
+    // boolean filtering is SELECTION only: each eligible doc's score must
+    // equal what plain BM25 over the must terms gives it (corpus df — the
+    // excluded docs 2/3/4 still count into df(x)/df(y))
+    val b1 = Search.bm25Of(docs, Seq("x", "y"), 100).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (id, nt, ppm) =>
+      assert((nt, ppm) == b1(id),
+        s"doc $id: boolean form rescored the corpus: ($nt,$ppm) vs ${b1(id)}")
+    }
+    // a doc carrying ONLY must-not terms never blocks others
+    assert(!got.map(_._1).contains(6L))
+  }
+
+  test("b6 indexed form equals the ad-hoc form and pushes the term filter") {
+    val direct = Search.booleanSearchOf(
+      graft.Catalog.documents(spark, sfDir),
+      Search.MustTerms, Search.MustNotTerms, Search.TopK).collect().toSeq
+    val indexed = Search.booleanSearch(spark, sfDir)
+    assert(indexed.collect().toSeq == direct,
+      "the postings index is derived state — indexed boolean must equal ad-hoc")
+    assert(direct.nonEmpty, "gate query selects no documents — weak fixture")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(tok"),
+      s"must/must-not terms not pushed to the postings scan:\n$plan")
+  }
+
   test("b5 proximity: window edges, order, cell boundaries, equi-join plan") {
     val docs = Seq(
       (1L, "table merge"),                    // gap 1 -> in
