@@ -860,7 +860,67 @@ object Similarity {
        |GROUP BY query_id ORDER BY query_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // N10 — exact MIPS (maximum inner product search) top-k: the recommender
+  // scoring shape (user·item, score magnitudes matter) that cosine ANN
+  // cannot serve directly — a long vector can out-score a perfectly
+  // aligned short one, so MIPS is NOT a metric search (no triangle
+  // inequality). Exact form mirrors n1: broadcast queries × one corpus
+  // scan through the codegen'd dot kernel, per-query top-k as a
+  // row_number cut.
+  //
+  // The 100 TB path is the REDUCTION, not a new index: norm-augmentation
+  // (Bachrach et al. 2014 / Shrivastava-Li 2014) appends
+  // sqrt(M² − ‖x‖²) to every item (M = max item norm) and 0 to every
+  // query, making augmented-cosine order per query IDENTICAL to inner-
+  // product order — so the existing n3/n4/n5 index machinery serves MIPS
+  // unchanged. [[mipsAugment]] builds that view; the equivalence is
+  // pinned in PqSpec and the M constant is one tiny max-aggregate.
+  // ---------------------------------------------------------------------
+  def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = nonZeroEmbeddings(spark, dir)
+    val queries = broadcast(
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    e.join(queries, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        round(dot_product(col("qv"), col("embedding")), 6).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val mipsTopKSql: String =
+    s"""WITH nz AS (SELECT * FROM embeddings WHERE $nonZeroSql)
+       |SELECT query_id, vec_id, dot, rank FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |  round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS dot,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rank
+       | FROM nz q JOIN nz c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id) t
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+
+  /** The MIPS→cosine reduction view over any (vec_id, embedding) frame:
+    * items gain sqrt(M² − ‖x‖²) as a last component (M ≥ every item
+    * norm), queries gain 0. Augmented-item norms are all exactly M, so
+    * per-query cosine order over this view equals inner-product order —
+    * point n3/n4/n5 at `aug` and they serve MIPS unchanged. `m` is
+    * max(‖x‖) over the corpus: one tiny aggregate the caller computes
+    * once and passes in (a deployment persists it with the index).
+    */
+  def mipsAugment(items: DataFrame, m: Double): DataFrame =
+    items.withColumn("embedding",
+      concat(col("embedding"), array(
+        sqrt(greatest(lit(m * m) -
+          dot_product(col("embedding"), col("embedding")), lit(0.0)))
+          .cast("float"))))
+
   val all: Seq[Q] = Seq(
+    Q("n10_mips", mipsTopK, Some(mipsTopKSql),
+      "exact maximum-inner-product top-k (recommender scoring): broadcast queries x one corpus scan through the codegen'd dot kernel; norm-augmentation reduction (mipsAugment) lets the n3/n4/n5 cosine indexes serve MIPS unchanged at scale (training-data extension)"),
     Q("n9_pq_adc", pqAdcRecall, Some(pqAdcRecallSql),
       "product quantization (8 subspaces x 16 codewords, 32x compression) + asymmetric-distance top-k, per-query recall vs the exact n1 baseline in exact integer accounting"),
     Q("n8_semantic_decontam", semanticDecontam, Some(semanticDecontamSql),
