@@ -406,6 +406,60 @@ object TextOps {
   def vocabulary(spark: SparkSession, dir: String): DataFrame =
     vocabularyOf(Catalog.documents(spark, dir)).orderBy(col("rank"))
 
+  // ---------------------------------------------------------------------
+  // X12 — adjacent-pair frequencies: the statistic ONE round of BPE/
+  // WordPiece merge selection is computed from (most-frequent adjacent
+  // pair wins), and the bigram table for phrase-vocabulary induction —
+  // x9's vocabulary extended from tokens to transitions. Pairs never
+  // span document boundaries.
+  //
+  // Plan shape: pairing is slice + arrays_zip over the already-split
+  // token array — built-in codegen'd expressions, not an interpreted
+  // lambda, and crucially NOT a positional self-join (the b4 trick is
+  // right for probing few terms; for ALL transitions it would shuffle
+  // the whole position relation twice). The only shuffle is the partial-
+  // aggregated (t1, t2) count relation — vocabulary-squared bounded in
+  // theory, Heaps-law bounded in practice — and the top-N is a
+  // TakeOrdered, never a global sort.
+  // ---------------------------------------------------------------------
+  def mergePairsOf(docs: DataFrame, topN: Int = VocabTopN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = toks
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
+      .select(col("p.0").as("t1"), col("p.1").as("t2"))
+    pairs.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("t1"), col("t2"))
+      .limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("t1"), col("t2"))))
+      .select(col("rank"), col("t1"), col("t2"), col("n_occurrences"))
+  }
+
+  def mergePairs(spark: SparkSession, dir: String): DataFrame =
+    mergePairsOf(Catalog.documents(spark, dir)).orderBy(col("rank"))
+
+  val mergePairsSql: String =
+    s"""WITH base AS (
+       | SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk
+       | FROM documents WHERE text IS NOT NULL),
+       |p AS (
+       | SELECT tk[pos] AS t1, tk[pos + 1] AS t2
+       | FROM (SELECT tk, unnest(range(1, len(tk))) AS pos
+       |       FROM base WHERE len(tk) >= 2)),
+       |agg AS (SELECT t1, t2, count(*) AS n_occurrences
+       | FROM p GROUP BY t1, t2),
+       |top AS (SELECT * FROM agg
+       | ORDER BY n_occurrences DESC, t1, t2 LIMIT $VocabTopN)
+       |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, t1, t2) AS INT) AS rank,
+       | t1, t2, n_occurrences
+       |FROM top ORDER BY rank""".stripMargin.replace('\n', ' ')
+
   val vocabularySql: String =
     s"""WITH tok AS (
        | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
@@ -602,6 +656,8 @@ object TextOps {
       "unigram-LM mean surprisal per document — the perplexity-filter shape in exact integer bits (training-data extension)"),
     Q("x9_vocabulary", vocabulary, Some(vocabularySql),
       "corpus vocabulary: top-N token frequency/doc-frequency table via a two-level algebraic aggregate (training-data extension)"),
+    Q("x12_merge_pairs", mergePairs, Some(mergePairsSql),
+      "adjacent-token-pair frequencies (the BPE/WordPiece merge-selection statistic): codegen'd slice+zip pairing, one partial-aggregated shuffle of the bigram relation, TakeOrdered top-N (training-data extension)"),
     Q("x8_repetition", repetitionScores, Some(repetitionScoresSql),
       "Gopher-style intra-document repetition signals via a one-pass codegen'd kernel (training-data extension)"),
     Q("x1_token_count", tokenCounts, Some(tokenCountsSql),

@@ -137,6 +137,34 @@ class AsofRangeVocabSpec extends SparkSuite {
     assert(got == Seq((1, "a", 2L, 2L), (2, "b", 2L, 2L)), s"got $got")
   }
 
+  test("x12 merge pairs: adjacent only, never across docs, tie-break, topN") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),   // (a,b) x2, (b,a) x1
+      (2L, "b a"),       // (b,a) x1 — totals tie (a,b)=2 with (b,a)=2
+      (3L, "c"),         // single token -> no pairs
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.mergePairsOf(docs, topN = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // ties break lexicographically on (t1, t2); doc 2's trailing "a" and
+    // doc 1's leading "a" must NOT pair across the boundary
+    assert(got.toSeq == Seq((1, "a", "b", 2L), (2, "b", "a", 2L)), s"got ${got.toSeq}")
+    val top1 = TextOps.mergePairsOf(docs, topN = 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(top1.toSeq == Seq((1, "a", "b", 2L)))
+  }
+
+  test("x12 pairing stays free of shuffles until the bigram aggregate") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextOps.mergePairsOf(docs, topN = 5)
+      .queryExecution.executedPlan.toString
+    // one aggregate exchange (+ the window's single-partition exchange on
+    // the already-cut topN rows); pairing itself must not shuffle or join
+    assert(!plan.contains("Join"), s"pairing must not plan a join:\n$plan")
+  }
+
   // -- x10 ----------------------------------------------------------------
 
   test("x10 LM surprisal matches hand-computed floor-log2 bits") {
