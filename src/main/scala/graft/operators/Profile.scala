@@ -256,7 +256,82 @@ object Profile {
        | FROM lineitem) m""".stripMargin.replace('\n', ' ')
   }.mkString("", " UNION ALL ", " ORDER BY col_x, col_y")
 
+  // ---------------------------------------------------------------------
+  // C4 — chi-square association between two CATEGORICAL columns: the
+  // categorical half of c3 (Pearson screens numeric pairs; c4 screens
+  // category pairs — "is source predictive of lang?" catches stratified
+  // sampling bugs and leaky provenance labels before a corpus feeds a
+  // model). Profiled here: documents' lang × source contingency.
+  //
+  // Cross-engine exactness (the c3/x10 discipline): every cell deviation
+  // is the INTEGER o·n − r·c (the χ² numerator cleared of denominators —
+  // exact in BIGINT up to ~3e9 observed rows; beyond that the documented
+  // swap is DECIMAL(38,0) cell math), each cell's contribution is scaled
+  // to micro-points with ONE division of exactly-representable doubles
+  // (identical IEEE rounding both engines), and the statistic is the
+  // exact integer sum of those cells. χ²_ppm/1e6 equals Σ(O−E)²/E.
+  //
+  // Plan/scale shape: ONE corpus aggregate to the (x, y, count) cell
+  // relation (map-side partials; cells are category-cardinality-squared
+  // bounded, thousands of rows at worst) — margins and the grand total
+  // aggregate that tiny relation and broadcast back onto the densified
+  // category grid, never a second corpus pass.
+  // ---------------------------------------------------------------------
+  def chiSquareOf(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val obs = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("o"))
+    // ZERO cells carry χ² mass too ((0−E)²/E = E): densify over the
+    // observed-category cross product before scoring — margin relations
+    // are category-cardinality-sized, so the grid stays tiny
+    val xs = obs.groupBy(col("x")).agg(sum(col("o")).as("r"))
+    val ys = obs.groupBy(col("y")).agg(sum(col("o")).as("c"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val d = (c: Column) => c.cast("double")
+    xs.crossJoin(broadcast(ys)).crossJoin(broadcast(tot))
+      .join(obs, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("dev", col("o") * col("n") - col("r") * col("c"))
+      .withColumn("cell_ppm",
+        round(d(col("dev")) * d(col("dev")) * 1000000.0 /
+          (d(col("n")) * d(col("r")) * d(col("c"))), 0).cast("long"))
+      .agg(
+        max(col("n")).cast("long").as("n"),
+        countDistinct(col("x")).cast("long").as("n_x"),
+        countDistinct(col("y")).cast("long").as("n_y"),
+        ((countDistinct(col("x")) - 1) * (countDistinct(col("y")) - 1))
+          .cast("long").as("dof"),
+        sum(col("cell_ppm")).cast("long").as("chi2_ppm"))
+  }
+
+  def chiSquare(spark: SparkSession, dir: String): DataFrame =
+    chiSquareOf(graft.Catalog.documents(spark, dir), "lang", "source")
+
+  val chiSquareSql: String =
+    """WITH cells AS (
+      | SELECT lang AS x, source AS y, count(*)::BIGINT AS o
+      | FROM documents
+      | WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+      |xs AS (SELECT x, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY x),
+      |ys AS (SELECT y, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY y),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |grid AS (
+      | SELECT xs.x, ys.y, xs.r, ys.c, tot.n, COALESCE(cells.o, 0) AS o
+      | FROM xs CROSS JOIN ys CROSS JOIN tot
+      | LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y),
+      |u AS (SELECT *, o*n - r*c AS dev FROM grid)
+      |SELECT CAST(max(n) AS BIGINT) AS n,
+      | count(DISTINCT x)::BIGINT AS n_x,
+      | count(DISTINCT y)::BIGINT AS n_y,
+      | CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT) AS dof,
+      | CAST(sum(CAST(round(CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE) * 1000000.0
+      |  / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)), 0) AS BIGINT)) AS BIGINT) AS chi2_ppm
+      |FROM u""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("c4_chi_square", chiSquare, Some(chiSquareSql),
+      "chi-square association between categorical columns (lang x source): integer-exact cell deviations o*n - r*c summed in micro-points, margins as windows over the tiny cell relation - the categorical half of c3 (data-QA extension)"),
     Q("c1_column_profile", columnProfile, Some(columnProfileSql),
       "per-column rows/nulls/exact-NDV/min/max profile in ONE aggregate pass (multi-distinct Expand), unpivoted to a row per column (data-QA extension)"),
     Q("c2_profile_approx", columnProfileApprox, Some(columnProfileApproxSql),

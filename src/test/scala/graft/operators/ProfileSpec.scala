@@ -102,4 +102,36 @@ class ProfileSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Expand"))
   }
+
+  test("c4 chi-square: perfect association, independence, zero cells, NULLs") {
+    import spark.implicits._
+    // perfect 2×2 association: 10×(a,p) + 10×(b,q). χ² = n = 20 — and
+    // HALF that mass sits in the two ZERO cells ((0−E)²/E = E = 5 each),
+    // so this also pins the grid densification
+    val perfect = (Seq.fill(10)(("a", "p")) ++ Seq.fill(10)(("b", "q")))
+      .toDF("lang", "source")
+    val p = Profile.chiSquareOf(perfect, "lang", "source").collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3), p.getLong(4))
+      == ((20L, 2L, 2L, 1L, 20000000L)), s"got $p")
+    // exact independence: every (x, y) cell = r·c/n ⇒ χ² = 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("p", "q", "s") }
+      yield Seq.fill(if (x == "a") 2 else 4)((x, y))).flatten
+      .toDF("lang", "source")
+    val i = Profile.chiSquareOf(indep, "lang", "source").collect().head
+    assert((i.getLong(3), i.getLong(4)) == ((2L, 0L)), s"got $i")
+    // NULL on either side drops the row from n entirely
+    val withNulls = perfect.union(
+      Seq((null.asInstanceOf[String], "p"), ("a", null.asInstanceOf[String]))
+        .toDF("lang", "source"))
+    val w = Profile.chiSquareOf(withNulls, "lang", "source").collect().head
+    assert(w.getLong(0) == 20L && w.getLong(4) == 20000000L)
+  }
+
+  test("c4 gate query: single accounting row, dof consistent, fixture-bound") {
+    val r = Profile.chiSquare(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) > 0 && row.getLong(4) >= 0)
+    assert(row.getLong(3) == (row.getLong(1) - 1) * (row.getLong(2) - 1))
+  }
 }
