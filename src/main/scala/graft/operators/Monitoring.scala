@@ -943,8 +943,66 @@ object Monitoring {
        |FROM b WHERE bucket >= 0 AND bucket <= $DecayCap
        |GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // W11 — above-threshold STREAKS per user (gaps-and-islands over a
+  // condition): "N consecutive high readings" is the alerting semantics
+  // behind consecutive-slow-query and failing-health-check rules — w4
+  // sessionize cuts on TIME gaps, w11 cuts on the CONDITION changing.
+  // Island id is the classic row_number difference: rn over the user's
+  // full timeline minus rn over the qualifying rows is constant within
+  // a run and unique across runs. NULL values disqualify (a gap in the
+  // signal breaks a streak — alerting must not bridge missing data);
+  // ordering ties on ts break by event_id in both engines.
+  //
+  // Plan/scale shape: both windows partition by user_id, so ONE
+  // Exchange is shared (the filter between them preserves
+  // distribution; only the second sort re-runs), and the closing
+  // per-user aggregate reuses the same partitioning — w9's discipline.
+  // Everything after the window pass is (user, run)-sized.
+  // ---------------------------------------------------------------------
+  val StreakThreshold = 80.0
+
+  /** w11 core over any (user_id, ts, event_id, value)-shaped frame:
+    * per-user accounting of maximal `isHigh` runs.
+    */
+  def streaksOf(events: DataFrame, isHigh: Column): DataFrame = {
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(timeline))
+      .filter(isHigh)
+      .withColumn("rn2", row_number().over(timeline))
+      .groupBy(col("user_id"), (col("rn") - col("rn2")).as("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("long").as("n_high"),
+        count(lit(1)).cast("long").as("n_streaks"),
+        max(col("len")).cast("long").as("max_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  def streaks(spark: SparkSession, dir: String): DataFrame =
+    streaksOf(Catalog.events(spark, dir), col("value") > StreakThreshold)
+
+  val streaksSql: String =
+    s"""WITH r AS (
+       | SELECT user_id, value,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       | FROM events),
+       |f AS (
+       | SELECT user_id, rn,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2
+       | FROM r WHERE value > $StreakThreshold),
+       |s AS (SELECT user_id, rn - rn2 AS grp, count(*)::BIGINT AS len
+       | FROM f GROUP BY user_id, grp)
+       |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_high,
+       | count(*)::BIGINT AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
+       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("w11_streaks", streaks, Some(streaksSql),
+      "per-user above-threshold streak accounting (gaps-and-islands on the CONDITION, not time): row_number-difference islands, one shared user Exchange, NULL readings break runs — the consecutive-anomaly alerting shape (monitoring extension)"),
     Q("a11_decayed_engagement", decayedEngagement, Some(decayedEngagementSql),
       "time-decayed (1-day half-life) engagement scores as exact dyadic rationals: integer numerator over 2^cap, the only float op is the final division — trending/leaderboard extension"),
     Q("w10_retention", retention, Some(retentionSql),

@@ -73,6 +73,52 @@ class FunnelSpec extends SparkSuite {
     assert(exchanges == 1, s"expected a single hash exchange, got $exchanges:\n$plan")
   }
 
+  // --- w11 streaks ---------------------------------------------------------
+
+  private def streakRows(rows: (Long, Long, Double)*) = {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    rows.map { case (u, id, v) =>
+      (id, new java.sql.Timestamp(ts.getTime + id * 1000), u,
+        if (v < 0) null.asInstanceOf[java.lang.Double] else Double.box(v))
+    }.toDF("event_id", "ts", "user_id", "value")
+  }
+
+  test("w11 streaks: island lengths, NULL breaks runs, all-low users absent") {
+    // user 1 ordered values: 90 90 10 90 NULL 90 90 90 -> runs 2, 1, 3
+    val df = streakRows(
+      (1L, 1L, 90), (1L, 2L, 90), (1L, 3L, 10), (1L, 4L, 90),
+      (1L, 5L, -1 /* NULL */), (1L, 6L, 90), (1L, 7L, 90), (1L, 8L, 90),
+      // user 2: never above threshold -> no output row
+      (2L, 9L, 10), (2L, 10L, 20))
+    val got = Monitoring.streaksOf(df, col("value") > 80.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((6L, 3L, 3L))), s"got $got")
+  }
+
+  test("w11 ts ties break by event_id; runs never span users") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // user 3: events 100 (high) and 101 (low) share a ts, then 102 high:
+    // event_id order makes it high,low,high -> two runs of 1
+    val df = Seq(
+      (100L, base, 3L, Double.box(90.0)),
+      (101L, base, 3L, Double.box(10.0)),
+      (102L, new java.sql.Timestamp(base.getTime + 1000), 3L, Double.box(90.0)),
+      // user 4 adjacent in id-space must not merge runs with user 3
+      (103L, new java.sql.Timestamp(base.getTime + 2000), 4L, Double.box(90.0)))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = Monitoring.streaksOf(df, col("value") > 80.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(3L -> ((2L, 2L, 1L)), 4L -> ((1L, 1L, 1L))), s"got $got")
+  }
+
+  test("w11 plans ONE hash exchange (windows + both aggregates share the key)") {
+    val df = streakRows((1L, 1L, 90), (1L, 2L, 10))
+    val plan = Monitoring.streaksOf(df, col("value") > 80.0)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected a single hash exchange, got $exchanges:\n$plan")
+  }
+
   // --- w10 retention on a second hand-built fixture -----------------------
 
   private lazy val retDir: String = {
