@@ -485,6 +485,88 @@ object AsofEnrich {
   }
 }
 
+/** One completed above-threshold streak: emitted exactly once, when a
+  * settled below-threshold reading breaks the run — the streaming twin of
+  * [[graft.operators.Monitoring.streaksOf]]'s islands (w11), the
+  * consecutive-anomaly ALERT as it happens rather than in the nightly
+  * rollup.
+  */
+case class Streak(user_id: Long, streak_start: java.sql.Timestamp,
+    streak_end: java.sql.Timestamp, len: Long)
+
+/** One reading awaiting settlement (still at/above the watermark). */
+case class Reading(event_id: Long, ts: Long, high: Boolean)
+
+/** Per-user streak state between micro-batches. A streak is defined on
+  * the TIMELINE (consecutive readings with nothing low between them), so
+  * a late reading re-orders the run structure — but only above the
+  * watermark, where readings are still buffered and re-sorted on
+  * settlement; a late LOW reading therefore splits a would-be run
+  * exactly as the batch islands do. Settled history collapses to the
+  * open run's three scalars (len 0 = none): below the watermark nothing
+  * can change any more. State is watermark-delay-bounded.
+  */
+case class StreakRuns(openStart: Long, openEnd: Long, openLen: Long,
+    pending: List[Reading])
+
+object StreamingStreaks {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** Streaming above-threshold streak detection over [[SessionEvent]]s:
+    * w11's islands maintained incrementally. Readings settle strictly
+    * below the watermark (a reading AT the watermark could still gain a
+    * same-ts, lower-event_id sibling); each settles once, in
+    * (ts, event_id) order, into the open-run machine. An open run with
+    * no subsequent low reading stays open — three longs of state, the
+    * correct behavior for an alerting stream (the anomaly is ongoing).
+    */
+  def streaks(events: Dataset[SessionEvent], threshold: Double): Dataset[Streak] = {
+    implicit val stateEnc = Encoders.product[StreakRuns]
+    implicit val outEnc = Encoders.product[Streak]
+    import events.sparkSession.implicits._
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakRuns, Streak](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent],
+            state: GroupState[StreakRuns]) =>
+          val st = state.getOption.getOrElse(StreakRuns(0L, 0L, 0L, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val all = st.pending ++ batch.map(e =>
+            Reading(e.event_id, e.ts.getTime, e.value > threshold))
+          val (settled, pending) = all.partition(_.ts < wm)
+          var start = st.openStart
+          var end = st.openEnd
+          var len = st.openLen
+          val out = List.newBuilder[Streak]
+          settled.sortBy(r => (r.ts, r.event_id)).foreach { r =>
+            if (r.high) {
+              if (len == 0L) { start = r.ts; end = r.ts; len = 1L }
+              else { end = r.ts; len += 1L }
+            } else if (len > 0L) {
+              out += Streak(userId, new java.sql.Timestamp(start),
+                new java.sql.Timestamp(end), len)
+              len = 0L
+            }
+          }
+          if (len == 0L && pending.isEmpty) state.remove()
+          else {
+            state.update(StreakRuns(start, end, len, pending))
+            // buffered readings need a wake-up once the watermark passes
+            // them (a batch with only other users' data must still settle
+            // ours); an open run with nothing buffered needs none — only
+            // new data can change it
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_.ts).min + 1)
+          }
+          out.result().iterator
+      }
+  }
+}
+
 /** S5 — CSV export sink (reference template JS CSV builders,
   * index.html:338-371 et al. — server-side here).
   */

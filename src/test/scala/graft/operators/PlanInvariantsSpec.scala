@@ -53,14 +53,24 @@ class PlanInvariantsSpec extends SparkSuite {
     *   equi-join);
     * - n9: the ADC scan is broadcast queries × reconstructed corpus
     *   with a non-equi self-exclusion (n1's labeled shape — PQ changes
-    *   the bytes scanned, not the scan shape).
+    *   the bytes scanned, not the scan shape);
+    * - b6: b1's corpus-stats scalar shape — the 1-row (N, T) relation
+    *   crossJoins broadcast onto the already-pruned-and-filtered must-
+    *   term tf relation;
+    * - n10: n1's labeled shape with the dot kernel — broadcast query
+    *   set × single corpus scan, non-equi self-exclusion;
+    * - c4: the margin/total relations (category-cardinality rows at
+    *   most) crossJoin broadcast to densify the contingency grid —
+    *   j7's shape; the ONE corpus-sized pass is the equi-keyed cell
+    *   aggregate before them.
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
       "n2_cosine_pairs", "w8_gap_fill", "n7_ann_recall",
       "b1_bm25_topk", "b2_bm25_indexed", "b3_bm25_batch",
       "n8_semantic_decontam", "c1_column_profile", "c2_profile_approx",
-      "z9_curriculum", "a10_heavy_hitters", "n9_pq_adc")
+      "z9_curriculum", "a10_heavy_hitters", "n9_pq_adc",
+      "b6_boolean_search", "n10_mips", "c4_chi_square")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -464,6 +464,54 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming streaks match w11 islands; a late LOW reading splits a run") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = StreamingStreaks.streaks(mem.toDS(), threshold = 80.0)
+    val q = out.writeStream.format("memory")
+      .queryName("streak_test").outputMode("append").start()
+    try {
+      // four high readings arrive first...
+      mem.addData(
+        SessionEvent(1, ts("2024-01-01 10:00:00"), 1, "m", 90.0),
+        SessionEvent(2, ts("2024-01-01 10:01:00"), 1, "m", 90.0),
+        SessionEvent(3, ts("2024-01-01 10:02:00"), 1, "m", 90.0),
+        SessionEvent(5, ts("2024-01-01 10:04:00"), 1, "m", 90.0))
+      q.processAllAvailable()
+      // ...then a LATE low reading lands between them (inside the
+      // watermark): the would-be len-4 run must split into 3 + 1
+      mem.addData(
+        SessionEvent(4, ts("2024-01-01 10:03:00"), 1, "m", 10.0),
+        SessionEvent(6, ts("2024-01-01 10:05:00"), 1, "m", 10.0))
+      q.processAllAvailable()
+      // advance the watermark past everything -> all readings settle
+      mem.addData(SessionEvent(9, ts("2024-01-01 12:00:00"), 2, "m", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("streak_test").as[Streak].collect()
+        .sortBy(_.streak_start.getTime)
+      assert(got.length == 2, s"expected 2 streaks, got ${got.toSeq}")
+      assert(got(0).streak_start == ts("2024-01-01 10:00:00") &&
+        got(0).streak_end == ts("2024-01-01 10:02:00") && got(0).len == 3L)
+      assert(got(1).streak_start == ts("2024-01-01 10:04:00") &&
+        got(1).streak_end == ts("2024-01-01 10:04:00") && got(1).len == 1L)
+      // the batch twin on the same readings agrees: user 1 has
+      // n_high=4, n_streaks=2, max_streak=3
+      val batchDf = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, 90.0),
+        (2L, ts("2024-01-01 10:01:00"), 1L, 90.0),
+        (3L, ts("2024-01-01 10:02:00"), 1L, 90.0),
+        (4L, ts("2024-01-01 10:03:00"), 1L, 10.0),
+        (5L, ts("2024-01-01 10:04:00"), 1L, 90.0),
+        (6L, ts("2024-01-01 10:05:00"), 1L, 10.0))
+        .toDF("event_id", "ts", "user_id", "value")
+      val batch = graft.operators.Monitoring
+        .streaksOf(batchDf, col("value") > 80.0).collect().head
+      assert((batch.getLong(1), batch.getLong(2), batch.getLong(3))
+        == ((4L, 2L, 3L)),
+        "batch twin diverged from the streamed islands")
+    } finally q.stop()
+  }
+
   test("batch w4 sessionize applies the streaming gap rule (gaps-and-islands)") {
     import spark.implicits._
     // same burst shapes as the streaming sessionization test above; the
