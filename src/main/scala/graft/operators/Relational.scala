@@ -529,6 +529,44 @@ object Relational {
       .stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // G5 — explicit GROUPING SETS: exactly the slices actually served, no
+  // more. g3's ROLLUP is the prefix ladder, g4's CUBE is every subset
+  // (2^d Expand rows per input row) — but a dashboard that renders the
+  // per-flag table and the per-status table needs exactly TWO 1-D
+  // slices, and explicit sets deliver them in ONE scan + ONE Expand(×2)
+  // + one hash aggregate where naive code runs two scans and CUBE pays
+  // ×4 Expand and discards half its output. This is SCALE.md's g4
+  // advice ("cube wide tables through explicit GROUPING SETS of the
+  // combinations actually served") as a first-class operator.
+  // grouping_id disambiguates which slice a row belongs to (same bit
+  // vector both engines, left column = MSB — the g4 contract).
+  // ---------------------------------------------------------------------
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Catalog.lineitem(spark, dir)
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    l.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qty).as("sum_qty_dec"), count(lit(1)).as("n_items"),
+        grouping_id().cast("long").as("gid"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_qty_dec").cast("double").as("sum_qty"), col("n_items"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  val groupingSetsSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // A8 — pivot: per-day event counts spread across one column per event
   // type (the wide shape every dashboard table renders). The pivot value
   // list is EXPLICIT, so Spark skips the extra distinct-values collect
@@ -1117,6 +1155,8 @@ object Relational {
       "ROLLUP grouping sets: group/subtotal/grand-total in one aggregate pass"),
     Q("g4_cube", cubeSummary, Some(cubeSummarySql),
       "CUBE over two dimensions with grouping_id disambiguating subtotal NULLs from data NULLs: every grouping subset in ONE Expand + hash aggregate"),
+    Q("g5_grouping_sets", groupingSetsSummary, Some(groupingSetsSummarySql),
+      "explicit GROUPING SETS - exactly the two 1-D slices actually served in ONE scan + Expand(x2) + hash aggregate, where CUBE pays x4 Expand and discards half its output (the g4 SCALE.md advice as a first-class operator)"),
     Q("a8_pivot", eventPivot, Some(eventPivotSql),
       "explicit-value pivot to the wide per-day dashboard shape"),
     Q("j9_range_join", rangeJoin, Some(rangeJoinSql),
