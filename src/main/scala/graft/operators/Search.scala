@@ -488,7 +488,117 @@ object Search {
        |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // B7 — HYBRID retrieval via reciprocal-rank fusion: the RAG-era query
+  // shape — one lexical arm (BM25, exact keyword evidence) and one
+  // semantic arm (embedding cosine, paraphrase evidence) fused by RRF
+  // (Cormack et al. 2009; the Elasticsearch/Vespa hybrid default):
+  // score(d) = Σ_arms 1/(k + rank_arm(d)), k = 60. RRF needs only RANKS,
+  // never the arms' incomparable score scales — which is also what makes
+  // it hash-exact: each arm's contribution is the INTEGER
+  // 1000000 div (60 + rank), so fusion is exact integer arithmetic end
+  // to end (the b1 micro-points discipline; no float sum, no rounding
+  // rule to align).
+  //
+  // Scale shape: each arm independently produces a depth-HybridK ranking
+  // (the lexical arm posting-pruned as b1; the brute semantic arm here
+  // is n1's labeled exactness baseline — a deployment swaps in the
+  // n3/n4/n5/n9 index arms unchanged, since only ranks cross the fusion
+  // boundary). Fusion itself joins two K-row relations — driver-trivial
+  // at any corpus size.
+  // ---------------------------------------------------------------------
+  val HybridK = 20
+  val RrfK = 60
+  val HybridQueryVec = 0L
+
+  /** Hybrid RRF over explicit (doc_id, text) + (vec_id, embedding)
+    * relations sharing one id space (specs inject hand-built corpora).
+    */
+  def hybridRrfOf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVec: Long, depth: Int, k: Int): DataFrame = {
+    import graft.expressions.VectorFunctions.{cosine_sim, dot_product}
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Of(docs, terms, depth)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val nz = emb.filter(dot_product(col("embedding"), col("embedding")) > 0)
+    val qv = broadcast(nz.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("qv")))
+    val sem = nz.filter(col("vec_id") =!= queryVec)
+      .crossJoin(qv)
+      .select(col("vec_id").as("doc_id"),
+        round(cosine_sim(col("qv"), col("embedding")), 6).as("cosine"))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+      .filter(col("sem_rank") <= depth)
+      .select(col("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("n_arms",
+        (when(col("lex_rank").isNotNull, 1).otherwise(0) +
+          when(col("sem_rank").isNotNull, 1).otherwise(0)).cast("long"))
+      .withColumn("rrf_ppm",
+        (coalesce(expr(s"1000000 div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + sem_rank)"), lit(0L)))
+          .cast("long"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfOf(Catalog.documents(spark, dir),
+      Catalog.embeddings(spark, dir), QueryTerms, HybridQueryVec,
+      HybridK, TopK)
+
+  val hybridRrfSql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       | FROM documents),
+       |dl2 AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM dl),
+       |stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS t
+       | FROM dl2),
+       |tf AS (
+       | SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN ($terms) GROUP BY doc_id, dl, tok),
+       |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |scored AS (
+       | SELECT tf.doc_id,
+       |  CAST(round(CAST((length(bin((2*n + 2) // (2*df + 1))) - 1) * 22 * tf * t AS DOUBLE)
+       |   / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ppm
+       | FROM tf JOIN dfreq USING (tok), stats),
+       |lexagg AS (SELECT doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm
+       | FROM scored GROUP BY doc_id),
+       |lex AS (SELECT doc_id, lex_rank FROM (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |   ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM lexagg) WHERE lex_rank <= $HybridK),
+       |nz AS (SELECT * FROM embeddings
+       | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |q AS (SELECT embedding AS qv FROM nz WHERE vec_id = $HybridQueryVec),
+       |sem0 AS (
+       | SELECT c.vec_id AS doc_id,
+       |  round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+       | FROM nz c, q WHERE c.vec_id <> $HybridQueryVec),
+       |sem AS (SELECT doc_id, sem_rank FROM (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |   ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rank
+       |  FROM sem0) WHERE sem_rank <= $HybridK),
+       |f AS (
+       | SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank
+       | FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank,
+       | CAST((CASE WHEN lex_rank IS NULL THEN 0 ELSE 1 END
+       |  + CASE WHEN sem_rank IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_arms,
+       | CAST(COALESCE(1000000 // ($RrfK + lex_rank), 0)
+       |  + COALESCE(1000000 // ($RrfK + sem_rank), 0) AS BIGINT) AS rrf_ppm
+       |FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("b7_hybrid_rrf", hybridRrf, Some(hybridRrfSql),
+      "hybrid lexical+semantic retrieval via reciprocal-rank fusion (Cormack et al. 2009): BM25 arm + cosine arm fused on RANKS alone as exact integer 1000000 div (60+rank) points; the brute semantic arm is n1's labeled baseline, a deployment feeds ANN ranks through the same fusion unchanged (training-data extension)"),
     Q("b6_boolean_search", booleanSearch, Some(booleanSearchSql),
       "boolean retrieval (MUST all / MUST-NOT any) ranked by BM25 over the MUST terms, corpus df preserved under filtering; rides b2's term-sorted postings (training-data extension)"),
     Q("b5_proximity_search", proximitySearch, Some(proximitySearchSql),

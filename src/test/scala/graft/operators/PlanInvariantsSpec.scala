@@ -62,7 +62,11 @@ class PlanInvariantsSpec extends SparkSuite {
     * - c4: the margin/total relations (category-cardinality rows at
     *   most) crossJoin broadcast to densify the contingency grid —
     *   j7's shape; the ONE corpus-sized pass is the equi-keyed cell
-    *   aggregate before them.
+    *   aggregate before them;
+    * - b7: the lexical arm is b1's allowed stats-scalar shape, and the
+    *   semantic arm crossJoins the ONE-row broadcast query vector onto
+    *   the corpus scan (n1's labeled baseline — a deployment swaps in
+    *   the ANN index arms, only ranks cross the fusion boundary).
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -70,7 +74,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "b1_bm25_topk", "b2_bm25_indexed", "b3_bm25_batch",
       "n8_semantic_decontam", "c1_column_profile", "c2_profile_approx",
       "z9_curriculum", "a10_heavy_hitters", "n9_pq_adc",
-      "b6_boolean_search", "n10_mips", "c4_chi_square")
+      "b6_boolean_search", "n10_mips", "c4_chi_square", "b7_hybrid_rrf")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -165,6 +165,31 @@ class SearchSpec extends SparkSuite {
     assert(rep == Map(1L -> 2L))
   }
 
+  test("b7 hybrid RRF: hand-computed fusion, full-outer arms, integer points") {
+    val docs = corpus(
+      (0L, "pad"),
+      (1L, "x x pad pad"),   // lex rank 1
+      (2L, "x pad pad pad"), // lex rank 2
+      (3L, "pad pad"))       // lex absent
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),      // the query vector
+      (1L, Seq(0.9f, 0.1f)),      // sem rank 2 (cos ≈ 0.9938)
+      (2L, Seq(0.0f, 1.0f)),      // cos 0 -> cut by depth 2
+      (3L, Seq(1.0f, 0.001f)))    // sem rank 1 (cos ≈ 1.0)
+      .toDF("vec_id", "embedding")
+    val got = Search.hybridRrfOf(docs, emb, Seq("x"), 0L, 2, 10).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 1000000 div 61 = 16393, div 62 = 16129
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 2L, 32522L),   // both arms
+      (3L, -1L, 1L, 1L, 16393L),  // semantic only -> lex_rank NULL
+      (2L, 2L, -1L, 1L, 16129L)), // lexical only -> sem_rank NULL
+      s"got ${got.toSeq}")
+  }
+
   test("b6 boolean: MUST-all and MUST-NOT select docs; scoring stays b1's") {
     val docs = corpus(
       (1L, "x y pad"),       // both musts -> eligible
