@@ -1132,7 +1132,67 @@ object Relational {
       |FROM c GROUP BY event_type ORDER BY event_type"""
       .stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // O5 — SEASONAL anomaly baselines: o3's robust rule conditioned on the
+  // hour of day. A global fence calls every evening traffic spike an
+  // anomaly and sleeps through a 3 a.m. surge that is 10× its hour's
+  // norm — real monitoring baselines are per (metric, hour-of-day)
+  // (the daily-seasonality standard behind every alerting product's
+  // "compared to this time yesterday"). Baseline = median + MAD per
+  // (event_type, hour); anomaly = |x − med| > mad·1.4826·3 against the
+  // event's OWN hour slot (Hampel, o3's constant, same multiplication
+  // order both engines).
+  //
+  // Plan/scale shape: o3's tiny-agg-broadcast-rescan with a wider key —
+  // the baseline relation is |types|·24 rows however large the corpus,
+  // broadcast back onto map-side rescans; the exact→approx percentile
+  // swap is the o1/o2 documented trade. The registered output is the
+  // per-slot accounting (one row per baseline cell), the shape an
+  // alerting rule engine loads.
+  // ---------------------------------------------------------------------
+  def seasonalAnomalyOf(events: DataFrame): DataFrame = {
+    val keyed = events.filter(col("value").isNotNull)
+      .withColumn("hour", hour(col("ts")).cast("long"))
+    val med = keyed.groupBy(col("event_type"), col("hour"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = keyed.join(broadcast(med), Seq("event_type", "hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    keyed.join(broadcast(med), Seq("event_type", "hour"))
+      .join(broadcast(mad), Seq("event_type", "hour"))
+      .groupBy(col("event_type"), col("hour"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 1.4826 * 3,
+          1L).otherwise(0L)).as("n_anomalies"))
+      .select(col("event_type"), col("hour"), col("n"),
+        col("n_anomalies"), col("med"), col("mad"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalyOf(Catalog.events(spark, dir))
+
+  val seasonalAnomalySql: String =
+    """WITH e AS (
+      | SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, value
+      | FROM events WHERE value IS NOT NULL),
+      |m AS (
+      | SELECT event_type, hour, quantile_cont(value, 0.5) AS med
+      | FROM e GROUP BY event_type, hour),
+      |md AS (
+      | SELECT event_type, hour, quantile_cont(abs(value - med), 0.5) AS mad
+      | FROM e JOIN m USING (event_type, hour) GROUP BY event_type, hour)
+      |SELECT event_type, hour, count(*) AS n,
+      | CAST(sum(CASE WHEN abs(value - med) > mad * 1.4826 * 3
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      | med, mad
+      |FROM e JOIN m USING (event_type, hour) JOIN md USING (event_type, hour)
+      |GROUP BY event_type, hour, med, mad
+      |ORDER BY event_type, hour""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("o5_seasonal_anomaly", seasonalAnomaly, Some(seasonalAnomalySql),
+      "hour-of-day seasonal anomaly baselines: o3's Hampel rule per (metric, hour) slot - a global fence flags every evening spike and sleeps through a 3am surge; baseline relation is |types|*24 rows broadcast onto map-side rescans (monitoring extension)"),
     Q("o4_ks_drift", ksDrift, Some(ksDriftSql),
       "exact two-sample Kolmogorov–Smirnov drift per metric type on h3's snapshot slices: integer-exact CDF-gap supremum over distinct values, ONE terminal division to micro-points — binning-free drift h3's bucket L1 can miss (data-QA extension)"),
     Q("h3_histogram_drift", histogramDrift, Some(histogramDriftSql),

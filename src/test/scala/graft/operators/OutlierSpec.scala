@@ -168,6 +168,29 @@ class OutlierSpec extends SparkSuite {
     assert(ks.getLong(4) == 20000L, s"got ${ks.getLong(4)}")
   }
 
+  test("o5 seasonal baselines: the same value is anomalous at 3am, normal at 8pm") {
+    import org.apache.spark.sql.functions.col
+    val ts = (h: Int, i: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:0$i%1d:00")
+    // hour 3 baseline is quiet (med 1, mad 0): the 10 is the anomaly.
+    // hour 20 baseline is busy (med 10, mad 1): 10s are normal, only the
+    // 30 crosses the fence — a GLOBAL rule could never say both.
+    val rows =
+      Seq(1.0, 1.0, 1.0, 1.0, 10.0).zipWithIndex.map { case (v, i) =>
+        ("A", ts(3, i), v) } ++
+      Seq(8.0, 10.0, 10.0, 10.0, 12.0, 30.0).zipWithIndex.map { case (v, i) =>
+        ("A", ts(20, i), v) }
+    val df = rows.toDF("event_type", "ts", "value")
+    val got = Relational.seasonalAnomalyOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // hour 20: med 10; adevs sorted [0,0,0,2,2,20] -> mad = 1 (interp);
+    // threshold 4.4478 -> only the 30 (adev 20) flags
+    assert(got == Map(
+      ("A", 3L) -> ((5L, 1L, 1.0, 0.0)),
+      ("A", 20L) -> ((6L, 1L, 10.0, 1.0))), s"got $got")
+  }
+
   test("NULL values count into n but never into outliers or quartiles") {
     val events = Seq(("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(3.0)),
       ("A", None), ("A", Some(1000.0)))
