@@ -434,9 +434,13 @@ object Search {
     // corpus df BEFORE any eligibility filtering (see object doc)
     val mustTf = tf.filter(col("tok").isin(must: _*))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+    // a duplicated must term is ONE requirement, not two: the tf relation
+    // is per-distinct-token, so the completeness cut must compare against
+    // the DISTINCT term count or a duplicate would silently empty the
+    // result
     val hasAll = mustTf.groupBy(col("doc_id"))
       .agg(countDistinct(col("tok")).as("nt"))
-      .filter(col("nt") === must.size).select(col("doc_id"))
+      .filter(col("nt") === must.distinct.size).select(col("doc_id"))
     val blocked = tf.filter(col("tok").isin(mustNot: _*))
       .select(col("doc_id")).distinct()
     val eligible = hasAll.join(blocked, Seq("doc_id"), "left_anti")

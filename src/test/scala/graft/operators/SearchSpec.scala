@@ -212,6 +212,11 @@ class SearchSpec extends SparkSuite {
     }
     // a doc carrying ONLY must-not terms never blocks others
     assert(!got.map(_._1).contains(6L))
+    // a DUPLICATED must term is one requirement, not two — the result
+    // must equal the deduplicated query's, not silently empty
+    val dup = Search.booleanSearchOf(docs, Seq("x", "x", "y"), Seq("bad"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dup.toSeq == got.toSeq, s"duplicate must term changed the result: ${dup.toSeq}")
   }
 
   test("b6 indexed form equals the ad-hoc form and pushes the term filter") {
