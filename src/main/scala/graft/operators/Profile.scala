@@ -331,7 +331,7 @@ object Profile {
 
   val all: Seq[Q] = Seq(
     Q("c4_chi_square", chiSquare, Some(chiSquareSql),
-      "chi-square association between categorical columns (lang x source): integer-exact cell deviations o*n - r*c summed in micro-points, margins as windows over the tiny cell relation - the categorical half of c3 (data-QA extension)"),
+      "chi-square association between categorical columns (lang x source): integer-exact cell deviations o*n - r*c summed in micro-points over the densified category grid, margins broadcast from the tiny cell relation - the categorical half of c3 (data-QA extension)"),
     Q("c1_column_profile", columnProfile, Some(columnProfileSql),
       "per-column rows/nulls/exact-NDV/min/max profile in ONE aggregate pass (multi-distinct Expand), unpivoted to a row per column (data-QA extension)"),
     Q("c2_profile_approx", columnProfileApprox, Some(columnProfileApproxSql),

@@ -1095,10 +1095,14 @@ object Relational {
       .agg(max(col("n_old")).cast("long").as("n_old"),
         max(col("n_new")).cast("long").as("n_new"),
         max(col("gap")).cast("long").as("d_num"))
+      // a type present in only ONE snapshot has no two-sample statistic:
+      // ks_ppm is NULL (unknown), not a division by zero that Spark
+      // renders as Infinity and DuckDB refuses to cast
       .withColumn("ks_ppm",
-        round(col("d_num").cast("double") /
-          (col("n_old") * col("n_new")).cast("double") * 1000000.0, 0)
-          .cast("long"))
+        when(col("n_old") > 0 && col("n_new") > 0,
+          round(col("d_num").cast("double") /
+            (col("n_old") * col("n_new")).cast("double") * 1000000.0, 0)
+            .cast("long")))
       .orderBy(col("event_type"))
   }
 

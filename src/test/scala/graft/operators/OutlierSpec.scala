@@ -151,6 +151,14 @@ class OutlierSpec extends SparkSuite {
         col("s") === "old", col("s") === "new")
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(t.toSeq == Seq((3L, 2L, 1L, 166667L)), s"got ${t.toSeq}")
+    // a type in only ONE snapshot has no two-sample statistic: ks_ppm is
+    // NULL, never an Infinity from the zero denominator
+    val oneSided = Seq(("O", 1.0, "old"), ("O", 2.0, "old"))
+      .toDF("event_type", "value", "s")
+    val o = Relational.ksDriftOf(oneSided,
+        col("s") === "old", col("s") === "new").collect().head
+    assert(o.getLong(1) == 2L && o.getLong(2) == 0L && o.isNullAt(4),
+      s"one-sided type must yield NULL ks_ppm: $o")
   }
 
   test("o4 detects a pure location shift that h3's shared bounds can blur") {
