@@ -446,19 +446,24 @@ object Dedup {
     // default parameters → candidates off the PERSISTED prefix postings
     // (the window/df half of prefix filtering is index-build work, not
     // query work); explicit-cap callers below recompute on the fly
-    jaccardForCandidatesHs(shingleIndex(spark, dir),
-        prefixIndexCandidates(spark, dir))
-      .filter(col("jaccard_raw") >= JaccardThreshold)
-      .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
+    // tinySort, not orderBy: the thresholded pair set is small by
+    // construction, and a range sort's boundary-sampling pass would
+    // re-execute the whole live candidate+verify DAG (measured 2.1× here)
+    Q.tinySort(
+      jaccardForCandidatesHs(shingleIndex(spark, dir),
+          prefixIndexCandidates(spark, dir))
+        .filter(col("jaccard_raw") >= JaccardThreshold)
+        .select(col("da"), col("db"), col("jaccard")),
+      col("da"), col("db"))
 
   /** d4 with an explicit posting-list df cap (specs exercise small caps). */
   def ngramJaccardCapped(cap: Int)(spark: SparkSession, dir: String): DataFrame =
-    jaccardAllCoShinglePairs(spark, dir, cap)
-      // unrounded threshold — same reasoning as minhashLsh
-      .filter(col("jaccard_raw") >= JaccardThreshold)
-      .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
+    Q.tinySort(
+      jaccardAllCoShinglePairs(spark, dir, cap)
+        // unrounded threshold — same reasoning as minhashLsh
+        .filter(col("jaccard_raw") >= JaccardThreshold)
+        .select(col("da"), col("db"), col("jaccard")),
+      col("da"), col("db"))
 
   val ngramJaccardSql: String = minhashLshSql
 
@@ -695,13 +700,16 @@ object Dedup {
   def winnowPairsCapped(cap: Int)(spark: SparkSession, dir: String): DataFrame = {
     val fps = winnowIndex(spark, dir)
     val ex = fps.select(col("doc_id"), explode(col("fps")).as("h"))
-    coKeyCandidates(ex, "h", cap)
-      .join(fps.select(col("doc_id").as("da"), col("fps").as("fpsa")), "da")
-      .join(fps.select(col("doc_id").as("db"), col("fps").as("fpsb")), "db")
-      .select(col("da"), col("db"),
-        size(array_intersect(col("fpsa"), col("fpsb"))).as("shared"))
-      .filter(col("shared") >= MinSharedFingerprints)
-      .orderBy(col("da"), col("db"))
+    // tinySort, not orderBy: the verify joins sit ABOVE the candidate
+    // dedup shuffle, so a range sort's sampling pass would re-run them
+    Q.tinySort(
+      coKeyCandidates(ex, "h", cap)
+        .join(fps.select(col("doc_id").as("da"), col("fps").as("fpsa")), "da")
+        .join(fps.select(col("doc_id").as("db"), col("fps").as("fpsb")), "db")
+        .select(col("da"), col("db"),
+          size(array_intersect(col("fpsa"), col("fpsb"))).as("shared"))
+        .filter(col("shared") >= MinSharedFingerprints),
+      col("da"), col("db"))
   }
 
   /** DuckDB re-implementation of the winnow kernel (value-set form, see

@@ -22,6 +22,21 @@ case class Q(
     doc: String)
 
 object Q {
+  /** Total-order presentation sort for a PROVABLY SMALL result of an
+    * expensive DAG. A plain `orderBy` compiles to a range-partitioned
+    * Exchange whose boundary-sampling pass re-executes the whole child
+    * plan once before the real pass — on d4 that sampling pass doubled
+    * the query (3.6 s → 1.7 s at sf0.1 without it), and on n2 it re-runs
+    * the quadratic verify join. Routing the tiny result through ONE
+    * round-robin shuffle partition keeps the upstream at full
+    * parallelism, sorts once, and never re-executes. Use ONLY where the
+    * result is small by construction (thresholded near-dup pair sets,
+    * accounting rows) — a large result wants the scalable range sort.
+    */
+  def tinySort(df: org.apache.spark.sql.DataFrame,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** Pinned as-of instant mid-way through the events horizon — stands in for
     * `now()` in the reference's activity queries (reference
     * `myapp/views.py:402,405,414,419`); SURVEY.md §7.4 determinism rule.

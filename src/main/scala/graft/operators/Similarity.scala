@@ -123,12 +123,15 @@ object Similarity {
       col("bn").as("bna"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
       col("bn").as("bnb"))
-    a.join(b, col("va") < col("vb") &&
-        cosine_sim(col("bna"), col("bnb")) >= PairThreshold - PruneMargin)
-      .select(col("va"), col("vb"),
-        round(cosine_sim(col("ea"), col("eb")), 6).as("cosine"))
-      .filter(col("cosine") >= PairThreshold)
-      .orderBy(col("va"), col("vb"))
+    // tinySort, not orderBy: a range sort's boundary-sampling pass would
+    // re-execute the quadratic verify join once more (see Q.tinySort)
+    Q.tinySort(
+      a.join(b, col("va") < col("vb") &&
+          cosine_sim(col("bna"), col("bnb")) >= PairThreshold - PruneMargin)
+        .select(col("va"), col("vb"),
+          round(cosine_sim(col("ea"), col("eb")), 6).as("cosine"))
+        .filter(col("cosine") >= PairThreshold),
+      col("va"), col("vb"))
   }
 
   val cosinePairsSql: String =
