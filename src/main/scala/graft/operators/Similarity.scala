@@ -46,18 +46,9 @@ object Similarity {
 
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val e = nonZeroEmbeddings(spark, dir)
-    val queries = broadcast(
+    topKAgainst(e,
       e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    e.join(queries, col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id"),
-        round(cosine_sim(col("qv"), col("embedding")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .orderBy(col("query_id"), col("rank"))
   }
 
   val annBruteForceSql: String =
@@ -921,7 +912,92 @@ object Similarity {
           dot_product(col("embedding"), col("embedding")), lit(0.0)))
           .cast("float"))))
 
+  // ---------------------------------------------------------------------
+  // N11 — FILTERED ANN (the retrieval-with-metadata pattern every RAG
+  // serving layer runs): top-k cosine among only the vectors whose
+  // DOCUMENT passes a metadata predicate. Strategy is PRE-filter: the
+  // allowed-id set semi-joins the vector corpus BEFORE any scoring, so
+  // the kernel touches selectivity·n vectors and top-k can never starve —
+  // the POST-filter alternative (score global top-k, then filter) returns
+  // < k results whenever fewer than k of the global top-k pass, and
+  // re-probing to fill the gap is the classic filtered-ANN failure mode.
+  //
+  // Scale shape: the predicate side reduces to an 8-byte id relation, so
+  // the semi-join shuffles ids, never vectors or text; AQE picks
+  // broadcast when the filter is selective. When the predicate lives ON
+  // the vector table itself (the `label` column), the join disappears
+  // entirely — [[annFilteredByLabel]] pushes the predicate into the
+  // parquet scan (PushedFilters; asserted in spec), the cheapest form.
+  // At IVF scale the same pre-filter composes with n4: probe NProbe
+  // buckets, semi-join bucket members against the id set, score the
+  // survivors.
+  // ---------------------------------------------------------------------
+  /** n11's gate predicate: a mid-selectivity language slice (~14% of the
+    * fixture corpus) — selective enough that post-filter would starve,
+    * populated at every SF.
+    */
+  val FilterLang = "de"
+
+  /** Shared scoring tail of every exact top-k arm: broadcast queries ×
+    * one candidate scan through the codegen'd kernel, per-query window
+    * top-k (ties break on candidate id; 6-dp rounding so both engines
+    * rank identically).
+    */
+  private def topKAgainst(candidates: DataFrame, queries: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    candidates.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("embedding")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** n11: top-k over the sub-corpus whose documents satisfy `docPred`.
+    * Queries come from the UNfiltered corpus — a probe vector searches a
+    * restricted candidate set, it does not itself need to qualify.
+    */
+  def annFilteredBy(docPred: org.apache.spark.sql.Column)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val e = nonZeroEmbeddings(spark, dir)
+    val allowed = Catalog.documents(spark, dir)
+      .filter(docPred).select(col("doc_id").as("vec_id"))
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    topKAgainst(e.join(allowed, Seq("vec_id"), "left_semi"), queries)
+  }
+
+  def annFiltered(spark: SparkSession, dir: String): DataFrame =
+    annFilteredBy(col("lang") === FilterLang)(spark, dir)
+
+  /** The zero-join form when the predicate lives on the vector table
+    * itself: `label = lbl` pushes into the parquet scan (PushedFilters),
+    * so filtered search costs one pruned scan — no id relation, no join.
+    */
+  def annFilteredByLabel(lbl: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val e = nonZeroEmbeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    topKAgainst(e.filter(col("label") === lbl), queries)
+  }
+
+  val annFilteredSql: String =
+    s"""WITH nz AS (SELECT * FROM embeddings WHERE $nonZeroSql),
+       |allowed AS (SELECT doc_id FROM documents WHERE lang = '$FilterLang')
+       |SELECT query_id, vec_id, cosine, rank FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rank
+       | FROM nz q JOIN nz c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+       | JOIN allowed a ON a.doc_id = c.vec_id) t
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("n11_filtered_ann", annFiltered, Some(annFilteredSql),
+      s"filtered ANN (the RAG metadata-predicate pattern): PRE-filter semi-join of the allowed-id relation before any scoring — post-filter starves below k; ids shuffle, vectors never do; label-predicate form pushes into the scan with zero join (training-data extension)"),
     Q("n10_mips", mipsTopK, Some(mipsTopKSql),
       "exact maximum-inner-product top-k (recommender scoring): broadcast queries x one corpus scan through the codegen'd dot kernel; norm-augmentation reduction (mipsAugment) lets the n3/n4/n5 cosine indexes serve MIPS unchanged at scale (training-data extension)"),
     Q("n9_pq_adc", pqAdcRecall, Some(pqAdcRecallSql),
