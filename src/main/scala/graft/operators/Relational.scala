@@ -1194,7 +1194,101 @@ object Relational {
       |GROUP BY event_type, hour, med, mad
       |ORDER BY event_type, hour""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // O6 — CUSUM level-shift detection per metric type: o4/h3 compare two
+  // named snapshots; CUSUM watches the SEQUENCE — the cumulative sum of
+  // deviations from the series mean, whose running maximum spikes when a
+  // level shift begins long before any single day trips a fence (Page
+  // 1954, the classic sequential change detector).
+  //
+  // The textbook recurrence S_t = max(0, S_{t−1} + d_t) is sequential —
+  // useless verbatim on a shuffle engine. But its closed form is the
+  // maximal-suffix-sum: S_t = P_t − min(0, min_{j<t} P_j) over prefix
+  // sums P, so max_t S_t (the alarm statistic) needs exactly TWO window
+  // passes per key — a running sum and a preceding-extremum — and a
+  // terminal max. The downward detector is the mirror on −d. No loop,
+  // no state, no UDAF.
+  //
+  // Cross-engine determinism (the x10 lesson): deviations are cleared of
+  // the mean's denominator — d_t = n·x_t − Σx, an exact BIGINT that sums
+  // to zero over the series — so the statistic is integer-exact in units
+  // of 1/n events; consumers divide by n once at read time if they want
+  // event units.
+  //
+  // Plan shape: one map-side-partial shuffle to (type, day) counts, then
+  // windows over the |types|·|days| daily relation (tiny however large
+  // the corpus — the same collapse-then-window shape as o4's ECDF), one
+  // output row per type.
+  // ---------------------------------------------------------------------
+  def cusumDriftOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // a timestamp-less event has no place in a daily series (and NULL
+    // ordering inside window ORDER BY differs across engines)
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ord = byType.orderBy(col("day"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val series = daily
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("x")).over(byType))
+      .withColumn("d", col("n_days") * col("x") - col("total"))
+    val scan = series
+      .withColumn("p", sum(col("d")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // the empty prefix (P_0 = 0) participates in both extrema (an
+      // interval may start at t itself). The extremum window excludes the
+      // current row, so a per-row value may dip below the true S_t ≥ 0 —
+      // but the TERMINAL max is identical: true S_t = max(value_t, 0),
+      // and the value at t = n is −min(0, min P) ≥ 0 because the
+      // mean-cleared series closes at P_n = 0, so the row-wise max is
+      // already ≥ 0 and the clamp changes nothing.
+      .withColumn("minp", least(lit(0L), coalesce(min(col("p")).over(prior), lit(0L))))
+      .withColumn("maxp", greatest(lit(0L), coalesce(max(col("p")).over(prior), lit(0L))))
+    scan.groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("total")).as("total_events"),
+        max(col("p") - col("minp")).as("cusum_up"),
+        max(col("maxp") - col("p")).as("cusum_down"))
+      .orderBy(col("event_type"))
+  }
+
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame =
+    cusumDriftOf(Catalog.events(spark, dir))
+
+  val cusumDriftSql: String =
+    """WITH dly AS (
+      | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |s AS (
+      | SELECT event_type, day, x,
+      |  count(*) OVER (PARTITION BY event_type) AS n_days,
+      |  CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      | FROM dly),
+      |pp AS (
+      | SELECT event_type, day, n_days, total,
+      |  CAST(sum(n_days*x - total) OVER (PARTITION BY event_type ORDER BY day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+      | FROM s),
+      |sc AS (
+      | SELECT event_type, n_days, total, p,
+      |  least(0, CAST(coalesce(min(p) OVER (PARTITION BY event_type ORDER BY day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)) AS minp,
+      |  greatest(0, CAST(coalesce(max(p) OVER (PARTITION BY event_type ORDER BY day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)) AS maxp
+      | FROM pp)
+      |SELECT event_type,
+      | CAST(max(n_days) AS BIGINT) AS n_days,
+      | CAST(max(total) AS BIGINT) AS total_events,
+      | CAST(max(p - minp) AS BIGINT) AS cusum_up,
+      | CAST(max(maxp - p) AS BIGINT) AS cusum_down
+      |FROM sc GROUP BY event_type ORDER BY event_type"""
+      .stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("o6_cusum_drift", cusumDrift, Some(cusumDriftSql),
+      "CUSUM level-shift detection per metric type: Page's sequential recurrence rewritten as its maximal-suffix-sum closed form — two window passes over the collapsed daily relation, integer-exact in units of 1/n events, upward and downward detectors in one pass (monitoring + data-QA extension)"),
     Q("o5_seasonal_anomaly", seasonalAnomaly, Some(seasonalAnomalySql),
       "hour-of-day seasonal anomaly baselines: o3's Hampel rule per (metric, hour) slot - a global fence flags every evening spike and sleeps through a 3am surge; baseline relation is |types|*24 rows broadcast onto map-side rescans (monitoring extension)"),
     Q("o4_ks_drift", ksDrift, Some(ksDriftSql),

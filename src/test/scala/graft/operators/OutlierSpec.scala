@@ -199,6 +199,27 @@ class OutlierSpec extends SparkSuite {
       ("A", 20L) -> ((6L, 1L, 10.0, 1.0))), s"got $got")
   }
 
+  test("o6 CUSUM: hand computation, flat series, NULL ts excluded") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // type A daily counts [1, 4, 1]: n=3, total=6, d = 3x−6 = [−3, 6, −3],
+    // P = [−3, 3, 0]. Upward recurrence S = [0, 6, 3] → max 6 (the day-2
+    // burst); downward D = [3, 0, 3] → max 3. Asymmetric by design — the
+    // two detectors must not be mirrors of each other on this series.
+    def day(d: Int, n: Int, t: String) =
+      Seq.fill(n)((t, s"2024-01-0$d 10:00:00"))
+    val events = (day(1, 1, "A") ++ day(2, 4, "A") ++ day(3, 1, "A") ++
+      day(1, 2, "B") ++ day(2, 2, "B") ++ Seq(("A", null: String)))
+      .toDF("event_type", "ts_s")
+      .select(col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Relational.cusumDriftOf(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the NULL-ts event must not create a phantom day or shift any count
+    assert(got("A") == ((3L, 6L, 6L, 3L)), s"got ${got("A")}")
+    // flat series: deviations all zero, both detectors silent
+    assert(got("B") == ((2L, 4L, 0L, 0L)), s"got ${got("B")}")
+  }
+
   test("NULL values count into n but never into outliers or quartiles") {
     val events = Seq(("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(3.0)),
       ("A", None), ("A", Some(1000.0)))
