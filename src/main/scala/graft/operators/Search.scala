@@ -600,7 +600,126 @@ object Search {
        |FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // B8 — INCREMENTAL index maintenance: b2's postings are a persisted
+  // artifact precisely because a 100 TB corpus is not re-tokenized per
+  // revision batch — so the artifact must be MAINTAINABLE in O(delta),
+  // or it decays into a rebuild-nightly liability. The maintained read
+  // view is: old postings ANTI-JOIN changed ids (tombstones) UNION the
+  // delta's own postings; corpus stats adjust by three delta-local
+  // aggregates (docs added, tokens removed, tokens added). Tokenization
+  // touches only the delta. By construction the merged view is SET-equal
+  // to a full rebuild over the revised corpus (spec-pinned), so every
+  // consumer (b1-b7) serves exact results off it unchanged — the gate
+  // scores b1's probe over the maintained view against a full-rebuild
+  // oracle. Deployment note: production persists the delta as a SEGMENT
+  // file plus a tombstone id-set (the Lucene/lakehouse pattern; u2's
+  // diff supplies the changed-id set) and compacts periodically — this
+  // relation IS that segment-merge read view.
+  // ---------------------------------------------------------------------
+  /** The deterministic gate delta over the fixture corpus: every 10th
+    * document (mod 7) gains a revision suffix (NULL text stays NULL —
+    * concat propagates NULL in both engines), and every 50th (mod 3)
+    * spawns a brand-new document under a shifted id.
+    */
+  val RevisionSuffix = " spark spark"
+  val AddedIdOffset = 1000000L
+  val AddedText = "spark vector merge fresh document"
+
+  private def revisedDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), concat(col("text"), lit(RevisionSuffix)).as("text"))
+
+  private def addedDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 50 === 3)
+      .select((col("doc_id") + AddedIdOffset).as("doc_id"),
+        lit(AddedText).as("text"))
+
+  /** The revised corpus the delta produces — what a full rebuild would
+    * index (specs diff the incremental view against exactly this).
+    */
+  private[operators] def revisedCorpus(docs: DataFrame): DataFrame =
+    docs.join(revisedDocs(docs).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+      .unionByName(revisedDocs(docs))
+      .unionByName(addedDocs(docs))
+
+  /** (merged postings, merged stats) over base ⊎ delta, touching only
+    * delta text: one broadcast anti-join against the changed-id set, one
+    * delta tokenization, three 1-row adjustment aggregates.
+    */
+  private[operators] def incrementalIndex(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Catalog.documents(spark, dir)
+    val delta = revisedDocs(docs).withColumn("is_new", lit(0L))
+      .unionByName(addedDocs(docs).withColumn("is_new", lit(1L)))
+    val deltaDl = delta
+      .select(col("doc_id"), col("is_new"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_new"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val changed = delta.select(col("doc_id"))
+    val old = postingsIndex(spark, dir)
+    val merged = old.join(broadcast(changed), Seq("doc_id"), "left_anti")
+      .unionByName(deltaDl
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).cast("long").as("tf")))
+    // stats adjustments: docs never deleted here, so N grows by the adds;
+    // T loses the changed docs' OLD lengths (recovered from their posting
+    // rows — a token-less doc has no rows and contributed 0) and gains
+    // the delta's new lengths
+    val removed = old.join(broadcast(changed), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("t_removed"))
+    val added = deltaDl.agg(
+      coalesce(sum(col("is_new")), lit(0L)).as("n_added"),
+      coalesce(sum(col("dl")), lit(0L)).as("t_delta"))
+    val stats = statsIndex(spark, dir)
+      .crossJoin(broadcast(removed)).crossJoin(broadcast(added))
+      .select((col("n") + col("n_added")).as("n"),
+        (col("t") - col("t_removed") + col("t_delta")).as("t"))
+    (merged, stats)
+  }
+
+  def bm25IncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val (postings, stats) = incrementalIndex(spark, dir)
+    scoreTf(postings.filter(col("tok").isin(QueryTerms: _*)), stats, TopK)
+  }
+
+  val bm25IncrementalSql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs2 AS (
+       | SELECT doc_id, CASE WHEN doc_id % 10 = 7
+       |  THEN text || '$RevisionSuffix' ELSE text END AS text
+       | FROM documents
+       | UNION ALL
+       | SELECT doc_id + $AddedIdOffset AS doc_id, '$AddedText' AS text
+       | FROM documents WHERE doc_id % 50 = 3),
+       |dl AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       | FROM docs2),
+       |dl2 AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM dl),
+       |stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS t
+       | FROM dl2),
+       |tf AS (
+       | SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN ($terms) GROUP BY doc_id, dl, tok),
+       |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |scored AS (
+       | SELECT tf.doc_id,
+       |  CAST(round(CAST((length(bin((2*n + 2) // (2*df + 1))) - 1) * 22 * tf * t AS DOUBLE)
+       |   / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ppm
+       | FROM tf JOIN dfreq USING (tok), stats)
+       |SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+       | CAST(sum(ppm) AS BIGINT) AS score_ppm
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("b8_incremental_index", bm25IncrementalIndex, Some(bm25IncrementalSql),
+      "O(delta) inverted-index maintenance: old postings anti-join tombstoned ids UNION delta postings, stats adjusted by three delta-local aggregates — set-equal to a full rebuild (spec-pinned), so b1's probe scores identically off the maintained view; the Lucene segment+tombstone pattern as a read view (training-data extension)"),
     Q("b7_hybrid_rrf", hybridRrf, Some(hybridRrfSql),
       "hybrid lexical+semantic retrieval via reciprocal-rank fusion (Cormack et al. 2009): BM25 arm + cosine arm fused on RANKS alone as exact integer 1000000 div (60+rank) points; the brute semantic arm is n1's labeled baseline, a deployment feeds ANN ranks through the same fusion unchanged (training-data extension)"),
     Q("b6_boolean_search", booleanSearch, Some(booleanSearchSql),

@@ -254,4 +254,47 @@ class SearchSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("b8: the maintained index is SET-equal to a full rebuild over the revised corpus") {
+    val docs = graft.Catalog.documents(spark, sfDir)
+    val (merged, stats) = Search.incrementalIndex(spark, sfDir)
+    // the rebuild the incremental view must match: tokenize the revised
+    // corpus from scratch (what a nightly full re-index would do)
+    val dl = Search.revisedCorpus(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val rebuilt = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("tok"), col("doc_id"), col("dl"), col("tf")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val (m, r) = (rows(merged), rows(rebuilt))
+    assert(m == r, s"maintained view drifted from rebuild: " +
+      s"extra=${(m -- r).take(3)} missing=${(r -- m).take(3)}")
+    val sGot = stats.collect().head
+    val sWant = dl.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl")).as("t")).collect().head
+    assert(sGot.getLong(0) == sWant.getLong(0) &&
+      sGot.getLong(1) == sWant.getLong(1),
+      s"stats drifted: got $sGot want $sWant")
+  }
+
+  test("b8: scoring off the maintained view equals scoring a from-scratch rebuild") {
+    val docs = graft.Catalog.documents(spark, sfDir)
+    val direct = Search.bm25Of(Search.revisedCorpus(docs),
+        Search.QueryTerms, Search.TopK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaIndex = Search.bm25IncrementalIndex(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaIndex.toSeq == direct.toSeq,
+      s"maintained-view scores drifted: got ${viaIndex.toSeq} want ${direct.toSeq}")
+    // and the delta genuinely reaches the view: the added docs (which
+    // contain every probe term) must appear among the scored postings
+    val (merged, _) = Search.incrementalIndex(spark, sfDir)
+    assert(merged.filter(col("doc_id") >= Search.AddedIdOffset).limit(1)
+      .collect().nonEmpty, "no added-doc postings in the maintained view")
+  }
 }
