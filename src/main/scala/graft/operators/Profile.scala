@@ -329,7 +329,82 @@ object Profile {
       |  / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)), 0) AS BIGINT)) AS BIGINT) AS chi2_ppm
       |FROM u""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // C5 — referential-integrity audit between two tables sharing an id
+  // space (documents ↔ embeddings): the pipeline-QA invariant every
+  // multi-artifact corpus must hold — an embedding without a document is
+  // a leak from a deleted doc; a document without an embedding silently
+  // drops out of every semantic stage (n8/z2/b7). ONE full-outer join of
+  // the two 8-byte id projections, aggregated to a single accounting
+  // row. NULL ids are orphans BY DEFINITION (they can never join) and
+  // are counted as such, not dropped: the join runs over the non-NULL
+  // keys only, and the orphan columns subtract matched mass from the
+  // TOTAL row counts — so NULL-keyed rows land in the orphan side
+  // arithmetically while the join stays a plain equi-join.
+  //
+  // Scale shape: ids-only projections (column pruning to 8 bytes/row),
+  // one shuffle each on the id, map-side partial counts after the join —
+  // the accounting never moves text or vectors.
+  // ---------------------------------------------------------------------
+  def referentialIntegrityOf(docs: DataFrame, vecs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
+      .withColumn("d", lit(1L))
+    val v = vecs.select(col("vec_id").as("doc_id"))
+      .filter(col("doc_id").isNotNull).withColumn("v", lit(1L))
+    val joined = d.join(v, Seq("doc_id"), "full_outer")
+      .agg(coalesce(sum(col("d")), lit(0L)).as("n_docs_keyed"),
+        coalesce(sum(col("v")), lit(0L)).as("n_vecs_keyed"),
+        coalesce(sum(col("d") * col("v")), lit(0L)).as("n_matched"))
+    val nullD = docs.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("null_doc_ids"))
+    val nullV = vecs.agg(count(lit(1)).as("n_vecs"),
+      sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("null_vec_ids"))
+    joined.crossJoin(broadcast(nullD)).crossJoin(broadcast(nullV))
+      .select(
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        col("n_matched"),
+        // unembedded = docs that matched no vector, NULL-keyed included
+        (col("n_docs") - col("n_matched")).cast("long").as("docs_unembedded"),
+        (col("n_vecs") - col("n_matched")).cast("long").as("vecs_orphaned"),
+        // integer ppm (div, not /): exact in both engines; NULL when the
+        // document table is empty — coverage of nothing is undefined
+        when(col("n_docs") > 0,
+          expr("n_matched * 1000000 div n_docs")).as("coverage_ppm"))
+  }
+
+  /** C5's gate contract assumes ids are UNIQUE on both sides (they are
+    * primary keys; d1 owns duplicate detection) — under duplicates the
+    * matched count would inflate multiplicatively. The spec pins the
+    * documented behavior on a constructed violation corpus.
+    */
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame =
+    referentialIntegrityOf(
+      Catalog.documents(spark, dir), Catalog.embeddings(spark, dir))
+
+  val referentialIntegritySql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+      |v AS (SELECT vec_id AS doc_id FROM embeddings WHERE vec_id IS NOT NULL),
+      |j AS (
+      | SELECT count(d.doc_id)::BIGINT AS n_docs_keyed,
+      |  count(v.doc_id)::BIGINT AS n_vecs_keyed,
+      |  CAST(coalesce(sum(CASE WHEN d.doc_id IS NOT NULL
+      |   AND v.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matched
+      | FROM d FULL OUTER JOIN v ON d.doc_id = v.doc_id)
+      |SELECT
+      | (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+      | (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
+      | n_matched,
+      | ((SELECT count(*) FROM documents) - n_matched)::BIGINT AS docs_unembedded,
+      | ((SELECT count(*) FROM embeddings) - n_matched)::BIGINT AS vecs_orphaned,
+      | CASE WHEN (SELECT count(*) FROM documents) > 0
+      |  THEN (n_matched * 1000000 // (SELECT count(*) FROM documents))::BIGINT
+      | END AS coverage_ppm
+      |FROM j""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("c5_referential_integrity", referentialIntegrity, Some(referentialIntegritySql),
+      "referential-integrity audit between documents and embeddings: orphans both ways + coverage ppm from ONE full-outer join of 8-byte id projections — the invariant every multi-artifact corpus must hold before semantic stages silently drop rows (data-QA extension)"),
     Q("c4_chi_square", chiSquare, Some(chiSquareSql),
       "chi-square association between categorical columns (lang x source): integer-exact cell deviations o*n - r*c summed in micro-points over the densified category grid, margins broadcast from the tiny cell relation - the categorical half of c3 (data-QA extension)"),
     Q("c1_column_profile", columnProfile, Some(columnProfileSql),

@@ -24,6 +24,22 @@ class ProfileSpec extends SparkSuite {
     Profile.profileOf(df).collect()
       .map(r => r.getString(0) -> r).toMap.apply(name)
 
+  test("c5 referential integrity: orphans both ways, NULL keys, empty table") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // docs {1,2,3,NULL}; vecs {2,3,4}: matched {2,3} → docs_unembedded 2
+    // (1 and the NULL-keyed row), vecs_orphaned 1 (4); coverage 2/4 = 50%
+    val docs = Seq(Some(1L), Some(2L), Some(3L), None).toDF("doc_id")
+    val vecs = Seq(2L, 3L, 4L).toDF("vec_id")
+    val r = Profile.referentialIntegrityOf(docs, vecs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((4L, 3L, 2L, 2L, 1L, 500000L)), s"got $r")
+    // an empty document table: coverage of nothing is NULL, not 0 or a crash
+    val e = Profile.referentialIntegrityOf(
+      Seq.empty[Long].toDF("doc_id"), vecs).collect().head
+    assert(e.getLong(0) == 0L && e.getLong(4) == 3L && e.isNullAt(5), s"got $e")
+  }
+
   test("rows, nulls, and exact distinct count per column") {
     val s = rowFor("s")
     assert(s.getLong(1) == 4 && s.getLong(2) == 1 && s.getLong(3) == 2)
