@@ -16,6 +16,7 @@ object SparkEntry {
     Monitoring.all ++ Relational.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ operators.Multimodal.all ++ lifecycle.Lifecycle.all ++
       lifecycle.Ddl.all ++ lifecycle.SqlMutations.all ++
+      lifecycle.Versioned.all ++
       streaming.Streams.all ++ operators.Pipeline.all ++
       operators.Search.all ++ operators.Profile.all ++ operators.Diff.all ++
       operators.Skip.all

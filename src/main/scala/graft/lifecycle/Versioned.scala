@@ -1,0 +1,204 @@
+package graft.lifecycle
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Catalog
+
+/** S24 — versioned table commits with time-travel reads: the snapshot
+  * pattern of the modern table formats (Iceberg/Delta) in its minimal
+  * relational form. Every in-place mutation in [[Lifecycle]] (staged
+  * rewrite + swap) destroys history; a versioned table never rewrites a
+  * byte it has published — each commit adds immutable data files plus ONE
+  * manifest naming the files that ARE version N, so any historical
+  * version stays readable until retention drops it, and "what changed
+  * between v_i and v_j" (u1's diff) runs over two cheap manifest-pruned
+  * reads instead of restored backups.
+  *
+  * Layout (all paths relative to the table root):
+  *   data/c<V>-<part>.parquet   immutable data files, version-prefixed
+  *   _v/<V>                     manifest: line 1 = schema DDL, then one
+  *                              data-file name per line
+  *
+  * The manifest carries the schema so a ZERO-file version (a rewrite that
+  * filtered everything out) is still a readable empty relation — Spark
+  * writes no part files for empty tasks, and a raw file-listing read
+  * would have no footer to infer from.
+  *
+  * Scale notes: a commit's cost is its OWN data plus one metadata file —
+  * append never touches existing bytes, rewrite writes the surviving rows
+  * once (the same cost the in-place form pays) but keeps the old files
+  * for history. Reads list one manifest, not the directory tree (no
+  * eventual-consistency listing races). Concurrency: this engine is
+  * single-writer per table (the local driver); a multi-writer deployment
+  * swaps `writeManifest`'s rename for an atomic CAS on the manifest
+  * number — the layout itself is already append-only, which is the hard
+  * part. Retention: [[vacuumKeepingSince]] deletes data files referenced
+  * ONLY by dropped manifests, the VACUUM analogue over history.
+  */
+object Versioned {
+
+  private def fs(path: String)(implicit spark: SparkSession) =
+    Catalog.fsFor(path, spark)
+
+  /** Committed versions, ascending (empty for a table not yet created). */
+  def versions(path: String)(implicit spark: SparkSession): Seq[Int] = {
+    val f = fs(path)
+    val dir = new Path(s"$path/_v")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toInt).toSeq.sorted
+  }
+
+  def currentVersion(path: String)(implicit spark: SparkSession): Int =
+    versions(path).lastOption.getOrElse(0)
+
+  private def manifest(path: String, v: Int)(
+      implicit spark: SparkSession): (StructType, Seq[String]) = {
+    val f = fs(path)
+    val p = new Path(s"$path/_v/$v")
+    require(f.exists(p),
+      s"version $v of $path does not exist (have: ${versions(path).mkString(", ")})")
+    val in = f.open(p)
+    val txt = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
+    (StructType.fromDDL(lines.head), lines.tail)
+  }
+
+  /** Move the staged write's part files into data/ under version-prefixed
+    * names and return those names. The staging dir (with its _SUCCESS
+    * marker) is removed; the data files themselves are never rewritten.
+    */
+  private def stageData(path: String, v: Int, df: DataFrame)(
+      implicit spark: SparkSession): Seq[String] = {
+    val f = fs(path)
+    val staging = s"$path/.staging-v$v-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    df.write.parquet(staging)
+    f.mkdirs(new Path(s"$path/data"))
+    val moved = f.listStatus(new Path(staging))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val nm = s"c$v-${s.getPath.getName}"
+        require(f.rename(s.getPath, new Path(s"$path/data/$nm")),
+          s"failed to publish ${s.getPath} as data/$nm")
+        nm
+      }.toSeq
+    f.delete(new Path(staging), true)
+    moved
+  }
+
+  private def writeManifest(path: String, v: Int, schema: StructType,
+      files: Seq[String])(implicit spark: SparkSession): Unit = {
+    val f = fs(path)
+    f.mkdirs(new Path(s"$path/_v"))
+    val tmp = new Path(s"$path/_v/.$v.tmp")
+    val out = f.create(tmp, true)
+    try out.write((schema.toDDL +: files).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(f.rename(tmp, new Path(s"$path/_v/$v")),
+      s"failed to publish manifest $v of $path")
+  }
+
+  /** Commit `df` as an APPEND: version N+1 = version N's files plus the
+    * new data. On a not-yet-created table this is the initial commit.
+    * Existing bytes are never touched. Returns the new version.
+    */
+  def append(path: String, df: DataFrame)(
+      implicit spark: SparkSession): Int = {
+    val cur = currentVersion(path)
+    val prev = if (cur == 0) Seq.empty else manifest(path, cur)._2
+    val v = cur + 1
+    writeManifest(path, v, df.schema, prev ++ stageData(path, v, df))
+    v
+  }
+
+  /** Commit a full REWRITE (DELETE/UPDATE compaction shape): version N+1
+    * references only the transform's output; version N's files remain on
+    * disk serving history until vacuumed. Returns the new version.
+    */
+  def rewrite(path: String)(f: DataFrame => DataFrame)(
+      implicit spark: SparkSession): Int = {
+    val cur = currentVersion(path)
+    require(cur > 0, s"cannot rewrite $path: no committed version")
+    val out = f(readVersion(path, cur))
+    val v = cur + 1
+    writeManifest(path, v, out.schema, stageData(path, v, out))
+    v
+  }
+
+  /** Time travel: the table exactly as committed at version `v`. */
+  def readVersion(path: String, v: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    val (schema, files) = manifest(path, v)
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema)
+      .parquet(files.map(n => s"$path/data/$n"): _*)
+  }
+
+  def readLatest(path: String)(implicit spark: SparkSession): DataFrame =
+    readVersion(path, currentVersion(path))
+
+  /** Retention: drop manifests OLDER than `keepSince` and delete every
+    * data file no surviving manifest references. Returns the number of
+    * data files deleted. Versions ≥ keepSince stay fully readable.
+    */
+  def vacuumKeepingSince(path: String, keepSince: Int)(
+      implicit spark: SparkSession): Int = {
+    val f = fs(path)
+    val (drop, keep) = versions(path).partition(_ < keepSince)
+    require(keep.nonEmpty,
+      s"refusing to vacuum every version of $path (keepSince=$keepSince)")
+    val live = keep.flatMap(manifest(path, _)._2).toSet
+    val dead = drop.flatMap(manifest(path, _)._2).toSet -- live
+    dead.foreach(n => f.delete(new Path(s"$path/data/$n"), false))
+    drop.foreach(v => f.delete(new Path(s"$path/_v/$v"), false))
+    dead.size
+  }
+
+  // ---------------------------------------------------------------------
+  // Gate query: seed from the fixture, append a delta, rewrite-delete a
+  // type, then read EVERY version back — per-version accounting proves
+  // each snapshot stayed exactly what it was when committed (v1 must not
+  // see the delta; v2 must still hold the rows v3 deleted).
+  // ---------------------------------------------------------------------
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = graft.Scratch.freshRunDir(spark, "versioned_run", dir) + "/events_v"
+    val base = Catalog.events(spark, dir)
+      .select(col("event_id"), col("event_type"))
+    append(t, base)
+    append(t, base.filter(col("event_id") % 10 === 3)
+      .select((col("event_id") + 10000000L).as("event_id"), col("event_type")))
+    rewrite(t)(_.filter(col("event_type") =!= "error"))
+    versions(t).map { v =>
+      readVersion(t, v).agg(
+        lit(v).cast("long").as("version"),
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("event_id")).as("sum_id"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  val timeTravelSql: String =
+    """WITH base AS (SELECT event_id, event_type FROM events),
+      |delta AS (SELECT event_id + 10000000 AS event_id, event_type
+      | FROM events WHERE event_id % 10 = 3),
+      |v2src AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      |SELECT 1::BIGINT AS version, count(*)::BIGINT AS n_rows,
+      | CAST(sum(event_id) AS BIGINT) AS sum_id FROM base
+      |UNION ALL SELECT 2, count(*), CAST(sum(event_id) AS BIGINT) FROM v2src
+      |UNION ALL SELECT 3, count(*), CAST(sum(event_id) AS BIGINT)
+      | FROM v2src WHERE event_type <> 'error'
+      |ORDER BY version""".stripMargin.replace('\n', ' ')
+
+  val all: Seq[graft.operators.Q] = Seq(
+    graft.operators.Q("s24_time_travel", timeTravel, Some(timeTravelSql),
+      "versioned table commits + time-travel reads (the Iceberg/Delta snapshot pattern minimally): append never touches published bytes, rewrite keeps old files serving history, each version is ONE manifest read; gate reads every version back and proves snapshot isolation against the arithmetic oracle"))
+}

@@ -1,0 +1,70 @@
+package graft.lifecycle
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Versioned-table semantics (s24): snapshot isolation across commits,
+  * empty-version readability, retention vacuum, and the error contract.
+  */
+class VersionedSpec extends SparkSuite {
+
+  import spark.implicits._
+  private implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft-versioned").toString + "/t"
+
+  test("append and rewrite commit isolated snapshots; history stays readable") {
+    val t = freshTable()
+    assert(Versioned.versions(t).isEmpty && Versioned.currentVersion(t) == 0)
+    Versioned.append(t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Versioned.append(t, Seq((3L, "c")).toDF("id", "v"))
+    Versioned.rewrite(t)(_.filter(col("id") =!= 2L))
+    assert(Versioned.versions(t) == Seq(1, 2, 3))
+    def ids(v: Int) = Versioned.readVersion(t, v).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(1) == Seq(1L, 2L), "v1 must not see later commits")
+    assert(ids(2) == Seq(1L, 2L, 3L))
+    assert(ids(3) == Seq(1L, 3L), "the rewrite deleted id 2")
+    assert(Versioned.readLatest(t).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("a rewrite that filters everything out stays a readable empty version") {
+    val t = freshTable()
+    Versioned.append(t, Seq((1L, "a")).toDF("id", "v"))
+    Versioned.rewrite(t)(_.filter(lit(false)))
+    val empty = Versioned.readVersion(t, 2)
+    assert(empty.collect().isEmpty)
+    // the schema survives through the manifest (no data file to infer from)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "v"))
+    // and the table remains appendable past the empty version
+    Versioned.append(t, Seq((9L, "z")).toDF("id", "v"))
+    assert(Versioned.readLatest(t).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("vacuum drops only files no kept manifest references") {
+    val t = freshTable()
+    Versioned.append(t, Seq((1L, "a")).toDF("id", "v"))      // v1: file A
+    Versioned.append(t, Seq((2L, "b")).toDF("id", "v"))      // v2: A + B
+    Versioned.rewrite(t)(_.filter(col("id") === 2L))         // v3: file C only
+    val deleted = Versioned.vacuumKeepingSince(t, 3)
+    assert(deleted > 0, "v1/v2-only files must be reclaimed")
+    assert(Versioned.versions(t) == Seq(3))
+    // the kept version is untouched
+    assert(Versioned.readVersion(t, 3).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // a dropped version now fails with the available-versions diagnostic
+    val e = intercept[IllegalArgumentException](Versioned.readVersion(t, 1))
+    assert(e.getMessage.contains("version 1") && e.getMessage.contains("have: 3"))
+    // refusing to vacuum away ALL history
+    intercept[IllegalArgumentException](Versioned.vacuumKeepingSince(t, 99))
+  }
+
+  test("reading an uncommitted version names what exists") {
+    val t = freshTable()
+    Versioned.append(t, Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](Versioned.readVersion(t, 7))
+    assert(e.getMessage.contains("version 7") && e.getMessage.contains("have: 1"))
+  }
+}
