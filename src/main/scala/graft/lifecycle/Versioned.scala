@@ -55,8 +55,14 @@ object Versioned {
   def currentVersion(path: String)(implicit spark: SparkSession): Int =
     versions(path).lastOption.getOrElse(0)
 
+  /** (schema, data files, commit token). Manifest lines: schema DDL,
+    * optional `#token=<t>` marker, then one data-file name per line —
+    * the token rides IN the manifest so the manifest rename stays the
+    * single atomic commit point (a separate marker file would reopen
+    * the lost-or-duplicated window a crash between two publishes makes).
+    */
   private def manifest(path: String, v: Int)(
-      implicit spark: SparkSession): (StructType, Seq[String]) = {
+      implicit spark: SparkSession): (StructType, Seq[String], Option[String]) = {
     val f = fs(path)
     val p = new Path(s"$path/_v/$v")
     require(f.exists(p),
@@ -68,7 +74,9 @@ object Versioned {
       out.toString("UTF-8")
     } finally in.close()
     val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
-    (StructType.fromDDL(lines.head), lines.tail)
+    val (tokenLines, fileLines) = lines.tail.partition(_.startsWith("#token="))
+    (StructType.fromDDL(lines.head), fileLines,
+      tokenLines.headOption.map(_.stripPrefix("#token=")))
   }
 
   /** Move the staged write's part files into data/ under version-prefixed
@@ -95,12 +103,14 @@ object Versioned {
   }
 
   private def writeManifest(path: String, v: Int, schema: StructType,
-      files: Seq[String])(implicit spark: SparkSession): Unit = {
+      files: Seq[String], token: Option[String] = None)(
+      implicit spark: SparkSession): Unit = {
     val f = fs(path)
     f.mkdirs(new Path(s"$path/_v"))
     val tmp = new Path(s"$path/_v/.$v.tmp")
     val out = f.create(tmp, true)
-    try out.write((schema.toDDL +: files).mkString("\n").getBytes("UTF-8"))
+    val lines = schema.toDDL +: (token.map("#token=" + _).toSeq ++ files)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     require(f.rename(tmp, new Path(s"$path/_v/$v")),
       s"failed to publish manifest $v of $path")
@@ -111,13 +121,33 @@ object Versioned {
     * Existing bytes are never touched. Returns the new version.
     */
   def append(path: String, df: DataFrame)(
-      implicit spark: SparkSession): Int = {
+      implicit spark: SparkSession): Int =
+    appendTagged(path, df, None)
+
+  private def appendTagged(path: String, df: DataFrame,
+      token: Option[String])(implicit spark: SparkSession): Int = {
     val cur = currentVersion(path)
     val prev = if (cur == 0) Seq.empty else manifest(path, cur)._2
     val v = cur + 1
-    writeManifest(path, v, df.schema, prev ++ stageData(path, v, df))
+    writeManifest(path, v, df.schema, prev ++ stageData(path, v, df), token)
     v
   }
+
+  /** IDEMPOTENT append keyed by a caller token (a streaming batch id):
+    * if any committed version already carries `token`, the call is a
+    * no-op returning that version — so at-least-once redelivery
+    * publishes exactly one version per batch. The token lives inside
+    * the manifest (one atomic publish; no second marker file to crash
+    * between). The duplicate check scans manifests newest-first — a
+    * replay almost always hits within the last few; a deployment with
+    * deep history keeps a token→version side index and checks that
+    * first (same contract, one read).
+    */
+  def appendOnce(path: String, df: DataFrame, token: String)(
+      implicit spark: SparkSession): Int =
+    versions(path).reverse
+      .find(v => manifest(path, v)._3.contains(token))
+      .getOrElse(appendTagged(path, df, Some(token)))
 
   /** Commit a full REWRITE (DELETE/UPDATE compaction shape): version N+1
     * references only the transform's output; version N's files remain on
@@ -136,7 +166,7 @@ object Versioned {
   /** Time travel: the table exactly as committed at version `v`. */
   def readVersion(path: String, v: Int)(
       implicit spark: SparkSession): DataFrame = {
-    val (schema, files) = manifest(path, v)
+    val (schema, files, _) = manifest(path, v)
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     else spark.read.schema(schema)

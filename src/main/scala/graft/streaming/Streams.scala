@@ -123,6 +123,30 @@ object Streams {
       }
   }
 
+  /** Streaming VERSIONED sink (the streaming half of s24's snapshot
+    * story): every micro-batch commits as ONE table version instead of
+    * mutating a serving table in place — consumers pin a version and
+    * never observe a batch mid-publish, and time travel covers the
+    * whole ingest history. Under foreachBatch's at-least-once
+    * redelivery, [[graft.lifecycle.Versioned.appendOnce]] keyed by the
+    * batchId makes version publication exactly-once: the batch token
+    * rides inside the manifest, whose rename is the single atomic
+    * commit point, so a replayed batch finds its token and no-ops.
+    */
+  def versionedSink(events: DataFrame, tablePath: String,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    implicit val spark: SparkSession = events.sparkSession
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.lifecycle.Versioned.appendOnce(
+          tablePath, batch, s"batch-$batchId")
+        ()
+      }
+  }
+
   /** Streaming W2 — 5-minute decimation with a 10-minute watermark: the
     * latest event per tumbling window, emitted once the window closes.
     * Late rows beyond the watermark are dropped — the explicit version of

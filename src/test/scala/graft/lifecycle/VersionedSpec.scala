@@ -61,6 +61,23 @@ class VersionedSpec extends SparkSuite {
     intercept[IllegalArgumentException](Versioned.vacuumKeepingSince(t, 99))
   }
 
+  test("appendOnce is exactly-once per token under redelivery") {
+    val t = freshTable()
+    val v1 = Versioned.appendOnce(t, Seq((1L, "a")).toDF("id", "v"), "batch-0")
+    // redelivery of the same batch: no new version, same version returned,
+    // data not duplicated
+    val v1again = Versioned.appendOnce(t, Seq((1L, "a")).toDF("id", "v"), "batch-0")
+    assert(v1 == 1 && v1again == 1 && Versioned.versions(t) == Seq(1))
+    assert(Versioned.readLatest(t).count() == 1L)
+    // a NEW token commits normally
+    val v2 = Versioned.appendOnce(t, Seq((2L, "b")).toDF("id", "v"), "batch-1")
+    assert(v2 == 2 && Versioned.readLatest(t).count() == 2L)
+    // tokens survive an interleaved untagged commit
+    Versioned.append(t, Seq((3L, "c")).toDF("id", "v"))
+    assert(Versioned.appendOnce(t, Seq((2L, "b")).toDF("id", "v"), "batch-1") == 2)
+    assert(Versioned.versions(t) == Seq(1, 2, 3))
+  }
+
   test("reading an uncommitted version names what exists") {
     val t = freshTable()
     Versioned.append(t, Seq((1L, "a")).toDF("id", "v"))

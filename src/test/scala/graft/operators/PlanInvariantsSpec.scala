@@ -66,7 +66,17 @@ class PlanInvariantsSpec extends SparkSuite {
     * - b7: the lexical arm is b1's allowed stats-scalar shape, and the
     *   semantic arm crossJoins the ONE-row broadcast query vector onto
     *   the corpus scan (n1's labeled baseline — a deployment swaps in
-    *   the ANN index arms, only ranks cross the fusion boundary).
+    *   the ANN index arms, only ranks cross the fusion boundary);
+    * - n11: n1's labeled shape over the PRE-FILTERED candidate set (the
+    *   metadata restriction is the equi-keyed semi-join BEFORE this
+    *   scan; the broadcast-queries × candidates pass with non-equi
+    *   self-exclusion is the same scoring tail n1 owns);
+    * - b8: b1's corpus-stats scalar shape twice over — the maintained
+    *   1-row stats relation (old stats × two 1-row adjustment
+    *   aggregates) crossJoins broadcast onto the pruned tf relation;
+    * - c5: the two whole-table accounting aggregates (1 row each)
+    *   crossJoin broadcast onto the joined-count row (j7's shape; the
+    *   corpus-sized work is the equi-keyed full-outer id join).
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -74,7 +84,9 @@ class PlanInvariantsSpec extends SparkSuite {
       "b1_bm25_topk", "b2_bm25_indexed", "b3_bm25_batch",
       "n8_semantic_decontam", "c1_column_profile", "c2_profile_approx",
       "z9_curriculum", "a10_heavy_hitters", "n9_pq_adc",
-      "b6_boolean_search", "n10_mips", "c4_chi_square", "b7_hybrid_rrf")
+      "b6_boolean_search", "n10_mips", "c4_chi_square", "b7_hybrid_rrf",
+      "n11_filtered_ann", "b8_incremental_index",
+      "c5_referential_integrity")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

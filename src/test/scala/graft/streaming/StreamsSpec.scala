@@ -542,4 +542,33 @@ class StreamsSpec extends SparkSuite {
       (3L, "2024-01-01 03:55:00.0", "2024-01-01 03:55:00.0", 1L, 4.0)),
       s"got ${got.toSeq}")
   }
+
+  test("versioned sink: each micro-batch is one snapshot, replays publish no version") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vsink").toString
+    val table = s"$tmp/versions"
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Streams.versionedSink(
+      mem.toDF().toDF("id", "v"), table, s"$tmp/ckpt").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val vs = graft.lifecycle.Versioned.versions(table)
+    assert(vs == Seq(1, 2), s"one version per micro-batch: $vs")
+    // v1 is the first batch frozen; v2 is the cumulative table
+    assert(graft.lifecycle.Versioned.readVersion(table, 1)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(graft.lifecycle.Versioned.readVersion(table, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // a crash-redelivery of batch 0 (same batchId token) publishes nothing
+    graft.lifecycle.Versioned.appendOnce(
+      table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "batch-0")
+    assert(graft.lifecycle.Versioned.versions(table) == Seq(1, 2),
+      "replayed batch must not publish a new version")
+  }
 }
