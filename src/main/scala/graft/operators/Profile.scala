@@ -402,7 +402,99 @@ object Profile {
       | END AS coverage_ppm
       |FROM j""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // C6 — declarative data-quality rule suite (the Deequ/Great-Expectations
+  // pattern): RULES ARE DATA — each names a violation predicate and a
+  // tolerated violation rate — and however many rules the suite holds,
+  // the table is scanned ONCE: every rule is one conditional sum in a
+  // single fixed-width aggregate (map-side partials), the 1-row result
+  // unpivots to a row per rule (c1's explode discipline), and pass/fail
+  // is the INTEGER comparison n_violations·1e6 ≤ max_ppm·n_checked — no
+  // float rate ever computed on the hot path, so the verdict is exact
+  // cross-engine (the x10 rule applied to a quality gate).
+  //
+  // An EMPTY table passes every rule vacuously (0 ≤ 0) with NULL
+  // violation_ppm — "no data" is a freshness problem, not a rule
+  // violation; callers gate emptiness separately (c5's n_docs > 0).
+  // The registered suite deliberately includes one FAILING rule on the
+  // fixture (value ≤ 100 at 10% tolerance; the corpus runs ~13%) so the
+  // fail path is driver-exercised, not just spec-covered.
+  // ---------------------------------------------------------------------
+  /** One quality rule: rows matching `violation` count against the
+    * budget; `maxPpm` is the tolerated violation rate in parts per
+    * million (0 = zero-tolerance). Predicates must be NULL-safe in the
+    * SQL sense (NULL → not a violation) — pair a range rule with a
+    * not-null rule rather than folding NULL into the range.
+    */
+  case class DqRule(name: String, violation: Column, maxPpm: Long)
+
+  def dqSuiteOf(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
+    require(rules.nonEmpty, "a DQ suite needs at least one rule")
+    val aggs = count(lit(1)).cast("long").as("n_checked") +:
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(r.violation, 1L).otherwise(0L)).as(s"v$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val arr = array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"),
+        coalesce(col(s"v$i"), lit(0L)).as("n_violations"),
+        lit(r.maxPpm).as("max_ppm"))
+    }: _*)
+    one.select(col("n_checked"), explode(arr).as("r"))
+      .select(col("r.rule").as("rule"), col("n_checked"),
+        col("r.n_violations").as("n_violations"),
+        col("r.max_ppm").as("max_ppm"),
+        when(col("n_checked") > 0,
+          expr("r.n_violations * 1000000 div n_checked")).as("violation_ppm"),
+        (col("r.n_violations") * lit(1000000L) <=
+          col("r.max_ppm") * col("n_checked")).as("pass"))
+      .orderBy(col("rule"))
+  }
+
+  /** The registered suite over events: completeness, domain membership,
+    * range, and horizon rules — the checks a monitoring feed runs before
+    * trusting a day's data.
+    */
+  def dqSuite(spark: SparkSession, dir: String): DataFrame =
+    dqSuiteOf(Catalog.events(spark, dir), Seq(
+      DqRule("r1_value_not_null", col("value").isNull, 0L),
+      DqRule("r2_value_non_negative", col("value") < 0, 0L),
+      DqRule("r3_value_le_100", col("value") > 100, 100000L),
+      DqRule("r4_event_type_known",
+        !col("event_type").isin("click", "view", "signup", "purchase", "error"),
+        0L),
+      DqRule("r5_ts_in_horizon",
+        col("ts") < lit("2024-01-01").cast("timestamp") ||
+          col("ts") >= lit("2024-03-01").cast("timestamp"), 0L),
+      DqRule("r6_user_not_null", col("user_id").isNull, 0L)))
+
+  val dqSuiteSql: String =
+    """WITH a AS (
+      | SELECT count(*)::BIGINT AS n,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |  CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |  CAST(sum(CASE WHEN event_type NOT IN
+      |   ('click','view','signup','purchase','error') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+      |  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01' OR
+      |   ts >= TIMESTAMP '2024-03-01' THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v6
+      | FROM events),
+      |r AS (
+      | SELECT 'r1_value_not_null' AS rule, n, v1 AS v, 0::BIGINT AS mp FROM a
+      | UNION ALL SELECT 'r2_value_non_negative', n, v2, 0 FROM a
+      | UNION ALL SELECT 'r3_value_le_100', n, v3, 100000 FROM a
+      | UNION ALL SELECT 'r4_event_type_known', n, v4, 0 FROM a
+      | UNION ALL SELECT 'r5_ts_in_horizon', n, v5, 0 FROM a
+      | UNION ALL SELECT 'r6_user_not_null', n, v6, 0 FROM a)
+      |SELECT rule, n AS n_checked, v AS n_violations, mp AS max_ppm,
+      | CASE WHEN n > 0 THEN (v * 1000000 // n)::BIGINT END AS violation_ppm,
+      | v * 1000000 <= mp * n AS pass
+      |FROM r ORDER BY rule""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("c6_dq_suite", dqSuite, Some(dqSuiteSql),
+      "declarative data-quality rule suite (the Deequ pattern): rules are data, the table scans ONCE however many rules run (one conditional sum each in a single fixed-width aggregate), verdicts are exact-integer ppm comparisons — the registered suite includes a deliberately failing rule so the fail path is driver-exercised (data-QA extension)"),
     Q("c5_referential_integrity", referentialIntegrity, Some(referentialIntegritySql),
       "referential-integrity audit between documents and embeddings: orphans both ways + coverage ppm from ONE full-outer join of 8-byte id projections — the invariant every multi-artifact corpus must hold before semantic stages silently drop rows (data-QA extension)"),
     Q("c4_chi_square", chiSquare, Some(chiSquareSql),

@@ -24,6 +24,31 @@ class ProfileSpec extends SparkSuite {
     Profile.profileOf(df).collect()
       .map(r => r.getString(0) -> r).toMap.apply(name)
 
+  test("c6 DQ suite: hand-computed verdicts, boundary ppm, NULLs, empty table") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 10 rows, 2 violations of "x <= 5" → 200000 ppm: exactly AT a
+    // 200000 budget passes (<=), and a 199999 budget fails; NULL x is
+    // not a range violation (NULL-safe predicate contract), only a
+    // not-null violation
+    val df = (Seq.fill(7)(Some(1.0)) ++ Seq(Some(9.0), Some(9.0), None))
+      .toDF("x")
+    val got = Profile.dqSuiteOf(df, Seq(
+      Profile.DqRule("at_budget", col("x") > 5, 200000L),
+      Profile.DqRule("under_budget", col("x") > 5, 199999L),
+      Profile.DqRule("not_null", col("x").isNull, 0L)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got("at_budget") == ((10L, 2L, 200000L, true)), s"got $got")
+    assert(got("under_budget") == ((10L, 2L, 200000L, false)), s"got $got")
+    assert(got("not_null") == ((10L, 1L, 100000L, false)), s"got $got")
+    // empty table: every rule passes vacuously, ppm NULL
+    val e = Profile.dqSuiteOf(Seq.empty[Double].toDF("x"),
+      Seq(Profile.DqRule("r", col("x") > 5, 0L))).collect().head
+    assert(e.getLong(1) == 0L && e.getLong(2) == 0L &&
+      e.isNullAt(4) && e.getBoolean(5), s"got $e")
+  }
+
   test("c5 referential integrity: orphans both ways, NULL keys, empty table") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
