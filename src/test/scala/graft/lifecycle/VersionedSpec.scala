@@ -78,6 +78,21 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.versions(t) == Seq(1, 2, 3))
   }
 
+  test("what changed between versions: u1's diff composes over two snapshot reads") {
+    val t = freshTable()
+    Versioned.append(t, Seq((1L, "a"), (2L, "b")).toDF("id", "txt"))
+    // v2: 2 revised, 3 added; 1 untouched
+    Versioned.rewrite(t)(_ => Seq((1L, "a"), (2L, "B2"), (3L, "c"))
+      .toDF("id", "txt"))
+    val d = graft.operators.Diff.diffByKey(
+        Versioned.readVersion(t, 1), Versioned.readVersion(t, 2),
+        "id", org.apache.spark.sql.functions.col("txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("status")))
+      .toMap
+    assert(d == Map(2L -> "changed", 3L -> "added"),
+      s"version-to-version diff must name exactly the delta: $d")
+  }
+
   test("reading an uncommitted version names what exists") {
     val t = freshTable()
     Versioned.append(t, Seq((1L, "a")).toDF("id", "v"))
