@@ -477,8 +477,14 @@ object Relational {
   def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
     val l = Catalog.lineitem(spark, dir)
     val qty = col("l_quantity").cast("decimal(18,2)")
-    l.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(qty).as("sum_qty_dec"), count(lit(1)).as("n_items"))
+    // finest-group pre-aggregate first, ROLLUP the tiny result (g4's
+    // argument: the grouping-set Expand multiplies its input ×levels, so
+    // point it at the group-cardinality-bounded relation, not the
+    // corpus; sound because sum/count decompose)
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qty).as("sq"), count(lit(1)).as("n"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("sq")).as("sum_qty_dec"), sum(col("n")).as("n_items"))
       .select(col("l_returnflag"), col("l_linestatus"),
         col("sum_qty_dec").cast("double").as("sum_qty"), col("n_items"))
       .orderBy(col("l_returnflag").asc_nulls_first,
@@ -508,8 +514,21 @@ object Relational {
   def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
     val l = Catalog.lineitem(spark, dir)
     val qty = col("l_quantity").cast("decimal(18,2)")
-    l.cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(qty).as("sum_qty_dec"), count(lit(1)).as("n_items"),
+    // pre-aggregate to the FINEST grouping first, then cube the tiny
+    // pre-aggregate re-aggregating decomposable partials (sum of sums,
+    // sum of counts): CUBE's Expand multiplies its INPUT by 2^d, so run
+    // it over |distinct (flag, status)| rows (≤ ~10), not the corpus —
+    // the fact table pays one ordinary single-shuffle aggregate and the
+    // 2^d blowup applies to a relation whose size is bounded by group
+    // cardinality at ANY corpus scale. (Correct only because sum/count
+    // decompose; a non-decomposable aggregate — exact percentile,
+    // countDistinct — must cube the base table.) Measured 1.67→~0.9 s
+    // at sf0.1; at 100 TB it is the difference between 4× the corpus
+    // through Expand and 4× a 10-row relation.
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qty).as("sq"), count(lit(1)).as("n"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("sq")).as("sum_qty_dec"), sum(col("n")).as("n_items"),
         grouping_id().cast("long").as("gid"))
       .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
         col("sum_qty_dec").cast("double").as("sum_qty"), col("n_items"))
@@ -544,10 +563,14 @@ object Relational {
   def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
     val l = Catalog.lineitem(spark, dir)
     val qty = col("l_quantity").cast("decimal(18,2)")
-    l.groupingSets(
+    // finest-group pre-aggregate, then the explicit sets over it (g4's
+    // argument; here it also makes the ×2 Expand input 10 rows)
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qty).as("sq"), count(lit(1)).as("n"))
+      .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(qty).as("sum_qty_dec"), count(lit(1)).as("n_items"),
+      .agg(sum(col("sq")).as("sum_qty_dec"), sum(col("n")).as("n_items"),
         grouping_id().cast("long").as("gid"))
       .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
         col("sum_qty_dec").cast("double").as("sum_qty"), col("n_items"))
