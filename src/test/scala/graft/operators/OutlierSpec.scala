@@ -220,6 +220,40 @@ class OutlierSpec extends SparkSuite {
     assert(got("B") == ((2L, 4L, 0L, 0L)), s"got ${got("B")}")
   }
 
+  test("o6 closed form equals the literal sequential recurrence on random series") {
+    import org.apache.spark.sql.functions.col
+    // 40 random daily-count series (one event_type each), evaluated in
+    // ONE cusumDriftOf call; the reference is the textbook recurrence
+    // S_t = max(0, S_{t−1} + d_t) run literally in Scala. Fixed seed —
+    // deterministic, but 40 shapes including spikes, dips, and plateaus.
+    val rnd = new scala.util.Random(42)
+    val series: Map[String, Seq[Int]] = (1 to 40).map { i =>
+      s"T$i" -> Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(8))
+    }.toMap
+    // x = 0 days produce no rows at all (a day with zero events does not
+    // appear in a count-per-day series) — mirror that in the reference
+    val nonZero = series.map { case (t, xs) => t -> xs.filter(_ > 0) }
+      .filter(_._2.nonEmpty)
+    val rows = nonZero.toSeq.flatMap { case (t, xs) =>
+      xs.zipWithIndex.flatMap { case (x, day) =>
+        Seq.fill(x)((t, f"2024-01-${day + 1}%02d 12:00:00"))
+      }
+    }
+    val events = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Relational.cusumDriftOf(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    nonZero.foreach { case (t, xs) =>
+      val n = xs.size.toLong
+      val total = xs.map(_.toLong).sum
+      val d = xs.map(x => n * x - total)
+      val up = d.scanLeft(0L)((s, di) => math.max(0L, s + di)).max
+      val down = d.scanLeft(0L)((s, di) => math.max(0L, s - di)).max
+      assert(got(t) == ((up, down)),
+        s"$t: series $xs expected ($up, $down) got ${got(t)}")
+    }
+  }
+
   test("NULL values count into n but never into outliers or quartiles") {
     val events = Seq(("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(3.0)),
       ("A", None), ("A", Some(1000.0)))

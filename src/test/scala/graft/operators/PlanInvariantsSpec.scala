@@ -101,6 +101,20 @@ class PlanInvariantsSpec extends SparkSuite {
       s"quadratic join shapes in: ${offenders.mkString(", ")}")
   }
 
+  test("tiny-pair sorts stay single-partition: no range exchange above the verify chain") {
+    // the round-10 fix: a rangepartitioning Exchange above d4/d5/n2's
+    // broadcast-only verify chains re-executes the whole chain in its
+    // boundary-sampling pass (measured 2.1× on d4). Q.tinySort replaces
+    // it; this pins the plan so a refactor reintroducing orderBy shows
+    // up as a red, not a silent 2× bench regression.
+    Seq("d4_ngram_jaccard", "d5_winnow_pairs", "n2_cosine_pairs").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("rangepartitioning"),
+        s"$q regressed to a range sort over its live verify chain:\n$plan")
+    }
+  }
+
   test("d2 serves from the persisted pair artifact, not a recompute") {
     // r7's top efficiency finding: d2/z1/z3 each re-ran the full
     // candidate+verify build per query. The pair relation is now a
