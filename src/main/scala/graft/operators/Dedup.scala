@@ -817,6 +817,59 @@ object Dedup {
        |FROM shared ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // X13 — the EVAL-side contamination report, the flip side of x7: x7
+  // flags which TRAINING docs to drop; the report an eval owner reads
+  // answers "which of MY benchmark items are compromised, and how
+  // badly" — the number every decontamination writeup actually
+  // publishes (the GPT-3 appendix form: per-benchmark clean/dirty
+  // splits). Per eval item: how many training docs share any shingle,
+  // how many cross the x7 threshold against IT specifically, and the
+  // worst single-doc overlap.
+  //
+  // Needs PAIR-level (eval, train) shared counts — but the pair
+  // relation is bounded by the eval side, which is small by nature
+  // (benchmarks are MBs), so pairs ≤ |eval postings| × per-shingle
+  // train df. A pathologically boilerplate-heavy corpus caps the train
+  // postings first (capPostings — attribution through corpus-universal
+  // shingles is boilerplate, not leakage); the fixture is far below any
+  // cap, so the registered plan and its oracle stay cap-free.
+  // ---------------------------------------------------------------------
+  def contamReport(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleIndex(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val ev = ex.filter(col("doc_id") % ContamEvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val tr = ex.filter(col("doc_id") % ContamEvalMod =!= 0)
+      .select(col("doc_id").as("train_id"), col("h"))
+    // hs is distinct per doc, so the pair count IS the distinct
+    // shared-shingle count (x7's argument, per pair)
+    tr.join(ev, "h")
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_overlapping"),
+        sum(when(col("shared") >= ContamMinShared, 1L).otherwise(0L))
+          .as("n_compromising"),
+        max(col("shared")).as("max_shared"))
+      .orderBy(col("eval_id"))
+  }
+
+  val contamReportSql: String =
+    s"""WITH $shingleCteSql,
+       |ev AS (SELECT doc_id AS eval_id, unnest(hs) AS h FROM sh
+       | WHERE doc_id % $ContamEvalMod = 0),
+       |tr AS (SELECT doc_id AS train_id, unnest(hs) AS h FROM sh
+       | WHERE doc_id % $ContamEvalMod <> 0),
+       |pairs AS (
+       | SELECT eval_id, train_id, count(*)::BIGINT AS shared
+       | FROM ev JOIN tr USING (h) GROUP BY eval_id, train_id)
+       |SELECT eval_id, count(*)::BIGINT AS n_overlapping,
+       | CAST(sum(CASE WHEN shared >= $ContamMinShared THEN 1 ELSE 0 END) AS BIGINT) AS n_compromising,
+       | CAST(max(shared) AS BIGINT) AS max_shared
+       |FROM pairs GROUP BY eval_id ORDER BY eval_id"""
+      .stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // D8 — exact substring-duplication detection (the overlapping-window
   // granularity of Lee et al. 2022, "Deduplicating Training Data Makes
   // Language Models Better"): EVERY k-token window of every document is
@@ -973,6 +1026,8 @@ object Dedup {
   val all: Seq[Q] = Seq(
     Q("x7_decontaminate", decontaminate, Some(decontaminateSql),
       "benchmark decontamination: distinct-shingle overlap vs a broadcast eval set (training-data extension)"),
+    Q("x13_contam_report", contamReport, Some(contamReportSql),
+      "the EVAL-side contamination report (x7's flip side, the GPT-3-appendix clean/dirty accounting): per benchmark item, overlapping / threshold-compromising training docs + worst single-doc overlap — pair-level counts bounded by the small eval side (training-data extension)"),
     Q("d1_exact_dedup", exactDedup, Some(exactDedupSql),
       "prefix-fingerprint exact dedup, hash-groupBy keep-first (training-data extension)"),
     Q("d2_minhash_lsh", minhashLsh, Some(minhashLshSql),

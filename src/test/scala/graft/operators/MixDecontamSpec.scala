@@ -66,6 +66,38 @@ class MixDecontamSpec extends SparkSuite {
       s"explicit-eval deployment form diverged from the slice form: $ext vs $out")
   }
 
+  test("x13 attributes contamination per EVAL item, diverging from x7 where it must") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-contamrep").toString
+    // eval 0: shingles {abc,bcd,cde,def,efg}; eval 50: {pqr,qrs,rst,stu,tuv}
+    //  - train 1 duplicates eval 0 verbatim → pair share 5 (compromising)
+    //  - train 2 quotes 5 tokens of eval 0 → pair share 3 (overlap only)
+    //  - train 3 quotes 5 tokens of EACH eval item → per-pair 3 and 3,
+    //    but x7's SET-level total is 6 ≥ 5: x7 flags the train doc while
+    //    NO single eval item is compromised by it — the exact divergence
+    //    the per-item report exists to expose
+    val docs = Seq(
+      (0L, "a b c d e f g"),
+      (50L, "p q r s t u v"),
+      (1L, "a b c d e f g"),
+      (2L, "quote of a b c d e ends here now"),
+      (3L, "a b c d e and then p q r s t"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rep = Dedup.contamReport(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rep(0L) == ((3L, 1L, 5L)),
+      s"eval 0: 3 overlapping, 1 compromising (the verbatim dup), worst 5; got ${rep.get(0L)}")
+    assert(rep(50L) == ((1L, 0L, 3L)),
+      s"eval 50: only train 3 overlaps, below threshold; got ${rep.get(50L)}")
+    // and x7 on the same corpus DOES flag train 3 (set-level total 6)
+    val x7 = Dedup.decontaminate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(x7(3L), "x7 must flag the doc whose set-level total crosses the threshold")
+    assert(x7(1L) && !x7(2L))
+  }
+
   test("z5 acceptance equals the integer-arithmetic mirror, per source, deterministically") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-mix").toString
