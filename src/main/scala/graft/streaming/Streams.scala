@@ -591,6 +591,70 @@ object StreamingStreaks {
   }
 }
 
+/** One finalized (type, day) count entering the online detector —
+  * upstream owns day closure (the w2/decimation watermark discipline),
+  * this operator consumes settled counts.
+  */
+case class DailyCount(event_type: String, day_ms: Long, x: Long)
+
+/** Per-day detector emission: the alarm statistics as of this day. */
+case class CusumPoint(event_type: String, day_ms: Long, cusum_up: Long,
+    cusum_down: Long)
+
+/** Per-type detector state: the prefix sum and its historical extrema
+  * (the empty prefix participates, so minP ≤ 0 ≤ maxP always — o6's
+  * window-algebra invariant carried as two longs), plus the last settled
+  * day for at-least-once redelivery safety. Constant-size state per key.
+  */
+case class CusumAccum(p: Long, minP: Long, maxP: Long, lastDayMs: Long)
+
+object StreamingCusum {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** The ONLINE half of o6: the registered batch query is retrospective
+    * (its mean comes from the whole series); a monitor needs the alarm
+    * statistic as each day closes, against a FIXED baseline rate from
+    * history. `baselines` maps type → μ as the exact rational num/den
+    * (events per day), so the deviation d = den·x − num is an exact
+    * integer and the emitted statistics are in units of 1/den events —
+    * the o6 determinism discipline kept online. Here the sequential
+    * recurrence is the NATURAL form (four longs of state per key);
+    * o6's window algebra is the same machine unrolled, and the twin
+    * spec pins the two equal when μ is the series mean. Days must
+    * settle in order per type (upstream's watermark closes them so);
+    * redelivered days at or before the settled frontier are no-ops.
+    */
+  def detect(counts: Dataset[DailyCount],
+      baselines: Map[String, (Long, Long)]): Dataset[CusumPoint] = {
+    implicit val stateEnc = Encoders.product[CusumAccum]
+    implicit val outEnc = Encoders.product[CusumPoint]
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumAccum, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, batch: Iterator[DailyCount],
+            state: GroupState[CusumAccum]) =>
+          val (num, den) = baselines.getOrElse(k, (0L, 1L))
+          var st = state.getOption.getOrElse(CusumAccum(0L, 0L, 0L, Long.MinValue))
+          val out = batch.toSeq.sortBy(_.day_ms)
+            .filter(_.day_ms > st.lastDayMs)
+            .map { r =>
+              val p = st.p + (den * r.x - num)
+              // extrema are of PRIOR prefixes (o6's preceding-only
+              // window), so read before folding p in
+              val up = p - math.min(0L, st.minP)
+              val down = math.max(0L, st.maxP) - p
+              st = CusumAccum(p, math.min(st.minP, p),
+                math.max(st.maxP, p), r.day_ms)
+              CusumPoint(k, r.day_ms, up, down)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+}
+
 /** S5 — CSV export sink (reference template JS CSV builders,
   * index.html:338-371 et al. — server-side here).
   */

@@ -571,4 +571,49 @@ class StreamsSpec extends SparkSuite {
     assert(graft.lifecycle.Versioned.versions(table) == Seq(1, 2),
       "replayed batch must not publish a new version")
   }
+
+  test("streaming CUSUM equals o6's window algebra when the baseline is the series mean") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    // two asymmetric series (OutlierSpec's hand case + a spike series),
+    // delivered across two micro-batches with one redelivered day
+    val series = Map("A" -> Seq(1L, 4L, 1L), "B" -> Seq(2L, 2L, 9L, 2L))
+    def day(i: Int): Long = 86400000L * i
+    val points = series.toSeq.flatMap { case (t, xs) =>
+      xs.zipWithIndex.map { case (x, i) => DailyCount(t, day(i), x) }
+    }
+    val baselines = series.map { case (t, xs) =>
+      t -> ((xs.sum, xs.size.toLong))  // μ = total/n, the o6 implicit mean
+    }
+    val mem = MemoryStream[DailyCount](spark)
+    val q = StreamingCusum.detect(mem.toDS(), baselines).writeStream
+      .format("memory").queryName("cusum_sink").outputMode("append").start()
+    try {
+      mem.addData(points.filter(_.day_ms < day(2)): _*)
+      q.processAllAvailable()
+      // batch 2 includes a REDELIVERY of day 0 — settled days are no-ops
+      mem.addData(points.filter(_.day_ms >= day(2)) :+
+        DailyCount("A", day(0), 1L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one emission per (type, settled day) — the redelivered day is silent
+    assert(got.length == series.values.map(_.size).sum, s"got ${got.toSeq}")
+    // terminal max over emissions == the batch window algebra (o6), since
+    // the baseline is the exact series mean
+    val events = series.toSeq.flatMap { case (t, xs) =>
+      xs.zipWithIndex.flatMap { case (x, i) =>
+        Seq.fill(x.toInt)((t, new java.sql.Timestamp(day(i)))) }
+    }.toDF("event_type", "ts")
+    val o6 = graft.operators.Relational.cusumDriftOf(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    series.keys.foreach { t =>
+      val ups = got.filter(_._1 == t)
+      val online = (ups.map(_._3).max, ups.map(_._4).max)
+      assert(online == o6(t),
+        s"$t: online $online != batch window algebra ${o6(t)}")
+    }
+  }
 }
