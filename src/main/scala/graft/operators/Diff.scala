@@ -140,7 +140,50 @@ object Diff {
        |ORDER BY b.doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // U3 — diff between TABLE VERSIONS: u1's primitive composed over s24's
+  // time-travel reads — "what changed between v1 and v2" as two
+  // manifest-pruned scans and one 12-byte-row fingerprint join, no
+  // restored backups, no retained copies outside the table's own
+  // history. The gate commits the fixture corpus as v1, b8's revision +
+  // addition delta as v2 (one shared delta definition, so the three
+  // incremental stories — index maintenance, snapshot history, diff —
+  // provably describe the SAME change), then accounts the diff by
+  // status. A NULL-text doc revised to NULL is UNCHANGED (concat
+  // propagates NULL; NULL fingerprints compare null-safely equal) —
+  // the diff reports content change, not delta membership.
+  // ---------------------------------------------------------------------
+  def versionDiff(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import graft.lifecycle.Versioned
+    val t = graft.Scratch.freshRunDir(spark, "versioned_diff_run", dir) +
+      "/docs_v"
+    val docs = graft.Catalog.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    Versioned.append(t, docs)
+    Versioned.rewrite(t)(_ => Search.revisedCorpus(docs))
+    diffByKey(Versioned.readVersion(t, 1), Versioned.readVersion(t, 2),
+        "doc_id", TextOps.hash60(col("text")))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
+  // the n > 0 filter mirrors groupBy-on-status semantics: a status with
+  // no rows does not appear (an empty corpus diffs to an EMPTY relation,
+  // not two zero rows)
+  val versionDiffSql: String =
+    """WITH c AS (
+      | SELECT 'added' AS status, count(*)::BIGINT AS n
+      | FROM documents WHERE doc_id % 50 = 3
+      | UNION ALL
+      | SELECT 'changed', count(*)::BIGINT
+      | FROM documents WHERE doc_id % 10 = 7 AND text IS NOT NULL)
+      |SELECT status, n FROM c WHERE n > 0 ORDER BY status"""
+      .stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("u3_version_diff", versionDiff, Some(versionDiffSql),
+      "u1's diff composed over s24's time-travel reads: what changed between two committed table versions, from two manifest-pruned scans + one fingerprint join — accounted against b8's shared delta definition, so index maintenance, snapshot history, and diff provably describe the same change (training-data extension)"),
     Q("u1_corpus_diff", corpusDiff, Some(corpusDiffSql),
       "snapshot diff: added/removed/changed via one full-outer join over map-side (key, content-fingerprint) pairs — the incremental-run primitive (training-data extension)"),
     Q("u2_incremental_curation", incrementalCuration, Some(incrementalCurationSql),
