@@ -124,12 +124,35 @@ object Versioned {
       implicit spark: SparkSession): Int =
     appendTagged(path, df, None)
 
+  /** Manifests record the all-nullable form: nullability flips freely in
+    * Spark plans (a lit() column is non-null, the same column read back
+    * is nullable) and a non-null contract applied to historical files
+    * would be a lie the reader can't check cheaply.
+    */
+  private def relaxed(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  private def shape(s: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    s.fields.map(f => (f.name, f.dataType)).toSeq
+
   private def appendTagged(path: String, df: DataFrame,
       token: Option[String])(implicit spark: SparkSession): Int = {
     val cur = currentVersion(path)
-    val prev = if (cur == 0) Seq.empty else manifest(path, cur)._2
+    val prev = if (cur == 0) Seq.empty else {
+      val (prevSchema, prevFiles, _) = manifest(path, cur)
+      // an append under a drifted schema would serve HISTORY's files
+      // through the new contract — silent NULL-fill or a read error
+      // deep in some later query. Rewrite owns schema change (its
+      // manifest references only its own output); append must match.
+      require(shape(prevSchema) == shape(relaxed(df.schema)),
+        s"append schema drift on $path: table is ${prevSchema.toDDL}, " +
+          s"append is ${df.schema.toDDL} — commit schema changes as a " +
+          "rewrite, which re-publishes every surviving row under the new shape")
+      prevFiles
+    }
     val v = cur + 1
-    writeManifest(path, v, df.schema, prev ++ stageData(path, v, df), token)
+    writeManifest(path, v, relaxed(df.schema),
+      prev ++ stageData(path, v, df), token)
     v
   }
 
@@ -159,7 +182,7 @@ object Versioned {
     require(cur > 0, s"cannot rewrite $path: no committed version")
     val out = f(readVersion(path, cur))
     val v = cur + 1
-    writeManifest(path, v, out.schema, stageData(path, v, out))
+    writeManifest(path, v, relaxed(out.schema), stageData(path, v, out))
     v
   }
 

@@ -61,6 +61,27 @@ class VersionedSpec extends SparkSuite {
     intercept[IllegalArgumentException](Versioned.vacuumKeepingSince(t, 99))
   }
 
+  test("append refuses schema drift; rewrite is the sanctioned schema change") {
+    val t = freshTable()
+    Versioned.append(t, Seq((1L, "a")).toDF("id", "v"))
+    // a drifted append would serve v1's files through the new contract
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(t, Seq((2L, "b", 9L)).toDF("id", "v", "extra"))
+    }
+    assert(e.getMessage.contains("schema drift"))
+    assert(Versioned.versions(t) == Seq(1), "the refused commit left no version")
+    // nullability alone is NOT drift (it flips freely in Spark plans)
+    Versioned.append(t, Seq((2L, "b")).toDF("id", "v")
+      .select(col("id"), lit("const").as("v")))
+    assert(Versioned.versions(t) == Seq(1, 2))
+    // rewrite re-publishes every surviving row, so it MAY change shape
+    Versioned.rewrite(t)(_.withColumn("extra", lit(1L)))
+    val evolved = Versioned.readVersion(t, 3)
+    assert(evolved.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    // and history still reads under ITS OWN schema
+    assert(Versioned.readVersion(t, 1).schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
   test("appendOnce is exactly-once per token under redelivery") {
     val t = freshTable()
     val v1 = Versioned.appendOnce(t, Seq((1L, "a")).toDF("id", "v"), "batch-0")
