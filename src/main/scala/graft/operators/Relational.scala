@@ -354,6 +354,42 @@ object Relational {
       |ORDER BY nation_key, rnk, c_custkey""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // R2 — the distribution-rank window trio (percent_rank / cume_dist /
+  // ntile): where r1 answers "who are the top k", these answer "where
+  // does EVERY row sit" — the percentile-position features an analyst
+  // (or a z9-style curriculum builder) derives per group. One window
+  // spec serves all three functions (one shuffle + one per-partition
+  // sort). The window orders by (acctbal, custkey) — the explicit
+  // tiebreak makes ntile's row-position assignment deterministic
+  // cross-engine (on a tie ntile splits equal values across tiles by
+  // ROW order, which is engine-arbitrary without a total order; r1's
+  // dense_rank lesson applied to position functions). percent_rank and
+  // cume_dist are single IEEE divisions of exact integers — identical
+  // in both engines, rounded at the edge as belt and braces.
+  // ---------------------------------------------------------------------
+  def distributionRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Catalog.customer(spark, dir)
+      .filter(col("c_nationkey").isin(1, 2))
+      .select(col("c_nationkey").cast("int").as("nation_key"),
+        col("c_custkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("nation_key"), col("c_custkey"))
+  }
+
+  val distributionRanksSql: String =
+    """SELECT CAST(c_nationkey AS INT) AS nation_key, c_custkey,
+      | round(percent_rank() OVER w, 6) AS pct_rank,
+      | round(cume_dist() OVER w, 6) AS cume,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM customer WHERE c_nationkey IN (1, 2)
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY nation_key, c_custkey""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // H1 — grouped aggregate with a group filter (HAVING): nations whose
   // customers hold > threshold total balance. The HAVING predicate runs
   // post-aggregation — 25 groups, not 15k rows.
@@ -1368,6 +1404,8 @@ object Relational {
       "broadcast left-semi join (views.py:161-164)"),
     Q("s3_point_lookup", pointLookup42, Some(pointLookup42Sql),
       "parameterized point lookup, pushed EqualTo filter (views.py:80-81)"),
+    Q("r2_distribution_ranks", distributionRanks, Some(distributionRanksSql),
+      "the distribution-rank window trio (percent_rank / cume_dist / ntile) per nation: where r1 finds the top k, these place EVERY row - one window spec, one shuffle + per-partition sort; explicit (value, key) tiebreak makes ntile's row-position tiles deterministic cross-engine"),
     Q("r1_rank_per_group", topCustomersPerNation, Some(topCustomersPerNationSql),
       "dense_rank top-3 per group (SURVEY §2.5 ranking family)"),
     Q("h1_having", richNations, Some(richNationsSql),
