@@ -674,7 +674,65 @@ object Pipeline {
        |FROM d GROUP BY decile ORDER BY decile""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // Z10 — TEMPERATURE-scaled source mixing, the rule the published data
+  // recipes actually run (the Pile / XLM-R / mT5 "alpha sampling"):
+  // accepted counts proportional to cnt^τ with τ = 1/2, so large sources
+  // are flattened toward — but not all the way to — z5's equal share
+  // (τ=0 is z5's balanced budget, τ=1 is no re-weighting; τ=1/2 is the
+  // canonical middle). Per-source acceptance rate
+  //   r_s = (pct/100) · sqrt(cnt_min / cnt_s)
+  // (anchored so the smallest source accepts exactly the z5 budget, and
+  // accepted counts grow as sqrt(cnt_s)). sqrt is irrational, so a float
+  // compare would hand borderline documents to engine rounding — instead
+  // the compare is SQUARED into exact integers (the x10 rule applied to a
+  // sampling coin):  h/S < r_s  ⟺  h·100·√cnt_s < S·pct·√cnt_min  ⟺
+  //   h²·10⁴·cnt_s < S²·pct²·cnt_min
+  // (both sides non-negative, so squaring preserves the strict order
+  // exactly). Products are ≤ 10¹²·cnt, beyond BIGINT for very large
+  // sources, so both engines compute them in wide exact integers —
+  // DECIMAL(38,0) here, HUGEINT in the oracle — good to cnt ~10²⁶ docs.
+  // Scale shape is z5's: dimension-sized count relation broadcast, the
+  // acceptance a map-side filter, the corpus never shuffled. The ":tmix"
+  // salt decorrelates the coin from z5's ":mix" and x5/z4's shard hash.
+  // ---------------------------------------------------------------------
+  def temperatureMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog.documents(spark, dir)
+    val counts = docs
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("min_cnt", min(col("cnt")).over(Window.partitionBy()))
+    val hm = pmod(TextOps.hash60(
+      concat(col("doc_id").cast("string"), lit(":tmix"))), lit(MixScale))
+    val wide = "decimal(20,0)"
+    val lhs = hm.cast(wide) * hm * lit(MixScale) * col("cnt")
+    val rhs = lit(MixScale).cast(wide) * lit(MixScale) *
+      lit(MixBudgetPct) * lit(MixBudgetPct) * col("min_cnt")
+    docs
+      .join(broadcast(counts), "source")
+      .filter(lhs < rhs)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val temperatureMixSampleSql: String = {
+    val h = TextOps.hash60Sql("doc_id::VARCHAR || ':tmix'")
+    s"""WITH cnts AS (
+       | SELECT source, count(*) AS cnt, min(count(*)) OVER () AS min_cnt
+       | FROM documents GROUP BY source),
+       |d AS (
+       | SELECT doc_id, source, ($h) % $MixScale AS hm FROM documents)
+       |SELECT d.doc_id, d.source
+       |FROM d JOIN cnts c ON c.source = d.source
+       |WHERE CAST(d.hm AS HUGEINT) * d.hm * $MixScale * c.cnt
+       |    < CAST($MixScale AS HUGEINT) * $MixScale
+       |      * $MixBudgetPct * $MixBudgetPct * c.min_cnt
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("z10_temperature_mix", temperatureMixSample,
+      Some(temperatureMixSampleSql),
+      "temperature (alpha=1/2) source mixing: accepted counts proportional to sqrt(source size), exact via a squared integer acceptance compare (training-data extension)"),
     Q("z9_curriculum", curriculumSample, Some(curriculumSampleSql),
       "length-curriculum stratified sampling: exact-percentile decile bounds broadcast back, deterministic hash-rate keep per stratum, corpus never shuffled (training-data extension)"),
     Q("z8_quota_sample", quotaSample, Some(quotaSampleSql),

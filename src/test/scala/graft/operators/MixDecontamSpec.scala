@@ -138,6 +138,56 @@ class MixDecontamSpec extends SparkSuite {
     assert(again.toSeq == accepted.toSeq)
   }
 
+  test("z10 temperature mix: squared-integer mirror, sqrt scaling, min-source anchor") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-tmix").toString
+    // skewed corpus: srcA 3x srcB, so the sqrt flattening is visible
+    val docs = (1 to 90).map(i => (i.toLong, s"doc number $i body", "srcA")) ++
+      (91 to 120).map(i => (i.toLong, s"doc number $i body", "srcB"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val accepted = Pipeline.temperatureMixSample(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // mirror the squared compare in driver-side BigInt off the engine's
+    // own hash values — the decision must be bit-identical
+    val hmods = spark.range(1, 121)
+      .select(col("id"),
+        pmod(TextOps.hash60(concat(col("id").cast("string"), lit(":tmix"))),
+          lit(Pipeline.MixScale)).as("hm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cnt = Map("srcA" -> 90L, "srcB" -> 30L)
+    val minCnt = 30L
+    val s = Pipeline.MixScale
+    val pct = Pipeline.MixBudgetPct
+    val expected = docs.collect {
+      case (id, _, src)
+          if BigInt(hmods(id)) * hmods(id) * s * cnt(src) <
+            BigInt(s) * s * pct * pct * minCnt =>
+        (id, src)
+    }
+    assert(accepted.toSeq.sorted == expected.sorted)
+    // the smallest source reduces EXACTLY to z5's rule: cnt = min_cnt
+    // collapses the squared compare to h < S·pct/100
+    val minAccepted = accepted.collect { case (id, "srcB") => id }.toSet
+    val minExpected = (91L to 120L).filter(hmods(_) < s * pct / 100).toSet
+    assert(minAccepted == minExpected,
+      "min source must accept at exactly the z5 budget rate")
+    // sqrt flattening on the large source: strictly more than z5's equal
+    // share (~20% of 90 = 18 target) and strictly fewer than the uniform
+    // 60% (54) — expectation is 60%·sqrt(30/90)·90 ≈ 31
+    val bigAccepted = accepted.count(_._2 == "srcA")
+    val z5Big = Pipeline.sourceMixSample(spark, tmp).collect()
+      .count(_.getString(1) == "srcA")
+    assert(bigAccepted > z5Big,
+      s"temperature must keep more of the big source than balanced z5 ($bigAccepted vs $z5Big)")
+    assert(bigAccepted < 54,
+      s"temperature must still downsample the big source below uniform 60% ($bigAccepted)")
+    // determinism: the coin is a fixed hash
+    val again = Pipeline.temperatureMixSample(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq == accepted.toSeq)
+  }
+
   test("weighted z5 reduces to balanced z5 under equal weights at the default budget") {
     // the deployment API and the registered gate query must be the SAME
     // formula: equal weights = balanced mixing
