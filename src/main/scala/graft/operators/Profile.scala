@@ -492,7 +492,110 @@ object Profile {
       | v * 1000000 <= mp * n AS pass
       |FROM r ORDER BY rule""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // C7 — filter RANKING evaluation: the exact Mann–Whitney AUC of a
+  // scoring signal against a binary verdict, per corpus slice — the
+  // metric that says whether a trained quality classifier (x11's margin)
+  // actually reproduces the hand rule (x2's length gate) before anyone
+  // swaps thresholds: AUC is threshold-free, so it grades the RANKING a
+  // tuning sweep will later cut. Sliced per `lang` because a filter that
+  // scores 0.9 globally and 0.5 on one language is exactly the bias a
+  // per-slice report exists to catch.
+  //
+  // Exactness (the x10/o4 discipline applied to a rank statistic): with
+  // ties handled by average ranks, twice the positive rank-sum
+  //   T = Σ_scores pos_s · (2·cum_below_s + pos_s + neg_s + 1)
+  // is an INTEGER (each tie group of size t at min-rank r contributes
+  // average rank r + (t−1)/2, i.e. 2·rank ∈ ℤ), U = (T − P(P+1))/2, and
+  // AUC = U/(P·N) — so everything up to the last step is exact BIGINT,
+  // then ONE IEEE division of exactly-representable integers scales to
+  // micro-points, round half-up in both engines (o4's proven pattern).
+  // A slice with a single class has no ranking to grade: auc_ppm NULL.
+  //
+  // Plan shape: one corpus scan computes score and verdict in the same
+  // codegen'd projection (the margin kernel + the token-count kernel,
+  // zero UDF), collapses to distinct (slice, score) rows with two
+  // conditional counts (map-side partials), the exclusive running sum is
+  // a window per slice over those DISTINCT scores, and the output is one
+  // row per slice. At 100 TB the per-slice distinct-score sort inherits
+  // o4's documented trade: quantize scores to a fixed grid (average-rank
+  // AUC over quantized scores stays exact for the grid) or KLL sketches
+  // when P·N nears BIGINT range.
+  // ---------------------------------------------------------------------
+
+  /** c7 core: exact tie-aware AUC of `score` predicting `label` within
+    * each `slice`, over any frame carrying those three columns.
+    */
+  def filterAucOf(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored
+      .groupBy(col("slice"), col("score"))
+      .agg(count(when(col("label"), lit(1))).as("pos"),
+        count(when(!col("label"), lit(1))).as("neg"))
+    val below = Window.partitionBy(col("slice")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum_below",
+        coalesce(sum(col("pos") + col("neg")).over(below), lit(0L)))
+      .groupBy(col("slice"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cum_below") + col("pos") +
+          col("neg") + lit(1L))).as("t2"))
+      .select(col("slice"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("t2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+            (col("n_pos") * col("n_neg") * lit(2L)).cast("double") *
+            1000000.0, 0).cast("long")).as("auc_ppm"))
+      .orderBy(col("slice"))
+  }
+
+  def filterAuc(spark: SparkSession, dir: String): DataFrame =
+    filterAucOf(Catalog.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang").as("slice"),
+        graft.expressions.HashFunctions.classifier_margin(col("text"),
+          TextOps.GateClassifierWeights, TextOps.ClassifierSalt).as("score"),
+        size(TextOps.tokens(col("text"))).between(20, 100000).as("label")))
+
+  val filterAucSql: String = {
+    val d = TextOps.ClassifierBuckets
+    val half = (d - 1) / 2
+    val margin = TextOps.hash60Sql(s"'${TextOps.ClassifierSalt}' || t")
+    s"""WITH sc AS (
+       | SELECT lang AS slice,
+       |  CAST(list_sum(list_transform(
+       |    string_split_regex(lower(trim(text)), '\\s+'),
+       |    t -> $margin % $d - $half)) AS BIGINT) AS score,
+       |  len(string_split_regex(lower(trim(text)), '\\s+'))
+       |    BETWEEN 20 AND 100000 AS label
+       | FROM documents WHERE text IS NOT NULL),
+       |g AS (
+       | SELECT slice, score,
+       |  CAST(count(CASE WHEN label THEN 1 END) AS BIGINT) AS pos,
+       |  CAST(count(CASE WHEN NOT label THEN 1 END) AS BIGINT) AS neg
+       | FROM sc GROUP BY slice, score),
+       |c AS (
+       | SELECT slice, pos, neg,
+       |  COALESCE(sum(pos + neg) OVER (PARTITION BY slice ORDER BY score
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+       | FROM g),
+       |a AS (
+       | SELECT slice,
+       |  CAST(sum(pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(neg) AS BIGINT) AS n_neg,
+       |  CAST(sum(pos * (2*cum_below + pos + neg + 1)) AS BIGINT) AS t2
+       | FROM c GROUP BY slice)
+       |SELECT slice, n_pos, n_neg,
+       | CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |  CAST(round(CAST(t2 - n_pos*(n_pos+1) AS DOUBLE)
+       |   / CAST(2*n_pos*n_neg AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+       | END AS auc_ppm
+       |FROM a ORDER BY slice""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("c7_filter_auc", filterAuc, Some(filterAucSql),
+      "per-slice exact Mann-Whitney AUC of the x11 classifier margin predicting x2's length verdict: tie-aware rank sums kept in BIGINT, one terminal IEEE division to micro-points — the threshold-free filter-vs-filter report (data-QA extension)"),
     Q("c6_dq_suite", dqSuite, Some(dqSuiteSql),
       "declarative data-quality rule suite (the Deequ pattern): rules are data, the table scans ONCE however many rules run (one conditional sum each in a single fixed-width aggregate), verdicts are exact-integer ppm comparisons — the registered suite includes a deliberately failing rule so the fail path is driver-exercised (data-QA extension)"),
     Q("c5_referential_integrity", referentialIntegrity, Some(referentialIntegritySql),

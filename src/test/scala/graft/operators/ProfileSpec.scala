@@ -168,6 +168,43 @@ class ProfileSpec extends SparkSuite {
     assert(w.getLong(0) == 20L && w.getLong(4) == 20000000L)
   }
 
+  test("c7 filterAucOf: perfect, inverted, tied, and hand-computed rankings") {
+    def auc(rows: Seq[(String, Long, Boolean)]): Map[String, Option[Long]] =
+      Profile.filterAucOf(rows.toDF("slice", "score", "label")).collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // perfect separator: every positive out-scores every negative
+    assert(auc(Seq(("s", 1L, false), ("s", 2L, false), ("s", 3L, true),
+      ("s", 9L, true)))("s").contains(1000000L))
+    // inverted ranking: AUC 0
+    assert(auc(Seq(("s", 9L, false), ("s", 1L, true)))("s").contains(0L))
+    // all tied: AUC exactly 1/2 via the average-rank tie rule
+    assert(auc(Seq(("s", 5L, true), ("s", 5L, false)))("s").contains(500000L))
+    // hand-computed mix: pos {3, 5}, neg {1, 5} — pairs win/loss/win/tie
+    // = 2.5 of 4 → 625000 ppm
+    assert(auc(Seq(("s", 3L, true), ("s", 5L, true), ("s", 1L, false),
+      ("s", 5L, false)))("s").contains(625000L))
+    // a single-class slice has no ranking to grade: NULL, not 0 or 1;
+    // and slices evaluate independently
+    val m = auc(Seq(("only_pos", 7L, true), ("only_pos", 8L, true),
+      ("both", 2L, true), ("both", 1L, false)))
+    assert(m("only_pos").isEmpty)
+    assert(m("both").contains(1000000L))
+  }
+
+  test("c7 gate query: per-lang rows, counts reconcile, ppm in range") {
+    val rows = Profile.filterAuc(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // slices together account for every non-NULL-text document
+    val total = graft.Catalog.documents(spark, sfDir)
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val ppm = r.getLong(3)
+      assert(ppm >= 0L && ppm <= 1000000L, s"${r.getString(0)}: $ppm")
+    }
+  }
+
   test("c4 gate query: single accounting row, dof consistent, fixture-bound") {
     val r = Profile.chiSquare(spark, sfDir).collect()
     assert(r.length == 1)
