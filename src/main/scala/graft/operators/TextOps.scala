@@ -649,7 +649,83 @@ object TextOps {
        |FROM m ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // X14 — RAG/embedding chunk MATERIALIZATION: the ingestion step every
+  // retrieval pipeline runs before embedding — fixed-size token windows
+  // with overlap, so no sentence straddling a cut loses its context.
+  // d7/d8 consume chunk HASHES for dedup accounting; this operator emits
+  // the chunks THEMSELVES — (doc_id, chunk_id, token offset, length,
+  // text) — the relation an embedding job maps and n11's metadata-filter
+  // ANN serves. Chunk i covers tokens [i·stride, i·stride + window);
+  // every token is covered, the final chunk truncates at the document
+  // end, and a document no longer than one window yields exactly one
+  // chunk. NULL text has nothing to chunk and is excluded (the
+  // unscorable-row contract, x11's rule).
+  //
+  // Plan/scale shape: tokens split once per document, the chunk count is
+  // exact integer arithmetic (ceil via `div` — the x10 rule; no float
+  // ceil), fan-out is explode(sequence(…)) and the chunk text a
+  // slice + array_join — ONE Generate over a map-side projection, zero
+  // shuffle, zero UDF (the terminal ORDER BY is gate presentation only).
+  // Chunk rows inherit the document's partitioning, so the downstream
+  // embedding pass needs no re-shuffle either.
+  // ---------------------------------------------------------------------
+  val RagChunkTokens = 32
+  val RagChunkStride = 24
+
+  /** Chunk any documents-shaped frame into overlapping token windows. */
+  def ragChunksOf(docs: DataFrame,
+      window: Int = RagChunkTokens, stride: Int = RagChunkStride): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window (uncovered token gaps otherwise)")
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_toks") <= window, lit(1L)).otherwise(
+          expr(s"(n_toks - $window + $stride - 1) div $stride + 1")))
+    toks
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(window)).as("c"))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        size(col("c")).cast("long").as("n_tokens"),
+        array_join(col("c"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def ragChunks(spark: SparkSession, dir: String): DataFrame =
+    ragChunksOf(Catalog.documents(spark, dir))
+
+  val ragChunksSql: String = {
+    val w = RagChunkTokens
+    val s = RagChunkStride
+    s"""WITH t AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       | FROM documents WHERE text IS NOT NULL),
+       |n AS (
+       | SELECT doc_id, toks, len(toks)::BIGINT AS n_toks,
+       |  CASE WHEN len(toks) <= $w THEN 1
+       |   ELSE (len(toks) - $w + $s - 1) // $s + 1 END AS n_chunks
+       | FROM t),
+       |c AS (
+       | SELECT doc_id, toks,
+       |  unnest(generate_series(0, n_chunks - 1))::BIGINT AS chunk_id
+       | FROM n)
+       |SELECT doc_id, chunk_id, chunk_id * $s AS tok_start,
+       | len(list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $w))::BIGINT
+       |   AS n_tokens,
+       | array_to_string(list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $w), ' ')
+       |   AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("x14_rag_chunks", ragChunks, Some(ragChunksSql),
+      "RAG chunk materialization: overlapping fixed-token windows per document — exact-integer chunk count, explode(sequence)+slice fan-out, zero shuffle (training-data extension)"),
     Q("x11_classifier_margin", classifierScores, Some(classifierScoresSql),
       "model-based quality filter: hashing-trick linear-classifier margin in exact integer arithmetic, one codegen'd pass (training-data extension)"),
     Q("x10_lm_surprisal", lmSurprisal, Some(lmSurprisalSql),
