@@ -424,11 +424,73 @@ object Similarity {
   def prewarmIndexes(spark: SparkSession, dir: String): Unit = {
     fittedCentroids(spark, dir)
     embPairsIndexed(spark, dir, Pipeline.Z2Bands, Pipeline.Z2PlanesPerBand)
+    ivfListsIndexed(spark, dir)
     ()
   }
 
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(fittedCentroids(spark, dir))(spark, dir)
+
+  // ---------------------------------------------------------------------
+  // N12 — O(delta) IVF index MAINTENANCE, the vector-side twin of b8's
+  // incremental inverted index: a 100 TB vector corpus is never
+  // re-assigned per arrival batch. The inverted LISTS over the existing
+  // corpus persist once ([[graft.Scratch]]) with the vector stored
+  // alongside its membership — a real IVF segment's layout — and an
+  // arrival batch (here the vec_id % [[IvfDeltaMod]] == 0 slice, u2's
+  // diff in deployment) runs the assignment kernel on ITSELF ONLY under
+  // the FROZEN coarse quantizer; the maintained read view is
+  // persisted ∪ delta. Freezing the quantizer is what makes maintenance
+  // O(delta) — and is the industry norm (FAISS/Lucene-HNSW re-train on
+  // rebuild, not per batch); the refit trigger is drift accounting, not
+  // arrival. Because the quantizer is frozen, serving off the maintained
+  // view must EQUAL a from-scratch rebuild — so the gate scores n4's
+  // probe over the maintained lists against n4's own full-rebuild
+  // oracle, and IncrementalIvfSpec pins list-level set equality plus the
+  // artifact's delta-free content (the O(delta) evidence).
+  // ---------------------------------------------------------------------
+  val IvfDeltaMod = 9L
+
+  /** The persisted inverted-list artifact over the EXISTING (pre-delta)
+    * corpus: (vec_id, centroid, embedding), built once per corpus.
+    */
+  private[operators] def ivfListsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.Scratch.materialize(spark, "ivf_lists",
+      s"lcg-k$NCentroids-dim$Dim-mod$IvfDeltaMod-v1", dir) { staging =>
+      nonZeroEmbeddings(spark, dir)
+        .filter(col("vec_id") % IvfDeltaMod =!= 0)
+        .select(col("vec_id"),
+          assignColumnOf(centroids)(col("embedding")).as("centroid"),
+          col("embedding"))
+        .write.parquet(staging)
+    }
+    spark.read.parquet(idx)
+  }
+
+  def annIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = nonZeroEmbeddings(spark, dir)
+    // maintenance: ONLY the arrival slice runs the assignment kernel
+    val deltaLists = e.filter(col("vec_id") % IvfDeltaMod === 0)
+      .select(col("vec_id"),
+        assignColumnOf(centroids)(col("embedding")).as("centroid"),
+        col("embedding"))
+    val lists = ivfListsIndexed(spark, dir).union(deltaLists)
+    val queries = broadcast(
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(topCentroidsOf(centroids)(col("embedding"), NProbe))
+            .as("centroid")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    lists.join(queries,
+        lists("centroid") === queries("centroid") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("embedding")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   // ---------------------------------------------------------------------
   // Exact DuckDB oracles for the approximate operators. The LSH planes /
@@ -996,6 +1058,8 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
 
   val all: Seq[Q] = Seq(
+    Q("n12_incremental_ivf", annIvfIncremental, Some(annIvfSql),
+      "O(delta) IVF maintenance (b8's pattern for vectors): persisted inverted lists + frozen-quantizer assignment of the arrival slice only; the maintained view serves n4's probe and the oracle is the full rebuild (training-data extension)"),
     Q("n11_filtered_ann", annFiltered, Some(annFilteredSql),
       s"filtered ANN (the RAG metadata-predicate pattern): PRE-filter semi-join of the allowed-id relation before any scoring — post-filter starves below k; ids shuffle, vectors never do; label-predicate form pushes into the scan with zero join (training-data extension)"),
     Q("n10_mips", mipsTopK, Some(mipsTopKSql),
