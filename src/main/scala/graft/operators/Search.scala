@@ -717,7 +717,91 @@ object Search {
        |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // B9 — PASSAGE-level BM25 (the RAG serving reality): whole-document
+  // scores bury a tight answer inside a long document, so retrieval
+  // pipelines score the CHUNK relation (x14's materialization) and
+  // return (doc, passage) — the snippet an answer synthesizer actually
+  // reads. Pure composition: x14's chunk rows become the "documents" of
+  // b1's scoring tail via an invertible packed key
+  // pid = doc_id·[[PassagePack]] + chunk_id (chunk counts stay below the
+  // pack while a document stays under ~24 M tokens — far beyond x2's own
+  // 100 k ceiling), so length normalization, idf, and the top-k cut all
+  // operate at passage granularity with ZERO new scoring code — b1's
+  // kernel cannot diverge from its single-granularity form. Corpus stats
+  // are the passage corpus's (N = passages, T = passage tokens, overlap
+  // counted — the standard passage-index convention). Scale shape
+  // inherits both parents: chunking is x14's zero-shuffle Generate,
+  // scoring shuffles only the term-restricted tf relation; the b2
+  // amortization applies unchanged if the chunk postings persist.
+  // ---------------------------------------------------------------------
+  val PassagePack = 1000000L
+
+  /** b9 core over any (doc_id, text) frame (specs inject hand corpora). */
+  def bm25PassagesOf(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25Of(
+      TextOps.ragChunksOf(docs)
+        .select(
+          (col("doc_id") * PassagePack + col("chunk_id")).as("doc_id"),
+          col("chunk_text").as("text")),
+      terms, k)
+      .select(expr(s"doc_id div $PassagePack").as("doc_id"),
+        pmod(col("doc_id"), lit(PassagePack)).as("chunk_id"),
+        col("n_terms_matched"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"), col("chunk_id"))
+
+  def bm25Passages(spark: SparkSession, dir: String): DataFrame =
+    bm25PassagesOf(Catalog.documents(spark, dir), QueryTerms, TopK)
+
+  val bm25PassagesSql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val w = TextOps.RagChunkTokens
+    val s = TextOps.RagChunkStride
+    s"""WITH tt AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       | FROM documents WHERE text IS NOT NULL),
+       |nn AS (
+       | SELECT doc_id, toks,
+       |  CASE WHEN len(toks) <= $w THEN 1
+       |   ELSE (len(toks) - $w + $s - 1) // $s + 1 END AS n_chunks
+       | FROM tt),
+       |ch AS (
+       | SELECT doc_id, toks,
+       |  unnest(generate_series(0, n_chunks - 1))::BIGINT AS chunk_id
+       | FROM nn),
+       |p AS (
+       | SELECT doc_id * $PassagePack + chunk_id AS pid,
+       |  string_split_regex(lower(trim(array_to_string(
+       |    list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $w), ' '))),
+       |    '\\s+') AS toks
+       | FROM ch),
+       |dl2 AS (SELECT pid, len(toks)::BIGINT AS dl, toks FROM p),
+       |stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS t
+       | FROM dl2),
+       |tf AS (
+       | SELECT pid, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT pid, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN ($terms) GROUP BY pid, dl, tok),
+       |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |scored AS (
+       | SELECT tf.pid,
+       |  CAST(round(CAST((length(bin((2*n + 2) // (2*df + 1))) - 1) * 22 * tf * t AS DOUBLE)
+       |   / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ppm
+       | FROM tf JOIN dfreq USING (tok), stats),
+       |cut AS (
+       | SELECT pid, count(*)::BIGINT AS n_terms_matched,
+       |  CAST(sum(ppm) AS BIGINT) AS score_ppm
+       | FROM scored GROUP BY pid
+       | ORDER BY score_ppm DESC, pid LIMIT $TopK)
+       |SELECT pid // $PassagePack AS doc_id, pid % $PassagePack AS chunk_id,
+       | n_terms_matched, score_ppm
+       |FROM cut ORDER BY score_ppm DESC, doc_id, chunk_id"""
+      .stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("b9_passage_bm25", bm25Passages, Some(bm25PassagesSql),
+      "passage-level BM25 over x14's chunk relation via an invertible packed key — b1's exact scoring kernel at RAG granularity, zero new scoring code (training-data extension)"),
     Q("b8_incremental_index", bm25IncrementalIndex, Some(bm25IncrementalSql),
       "O(delta) inverted-index maintenance: old postings anti-join tombstoned ids UNION delta postings, stats adjusted by three delta-local aggregates — set-equal to a full rebuild (spec-pinned), so b1's probe scores identically off the maintained view; the Lucene segment+tombstone pattern as a read view (training-data extension)"),
     Q("b7_hybrid_rrf", hybridRrf, Some(hybridRrfSql),

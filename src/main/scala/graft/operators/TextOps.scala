@@ -694,11 +694,11 @@ object TextOps {
       .select(col("doc_id"), col("chunk_id"), col("tok_start"),
         size(col("c")).cast("long").as("n_tokens"),
         array_join(col("c"), " ").as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   def ragChunks(spark: SparkSession, dir: String): DataFrame =
     ragChunksOf(Catalog.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_id"))
 
   val ragChunksSql: String = {
     val w = RagChunkTokens

@@ -22,6 +22,7 @@ class RagChunkSpec extends SparkSuite {
       docs.toDF("doc_id", "text"), window, stride).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getString(4)))
+      .sortBy(r => (r._1, r._2))
 
   test("chunk counts: <=window is one chunk, window+1 spills, exact ceil") {
     // window 32 / stride 24: n=32 -> 1 chunk; n=33 -> 2; n=56 -> 2;

@@ -255,6 +255,33 @@ class SearchSpec extends SparkSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("b9 passages: localization, passage-level length norm, packed-key round-trip") {
+    // doc 1: 40 tokens, the probe term sits in the TAIL — chunk 1 only
+    // (tokens 25..40); chunk 0 (1..32) never matches. doc 2: a single
+    // short chunk carrying the same term once.
+    // filler docs keep df << N so idf_bits stays positive (a 3-passage
+    // corpus with df=2 floors the quantized idf to 0 bits)
+    val c = corpus(
+      (1L, ((1 to 39).map(i => s"f$i") :+ "needle").mkString(" ")),
+      (2L, "pad needle end"),
+      (3L, "filler one"), (4L, "filler two"), (5L, "filler three"),
+      (6L, "filler four"), (7L, "filler five"))
+    val rows = Search.bm25PassagesOf(c, Seq("needle"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only the matching passages return, identified at chunk granularity
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((1L, 1L), (2L, 0L)))
+    // passage-level length normalization: doc 2's 3-token passage
+    // out-scores doc 1's 16-token passage at equal tf — the whole point
+    // of scoring chunks, a document-level run would weigh doc lengths
+    val byDoc = rows.map(t => (t._1, t._4)).toMap
+    assert(byDoc(2L) > byDoc(1L),
+      s"short passage must out-score long at equal tf: $byDoc")
+    // and every returned (doc, chunk) exists in x14's chunk relation
+    val chunks = TextOps.ragChunksOf(c).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(t => chunks.contains((t._1, t._2))))
+  }
+
   test("b8: the maintained index is SET-equal to a full rebuild over the revised corpus") {
     val docs = graft.Catalog.documents(spark, sfDir)
     val (merged, stats) = Search.incrementalIndex(spark, sfDir)
