@@ -493,6 +493,30 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // N13 — the REFIT TRIGGER n12 defers to: is the arrival batch drawn
+  // from the same coarse-quantizer distribution as the existing corpus?
+  // A frozen quantizer stays healthy only while arrivals fill the
+  // inverted lists in the existing proportions; when the embedding
+  // distribution shifts (new domain, new encoder), the delta's list
+  // histogram diverges and recall quietly rots. That is a CATEGORICAL
+  // association question — centroid × epoch — so this is c4's
+  // chi-square applied to the maintained index's own accounting
+  // relation: one tiny (centroid, epoch, count) aggregate (the lists
+  // artifact is read, not recomputed; only the delta re-assigns — n12's
+  // O(delta) economics), c4's integer-exact cell math, one accounting
+  // row whose chi2_ppm an alerting rule thresholds (c6's pattern).
+  // ---------------------------------------------------------------------
+  def ivfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val existing = ivfListsIndexed(spark, dir)
+      .select(col("centroid"), lit("existing").as("epoch"))
+    val delta = nonZeroEmbeddings(spark, dir)
+      .filter(col("vec_id") % IvfDeltaMod === 0)
+      .select(assignColumnOf(centroids)(col("embedding")).as("centroid"),
+        lit("delta").as("epoch"))
+    Profile.chiSquareOf(existing.union(delta), "centroid", "epoch")
+  }
+
+  // ---------------------------------------------------------------------
   // Exact DuckDB oracles for the approximate operators. The LSH planes /
   // IVF centroids are pure deterministic functions (LCGs, float-rounded),
   // and both engines compute dots as sequential double accumulation over
@@ -1057,7 +1081,41 @@ object Similarity {
        | JOIN allowed a ON a.doc_id = c.vec_id) t
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
 
+  /** N13 oracle: regenerate the LCG centroids and the argmax assignment
+    * (n4's dq CTE), derive epochs from the delta modulus, then c4's
+    * integer-exact chi-square tail over the centroid × epoch cells.
+    */
+  val ivfDriftSql: String =
+    s"""WITH ${centroidLcgCteSql("ctrs")},
+       |$embCte,
+       |dq AS (SELECT e.vec_id, ct.c,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_inner_product(e.emb, ct.v) DESC, ct.c DESC) AS rk
+       | FROM e, ctrs ct),
+       |cells AS (
+       | SELECT c AS x,
+       |  CASE WHEN vec_id % $IvfDeltaMod = 0 THEN 'delta' ELSE 'existing' END AS y,
+       |  count(*)::BIGINT AS o
+       | FROM dq WHERE rk = 1 GROUP BY 1, 2),
+       |xs AS (SELECT x, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY x),
+       |ys AS (SELECT y, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY y),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+       |grid AS (
+       | SELECT xs.x, ys.y, xs.r, ys.c, tot.n, COALESCE(cells.o, 0) AS o
+       | FROM xs CROSS JOIN ys CROSS JOIN tot
+       | LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y),
+       |u AS (SELECT *, o*n - r*c AS dev FROM grid)
+       |SELECT CAST(max(n) AS BIGINT) AS n,
+       | count(DISTINCT x)::BIGINT AS n_x,
+       | count(DISTINCT y)::BIGINT AS n_y,
+       | CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT) AS dof,
+       | CAST(sum(CAST(round(CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE) * 1000000.0
+       |  / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)), 0) AS BIGINT)) AS BIGINT) AS chi2_ppm
+       |FROM u""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("n13_ivf_drift", ivfDrift, Some(ivfDriftSql),
+      "n12's refit trigger: c4's integer-exact chi-square over the maintained index's centroid x epoch cells — quantizer-distribution drift of the arrival batch as one accounting row (training-data extension)"),
     Q("n12_incremental_ivf", annIvfIncremental, Some(annIvfSql),
       "O(delta) IVF maintenance (b8's pattern for vectors): persisted inverted lists + frozen-quantizer assignment of the arrival slice only; the maintained view serves n4's probe and the oracle is the full rebuild (training-data extension)"),
     Q("n11_filtered_ann", annFiltered, Some(annFilteredSql),

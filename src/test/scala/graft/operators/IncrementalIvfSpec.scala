@@ -34,6 +34,18 @@ class IncrementalIvfSpec extends SparkSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("n13 drift accounting reconciles with the maintained view's own masses") {
+    val row = Similarity.ivfDrift(spark, sfDir).collect().head
+    val existing = Similarity.ivfListsIndexed(spark, sfDir).count()
+    val delta = Similarity.nonZeroEmbeddings(spark, sfDir)
+      .filter(col("vec_id") % Similarity.IvfDeltaMod === 0).count()
+    assert(row.getLong(0) == existing + delta,
+      "chi-square mass must equal the maintained view's row count")
+    assert(row.getLong(2) == 2L, "epochs: existing + delta")
+    assert(row.getLong(3) == (row.getLong(1) - 1L) * 1L, "dof = (n_x-1)(n_y-1)")
+    assert(row.getLong(4) >= 0L)
+  }
+
   test("the artifact is reused, not rebuilt, on a second call") {
     val a = Similarity.ivfListsIndexed(spark, sfDir)
       .select(col("vec_id"), col("centroid")).collect()
