@@ -664,4 +664,14 @@ object Sinks {
       .option("header", "true")
       .mode("overwrite")
       .csv(path)
+
+  /** JSON-lines export (the other interchange format a downstream tool
+    * asks for): Jackson prints doubles in shortest-round-trip form, so a
+    * JSON export re-reads bit-identically — which s25's oracle (the
+    * identity SELECT over the ORIGINAL table) verifies end to end.
+    */
+  def jsonExport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write
+      .mode("overwrite")
+      .json(path)
 }

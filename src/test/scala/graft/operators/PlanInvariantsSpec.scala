@@ -76,7 +76,14 @@ class PlanInvariantsSpec extends SparkSuite {
     *   aggregates) crossJoins broadcast onto the pruned tf relation;
     * - c5: the two whole-table accounting aggregates (1 row each)
     *   crossJoin broadcast onto the joined-count row (j7's shape; the
-    *   corpus-sized work is the equi-keyed full-outer id join).
+    *   corpus-sized work is the equi-keyed full-outer id join);
+    * - b9: b1's corpus-stats scalar shape verbatim — the composition
+    *   changes the GRANULARITY of the scored relation (passages), not
+    *   the join shapes; the 1-row (N, T) stats crossJoin lands on the
+    *   term-pruned tf relation exactly as in b1;
+    * - n13: c4's chi-square densify — margins of the k×2
+    *   (centroid, epoch) cell relation crossJoin broadcast; the ONE
+    *   corpus-sized pass is the equi-keyed assignment aggregate.
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -86,7 +93,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "z9_curriculum", "a10_heavy_hitters", "n9_pq_adc",
       "b6_boolean_search", "n10_mips", "c4_chi_square", "b7_hybrid_rrf",
       "n11_filtered_ann", "b8_incremental_index",
-      "c5_referential_integrity")
+      "c5_referential_integrity", "b9_passage_bm25", "n13_ivf_drift")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -136,6 +143,29 @@ class PlanInvariantsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     val scans = "events\\.parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected 1 events scan, plan has $scans")
+  }
+
+  test("third-wave plan claims: z10 broadcast-only, x14 map-only, n12 reads its artifact") {
+    // z10: the corpus joins the dimension-sized count relation by
+    // BROADCAST — a SortMergeJoin here means the corpus shuffled on
+    // source, the exact thing the operator banner rules out
+    val z10 = SparkEntry.queries("z10_temperature_mix")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(z10.contains("BroadcastHashJoin") && !z10.contains("SortMergeJoin"),
+      s"z10 must broadcast the count dimension:\n$z10")
+    // x14: one Generate over map work; the only Exchange is the gate's
+    // presentation sort
+    val x14 = SparkEntry.queries("x14_rag_chunks")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(x14.contains("Generate"), "x14 lost its explode(sequence) fan-out")
+    assert("Exchange ".r.findAllIn(x14).length <= 1,
+      s"x14 grew a work shuffle beyond the presentation sort:\n$x14")
+    // n12: the existing corpus's lists come from the persisted artifact —
+    // a plan without that scan re-assigned the corpus per query
+    val n12 = SparkEntry.queries("n12_incremental_ivf")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(n12.contains("ivf_lists"),
+      s"n12 must read the persisted ivf_lists artifact:\n$n12")
   }
 
   test("w10/a11 hold their shuffle budgets (2 and 1 work exchanges)") {
