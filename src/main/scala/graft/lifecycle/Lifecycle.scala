@@ -413,6 +413,25 @@ object Lifecycle {
   val csvRoundTripSql: String =
     "SELECT * FROM nation ORDER BY n_nationkey"
 
+  /** S25 — JSON-lines round-trip (s5's fidelity gate for the OTHER
+    * interchange format): export supplier to JSON, read it back under
+    * the source schema, and hash-compare against the identity SELECT
+    * over the ORIGINAL parquet — so the gate proves the export loses
+    * nothing, including doubles (Jackson prints shortest-round-trip
+    * representations, so s_acctbal survives bit-exactly).
+    */
+  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.freshRunDir(spark, "lifecycle_json_run", dir)
+    val src = Catalog.supplier(spark, dir)
+    graft.streaming.Sinks.jsonExport(src, s"$scratch/supplier_json")
+    spark.read.schema(src.schema)
+      .json(s"$scratch/supplier_json")
+      .orderBy(col("s_suppkey"))
+  }
+
+  val jsonRoundTripSql: String =
+    "SELECT * FROM supplier ORDER BY s_suppkey"
+
   /** S12 — the CHECK constraint of the reference's `user_roles` DDL
     * (myapp/db_helpers.py:7-12) as a batch write-path validation — the
     * exact filter the streaming ingest applies, oracle-checked against
@@ -490,6 +509,9 @@ object Lifecycle {
     graft.operators.Q("s5_csv_roundtrip", csvRoundTrip,
       Some(csvRoundTripSql),
       "CSV sink write-read fidelity (index.html:338-371, server-side)"),
+    graft.operators.Q("s25_json_roundtrip", jsonRoundTrip,
+      Some(jsonRoundTripSql),
+      "JSON-lines sink write-read fidelity incl. shortest-round-trip doubles (s5's gate for the other interchange format)"),
     graft.operators.Q("s12_check_validate", checkValidate,
       Some(checkValidateSql),
       "CHECK-constraint validation on the write path (db_helpers.py:7-12)"),

@@ -16,6 +16,30 @@ class LifecycleSpec extends SparkSuite {
     d
   }
 
+  test("s25 JSON export round-trips adversarial doubles and NULLs bit-exactly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_json_").toString
+    // the values that break naive float printing: repeating binary
+    // fractions, subnormal-range magnitudes, huge exponents, negative
+    // zero, and NULL
+    val src = Seq(
+      (1L, Some(0.1 + 0.2)), (2L, Some(1e-300)), (3L, Some(-1.7976931348623157e308)),
+      (4L, Some(-0.0)), (5L, Option.empty[Double]), (6L, Some(math.Pi)))
+      .toDF("k", "v")
+    graft.streaming.Sinks.jsonExport(src, s"$tmp/t")
+    val back = spark.read.schema(src.schema).json(s"$tmp/t")
+      .orderBy(col("k")).collect()
+    val orig = src.orderBy(col("k")).collect()
+    orig.zip(back).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.isNullAt(1) == b.isNullAt(1), s"null drift at ${a.getLong(0)}")
+      if (!a.isNullAt(1))
+        assert(java.lang.Double.doubleToRawLongBits(a.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(b.getDouble(1)),
+          s"bit drift at ${a.getLong(0)}: ${a.getDouble(1)} vs ${b.getDouble(1)}")
+    }
+  }
+
   test("upsert is idempotent and inserts only fresh keys") {
     implicit val s: SparkSession = spark
     val path = scratchEvents()
