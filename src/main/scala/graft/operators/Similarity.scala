@@ -37,7 +37,7 @@ object Similarity {
     * similarity search outright. dot_product(e,e) is the codegen'd squared
     * norm; the oracle mirrors with list_inner_product.
     */
-  private[operators] def nonZeroEmbeddings(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def nonZeroEmbeddings(spark: SparkSession, dir: String): DataFrame =
     Catalog.embeddings(spark, dir)
       .filter(dot_product(col("embedding"), col("embedding")) > 0)
 
@@ -467,19 +467,31 @@ object Similarity {
     spark.read.parquet(idx)
   }
 
-  def annIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val e = nonZeroEmbeddings(spark, dir)
-    // maintenance: ONLY the arrival slice runs the assignment kernel
-    val deltaLists = e.filter(col("vec_id") % IvfDeltaMod === 0)
+  /** The maintained read view: persisted lists ∪ freshly-assigned delta
+    * (only the delta touches the assignment kernel).
+    */
+  private[graft] def maintainedIvfLists(spark: SparkSession, dir: String): DataFrame = {
+    val deltaLists = nonZeroEmbeddings(spark, dir)
+      .filter(col("vec_id") % IvfDeltaMod === 0)
       .select(col("vec_id"),
         assignColumnOf(centroids)(col("embedding")).as("centroid"),
         col("embedding"))
-    val lists = ivfListsIndexed(spark, dir).union(deltaLists)
+    ivfListsIndexed(spark, dir).union(deltaLists)
+  }
+
+  /** THE serving core over an inverted-list relation (vec_id, centroid,
+    * embedding): probe each query's top-NProbe centroids, score list
+    * members with exact cosine, cut top-k per query. Shared by n12's
+    * batch gate and the streaming serving twin
+    * ([[graft.streaming.Streams.vectorSearchSink]]) so the two paths
+    * cannot diverge — ranking is per query, so micro-batch boundaries
+    * in the query stream change nothing.
+    */
+  def serveIvf(queryVecs: DataFrame, lists: DataFrame): DataFrame = {
     val queries = broadcast(
-      e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          explode(topCentroidsOf(centroids)(col("embedding"), NProbe))
-            .as("centroid")))
+      queryVecs.select(col("query_id"), col("embedding").as("qv"),
+        explode(topCentroidsOf(centroids)(col("embedding"), NProbe))
+          .as("centroid")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     lists.join(queries,
@@ -489,8 +501,14 @@ object Similarity {
         round(cosine_sim(col("qv"), col("embedding")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
-      .orderBy(col("query_id"), col("rank"))
   }
+
+  def annIvfIncremental(spark: SparkSession, dir: String): DataFrame =
+    serveIvf(
+      nonZeroEmbeddings(spark, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      maintainedIvfLists(spark, dir))
+      .orderBy(col("query_id"), col("rank"))
 
   // ---------------------------------------------------------------------
   // N13 — the REFIT TRIGGER n12 defers to: is the arrival batch drawn

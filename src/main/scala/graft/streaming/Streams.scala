@@ -147,6 +147,30 @@ object Streams {
       }
   }
 
+  /** Streaming VECTOR SEARCH (the RAG serving path made a stream job):
+    * a micro-batched query stream — (query_id, embedding) rows — probes
+    * a STATIC maintained IVF list relation (n12's read view) and each
+    * batch appends its per-query top-k to the result table. The scoring
+    * core is [[graft.operators.Similarity.serveIvf]], the SAME code the
+    * batch gate runs, and ranking is per query, so micro-batch
+    * boundaries cannot change any query's answer — the batch/stream
+    * equivalence StreamsSpec pins. foreachBatch rather than a stream-
+    * static join operator because the top-k cut is a rank window, which
+    * append-mode streaming cannot host; per batch the cost is exactly
+    * one batch serve (broadcast probes × list equi-join).
+    */
+  def vectorSearchSink(queries: DataFrame, lists: DataFrame,
+      outPath: String, checkpointDir: String): DataStreamWriter[Row] = {
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.serveIvf(batch, lists)
+          .write.mode("append").parquet(outPath)
+      }
+  }
+
   /** Streaming W2 — 5-minute decimation with a 10-minute watermark: the
     * latest event per tumbling window, emitted once the window closes.
     * Late rows beyond the watermark are dropped — the explicit version of

@@ -616,4 +616,38 @@ class StreamsSpec extends SparkSuite {
         s"$t: online $online != batch window algebra ${o6(t)}")
     }
   }
+
+  case class Qv(query_id: Long, embedding: Seq[Float])
+
+  test("streaming vector search equals n12's batch serve, across micro-batch splits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vss_").toString
+    // the same query set n12's gate serves, split ACROSS two batches —
+    // ranking is per query, so the union must equal the batch run row-for-row
+    val queryRows = graft.operators.Similarity
+      .nonZeroEmbeddings(spark, sfDir)
+      .filter(col("vec_id") < graft.operators.Similarity.NQueries)
+      .collect()
+      .map(r => Qv(r.getLong(0), r.getSeq[Float](1)))
+    val lists = graft.operators.Similarity.maintainedIvfLists(spark, sfDir)
+    val mem = MemoryStream[Qv](spark)
+    val q = Streams.vectorSearchSink(
+      mem.toDF(), lists, s"$dir/out", s"$dir/ckpt").start()
+    try {
+      val (first, rest) = queryRows.splitAt(2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(rest: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val batch = graft.operators.Similarity.annIvfIncremental(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "streaming serve must equal the batch gate row-for-row")
+  }
 }
