@@ -593,7 +593,66 @@ object Profile {
        |FROM a ORDER BY slice""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // C8 — k-ANONYMITY audit: before a corpus (or its metadata) is shared,
+  // the release question is "can a row be singled out by its
+  // quasi-identifiers?" (Sweeney 2002). A table is k-anonymous over a
+  // quasi-identifier set when every equivalence class holds ≥ k rows;
+  // the audit reports how many classes — and how much row mass — sit
+  // below k. NULL is itself an identifying value, so NULL groups as a
+  // class value (both engines group NULLs together), never as "exempt".
+  // An empty table passes vacuously (c6's rule: emptiness is a
+  // freshness problem, gated by c5-style counts).
+  //
+  // Exactness/plan: ONE corpus aggregate to the class relation
+  // (map-side partials, class-cardinality-sized), one tiny aggregate
+  // over it; exposed_ppm is the x10-rule integer division — no float
+  // rate. At 100 TB nothing corpus-sized shuffles twice: the only
+  // full-width pass is the class groupBy.
+  // ---------------------------------------------------------------------
+  val KAnon = 5L
+
+  /** c8 core over any frame and quasi-identifier column set. */
+  def kAnonymityOf(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("cls_n"))
+      .agg(
+        coalesce(sum(col("cls_n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        lit(k).as("k"),
+        count(when(col("cls_n") < k, lit(1))).as("n_small_classes"),
+        coalesce(sum(when(col("cls_n") < k, col("cls_n"))), lit(0L))
+          .as("exposed_rows"))
+      .withColumn("exposed_ppm",
+        when(col("n_rows") > 0,
+          expr("exposed_rows * 1000000 div n_rows")))
+      .withColumn("k_anonymous", col("n_small_classes") === 0)
+  }
+
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(graft.Catalog.documents(spark, dir),
+      Seq("lang", "source"), KAnon)
+
+  val kAnonymitySql: String =
+    s"""WITH cls AS (
+       | SELECT lang, source, count(*)::BIGINT AS cls_n
+       | FROM documents GROUP BY lang, source)
+       |SELECT COALESCE(CAST(sum(cls_n) AS BIGINT), 0) AS n_rows,
+       | count(*)::BIGINT AS n_classes,
+       | CAST($KAnon AS BIGINT) AS k,
+       | CAST(count(CASE WHEN cls_n < $KAnon THEN 1 END) AS BIGINT)
+       |   AS n_small_classes,
+       | COALESCE(CAST(sum(CASE WHEN cls_n < $KAnon THEN cls_n END) AS BIGINT), 0)
+       |   AS exposed_rows,
+       | CASE WHEN COALESCE(sum(cls_n), 0) > 0 THEN
+       |  CAST(COALESCE(sum(CASE WHEN cls_n < $KAnon THEN cls_n END), 0)
+       |   * 1000000 // sum(cls_n) AS BIGINT) END AS exposed_ppm,
+       | count(CASE WHEN cls_n < $KAnon THEN 1 END) = 0 AS k_anonymous
+       |FROM cls""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("c8_k_anonymity", kAnonymity, Some(kAnonymitySql),
+      s"k-anonymity audit over the (lang, source) quasi-identifiers at k=$KAnon: classes and row mass below k as one exact-integer accounting row — the small-group disclosure check before a corpus release (data-QA extension)"),
     Q("c7_filter_auc", filterAuc, Some(filterAucSql),
       "per-slice exact Mann-Whitney AUC of the x11 classifier margin predicting x2's length verdict: tie-aware rank sums kept in BIGINT, one terminal IEEE division to micro-points — the threshold-free filter-vs-filter report (data-QA extension)"),
     Q("c6_dq_suite", dqSuite, Some(dqSuiteSql),

@@ -192,6 +192,35 @@ class ProfileSpec extends SparkSuite {
     assert(m("both").contains(1000000L))
   }
 
+  test("c8 k-anonymity: hand-computed exposure, NULL-as-class, vacuous empty pass") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // classes of sizes 1, 2, 5 at k=3: two small classes expose 3 of 8
+    // rows -> 375000 ppm
+    val df = (Seq(("a", "x")) ++ Seq.fill(2)(("b", "x")) ++
+      Seq.fill(5)(("c", "y"))).toDF("q1", "q2")
+    val r = Profile.kAnonymityOf(df, Seq("q1", "q2"), 3L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)) ==
+      ((8L, 3L, 2L, 3L)))
+    assert(r.getLong(5) == 375000L && !r.getBoolean(6))
+    // a k-anonymous table passes with zero exposure
+    val ok = Profile.kAnonymityOf(
+      Seq.fill(4)(("a", "x")).toDF("q1", "q2"), Seq("q1"), 3L).collect().head
+    assert(ok.getBoolean(6) && ok.getLong(4) == 0L)
+    // NULL quasi-identifiers form their OWN class (a NULL is identifying)
+    val schema = StructType(Seq(StructField("q1", StringType, nullable = true)))
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null), Row(null), Row("v"))),
+      schema)
+    val nr = Profile.kAnonymityOf(withNull, Seq("q1"), 2L).collect().head
+    assert(nr.getLong(1) == 2L, "NULL must group as one class")
+    assert(nr.getLong(4) == 1L, "only the singleton 'v' class is small")
+    // empty table: vacuous pass, NULL ppm
+    val er = Profile.kAnonymityOf(
+      withNull.filter(lit(false)), Seq("q1"), 2L).collect().head
+    assert(er.getLong(0) == 0L && er.getBoolean(6) && er.isNullAt(5))
+  }
+
   test("c7 gate query: per-lang rows, counts reconcile, ppm in range") {
     val rows = Profile.filterAuc(spark, sfDir).collect()
     assert(rows.nonEmpty)
