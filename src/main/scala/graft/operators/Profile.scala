@@ -650,7 +650,86 @@ object Profile {
        | count(CASE WHEN cls_n < $KAnon THEN 1 END) = 0 AS k_anonymous
        |FROM cls""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // C9 — l-DIVERSITY audit, c8's homogeneity-attack companion
+  // (Machanavajjhala et al. 2006): a class can hold ≥ k rows and STILL
+  // leak — if everyone in it shares the sensitive value, linking a person
+  // to the class discloses the value without singling anyone out.
+  // Distinct l-diversity requires every quasi-identifier class to carry
+  // ≥ l DISTINCT sensitive values; the audit reports the classes — and
+  // row mass — below l. NULL is a sensitive value like any other (both
+  // engines group NULLs together), and NULL quasi-identifiers form their
+  // own class (c8's rule).
+  //
+  // Exactness/plan: the only corpus-width pass is the first groupBy to
+  // the (class, sensitive-value) relation (map-side partials); the class
+  // rollup and the accounting aggregate both run over
+  // class-cardinality-sized inputs. Distinct-counting is structural
+  // (each first-level row IS one distinct value) — no count(distinct)
+  // Expand. exposed_ppm is the x10-rule integer division.
+  // ---------------------------------------------------------------------
+  val LDiv = 3L
+
+  /** Sensitive-attribute band width for the registered query: documents'
+    * `n_chars` in 100-char bands — content-length metadata, the kind of
+    * attribute a release would rather not let a quasi-identifier class
+    * pin down exactly.
+    */
+  val LDivSensBand = 100L
+
+  /** c9 core over any frame, quasi-identifier set, and sensitive column. */
+  def lDiversityOf(df: DataFrame, quasi: Seq[String], sensitive: Column,
+      l: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    val perValue = df
+      .groupBy(quasi.map(col) :+ sensitive.as("sval"): _*)
+      .agg(count(lit(1)).as("n"))
+    perValue.groupBy(quasi.map(col): _*)
+      .agg(sum(col("n")).as("cls_n"), count(lit(1)).as("diversity"))
+      .agg(
+        coalesce(sum(col("cls_n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        lit(l).as("l"),
+        coalesce(min(col("diversity")), lit(0L)).as("min_diversity"),
+        count(when(col("diversity") < l, lit(1))).as("n_low_classes"),
+        coalesce(sum(when(col("diversity") < l, col("cls_n"))), lit(0L))
+          .as("exposed_rows"))
+      .withColumn("exposed_ppm",
+        when(col("n_rows") > 0,
+          expr("exposed_rows * 1000000 div n_rows")))
+      .withColumn("l_diverse", col("n_low_classes") === 0)
+  }
+
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOf(graft.Catalog.documents(spark, dir), Seq("lang", "source"),
+      expr(s"n_chars div $LDivSensBand"), LDiv)
+
+  val lDiversitySql: String =
+    s"""WITH sv AS (
+       | SELECT lang, source, n_chars // $LDivSensBand AS sval,
+       |  count(*)::BIGINT AS n
+       | FROM documents GROUP BY 1, 2, 3),
+       |cls AS (
+       | SELECT lang, source, CAST(sum(n) AS BIGINT) AS cls_n,
+       |  count(*)::BIGINT AS diversity
+       | FROM sv GROUP BY 1, 2)
+       |SELECT COALESCE(CAST(sum(cls_n) AS BIGINT), 0) AS n_rows,
+       | count(*)::BIGINT AS n_classes,
+       | CAST($LDiv AS BIGINT) AS l,
+       | COALESCE(CAST(min(diversity) AS BIGINT), 0) AS min_diversity,
+       | CAST(count(CASE WHEN diversity < $LDiv THEN 1 END) AS BIGINT)
+       |   AS n_low_classes,
+       | COALESCE(CAST(sum(CASE WHEN diversity < $LDiv THEN cls_n END)
+       |   AS BIGINT), 0) AS exposed_rows,
+       | CASE WHEN COALESCE(sum(cls_n), 0) > 0 THEN
+       |  CAST(COALESCE(sum(CASE WHEN diversity < $LDiv THEN cls_n END), 0)
+       |   * 1000000 // sum(cls_n) AS BIGINT) END AS exposed_ppm,
+       | count(CASE WHEN diversity < $LDiv THEN 1 END) = 0 AS l_diverse
+       |FROM cls""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("c9_l_diversity", lDiversity, Some(lDiversitySql),
+      s"l-diversity audit (distinct-l form) over the (lang, source) quasi-identifiers with n_chars/$LDivSensBand bands as the sensitive attribute, l=$LDiv: classes where every member shares few sensitive values — the homogeneity-attack check a k-anonymity pass (c8) can still fail (data-QA extension)"),
     Q("c8_k_anonymity", kAnonymity, Some(kAnonymitySql),
       s"k-anonymity audit over the (lang, source) quasi-identifiers at k=$KAnon: classes and row mass below k as one exact-integer accounting row — the small-group disclosure check before a corpus release (data-QA extension)"),
     Q("c7_filter_auc", filterAuc, Some(filterAucSql),

@@ -221,6 +221,36 @@ class ProfileSpec extends SparkSuite {
     assert(er.getLong(0) == 0L && er.getBoolean(6) && er.isNullAt(5))
   }
 
+  test("c9 l-diversity: homogeneous class fails where c8 passes; hand-computed exposure") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // class A: 4 rows, ALL sensitive=s1 (k-anonymous at k=3, diversity 1)
+    // class B: 3 rows, sensitive s1/s2/s3 (diverse)
+    val df = (Seq.fill(4)(("A", "s1")) ++ Seq(("B", "s1"), ("B", "s2"), ("B", "s3")))
+      .toDF("q1", "sens")
+    // the selling point: c8 passes this table, c9 flags class A
+    val kr = Profile.kAnonymityOf(df, Seq("q1"), 3L).collect().head
+    assert(kr.getBoolean(6), "fixture must be k-anonymous or the contrast is lost")
+    val r = Profile.lDiversityOf(df, Seq("q1"), col("sens"), 3L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((7L, 2L, 1L, 1L, 4L)))
+    assert(r.getLong(6) == 4L * 1000000L / 7L && !r.getBoolean(7))
+    // NULL is a sensitive value like any other: {s1, NULL} has diversity 2
+    val schema = StructType(Seq(
+      StructField("q1", StringType, nullable = true),
+      StructField("sens", StringType, nullable = true)))
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("A", "s1"), Row("A", null))), schema)
+    val nr = Profile.lDiversityOf(withNull, Seq("q1"), col("sens"), 2L).collect().head
+    assert(nr.getLong(3) == 2L && nr.getBoolean(7), "NULL must count as a value")
+    // empty table: vacuous pass, NULL ppm, min_diversity 0
+    val er = Profile.lDiversityOf(
+      withNull.filter(lit(false)), Seq("q1"), col("sens"), 2L).collect().head
+    assert(er.getLong(0) == 0L && er.getLong(3) == 0L &&
+      er.getBoolean(7) && er.isNullAt(6))
+  }
+
   test("c7 gate query: per-lang rows, counts reconcile, ppm in range") {
     val rows = Profile.filterAuc(spark, sfDir).collect()
     assert(rows.nonEmpty)
