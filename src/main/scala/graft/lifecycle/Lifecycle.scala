@@ -432,6 +432,26 @@ object Lifecycle {
   val jsonRoundTripSql: String =
     "SELECT * FROM supplier ORDER BY s_suppkey"
 
+  /** S26 — ORC sink round-trip over the RICHEST fixture table (events:
+    * timestamps, doubles, NULL-bearing rows): export to ORC with the
+    * natural write parallelism, re-read, and let the identity oracle
+    * prove bit-exact fidelity — the columnar-sink sibling of s5 (CSV)
+    * and s25 (JSON), covering the format an archival tier or a
+    * Hive-lineage consumer asks for. The re-read binds the source
+    * schema explicitly (an interchange read never trusts inference).
+    */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.freshRunDir(spark, "lifecycle_orc_run", dir)
+    val src = Catalog.events(spark, dir)
+    graft.streaming.Sinks.orcExport(src, s"$scratch/events_orc")
+    spark.read.schema(src.schema)
+      .orc(s"$scratch/events_orc")
+      .orderBy(col("event_id"))
+  }
+
+  val orcRoundTripSql: String =
+    "SELECT * FROM events ORDER BY event_id"
+
   /** S12 — the CHECK constraint of the reference's `user_roles` DDL
     * (myapp/db_helpers.py:7-12) as a batch write-path validation — the
     * exact filter the streaming ingest applies, oracle-checked against
@@ -512,6 +532,9 @@ object Lifecycle {
     graft.operators.Q("s25_json_roundtrip", jsonRoundTrip,
       Some(jsonRoundTripSql),
       "JSON-lines sink write-read fidelity incl. shortest-round-trip doubles (s5's gate for the other interchange format)"),
+    graft.operators.Q("s26_orc_roundtrip", orcRoundTrip,
+      Some(orcRoundTripSql),
+      "ORC sink write-read fidelity over the timestamp/double/NULL-bearing events table, natural write parallelism — the columnar-archival sibling of s5/s25"),
     graft.operators.Q("s12_check_validate", checkValidate,
       Some(checkValidateSql),
       "CHECK-constraint validation on the write path (db_helpers.py:7-12)"),

@@ -698,4 +698,24 @@ object Sinks {
     df.coalesce(1).write
       .mode("overwrite")
       .json(path)
+
+  /** ORC export (the columnar archival/interchange format alongside
+    * parquet): binary column encoding, so doubles/timestamps round-trip
+    * bit-exactly by construction — which s26's oracle (the identity
+    * SELECT over the ORIGINAL table) verifies end to end. Unlike the
+    * text sinks this one keeps the NATURAL partitioning (no coalesce):
+    * an archival export at 100 TB is written by every task in parallel,
+    * and the row-order independence of the re-read is part of what the
+    * round-trip gate proves.
+    *
+    * CAVEAT (spec-pinned, LifecycleSpec): ORC's (seconds, positive-nanos)
+    * timestamp encoding shifts PRE-EPOCH sub-second instants +1 s through
+    * a Spark write/read cycle. Fine for event/log data (post-epoch by
+    * nature); a corpus carrying historical timestamps below 1970 should
+    * export those columns via parquet/JSON instead.
+    */
+  def orcExport(df: DataFrame, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .orc(path)
 }

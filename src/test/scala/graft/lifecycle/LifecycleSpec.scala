@@ -40,6 +40,56 @@ class LifecycleSpec extends SparkSuite {
     }
   }
 
+  test("s26 ORC export round-trips doubles, timestamps, and NULLs bit-exactly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_orc_").toString
+    // the s25 adversarial doubles plus sub-second timestamps (the a11
+    // lesson: epoch truncation hides below whole-second fixtures)
+    val src = Seq(
+      (1L, Some(0.1 + 0.2), Some("2024-01-15 12:00:00.123456")),
+      (2L, Some(1e-300), Some("1970-01-01 00:00:00.000001")),
+      (3L, Some(-0.0), Option.empty[String]),
+      (4L, Option.empty[Double], Some("2024-06-30 00:00:00")))
+      .toDF("k", "v", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    graft.streaming.Sinks.orcExport(src, s"$tmp/t")
+    val back = spark.read.schema(src.schema).orc(s"$tmp/t")
+      .orderBy(col("k")).collect()
+    val orig = src.orderBy(col("k")).collect()
+    orig.zip(back).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.isNullAt(1) == b.isNullAt(1) && a.isNullAt(2) == b.isNullAt(2),
+        s"null drift at ${a.getLong(0)}")
+      if (!a.isNullAt(1))
+        assert(java.lang.Double.doubleToRawLongBits(a.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(b.getDouble(1)),
+          s"double bit drift at ${a.getLong(0)}")
+      if (!a.isNullAt(2))
+        assert(a.getTimestamp(2) == b.getTimestamp(2),
+          s"timestamp drift at ${a.getLong(0)}: ${a.getTimestamp(2)} vs ${b.getTimestamp(2)}")
+    }
+  }
+
+  test("s26 DOCUMENTED HAZARD: ORC shifts pre-epoch sub-second timestamps +1s") {
+    import spark.implicits._
+    // ORC encodes timestamps as (seconds, positive nanos); for negative
+    // epoch-seconds with a fractional part the writer/reader pair lands
+    // one second late. Pinned so a future Spark/ORC fix is NOTICED (this
+    // test failing green-ward means the sink doc can drop the caveat).
+    // The registered s26 gate is unaffected: the events fixture is
+    // post-epoch, and the oracle would catch any regression there.
+    val tmp = Files.createTempDirectory("graft_orc_").toString
+    val src = Seq((1L, Some("1969-12-31 23:59:59.999999")))
+      .toDF("k", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    graft.streaming.Sinks.orcExport(src, s"$tmp/t")
+    val back = spark.read.schema(src.schema).orc(s"$tmp/t").collect().head
+    val drift = back.getTimestamp(1).getTime - src.collect().head.getTimestamp(1).getTime
+    assert(drift == 1000L,
+      s"pre-epoch ORC drift changed (was +1s, now ${drift}ms) — update " +
+        "Sinks.orcExport's caveat if this became 0")
+  }
+
   test("upsert is idempotent and inserts only fresh keys") {
     implicit val s: SparkSession = spark
     val path = scratchEvents()
