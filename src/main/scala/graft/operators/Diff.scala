@@ -181,7 +181,168 @@ object Diff {
       |SELECT status, n FROM c WHERE n > 0 ORDER BY status"""
       .stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // U4 — THREE-WAY merge: two curation lines diverge from a common base
+  // (two teams scrub the same crawl; a backfill lands while a cleanup
+  // runs) and must reconcile — the git merge problem on keyed corpora,
+  // decided entirely on content fingerprints. Per key, against base
+  // fingerprint fb and branch fingerprints fo/ft (null-safe compares —
+  // NULL payloads are content like any other, the u1/u3 rule):
+  //   present everywhere:  fo=fb & ft=fb → unchanged; only one side
+  //     moved → take the mover; both moved identically → both_same;
+  //     both moved apart → conflict_edit
+  //   deleted in one side: other unchanged → deleted (delete wins);
+  //     other modified → conflict_delete (the delete/modify case);
+  //     deleted in both → deleted
+  //   absent from base:    added one side → take it; added both,
+  //     same content → both_same; different → conflict_add
+  // Conflicts are REPORTED, never auto-resolved — exactly what git does,
+  // and the only safe default for data whose payload the engine cannot
+  // judge.
+  //
+  // Plan/scale: three map-side (key, side-tag, fingerprint) projections
+  // — 13-byte rows cross the wire, never payloads — unioned and
+  // collapsed by ONE hash aggregate on the 8-byte key (side-conditional
+  // max pivots the three fingerprints wide, map-side partials apply).
+  // One shuffle total: the two-full-outer-join formulation was measured
+  // to re-shuffle its own intermediate, because a full-outer USING join
+  // COALESCES the key — the output partitioning is on a new expression,
+  // so the second join cannot reuse it. The registered output is the
+  // resolution accounting; the per-key decision relation (what a merge
+  // tool consumes) is the same DAG minus the final tiny aggregate.
+  // Assumes keys are unique within each snapshot (the u1/u3 contract).
+  // ---------------------------------------------------------------------
+
+  /** Per-key three-way merge decisions over (key, fingerprint) triples. */
+  def mergeByKey(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+      key: String, fp: Column): DataFrame = {
+    def sideOf(df: DataFrame, tag: String) =
+      df.select(col(key), lit(tag).as("side"), fp.as("fp"))
+    sideOf(base, "b")
+      .unionByName(sideOf(ours, "o"))
+      .unionByName(sideOf(theirs, "t"))
+      .groupBy(col(key))
+      .agg(
+        max(when(col("side") === "b", lit(1))).as("in_b"),
+        max(when(col("side") === "o", lit(1))).as("in_o"),
+        max(when(col("side") === "t", lit(1))).as("in_t"),
+        max(when(col("side") === "b", col("fp"))).as("fp_b"),
+        max(when(col("side") === "o", col("fp"))).as("fp_o"),
+        max(when(col("side") === "t", col("fp"))).as("fp_t"))
+      .withColumn("resolution",
+        when(col("in_b").isNotNull && col("in_o").isNotNull &&
+            col("in_t").isNotNull,
+          when((col("fp_o") <=> col("fp_b")) && (col("fp_t") <=> col("fp_b")),
+            "unchanged")
+            .when(col("fp_o") <=> col("fp_b"), "take_theirs")
+            .when(col("fp_t") <=> col("fp_b"), "take_ours")
+            .when(col("fp_o") <=> col("fp_t"), "both_same")
+            .otherwise("conflict_edit"))
+          .when(col("in_b").isNotNull && col("in_o").isNull &&
+            col("in_t").isNull, "deleted")
+          .when(col("in_b").isNotNull && col("in_o").isNull,
+            when(col("fp_t") <=> col("fp_b"), "deleted")
+              .otherwise("conflict_delete"))
+          .when(col("in_b").isNotNull,
+            when(col("fp_o") <=> col("fp_b"), "deleted")
+              .otherwise("conflict_delete"))
+          .when(col("in_t").isNull, "take_ours")
+          .when(col("in_o").isNull, "take_theirs")
+          .otherwise(when(col("fp_o") <=> col("fp_t"), "both_same")
+            .otherwise("conflict_add")))
+      .select(col(key), col("resolution"))
+  }
+
+  /** Gate branches: deterministic divergent curation lines off the
+    * documents fixture. Ours re-renders every 7th doc (upper) and drops
+    * every 11th, theirs tags every 5th and drops every 13th; BOTH apply
+    * the same policy re-render to every 23rd (the identical-edit case);
+    * both backfill new keys (doc_id+1e6) from disjoint-but-overlapping
+    * slices (%17 vs %19, with different content) so clean adds AND an
+    * add/add conflict occur. Every resolution class is populated.
+    */
+  private def mergeBranches(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val ours = base.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 23 === 0, upper(col("text")))
+          .when(col("doc_id") % 7 === 0, upper(col("text")))
+          .otherwise(col("text")))
+      .unionByName(base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val theirs = base.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 23 === 0, upper(col("text")))
+          .when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [t]")))
+          .otherwise(col("text")))
+      .unionByName(base.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+    (base, ours, theirs)
+  }
+
+  def threeWayMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (base, ours, theirs) =
+      mergeBranches(Catalog.documents(spark, dir))
+    mergeByKey(base, ours, theirs, "doc_id", TextOps.hash60(col("text")))
+      .groupBy(col("resolution")).agg(count(lit(1)).as("n"))
+      .orderBy(col("resolution"))
+  }
+
+  val threeWayMergeSql: String = {
+    val fpB = TextOps.hash60Sql("b.text")
+    val fpO = TextOps.hash60Sql("o.text")
+    val fpT = TextOps.hash60Sql("t.text")
+    val oursText =
+      "CASE WHEN doc_id % 23 = 0 THEN upper(text) " +
+        "WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END"
+    val theirsText =
+      "CASE WHEN doc_id % 23 = 0 THEN upper(text) " +
+        "WHEN doc_id % 5 = 0 THEN text || ' [t]' ELSE text END"
+    s"""WITH b AS (SELECT doc_id, text FROM documents),
+       |o AS (
+       | SELECT doc_id, $oursText AS text FROM documents WHERE doc_id % 11 <> 0
+       | UNION ALL
+       | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+       |t AS (
+       | SELECT doc_id, $theirsText AS text FROM documents WHERE doc_id % 13 <> 0
+       | UNION ALL
+       | SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 19 = 0),
+       |m AS (
+       | SELECT COALESCE(b.doc_id, o.doc_id, t.doc_id) AS doc_id,
+       |  b.doc_id IS NOT NULL AS in_b, o.doc_id IS NOT NULL AS in_o,
+       |  t.doc_id IS NOT NULL AS in_t,
+       |  $fpB AS fp_b, $fpO AS fp_o, $fpT AS fp_t
+       | FROM b FULL OUTER JOIN o ON b.doc_id = o.doc_id
+       |  FULL OUTER JOIN t ON COALESCE(b.doc_id, o.doc_id) = t.doc_id),
+       |r AS (
+       | SELECT CASE
+       |  WHEN in_b AND in_o AND in_t THEN CASE
+       |   WHEN fp_o IS NOT DISTINCT FROM fp_b
+       |    AND fp_t IS NOT DISTINCT FROM fp_b THEN 'unchanged'
+       |   WHEN fp_o IS NOT DISTINCT FROM fp_b THEN 'take_theirs'
+       |   WHEN fp_t IS NOT DISTINCT FROM fp_b THEN 'take_ours'
+       |   WHEN fp_o IS NOT DISTINCT FROM fp_t THEN 'both_same'
+       |   ELSE 'conflict_edit' END
+       |  WHEN in_b AND NOT in_o AND NOT in_t THEN 'deleted'
+       |  WHEN in_b AND NOT in_o THEN
+       |   CASE WHEN fp_t IS NOT DISTINCT FROM fp_b THEN 'deleted'
+       |        ELSE 'conflict_delete' END
+       |  WHEN in_b THEN
+       |   CASE WHEN fp_o IS NOT DISTINCT FROM fp_b THEN 'deleted'
+       |        ELSE 'conflict_delete' END
+       |  WHEN NOT in_t THEN 'take_ours'
+       |  WHEN NOT in_o THEN 'take_theirs'
+       |  ELSE CASE WHEN fp_o IS NOT DISTINCT FROM fp_t THEN 'both_same'
+       |            ELSE 'conflict_add' END END AS resolution
+       | FROM m)
+       |SELECT resolution, count(*)::BIGINT AS n FROM r
+       |GROUP BY resolution ORDER BY resolution""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("u4_three_way_merge", threeWayMerge, Some(threeWayMergeSql),
+      "three-way merge of two curation branches off a common base — the git merge decision on content fingerprints: movers win, identical edits collapse, divergent edits / delete-vs-modify / add-add collisions surface as conflicts, never auto-resolved; 12-byte rows through two key equi-joins (training-data extension)"),
     Q("u3_version_diff", versionDiff, Some(versionDiffSql),
       "u1's diff composed over s24's time-travel reads: what changed between two committed table versions, from two manifest-pruned scans + one fingerprint join — accounted against b8's shared delta definition, so index maintenance, snapshot history, and diff provably describe the same change (training-data extension)"),
     Q("u1_corpus_diff", corpusDiff, Some(corpusDiffSql),

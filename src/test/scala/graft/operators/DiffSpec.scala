@@ -36,6 +36,50 @@ class DiffSpec extends SparkSuite {
     assert(Diff.diffByKey(a, a, "id", TextOps.hash60(col("payload"))).isEmpty)
   }
 
+  test("u4 three-way merge: every resolution class on a hand-built triple") {
+    // base keys 1-9 and 14; branch edits/deletes/adds hit each branch,
+    // including BOTH directions of the delete/modify conflict (9, 14)
+    val base = Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e",
+      6L -> "f", 7L -> "g", 8L -> "h", 9L -> "i", 14L -> "z").toDF("id", "p")
+    val ours = Seq(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D", 5L -> "X",
+      /* 6 deleted */ 7L -> "g", /* 8, 9 deleted */ 14L -> "Z!",
+      10L -> "new", 11L -> "both", 12L -> "mine").toDF("id", "p")
+    val theirs = Seq(1L -> "a", 2L -> "b", 3L -> "C", 4L -> "D", 5L -> "Y",
+      6L -> "f", /* 7, 8 deleted */ 9L -> "I2", /* 14 deleted */
+      11L -> "both", 12L -> "theirs", 13L -> "added").toDF("id", "p")
+    val got = Diff.mergeByKey(base, ours, theirs, "id",
+        TextOps.hash60(col("p")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unchanged",       // untouched everywhere
+      2L -> "take_ours",       // only ours moved
+      3L -> "take_theirs",     // only theirs moved
+      4L -> "both_same",       // identical edit both sides
+      5L -> "conflict_edit",   // divergent edits
+      6L -> "deleted",         // ours deleted, theirs unchanged
+      7L -> "deleted",         // theirs deleted, ours unchanged
+      8L -> "deleted",         // deleted in both
+      9L -> "conflict_delete", // ours deleted, theirs modified
+      14L -> "conflict_delete", // ours modified, theirs deleted
+      10L -> "take_ours",      // added in ours only
+      11L -> "both_same",      // added identically in both
+      12L -> "conflict_add",   // added with different content
+      13L -> "take_theirs"),   // added in theirs only
+      s"got $got")
+  }
+
+  test("u4 NULL payloads are content: NULL-kept vs NULL-kept merges unchanged") {
+    val base = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "p")
+    val ours = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "p")
+    val theirs = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "p")
+    val got = Diff.mergeByKey(base, ours, theirs, "id",
+        TextOps.hash60(col("p")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: NULL everywhere = unchanged; 2: ours nulled the payload (an
+    // edit), theirs kept it -> take_ours
+    assert(got == Map(1L -> "unchanged", 2L -> "take_ours"))
+  }
+
   test("u2 ingests only quality, non-duplicate delta documents") {
     def long(tag: String) = tag + " body " * 30 // well past MinIngestChars
     val oldSnap = Seq(
