@@ -168,6 +168,37 @@ class PlanInvariantsSpec extends SparkSuite {
       s"n12 must read the persisted ivf_lists artifact:\n$n12")
   }
 
+  test("closing-wave plan claims: m7 artifact read + equi-join, u4 join-free, c9/u4 budgets") {
+    // m7: both sides of the candidate join read the PERSISTED
+    // media_micro artifact (feature extraction is the expensive model
+    // pass — built once), and the candidate join is a hash EQUI-join,
+    // never a nested loop (the pigeonhole banding exists precisely to
+    // make that possible)
+    val m7 = SparkEntry.queries("m7_media_neardup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("media_micro".r.findAllIn(m7).length >= 2,
+      s"m7 must read the persisted media_micro artifact on both sides:\n$m7")
+    assert(m7.contains("HashJoin") && !m7.contains("NestedLoop"),
+      s"m7's candidate join must be a hash equi-join:\n$m7")
+    // u4: the merge collapsed to ONE side-pivoting aggregate — a Join
+    // node here means the full-outer formulation (which re-shuffles its
+    // own coalesced-key intermediate) crept back
+    val u4 = SparkEntry.queries("u4_three_way_merge")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!u4.contains("Join"),
+      s"u4 must merge via the union + single aggregate, not joins:\n$u4")
+    assert("Exchange ".r.findAllIn(u4).length <= 3,
+      s"u4 grew a shuffle beyond merge + accounting + sort:\n$u4")
+    // c9: distinct-counting is structural — a count(distinct) Expand
+    // here means the two-level groupBy was flattened
+    val c9 = SparkEntry.queries("c9_l_diversity")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!c9.contains("Expand"),
+      s"c9 must not plan a count(distinct) Expand:\n$c9")
+    assert("Exchange ".r.findAllIn(c9).length <= 3,
+      s"c9 grew a shuffle beyond class agg + rollup + accounting:\n$c9")
+  }
+
   test("w10/a11 hold their shuffle budgets (2 and 1 work exchanges)") {
     // the SCALE.md claims as plan assertions: retention = one user window
     // + one grouped distinct (no cohort join back); decay = one grouped
