@@ -999,8 +999,88 @@ object Monitoring {
        | count(*)::BIGINT AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // W12 — TIME-WEIGHTED average of an irregularly sampled gauge: the
+  // semantics every monitoring backend (Prometheus/RRDtool) implements
+  // and naive AVG silently gets wrong — a gauge sampled 100× during a
+  // quiet minute and once during a busy hour is dominated by the quiet
+  // minute under AVG; the correct mean weighs each reading by how long
+  // it HELD (step interpolation: a sample's value persists until the
+  // next sample, the last one until the pinned horizon Q.AsOfEnd).
+  //
+  // Exactness (the x10 rule applied to an integral): readings go to
+  // integer micro-units, durations are exact unix_micros differences,
+  // each weight v_micro·dur_us is a DECIMAL(20,0)×DECIMAL(18,0) product
+  // (widths summing to DuckDB's 38-digit multiplication cap)
+  // summed as exact decimal — the only IEEE ops are the two terminal
+  // divisions, in pinned order. NULL ts / NULL value rows are excluded
+  // (no reading, no holding interval); ties on ts break by event_id and
+  // contribute zero duration.
+  //
+  // Plan/scale: one window shuffle on event_type + one aggregate over
+  // the same partitioning (Spark reuses the Exchange). Per-type sample
+  // sequences are inherently sequential; the 100 TB refinement shards
+  // the window by (type, coarse time bucket) and stitches one boundary
+  // sample per bucket — w8's grid discipline — documented, not needed
+  // at gate SF.
+  // ---------------------------------------------------------------------
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedAvgOf(Catalog.events(spark, dir))
+
+  /** w12 core over any events-shaped frame; `horizon` closes the last
+    * sample's holding interval (gate: the pinned corpus horizon).
+    */
+  def timeWeightedAvgOf(events: DataFrame,
+      horizon: String = Q.AsOfEnd): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t_us"), col("event_id"))
+    events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("t_us"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro"))
+      .withColumn("dur_us",
+        coalesce(lead(col("t_us"), 1).over(w),
+          expr(s"unix_micros(TIMESTAMP '$horizon')")) - col("t_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("dur_us")).as("total_dur_us"),
+        sum(expr(
+          "CAST(v_micro AS DECIMAL(20,0)) * CAST(dur_us AS DECIMAL(18,0))"))
+          .as("w_dec"),
+        sum(col("v_micro")).as("v_sum"))
+      .select(col("event_type"), col("n_samples"), col("total_dur_us"),
+        when(col("total_dur_us") > 0,
+          col("w_dec").cast("double")./(col("total_dur_us").cast("double"))
+            ./(lit(1000000.0))).as("twa"),
+        col("v_sum").cast("double")./(col("n_samples"))./(lit(1000000.0))
+          .as("naive_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  val timeWeightedAvgSql: String =
+    s"""WITH s AS (
+       | SELECT event_type, event_id, epoch_us(ts) AS t_us,
+       |  CAST(round(value * 1000000) AS BIGINT) AS v_micro
+       | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+       |d AS (
+       | SELECT event_type, v_micro,
+       |  COALESCE(lead(t_us) OVER (PARTITION BY event_type ORDER BY t_us, event_id),
+       |    epoch_us(TIMESTAMP '${Q.AsOfEnd}')) - t_us AS dur_us
+       | FROM s)
+       |SELECT event_type, count(*)::BIGINT AS n_samples,
+       | CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+       | CASE WHEN sum(dur_us) > 0 THEN
+       |  CAST(sum(CAST(v_micro AS DECIMAL(20,0)) * CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE)
+       |   / CAST(sum(dur_us) AS DOUBLE) / 1000000.0 END AS twa,
+       | CAST(sum(v_micro) AS DOUBLE) / count(*) / 1000000.0 AS naive_avg
+       |FROM d GROUP BY event_type ORDER BY event_type"""
+      .stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("w12_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql),
+      "time-weighted gauge average per metric type (step interpolation to the pinned horizon) — the Prometheus/RRDtool semantics naive AVG gets wrong on irregular sampling; integer micro-unit readings x exact microsecond holds summed as decimal, IEEE only at the two terminal divisions; naive_avg emitted alongside for the contrast (monitoring extension)"),
     Q("w11_streaks", streaks, Some(streaksSql),
       "per-user above-threshold streak accounting (gaps-and-islands on the CONDITION, not time): row_number-difference islands, one shared user Exchange, NULL readings break runs — the consecutive-anomaly alerting shape (monitoring extension)"),
     Q("a11_decayed_engagement", decayedEngagement, Some(decayedEngagementSql),

@@ -111,6 +111,31 @@ class FunnelSpec extends SparkSuite {
     assert(got == Map(3L -> ((2L, 2L, 1L)), 4L -> ((1L, 1L, 1L))), s"got $got")
   }
 
+  // --- w12 time-weighted average -------------------------------------------
+
+  test("w12 twa weighs by holding time where naive AVG weighs by sample count") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val df = Seq(
+      // type A: 10.0 held 90s, then 100.0 held 10s to the horizon
+      // twa = (10*90 + 100*10)/100 = 19.0; naive = 55.0
+      (1L, at(0), 1L, "A", Double.box(10.0)),
+      (2L, at(90), 1L, "A", Double.box(100.0)),
+      // type B: ts tie -> event 3 holds ZERO seconds, event 4 holds all
+      // 100s; a NULL reading is excluded entirely
+      (3L, at(0), 1L, "B", Double.box(999.0)),
+      (4L, at(0), 1L, "B", Double.box(7.0)),
+      (5L, at(50), 1L, "B", null.asInstanceOf[java.lang.Double]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Monitoring.timeWeightedAvgOf(df, "2024-01-01 00:01:40")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("A") == ((2L, 100000000L, 19.0, 55.0)), s"got ${got("A")}")
+    // B: naive mean counts the zero-duration sample (999+7)/2 = 503;
+    // twa ignores it completely -> 7.0
+    assert(got("B") == ((2L, 100000000L, 7.0, 503.0)), s"got ${got("B")}")
+  }
+
   test("w11 plans ONE hash exchange (windows + both aggregates share the key)") {
     val df = streakRows((1L, 1L, 90), (1L, 2L, 10))
     val plan = Monitoring.streaksOf(df, col("value") > 80.0)
