@@ -679,6 +679,96 @@ object StreamingCusum {
   }
 }
 
+/** One SETTLED holding interval of a gauge: `v_micro` (micro-unit
+  * reading) held for `dur_us` microseconds from `start` — the streaming
+  * unit of w12's time-weighted integral. Summing v_micro·dur_us over any
+  * span reproduces the batch twin's numerator exactly.
+  */
+case class GaugeHold(event_type: String, start: java.sql.Timestamp,
+    v_micro: Long, dur_us: Long)
+
+/** One reading awaiting settlement ordering. */
+case class GaugeReading(event_id: Long, ts_us: Long, v_micro: Long)
+
+/** Per-type gauge state: the newest settled reading = the OPEN
+  * interval's left edge (meaningful iff `hasOpen`), plus readings still
+  * at/above the watermark. Settled history needs nothing else — every
+  * older interval has already been emitted — so state is
+  * watermark-delay-bounded (the w5/w11 discipline).
+  */
+case class GaugeState(hasOpen: Boolean, openTsUs: Long, openVMicro: Long,
+    pending: List[GaugeReading])
+
+object StreamingGauge {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** Full-precision µs instant of a Timestamp (getTime alone truncates
+    * to ms — the a11 sub-second lesson applied to streaming state).
+    */
+  def tsUs(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000L
+
+  private def usTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** The ONLINE half of w12: each holding interval emits exactly once,
+    * when its RIGHT edge settles below the watermark — at that point no
+    * admissible late reading can land inside the interval (every future
+    * arrival has ts ≥ watermark > right edge; the as-of settlement
+    * argument). A late reading above the watermark re-orders freely:
+    * readings buffer until settled, then close intervals in (ts,
+    * event_id) order — ties hold zero microseconds, exactly like the
+    * batch window. Readings quantize to micro-units HERE, so the
+    * emitted integral is integer-exact and batch-reconcilable.
+    */
+  def holds(events: Dataset[SessionEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[GaugeHold] = {
+    implicit val stateEnc = Encoders.product[GaugeState]
+    implicit val outEnc = Encoders.product[GaugeHold]
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GaugeState, GaugeHold](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, batch: Iterator[SessionEvent],
+            state: GroupState[GaugeState]) =>
+          val st = state.getOption.getOrElse(GaugeState(false, 0L, 0L, Nil))
+          val incoming = batch.map(e =>
+            GaugeReading(e.event_id, tsUs(e.ts),
+              math.round(e.value * 1e6))).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = (st.pending ++ incoming)
+            .sortBy(r => (r.ts_us, r.event_id))
+          val (settled, pending) = all.partition(_.ts_us < wmUs)
+          var open: Option[(Long, Long)] =
+            if (st.hasOpen) Some((st.openTsUs, st.openVMicro)) else None
+          val out = settled.map { r =>
+            val hold = open.map { case (ots, ov) =>
+              GaugeHold(k, usTs(ots), ov, r.ts_us - ots)
+            }
+            open = Some((r.ts_us, r.v_micro))
+            hold
+          }.flatten
+          if (open.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(GaugeState(open.isDefined,
+              open.map(_._1).getOrElse(0L), open.map(_._2).getOrElse(0L),
+              pending))
+            // only buffered readings need a wake-up; the open edge waits
+            // for its successor, not for time
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_.ts_us).min / 1000 + 1)
+          }
+          out.iterator
+      }
+  }
+}
+
 /** S5 — CSV export sink (reference template JS CSV builders,
   * index.html:338-371 et al. — server-side here).
   */

@@ -650,4 +650,52 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq,
       "streaming serve must equal the batch gate row-for-row")
   }
+
+  test("streaming gauge holds settle in order, absorb a late reading, reconcile with w12") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = StreamingGauge.holds(mem.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("gauge_test").outputMode("append").start()
+    try {
+      mem.addData(
+        SessionEvent(1, ts("2024-01-01 10:00:00"), 1, "m", 10.0),
+        SessionEvent(2, ts("2024-01-01 10:02:00"), 1, "m", 30.0))
+      q.processAllAvailable()
+      // a LATE reading lands between them (inside the watermark), plus
+      // one far enough ahead to advance the watermark past the first 3
+      mem.addData(
+        SessionEvent(3, ts("2024-01-01 10:01:00"), 1, "m", 20.0),
+        SessionEvent(4, ts("2024-01-01 10:30:00"), 1, "m", 40.0))
+      q.processAllAvailable()
+      // settle reading 4 -> closes reading 2's interval
+      mem.addData(SessionEvent(9, ts("2024-01-01 12:00:00"), 2, "sentinel", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("gauge_test").as[GaugeHold].collect()
+        .filter(_.event_type == "m").sortBy(h => StreamingGauge.tsUs(h.start))
+      // the late reading re-ordered settlement: 10:00@10 held 60 s,
+      // 10:01@20 held 60 s, 10:02@30 held 28 min — each emitted once
+      assert(got.map(h => (h.start, h.v_micro, h.dur_us)).toSeq == Seq(
+        (ts("2024-01-01 10:00:00"), 10000000L, 60000000L),
+        (ts("2024-01-01 10:01:00"), 20000000L, 60000000L),
+        (ts("2024-01-01 10:02:00"), 30000000L, 1680000000L)), s"got ${got.toSeq}")
+      // reconciliation: closed holds + the open tail (reading 4 to the
+      // horizon, zero here) reproduce the batch twin's integral exactly
+      val batchDf = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "m", Double.box(10.0)),
+        (2L, ts("2024-01-01 10:02:00"), 1L, "m", Double.box(30.0)),
+        (3L, ts("2024-01-01 10:01:00"), 1L, "m", Double.box(20.0)),
+        (4L, ts("2024-01-01 10:30:00"), 1L, "m", Double.box(40.0)))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val b = graft.operators.Monitoring
+        .timeWeightedAvgOf(batchDf, "2024-01-01 10:30:00")
+        .collect().head
+      val num = got.map(h => BigInt(h.v_micro) * BigInt(h.dur_us)).sum
+      val den = got.map(_.dur_us).sum
+      assert(b.getLong(2) == den, "duration mass must reconcile")
+      assert(b.getDouble(3) ==
+        (num.toDouble / den.toDouble) / 1e6,
+        "streamed integral must equal the batch twa")
+    } finally q.stop()
+  }
 }
