@@ -386,10 +386,11 @@ object Dedup {
     * high J means high band-collision probability regardless of token
     * document frequency).
     */
-  private[operators] def minhashLshPairsCapped(cap: Int)(
-      spark: SparkSession, dir: String): DataFrame = {
-    val hs = shingleIndex(spark, dir)
-    val sigs = minhashSignaturesOf(hs)
+  /** The pure LSH candidate stage: band-bucket collisions over minhash
+    * signatures, NOT yet verified or backstopped (d2 composes this with
+    * the exact prefix arm; d10 measures it alone).
+    */
+  private[operators] def lshBandCandidates(sigs: DataFrame): DataFrame = {
     val nBands = MinhashK / BandRows
     // band key: (band index, the band's signature rows) packed to a string
     val banded = sigs.select(
@@ -398,10 +399,17 @@ object Dedup {
         concat_ws(":", (lit(b) +: (0 until BandRows).map(r =>
           element_at(col("sig"), b * BandRows + r + 1))): _*)
       }: _*)).as("band"))
-    val lshArm = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+  }
+
+  private[operators] def minhashLshPairsCapped(cap: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val hs = shingleIndex(spark, dir)
+    val sigs = minhashSignaturesOf(hs)
+    val lshArm = lshBandCandidates(sigs)
     // completeness backstop (see banner): the exact prefix-filter arm
     // guarantees every J >= threshold pair sharing a sub-cap token is a
     // candidate, whatever the fixture's recall margin; at the default cap
@@ -1022,8 +1030,79 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // D10 — LSH recall accounting: n7's measure-don't-guess discipline
+  // applied to the dedup family. d2 composes the LSH arm with an exact
+  // prefix backstop precisely BECAUSE banding is probabilistic; this
+  // query measures what the LSH arm alone recalls against the exact
+  // ground truth, as driver-gated data rather than a design-note claim.
+  // Theory (b=16 bands × r=2 rows): P(candidate) = 1−(1−J²)^16 — ≈0.99
+  // at the J=0.5 threshold, sliding to ~0.5 at J≈0.32 — so recall at
+  // the gate should be near-total, and the accounting proves (or
+  // refutes) it per corpus. A deployment re-runs this whenever it
+  // retunes (K, bands, threshold) — the number that decides whether the
+  // exact backstop can be dropped.
+  //
+  // Plan/scale: truth reads the persisted jaccard_pairs artifact;
+  // candidates are one band equi-join over the persisted shingle index's
+  // signatures; the three 1-row accountings crossJoin (j7's allowed
+  // shape). Nothing corpus-sized moves except the band join d2 already
+  // pays.
+  // ---------------------------------------------------------------------
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardPairsIndexed(spark, dir).select(col("da"), col("db"))
+    val cand = lshBandCandidates(
+      minhashSignaturesOf(shingleIndex(spark, dir))).distinct()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCand = cand.agg(count(lit(1)).as("n_lsh_candidates"))
+    val nHit = truth.join(cand, Seq("da", "db"), "left_semi")
+      .agg(count(lit(1)).as("n_lsh_hits"))
+    nTruth.crossJoin(nCand).crossJoin(nHit)
+      .withColumn("recall_ppm",
+        when(col("n_truth") > 0, expr("n_lsh_hits * 1000000 div n_truth")))
+  }
+
+  /** Oracle: minhash permutations mirrored in SQL — (a·(h mod P)+b) mod P
+    * per shingle hash, exactly the kernel's overflow-free order — banded
+    * pairs vs the brute-force truth.
+    */
+  val lshRecallSql: String = {
+    val nBands = MinhashK / BandRows
+    val sigExprs = (MinhashA zip MinhashB).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (${a} * (h % $MinhashP) + ${b}) % $MinhashP))"
+    }.mkString(", ")
+    s"""WITH $shingleCteSql,
+       |sigs AS (SELECT doc_id, [$sigExprs] AS sig FROM sh WHERE len(hs) > 0),
+       |bands AS (
+       | SELECT doc_id, band, sig[2*band+1] AS s1, sig[2*band+2] AS s2
+       | FROM sigs, (SELECT unnest(range(0, $nBands)) AS band)),
+       |cand AS (
+       | SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       | FROM bands x JOIN bands y ON x.band = y.band
+       |  AND x.s1 = y.s1 AND x.s2 = y.s2 AND x.doc_id < y.doc_id),
+       |truth AS (
+       | SELECT a.doc_id AS da, b.doc_id AS db
+       | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       | WHERE len(list_intersect(a.hs, b.hs))::DOUBLE
+       |   / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+       |   >= $JaccardThreshold),
+       |acc AS (
+       | SELECT (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM cand) AS n_lsh_candidates,
+       |  (SELECT count(*) FROM truth t JOIN cand c
+       |    ON t.da = c.da AND t.db = c.db) AS n_lsh_hits)
+       |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       | CAST(n_lsh_candidates AS BIGINT) AS n_lsh_candidates,
+       | CAST(n_lsh_hits AS BIGINT) AS n_lsh_hits,
+       | CASE WHEN n_truth > 0
+       |  THEN CAST(n_lsh_hits * 1000000 // n_truth AS BIGINT) END AS recall_ppm
+       |FROM acc""".stripMargin.replace('\n', ' ')
+  }
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("d10_lsh_recall", lshRecall, Some(lshRecallSql),
+      "LSH recall accounting (n7's discipline for dedup): what the band arm alone recalls of the exact ground truth, as gated data — the number that decides whether d2's exact backstop can be dropped at a given (K, bands, threshold) tuning (training-data extension)"),
     Q("x7_decontaminate", decontaminate, Some(decontaminateSql),
       "benchmark decontamination: distinct-shingle overlap vs a broadcast eval set (training-data extension)"),
     Q("x13_contam_report", contamReport, Some(contamReportSql),

@@ -92,6 +92,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(d4.isEmpty, "prefix arm alone should drop hot-only pairs")
   }
 
+  test("d10 recall accounting is internally consistent and matches its arms") {
+    val r = Dedup.lshRecall(spark, sfDir).collect().head
+    val (truth, cand, hits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(truth > 0, "fixture must contain true near-dup pairs")
+    assert(hits <= truth && hits <= cand, "hits bound by both arms")
+    assert(r.getLong(3) == hits * 1000000L / truth, "ppm is the exact integer ratio")
+    // the d2 completeness contract implies the LSH arm + prefix arm
+    // jointly recall everything; d10's measured LSH-only recall can
+    // never exceed that joint bound
+    assert(r.getLong(3) <= 1000000L)
+  }
+
   test("d1 exact dedup keeps the minimum doc_id per fingerprint") {
     val out = Dedup.exactDedup(spark, sfDir)
     assert(out.groupBy("fp").count().filter(col("count") > 1).count() == 0)

@@ -83,7 +83,10 @@ class PlanInvariantsSpec extends SparkSuite {
     *   term-pruned tf relation exactly as in b1;
     * - n13: c4's chi-square densify — margins of the k×2
     *   (centroid, epoch) cell relation crossJoin broadcast; the ONE
-    *   corpus-sized pass is the equi-keyed assignment aggregate.
+    *   corpus-sized pass is the equi-keyed assignment aggregate;
+    * - d10: c5's accounting shape — three 1-row aggregates (truth,
+    *   candidates, hits) crossJoin broadcast; the corpus-sized work is
+    *   the equi-keyed band join and the artifact-read truth relation.
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -93,7 +96,8 @@ class PlanInvariantsSpec extends SparkSuite {
       "z9_curriculum", "a10_heavy_hitters", "n9_pq_adc",
       "b6_boolean_search", "n10_mips", "c4_chi_square", "b7_hybrid_rrf",
       "n11_filtered_ann", "b8_incremental_index",
-      "c5_referential_integrity", "b9_passage_bm25", "n13_ivf_drift")
+      "c5_referential_integrity", "b9_passage_bm25", "n13_ivf_drift",
+      "d10_lsh_recall")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
