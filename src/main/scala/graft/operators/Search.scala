@@ -799,7 +799,119 @@ object Search {
       .stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // B10 — MORE-LIKE-THIS: the document IS the query (Lucene's MLT, the
+  // "related documents" feature every curation UI grows): select the
+  // probe document's most DISCRIMINATIVE terms — top [[MltTerms]] by
+  // idf_bits × probe-tf, the integer selection twin of b1's scoring —
+  // then run the shared BM25 tail over exactly those terms, probe
+  // excluded from its own results. Ties in the selection break
+  // lexicographically; everything stays in b1's integer arithmetic, so
+  // the whole pipeline (selection INCLUDED) is hash-exact cross-engine.
+  //
+  // The gate runs the TWO-PHASE indexed form (the serving shape): phase
+  // 1 collects the probe's own postings rows — bounded by ONE document's
+  // vocabulary, query-planning state like n5's centroids — so phase 2's
+  // `tok IN (…)` is a compile-time IN-list that pushes to the postings
+  // scan exactly as in b2 (row-group skip on the term-sorted layout).
+  // df for the FINAL scoring is computed over the probe-excluded tf
+  // relation (scoreTf's window), mirrored in the oracle.
+  // ---------------------------------------------------------------------
+  val MltProbeDoc = 42L
+  val MltTerms = 5
+
+  private def idfBitsCol: Column =
+    (length(bin(expr("(2*n + 2) div (2*df + 1)"))) - 1).cast("long")
+
+  /** Direct (index-free) form over any (doc_id, text) frame — the spec
+    * entry point; must equal [[moreLikeThis]] on the same corpus.
+    */
+  def moreLikeThisOf(docs: DataFrame, probe: Long, nTerms: Int,
+      k: Int): DataFrame = {
+    val dl = withDl(docs)
+    val stats = statsOf(dl)
+    val all = dl.select(col("doc_id"), col("dl"),
+      explode(col("toks")).as("tok"))
+    val ptoks = all.filter(col("doc_id") === probe)
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("ptf"))
+    val alltf = all.join(broadcast(ptoks.select(col("tok"))), "tok")
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = alltf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val sel = ptoks.join(dfreq, "tok").crossJoin(broadcast(stats))
+      .select(col("tok"), (idfBitsCol * col("ptf")).as("w"))
+      .orderBy(col("w").desc, col("tok"))
+      .limit(nTerms)
+    val tf = alltf.join(broadcast(sel.select(col("tok"))), "tok")
+      .filter(col("doc_id") =!= probe)
+    scoreTf(tf, stats, k)
+  }
+
+  /** Gate entry: the two-phase indexed form off b2's artifacts. */
+  def moreLikeThis(spark: SparkSession, dir: String): DataFrame = {
+    val post = postingsIndex(spark, dir)
+    val stats = statsIndex(spark, dir)
+    // phase 1: the probe's own postings — bounded by one document's
+    // vocabulary (query-planning state, the fittedCentroids discipline)
+    val probeRows = post.filter(col("doc_id") === MltProbeDoc)
+      .select(col("tok"), col("tf")).collect()
+    val probeTerms = probeRows.map(_.getString(0)).toSeq
+    val restricted = post.filter(col("tok").isin(probeTerms: _*))
+    val dfreq = restricted.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val ptf = probeRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+    import post.sparkSession.implicits._
+    val sel = dfreq.join(broadcast(ptf.toDF("tok", "ptf")), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), (idfBitsCol * col("ptf")).as("w"))
+      .orderBy(col("w").desc, col("tok"))
+      .limit(MltTerms)
+      .collect().map(_.getString(0)).toSeq
+    // phase 2: compile-time IN-list -> pushed scan, b2's skip behavior
+    scoreTf(
+      restricted.filter(col("tok").isin(sel: _*))
+        .filter(col("doc_id") =!= MltProbeDoc),
+      stats, TopK)
+  }
+
+  val moreLikeThisSql: String =
+    s"""WITH dl AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       | FROM documents),
+       |dl2 AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM dl),
+       |stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS t
+       | FROM dl2),
+       |ptoks AS (
+       | SELECT tok, count(*)::BIGINT AS ptf
+       | FROM (SELECT unnest(toks) AS tok FROM dl2 WHERE doc_id = $MltProbeDoc)
+       | GROUP BY tok),
+       |alltf AS (
+       | SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN (SELECT tok FROM ptoks) GROUP BY doc_id, dl, tok),
+       |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM alltf GROUP BY tok),
+       |sel AS (
+       | SELECT ptoks.tok FROM ptoks JOIN dfreq USING (tok), stats
+       | ORDER BY (length(bin((2*n + 2) // (2*df + 1))) - 1) * ptf DESC, ptoks.tok
+       | LIMIT $MltTerms),
+       |tf AS (
+       | SELECT * FROM alltf
+       | WHERE tok IN (SELECT tok FROM sel) AND doc_id <> $MltProbeDoc),
+       |dfreq2 AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |scored AS (
+       | SELECT tf.doc_id,
+       |  CAST(round(CAST((length(bin((2*n + 2) // (2*df + 1))) - 1) * 22 * tf * t AS DOUBLE)
+       |   / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ppm
+       | FROM tf JOIN dfreq2 USING (tok), stats)
+       |SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+       | CAST(sum(ppm) AS BIGINT) AS score_ppm
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("b10_more_like_this", moreLikeThis, Some(moreLikeThisSql),
+      s"more-like-this related-document retrieval: the probe document's top-$MltTerms discriminative terms (integer idf_bits x probe-tf, lexicographic ties) feed b1's shared BM25 tail, probe excluded; two-phase serving form off b2's postings — the probe's own vocabulary collects as query-planning state so the term restriction pushes to the scan (training-data extension)"),
     Q("b9_passage_bm25", bm25Passages, Some(bm25PassagesSql),
       "passage-level BM25 over x14's chunk relation via an invertible packed key — b1's exact scoring kernel at RAG granularity, zero new scoring code (training-data extension)"),
     Q("b8_incremental_index", bm25IncrementalIndex, Some(bm25IncrementalSql),

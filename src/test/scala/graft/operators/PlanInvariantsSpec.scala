@@ -86,7 +86,10 @@ class PlanInvariantsSpec extends SparkSuite {
     *   corpus-sized pass is the equi-keyed assignment aggregate;
     * - d10: c5's accounting shape — three 1-row aggregates (truth,
     *   candidates, hits) crossJoin broadcast; the corpus-sized work is
-    *   the equi-keyed band join and the artifact-read truth relation.
+    *   the equi-keyed band join and the artifact-read truth relation;
+    * - b10: b1's corpus-stats scalar shape — the 1-row stats relation
+    *   crossJoins broadcast onto the probe-term-restricted tf relation
+    *   (selection already collected as query-planning state).
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -97,7 +100,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "b6_boolean_search", "n10_mips", "c4_chi_square", "b7_hybrid_rrf",
       "n11_filtered_ann", "b8_incremental_index",
       "c5_referential_integrity", "b9_passage_bm25", "n13_ivf_drift",
-      "d10_lsh_recall")
+      "d10_lsh_recall", "b10_more_like_this")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

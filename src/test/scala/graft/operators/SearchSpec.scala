@@ -146,6 +146,33 @@ class SearchSpec extends SparkSuite {
     assert(!byId.contains(4L))
   }
 
+  test("b10 MLT selects discriminative terms, ranks the sharer, excludes the probe") {
+    // probe 1 carries two rare terms + two stopwords; doc 2 shares the
+    // rares, doc 3 only the stopwords; docs 4-10 make alpha/beta common
+    val docs = corpus((Seq(
+      (1L, "alpha beta rare1 rare2"),
+      (2L, "rare1 rare2 gamma"),
+      (3L, "alpha beta gamma")) ++
+      (4L to 10L).map(i => (i, "alpha beta"))): _*)
+    val got = Search.moreLikeThisOf(docs, 1L, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // selection: rare1/rare2 (idf_bits 2, w=2) beat alpha/beta (0 bits);
+    // only doc 2 matches a selected term -> it is the ONLY related doc,
+    // and the probe itself never appears
+    assert(got.map(_._1).toSeq == Seq(2L), s"got ${got.toSeq}")
+    assert(got.head._2 == 2L && got.head._3 > 0L, s"got ${got.head}")
+  }
+
+  test("b10 indexed two-phase form equals the direct form on the fixture corpus") {
+    val direct = Search.moreLikeThisOf(
+      graft.Catalog.documents(spark, sfDir),
+      Search.MltProbeDoc, Search.MltTerms, Search.TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val indexed = Search.moreLikeThis(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(direct == indexed, s"direct $direct != indexed $indexed")
+  }
+
   test("b4 phrase: consecutive-only, multi-occurrence, overlap, repeated-word") {
     val docs = Seq(
       (1L, "a table scan here"),           // one occurrence
