@@ -286,6 +286,61 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // D11 — KEEPER SELECTION by content value, not id: d1 keeps the
+  // minimum doc_id per duplicate group — the arbitrary-but-deterministic
+  // default — but curation practice keeps the BEST copy (Lee et al. 2022
+  // keep the longest; prefix fingerprinting makes this real, since one
+  // group can hold a full document and its truncated re-crawl). Keeper =
+  // most tokens, ties to the smaller doc_id; NULL token counts sort LAST
+  // explicitly (Spark's desc defaults nulls-last, DuckDB's nulls-first —
+  // an unpinned ORDER BY would hash-diverge on any NULL-text group).
+  // Output is the delta-sized divergence report: duplicate groups only,
+  // with d1's min-id choice alongside and a `diverges` flag — the rows a
+  // curation review actually reads.
+  //
+  // Plan/scale: ONE fp-keyed window shuffle; all three window functions
+  // (rank, group size, min id) share the partition, and the corpus-width
+  // input is the same (doc_id, fp, n_tokens) projection d1 shuffles.
+  // ---------------------------------------------------------------------
+  def qualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Catalog.documents(spark, dir)
+      .select(col("doc_id"), prefixFingerprint(col("text")).as("fp"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val byFp = Window.partitionBy(col("fp"))
+    val ord = byFp.orderBy(col("n_tokens").desc_nulls_last, col("doc_id"))
+    base
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n_copies", count(lit(1)).over(byFp))
+      .withColumn("min_id", min(col("doc_id")).over(byFp))
+      .filter(col("rn") === 1 && col("n_copies") > 1)
+      .select(col("fp"), col("n_copies"),
+        col("doc_id").as("keeper_doc_id"),
+        col("n_tokens").as("keeper_tokens"),
+        col("min_id").as("minid_keeper"),
+        (col("doc_id") =!= col("min_id")).as("diverges"))
+      .orderBy(col("fp"))
+  }
+
+  val qualityKeeperSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id, ${prefixFingerprintSql("text")} AS fp,
+       |  len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
+       | FROM documents),
+       |w AS (
+       | SELECT fp, doc_id, n_tokens,
+       |  row_number() OVER (PARTITION BY fp
+       |    ORDER BY n_tokens DESC NULLS LAST, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY fp) AS n_copies,
+       |  min(doc_id) OVER (PARTITION BY fp) AS min_id
+       | FROM f)
+       |SELECT fp, CAST(n_copies AS BIGINT) AS n_copies,
+       | doc_id AS keeper_doc_id, n_tokens AS keeper_tokens,
+       | min_id AS minid_keeper, doc_id <> min_id AS diverges
+       |FROM w WHERE rn = 1 AND n_copies > 1
+       |ORDER BY fp""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // D2 — MinHash + LSH near-dup pairs. K=32 signature, 16 bands × 2 rows
   // (s-curve threshold ≈ 0.25, far below the 0.5 verify threshold). Band
   // buckets bound the join; exact Jaccard verifies candidates.
@@ -1109,6 +1164,8 @@ object Dedup {
       "the EVAL-side contamination report (x7's flip side, the GPT-3-appendix clean/dirty accounting): per benchmark item, overlapping / threshold-compromising training docs + worst single-doc overlap — pair-level counts bounded by the small eval side (training-data extension)"),
     Q("d1_exact_dedup", exactDedup, Some(exactDedupSql),
       "prefix-fingerprint exact dedup, hash-groupBy keep-first (training-data extension)"),
+    Q("d11_quality_keeper", qualityKeeper, Some(qualityKeeperSql),
+      "keeper selection by content value (Lee et al. keep-longest): per duplicate group the most-token copy wins, ties to the smaller id, NULL counts pinned last in BOTH engines — emitted as the delta-sized divergence report against d1's min-id default; one fp-keyed window shuffle shared by rank, group size, and min id (training-data extension)"),
     Q("d2_minhash_lsh", minhashLsh, Some(minhashLshSql),
       "MinHash 32-sig / 16-band LSH near-dup pairs, exact-Jaccard verified (training-data extension)"),
     Q("d3_simhash", simhashPairs, Some(simhashPairsSql),

@@ -104,6 +104,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(r.getLong(3) <= 1000000L)
   }
 
+  test("d11 keeps the longest copy, pins NULL ordering, flags divergence from d1") {
+    import spark.implicits._
+    // prefix-identical pair: doc 2 (id-larger) is LONGER -> keeper, diverges
+    val base = "shared fifty-char prefix padding padding padding x"
+    assert(base.length >= 50)
+    val docs = Seq(
+      (1L, Some(base + " short tail")),
+      (2L, Some(base + " a much longer tail with many more tokens here")),
+      // singleton group -> absent from the report
+      (3L, Some("unique content entirely unlike the others")),
+      // NULL-text group: both NULL tokens -> ordering falls to doc_id
+      (4L, Option.empty[String]), (5L, Option.empty[String]))
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("d11docs")
+    val got = Dedup.qualityKeeper _
+    val out = {
+      // route the hand corpus through the same operator body via a
+      // temp-dir parquet shaped like documents
+      val d = java.nio.file.Files.createTempDirectory("d11").toString
+      spark.table("d11docs").write.parquet(s"$d/documents.parquet")
+      got(spark, d).collect()
+    }
+    val rows = out.map(r => (r.getLong(2), r.getLong(1),
+      r.getLong(4), r.getBoolean(5))).toSet
+    // group of 1+2: keeper 2 (longer), diverges from min-id 1;
+    // NULL group 4+5: n_tokens NULL both -> tiebreak doc_id -> keeper 4,
+    // agreeing with d1
+    assert(rows == Set((2L, 2L, 1L, true), (4L, 2L, 4L, false)),
+      s"got ${rows}")
+  }
+
   test("d1 exact dedup keeps the minimum doc_id per fingerprint") {
     val out = Dedup.exactDedup(spark, sfDir)
     assert(out.groupBy("fp").count().filter(col("count") > 1).count() == 0)
