@@ -53,6 +53,10 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
+      // oracles over parquet FILE METADATA (c10) need a literal path —
+      // table functions can't read the registered views — so the dump
+      // binds the run's fixture dir into the documented token
+      .map { case (k, v) => k -> v.replace("__SF_DIR__", sfDir) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

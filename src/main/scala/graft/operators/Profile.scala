@@ -727,7 +727,88 @@ object Profile {
        | count(CASE WHEN diversity < $LDiv THEN 1 END) = 0 AS l_diverse
        |FROM cls""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // C10 — physical STORAGE profile from parquet footer metadata: which
+  // columns own the bytes, per column, without scanning a single data
+  // page. At 100 TB this is the first question of every storage review
+  // ("can we afford to keep raw text next to the embeddings?"), and the
+  // answer lives entirely in footers — KB per file. The file listing is
+  // driver-side (bounded: one row per data file); the footer READS are
+  // the work and run distributed via mapPartitions, one reader per file.
+  //
+  // The oracle is genuinely INDEPENDENT here: DuckDB's parquet_metadata()
+  // parses the same thrift footers with its own reader — a hash match
+  // means two unrelated parquet implementations agree byte-for-byte on
+  // num_values / total_compressed_size / total_uncompressed_size. This
+  // gates the metadata path itself, not arithmetic.
+  // ---------------------------------------------------------------------
+  def storageProfile(spark: SparkSession, dir: String): DataFrame =
+    storageProfileOf(spark, s"$dir/documents.parquet")
+
+  /** Per-column (n_values, compressed, uncompressed) over every data file
+    * of a parquet table path (file or directory).
+    */
+  def storageProfileOf(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = graft.Catalog.fsFor(table, spark)
+    val files: Seq[String] =
+      if (fs.getFileStatus(root).isFile) Seq(table)
+      else {
+        val it = fs.listFiles(root, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet"))
+            b += f.getPath.toString
+        }
+        b.result()
+      }
+    val bc = spark.sparkContext.broadcast(conf)
+    files.toDF("path")
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { paths =>
+        val c = bc.value.value
+        paths.flatMap { row =>
+          val p = new org.apache.hadoop.fs.Path(row.getString(0))
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, c)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.flatMap(
+              _.getColumns.asScala.map(cc =>
+                (cc.getPath.toDotString, cc.getValueCount,
+                  cc.getTotalSize, cc.getTotalUncompressedSize))).toList
+          } finally reader.close()
+        }
+      }
+      .toDF("column_name", "n_values", "compressed_bytes",
+        "uncompressed_bytes")
+      .groupBy(col("column_name"))
+      .agg(sum(col("n_values")).as("n_values"),
+        sum(col("compressed_bytes")).as("compressed_bytes"),
+        sum(col("uncompressed_bytes")).as("uncompressed_bytes"))
+      .orderBy(col("column_name"))
+  }
+
+  /** The `__SF_DIR__` token is substituted with the actual fixture dir by
+    * [[graft.Verify]] at dump time — parquet_metadata() is a table
+    * function and needs a literal path, which only the verify run knows.
+    */
+  val storageProfileSql: String =
+    """SELECT path_in_schema AS column_name,
+      | CAST(sum(num_values) AS BIGINT) AS n_values,
+      | CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+      | CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes
+      |FROM parquet_metadata('__SF_DIR__/documents.parquet')
+      |GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("c10_storage_profile", storageProfile, Some(storageProfileSql),
+      "per-column physical storage profile from parquet FOOTERS only (no data pages read): file listing driver-side, footer reads distributed; the oracle is DuckDB's own parquet_metadata() — two independent parquet readers agreeing byte-for-byte on the same thrift fields (data-QA extension)"),
     Q("c9_l_diversity", lDiversity, Some(lDiversitySql),
       s"l-diversity audit (distinct-l form) over the (lang, source) quasi-identifiers with n_chars/$LDivSensBand bands as the sensitive attribute, l=$LDiv: classes where every member shares few sensitive values — the homogeneity-attack check a k-anonymity pass (c8) can still fail (data-QA extension)"),
     Q("c8_k_anonymity", kAnonymity, Some(kAnonymitySql),

@@ -221,6 +221,23 @@ class ProfileSpec extends SparkSuite {
     assert(er.getLong(0) == 0L && er.getBoolean(6) && er.isNullAt(5))
   }
 
+  test("c10 storage profile sums footers across files; n_values reconcile with rows") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("c10").toString + "/t"
+    (1L to 300L).map(i => (i, s"row $i", i % 7))
+      .toDF("id", "txt", "grp")
+      .repartition(3).write.parquet(d) // multi-file: the sum must span files
+    val got = Profile.storageProfileOf(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set("id", "txt", "grp"), s"got ${got.keySet}")
+    got.foreach { case (c, (n, comp, uncomp)) =>
+      assert(n == 300L, s"$c n_values $n != rows")
+      assert(comp > 0L && uncomp > 0L, s"$c zero byte accounting")
+    }
+    // the wide string column must own more bytes than the modular long
+    assert(got("txt")._3 > got("grp")._3, "txt should dominate uncompressed")
+  }
+
   test("c9 l-diversity: homogeneous class fails where c8 passes; hand-computed exposure") {
     import spark.implicits._
     import org.apache.spark.sql.Row
