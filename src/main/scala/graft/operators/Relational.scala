@@ -208,6 +208,48 @@ object Relational {
       |ORDER BY user_id, day""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // E4 — relational DIVISION, the classic operator the set family is
+  // incomplete without: "users who did EVERY event type" (÷ in Codd's
+  // algebra — the FOR ALL the other ops can't express without double
+  // negation). Implemented as the count-matching form: distinct
+  // (user, type) pairs, per-user distinct count equal to the corpus-wide
+  // distinct type count. NULL users/types are excluded — NULL is not a
+  // divisor value, and a NULL user is not an entity.
+  //
+  // Plan/scale: one distinct-pair aggregate (map-side partial), one
+  // per-user count off the SAME partitioning, and the 1-row divisor
+  // count broadcast (j7's allowed scalar shape). The double-negated
+  // NOT EXISTS form plans two anti-joins — strictly worse.
+  // ---------------------------------------------------------------------
+  def relationalDivision(spark: SparkSession, dir: String): DataFrame =
+    relationalDivisionOf(Catalog.events(spark, dir))
+
+  /** e4 core over any events-shaped frame (spec entry point). */
+  def relationalDivisionOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    val pairs = ev.select(col("user_id"), col("event_type")).distinct()
+    val divisor = pairs.select(col("event_type")).distinct()
+      .agg(count(lit(1)).as("n_types"))
+    pairs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_user_types"))
+      .crossJoin(broadcast(divisor))
+      .filter(col("n_user_types") === col("n_types"))
+      .select(col("user_id"), col("n_user_types").as("n_types"))
+      .orderBy(col("user_id"))
+  }
+
+  val relationalDivisionSql: String =
+    """WITH p AS (
+      | SELECT DISTINCT user_id, event_type FROM events
+      | WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |d AS (SELECT count(DISTINCT event_type) AS n_types FROM p)
+      |SELECT user_id, count(*)::BIGINT AS n_types
+      |FROM p GROUP BY user_id
+      |HAVING count(*) = (SELECT n_types FROM d)
+      |ORDER BY user_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // G1 — grouped multi-aggregate (the TPC-H Q1 shape; SURVEY.md §2.4 notes
   // the reference's aggs are all global — grouped variants are our scale
   // path: partial map-side agg, 4 output rows from 600k inputs). Exact
@@ -1394,6 +1436,8 @@ object Relational {
       "ordered string aggregation (views.py:966-971)"),
     Q("e2_except", viewersNotBuyers, Some(viewersNotBuyersSql),
       "set difference (apps.py:55-69)"),
+    Q("e4_relational_division", relationalDivision, Some(relationalDivisionSql),
+      "relational division (Codd's FOR ALL): users covering EVERY event type via the count-matching form — one distinct-pair aggregate + per-user count on the same partitioning + a broadcast 1-row divisor, beating the double-negated two-anti-join plan (SURVEY §2.7 set-family completion)"),
     Q("e3_intersect", viewersAndBuyers, Some(viewersAndBuyersSql),
       "set intersection — distinct + one-shuffle semi join (set-op family completion)"),
     Q("g1_pricing_summary", pricingSummary, Some(pricingSummarySql),

@@ -89,7 +89,10 @@ class PlanInvariantsSpec extends SparkSuite {
     *   the equi-keyed band join and the artifact-read truth relation;
     * - b10: b1's corpus-stats scalar shape — the 1-row stats relation
     *   crossJoins broadcast onto the probe-term-restricted tf relation
-    *   (selection already collected as query-planning state).
+    *   (selection already collected as query-planning state);
+    * - e4: the 1-row divisor count crossJoins broadcast onto the
+    *   per-user counts (j7's shape; the corpus-sized passes are the
+    *   equi-keyed distinct + count aggregates).
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -100,7 +103,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "b6_boolean_search", "n10_mips", "c4_chi_square", "b7_hybrid_rrf",
       "n11_filtered_ann", "b8_incremental_index",
       "c5_referential_integrity", "b9_passage_bm25", "n13_ivf_drift",
-      "d10_lsh_recall", "b10_more_like_this")
+      "d10_lsh_recall", "b10_more_like_this", "e4_relational_division")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
