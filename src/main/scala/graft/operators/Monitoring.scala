@@ -1077,8 +1077,75 @@ object Monitoring {
        |FROM d GROUP BY event_type ORDER BY event_type"""
       .stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // W13 — multi-window BURN-RATE alerting (the Google SRE workbook
+  // shape): a single-window error-rate alert must choose between paging
+  // on noise (short window) and paging too late (long window); the
+  // standard fix compares the SHORT-window rate against a multiple of
+  // the LONG-window rate, so a burst pages immediately while a steady
+  // elevated rate does not. Here: per-hour error rate vs 2× the
+  // trailing-6-hour rate.
+  //
+  // Exactness: the alert predicate is the INTEGER cross-multiplication
+  // err_h·total_6h > 2·err_6h·total_h — no rate division enters the
+  // decision (the x10 rule applied to an alert rule); the ppm columns
+  // are presentation, derived by integer div. The 6-hour window is a
+  // RANGE frame over hour numbers, so GAPS in the series are windows,
+  // not rows — a rows-frame would silently stretch the window across
+  // quiet hours.
+  //
+  // Plan/scale: one corpus-width aggregate to the hourly relation
+  // (map-side partials), then an unpartitioned range window over it —
+  // dimension-sized (one row per hour: a full year is 8 760 rows), the
+  // o5/o6 collapsed-relation discipline; shard by (type, epoch) first
+  // if per-type budgets are ever needed.
+  // ---------------------------------------------------------------------
+  def burnRate(spark: SparkSession, dir: String): DataFrame =
+    burnRateOf(Catalog.events(spark, dir))
+
+  /** w13 core over any events-shaped frame (spec entry point). */
+  def burnRateOf(events: DataFrame): DataFrame = {
+    val hourly = events.filter(col("ts").isNotNull)
+      .groupBy(floor(unix_timestamp(col("ts")) / 3600L).cast("long")
+        .as("hour_num"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", lit(1))).as("n_errors"))
+    val win = Window.orderBy(col("hour_num")).rangeBetween(-5, 0)
+    hourly
+      .withColumn("n_events_6h", sum(col("n_events")).over(win))
+      .withColumn("n_errors_6h", sum(col("n_errors")).over(win))
+      .select(col("hour_num"), col("n_events"), col("n_errors"),
+        col("n_events_6h"), col("n_errors_6h"),
+        expr("n_errors * 1000000 div n_events").as("short_ppm"),
+        expr("n_errors_6h * 1000000 div n_events_6h").as("long_ppm"),
+        (col("n_errors") * col("n_events_6h") >
+          col("n_errors_6h") * col("n_events") * 2).as("burn_alert"))
+      .orderBy(col("hour_num"))
+  }
+
+  val burnRateSql: String =
+    """WITH h AS (
+      | SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hour_num,
+      |  count(*)::BIGINT AS n_events,
+      |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+      |    AS n_errors
+      | FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |w AS (
+      | SELECT h.*, CAST(sum(n_events) OVER win AS BIGINT) AS n_events_6h,
+      |  CAST(sum(n_errors) OVER win AS BIGINT) AS n_errors_6h
+      | FROM h
+      | WINDOW win AS (ORDER BY hour_num
+      |   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+      |SELECT hour_num, n_events, n_errors, n_events_6h, n_errors_6h,
+      | CAST(n_errors * 1000000 // n_events AS BIGINT) AS short_ppm,
+      | CAST(n_errors_6h * 1000000 // n_events_6h AS BIGINT) AS long_ppm,
+      | n_errors * n_events_6h > 2 * n_errors_6h * n_events AS burn_alert
+      |FROM w ORDER BY hour_num""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   val all: Seq[Q] = Seq(
+    Q("w13_burn_rate", burnRate, Some(burnRateSql),
+      "multi-window burn-rate alerting (the SRE workbook shape): per-hour error rate vs 2x the trailing-6h rate, alert decided by exact integer cross-multiplication — a burst pages while a steady elevated rate does not; RANGE frame over hour numbers so series gaps are time, not rows (monitoring extension)"),
     Q("w12_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql),
       "time-weighted gauge average per metric type (step interpolation to the pinned horizon) — the Prometheus/RRDtool semantics naive AVG gets wrong on irregular sampling; integer micro-unit readings x exact microsecond holds summed as decimal, IEEE only at the two terminal divisions; naive_avg emitted alongside for the contrast (monitoring extension)"),
     Q("w11_streaks", streaks, Some(streaksSql),

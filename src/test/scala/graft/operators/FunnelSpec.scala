@@ -136,6 +136,36 @@ class FunnelSpec extends SparkSuite {
     assert(got("B") == ((2L, 100000000L, 7.0, 503.0)), s"got ${got("B")}")
   }
 
+  // --- w13 burn rate ---------------------------------------------------------
+
+  test("w13 burst pages, steady elevation does not, and a series GAP resets the window") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def rows(hour: Int, total: Int, errors: Int) = (0 until total).map { i =>
+      (hour * 1000L + i,
+        new java.sql.Timestamp(base.getTime + hour * 3600000L + i * 1000L),
+        1L, if (i < errors) "error" else "click", 1.0)
+    }
+    // hours 0-5 steady 10%; hour 6 bursts to 50%; hour 20 (after a GAP)
+    // runs 30% in isolation
+    val df = ((0 to 5).flatMap(h => rows(h, 100, 10)) ++
+      rows(6, 100, 50) ++ rows(20, 100, 30))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Monitoring.burnRateOf(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4), r.getBoolean(7))))
+      .toMap
+    val h0 = out.keys.min
+    // steady hours never alert (short == long)
+    (0 to 5).foreach(h =>
+      assert(!out(h0 + h)._3, s"steady hour $h alerted"))
+    // the burst hour alerts: 50*550 > 2*100*100
+    assert(out(h0 + 6) == ((50L, 100L, true)), s"got ${out(h0 + 6)}")
+    // the isolated post-gap hour must NOT alert: its RANGE window holds
+    // only itself (short == long). A rows-frame implementation would drag
+    // hours 1-6 in and fire spuriously — this is the regression pin.
+    assert(out(h0 + 20) == ((30L, 30L, false)),
+      s"gap hour: ${out(h0 + 20)} — rows-frame regression?")
+  }
+
   test("w11 plans ONE hash exchange (windows + both aggregates share the key)") {
     val df = streakRows((1L, 1L, 90), (1L, 2L, 10))
     val plan = Monitoring.streaksOf(df, col("value") > 80.0)
