@@ -68,6 +68,42 @@ class DiffSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("u4 properties: branch-swap symmetry; one-sided merge degenerates to the diff") {
+    import org.apache.spark.sql.DataFrame
+    // deterministic pseudo-random corpus + two derived branches
+    def payload(k: Long, tag: String) = s"$tag-${(k * 2654435761L) % 997}"
+    val base = (1L to 60L).map(k => k -> payload(k, "b")).toDF("id", "p")
+    val ours = (1L to 60L).filter(_ % 7 != 0)
+      .map(k => k -> (if (k % 5 == 0) payload(k, "o") else payload(k, "b")))
+      .toDF("id", "p")
+    val theirs = (1L to 60L).filter(_ % 11 != 0)
+      .map(k => k -> (if (k % 3 == 0) payload(k, "t") else payload(k, "b")))
+      .toDF("id", "p")
+    def merge(a: DataFrame, b: DataFrame, c: DataFrame) =
+      Diff.mergeByKey(a, b, c, "id", TextOps.hash60(col("p")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // swapping the branches swaps exactly the directional resolutions
+    val fwd = merge(base, ours, theirs)
+    val swapped = merge(base, theirs, ours)
+    val flip = Map("take_ours" -> "take_theirs", "take_theirs" -> "take_ours")
+    assert(fwd.view.mapValues(v => flip.getOrElse(v, v)).toMap == swapped,
+      "merge must be symmetric up to the ours/theirs relabeling")
+    // merging against an untouched second branch IS the two-way diff:
+    // changed -> take_ours, removed -> deleted, nothing conflicts
+    val oneSided = merge(base, ours, base)
+    val diff = Diff.diffByKey(base, ours, "id", TextOps.hash60(col("p")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = diff.view.mapValues {
+      case "changed" => "take_ours"
+      case "added"   => "take_ours"
+      case "removed" => "deleted"
+    }.toMap
+    assert(oneSided.filter(_._2 != "unchanged") == expected,
+      s"one-sided merge must equal the diff: ${oneSided.filter(_._2 != "unchanged")} vs $expected")
+    assert(!oneSided.values.exists(_.startsWith("conflict")),
+      "a one-sided merge can never conflict")
+  }
+
   test("u4 NULL payloads are content: NULL-kept vs NULL-kept merges unchanged") {
     val base = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "p")
     val ours = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "p")
