@@ -679,6 +679,63 @@ object StreamingCusum {
   }
 }
 
+/** One settled hour of traffic: total events and error events. */
+case class HourCount(hour_num: Long, n_events: Long, n_errors: Long)
+
+/** Per-hour burn verdict: the w13 alert row as the hour settles. */
+case class BurnPoint(hour_num: Long, n_events: Long, n_errors: Long,
+    n_events_6h: Long, n_errors_6h: Long, burn_alert: Boolean)
+
+/** Detector state: the trailing window of settled hours (pruned to the
+  * lookback) + the settled frontier. Bounded by the window length, not
+  * stream lifetime.
+  */
+case class BurnState(ring: List[HourCount], lastHour: Long)
+
+object StreamingBurnRate {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  val LookbackHours = 6L
+
+  /** The ONLINE half of w13: each hour's page/no-page verdict emits as
+    * the hour SETTLES (counts arrive pre-aggregated and in order, the
+    * StreamingCusum contract — upstream's watermarked hourly window
+    * closes them so), judged against the trailing [[LookbackHours]]
+    * window by the same integer cross-multiplication as the batch
+    * query. The RANGE semantics carry over: the ring prunes by HOUR
+    * NUMBER, so a gap in the series ages old hours out exactly as the
+    * batch range frame excludes them — never by list position.
+    * Redelivered hours at or before the frontier are no-ops. State is
+    * the ≤ 6-entry ring however long the stream runs.
+    */
+  def detect(counts: Dataset[HourCount]): Dataset[BurnPoint] = {
+    implicit val stateEnc = Encoders.product[BurnState]
+    implicit val outEnc = Encoders.product[BurnPoint]
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_ => "global")
+      .flatMapGroupsWithState[BurnState, BurnPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[HourCount],
+            state: GroupState[BurnState]) =>
+          var st = state.getOption.getOrElse(BurnState(Nil, Long.MinValue))
+          val out = batch.toSeq.sortBy(_.hour_num)
+            .filter(_.hour_num > st.lastHour)
+            .map { h =>
+              val ring = (h :: st.ring)
+                .filter(_.hour_num > h.hour_num - LookbackHours)
+              val tot6 = ring.map(_.n_events).sum
+              val err6 = ring.map(_.n_errors).sum
+              st = BurnState(ring, h.hour_num)
+              BurnPoint(h.hour_num, h.n_events, h.n_errors, tot6, err6,
+                h.n_errors * tot6 > 2L * err6 * h.n_events)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+}
+
 /** One SETTLED holding interval of a gauge: `v_micro` (micro-unit
   * reading) held for `dur_us` microseconds from `start` — the streaming
   * unit of w12's time-weighted integral. Summing v_micro·dur_us over any

@@ -651,6 +651,39 @@ class StreamsSpec extends SparkSuite {
       "streaming serve must equal the batch gate row-for-row")
   }
 
+  test("streaming burn-rate equals batch w13 across micro-batch splits, incl. the gap") {
+    import spark.implicits._
+    // the w13 spec series: steady hours 0-5, burst at 6, isolated hour 20
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 3600000L
+    val series = ((0 to 5).map(h => HourCount(h0 + h, 100, 10)) :+
+      HourCount(h0 + 6, 100, 50)) :+ HourCount(h0 + 20, 100, 30)
+    val mem = MemoryStream[HourCount](spark)
+    val q = StreamingBurnRate.detect(mem.toDS()).writeStream
+      .format("memory").queryName("burn_test").outputMode("append").start()
+    try {
+      val (a, b) = series.splitAt(4)
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData((a.last +: b): _*) // redelivered hour must be a no-op
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("burn_test").as[BurnPoint].collect()
+      .map(p => (p.hour_num, p.n_events, p.n_errors, p.n_events_6h,
+        p.n_errors_6h, p.burn_alert)).sortBy(_._1).toSeq
+    // batch twin over raw events carrying the same hourly truth
+    val events = series.flatMap(h => (0 until h.n_events.toInt).map { i =>
+      (h.hour_num * 1000 + i,
+        new java.sql.Timestamp(h.hour_num * 3600000L + i * 1000L), 1L,
+        if (i < h.n_errors) "error" else "click", 1.0)
+    }).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = graft.operators.Monitoring.burnRateOf(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(7))).sortBy(_._1).toSeq
+    assert(streamed == batch,
+      s"online must equal batch:\n$streamed\nvs\n$batch")
+    assert(streamed.count(_._6) == 1, "exactly the burst hour pages")
+  }
+
   test("streaming gauge holds settle in order, absorb a late reading, reconcile with w12") {
     import spark.implicits._
     val mem = MemoryStream[SessionEvent](spark)
