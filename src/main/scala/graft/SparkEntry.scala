@@ -19,7 +19,7 @@ object SparkEntry {
       lifecycle.Versioned.all ++
       streaming.Streams.all ++ operators.Pipeline.all ++
       operators.Search.all ++ operators.Profile.all ++ operators.Diff.all ++
-      operators.Skip.all
+      operators.Skip.all ++ operators.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
