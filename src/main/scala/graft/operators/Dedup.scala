@@ -555,7 +555,7 @@ object Dedup {
     * includes the LSH boilerplate backstop; this one is the pure
     * deterministic prefix-arm relation, d4's contract.)
     */
-  private def jaccardPairsIndexed(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def jaccardPairsIndexed(spark: SparkSession, dir: String): DataFrame = {
     // pre-materialize dependencies (computeIfAbsent re-entry hazard — see
     // prefixPostings)
     val hs = shingleIndex(spark, dir)

@@ -48,6 +48,88 @@ class GraphSpec extends SparkSuite {
     assert(got === Set(Graph.BaseMicro))
   }
 
+  // ---------------------------------------------------------------------
+  // k2/d12 — min-label components
+  // ---------------------------------------------------------------------
+
+  /** Symmetric path 0–1–2 plus isolated 3 (the componentsOf contract:
+    * edges arrive symmetric, endpoints ⊆ nodes).
+    */
+  private def pathEdges(): DataFrame = {
+    import spark.implicits._
+    Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+  }
+
+  private def labelsAfter(iters: Int): Map[Long, Long] =
+    Graph.componentsOf(() => handNodes(), () => pathEdges(), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("min-label propagation walks the path one hop per superstep") {
+    // node 2 is two hops from the component min 0: after one superstep it
+    // still carries 1, after two it has converged to 0
+    assert(labelsAfter(1) === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 3L))
+    assert(labelsAfter(2) === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+  }
+
+  test("an edgeless graph keeps every node its own component") {
+    val got = Graph.componentsOf(() => handNodes(),
+        () => pathEdges().limit(0), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("fixture components: fixpoint reached and every edge is intra-component") {
+    val atIters = Graph.components(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Catalog.documents(spark, sfDir).count()
+    assert(atIters.size.toLong === docs, "one component label per document")
+    // convergence: one more superstep must change nothing (diameter of the
+    // fixture link graph is comfortably inside the fixed superstep count)
+    val idx = Graph.componentEdges(spark, sfDir)
+    val onceMore = Graph.componentsOf(
+        () => graft.Catalog.documents(spark, sfDir).select(col("doc_id")),
+        () => spark.read.parquet(idx), Graph.Iters + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(onceMore === atIters, "labels still moving at Iters — not a fixpoint")
+    // a converged labeling is edge-consistent: both endpoints share a label
+    spark.read.parquet(idx).collect().foreach { e =>
+      assert(atIters(e.getLong(0)) === atIters(e.getLong(1)),
+        s"edge ${e.getLong(0)}–${e.getLong(1)} crosses components")
+    }
+    // component ids are canonical: each equals the least member id
+    atIters.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min === c, s"component $c is not its least member")
+    }
+  }
+
+  test("d12 clusters match an independent union-find over the pair relation") {
+    val pairs = graft.operators.Dedup.jaccardPairsIndexed(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs — vacuous test")
+    // driver-side union-find ground truth (path-compressed, min-rooted)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+    val got = Graph.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(g => g._1 -> g._2).toMap === truth,
+      "component labels diverge from union-find ground truth")
+    // exactly one keeper per cluster, and it is the least member
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._3) === 1, s"cluster $c keeper count != 1")
+      assert(members.filter(_._3).head._1 === c, s"cluster $c keeper not min")
+      assert(members.map(_._1).min === c)
+    }
+  }
+
   test("fixture ranks: mass leaks but never grows, floor holds, skew exists") {
     val ranks = Graph.pageRank(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
