@@ -124,7 +124,8 @@ object Graph {
   /** Bench warmup hook — the build-once artifacts are offline cost. */
   def prewarmIndexes(spark: SparkSession, dir: String): Unit = {
     linkGraph(spark, dir)
-    componentEdges(spark, dir); ()
+    componentEdges(spark, dir)
+    triangleEdges(spark, dir); ()
   }
 
   // ---------------------------------------------------------------------
@@ -338,6 +339,145 @@ object Graph {
        | FROM l$Iters ORDER BY doc_id"""
       .stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // K3 — triangle counting + local clustering coefficient: the graph
+  // family's third member, and the structural-quality prior the first
+  // two can't supply. PageRank measures REACH, components measure
+  // MEMBERSHIP; the clustering coefficient measures COHESION — link-spam
+  // constellations and boilerplate rings are near-cliques (cc → 1) while
+  // organically-cited documents sit in sparse neighborhoods (cc ≈ 0), so
+  // cc is the standard spam/ring feature of web-graph curation
+  // (TrustRank-era link analysis).
+  //
+  // Algorithm: degree-ordered edge orientation (Chiba–Nishizeki / the
+  // "compact-forward" counting of Latapy 2008) — orient each undirected
+  // edge from its (deg, id)-lexicographically smaller endpoint, then
+  // count wedges u→v→w that close with u→w. The strict total order makes
+  // every triangle appear EXACTLY once (its least vertex is u), and the
+  // orientation bounds every vertex's out-degree by O(√m), so the wedge
+  // join is O(m^1.5) worst-case instead of Σdeg² — the difference
+  // between a web-scale hub exploding the self-join and not. All three
+  // legs are equi-joins over the same persisted relation; the only
+  // driver-side state is nothing at all.
+  //
+  // Determinism: counts and integer-rational ppm only — no floats, so
+  // hash-exact cross-engine for free (the k2 property). cc_ppm =
+  // (2·10⁶·tri) div (deg·(deg−1)), the textbook 2T/d(d−1) in micro-units.
+  // ---------------------------------------------------------------------
+
+  /** Per-node degree of a symmetric, deduplicated edge relation. */
+  private def degreesOf(edges: () => DataFrame): DataFrame =
+    edges().groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+
+  /** Degree-ordered orientation: keep the (deg, id)-ascending direction of
+    * each symmetric pair — exactly one survivor per undirected edge, and
+    * every out-neighborhood bounded O(√m).
+    */
+  private def orientedOf(edges: () => DataFrame): DataFrame = {
+    val deg = degreesOf(edges)
+    edges()
+      .join(deg.select(col("id").as("src"), col("deg").as("du")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")), Seq("dst"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"))
+  }
+
+  /** The counting kernel: wedge u→v→w closed by u→w over an already
+    * ORIENTED edge relation (fresh aliases per leg, so the triple
+    * self-join never hits attribute-lineage ambiguity), zero-filled
+    * per-node output.
+    */
+  private def triangleCore(nodes: () => DataFrame, deg: () => DataFrame,
+      oriented: () => DataFrame): DataFrame = {
+    val leg1 = oriented().select(col("u").as("a"), col("v").as("b"))
+    val leg2 = oriented().select(col("u").as("b2"), col("v").as("c"))
+    val leg3 = oriented().select(col("u").as("a3"), col("v").as("c3"))
+    val tri = leg1.join(leg2, col("b") === col("b2"))
+      .join(leg3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri.select(col("a").as("id"))
+      .unionAll(tri.select(col("b").as("id")))
+      .unionAll(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    nodes().select(col("doc_id"))
+      .join(deg().select(col("id").as("doc_id"), col("deg")), Seq("doc_id"), "left")
+      .join(perNode.select(col("id").as("doc_id"), col("tri")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        expr("CASE WHEN coalesce(deg, 0L) >= 2L THEN" +
+          " (2000000L * coalesce(tri, 0L)) div (deg * (deg - 1L))" +
+          " ELSE 0L END").as("cc_ppm"))
+  }
+
+  /** Per-node triangle participation over an explicit SYMMETRIC,
+    * deduplicated edge relation: (doc_id, tri, deg, cc_ppm) for every
+    * node in `nodes`, zero-filled where the node has no edges. Orientation
+    * is computed inline — the spec-facing form; the gate entry reads the
+    * persisted oriented artifact instead.
+    */
+  def triangleStatsOf(nodes: () => DataFrame, edges: () => DataFrame): DataFrame =
+    triangleCore(nodes, () => degreesOf(edges), () => orientedOf(edges))
+
+  /** The oriented edge relation persisted build-once (d6/k1/k2's pattern):
+    * the three wedge legs each re-read this artifact instead of
+    * re-aggregating degrees and re-filtering the symmetric relation per
+    * leg — on a cluster it lives hash-bucketed by `u`, so the wedge join
+    * co-locates without moving edges.
+    */
+  private def buildTriangleEdges(spark: SparkSession, symIdx: String,
+      out: String): Unit =
+    orientedOf(() => spark.read.parquet(symIdx))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+
+  private[operators] def triangleEdges(spark: SparkSession, dir: String): String = {
+    // pre-materialize the symmetric artifact OUTSIDE the closure
+    // (computeIfAbsent re-entry — the d4/d6 discipline)
+    val sym = componentEdges(spark, dir)
+    graft.Scratch.materialize(spark, "triangle_edges",
+      s"orient-$LinkGraphVersion", dir)(
+      staging => buildTriangleEdges(spark, sym, staging))
+  }
+
+  def triangleStats(spark: SparkSession, dir: String): DataFrame = {
+    val sym = componentEdges(spark, dir)
+    val ori = triangleEdges(spark, dir)
+    triangleCore(
+      () => Catalog.documents(spark, dir).select(col("doc_id")),
+      () => degreesOf(() => spark.read.parquet(sym)),
+      () => spark.read.parquet(ori))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same degree-ordered orientation and wedge closure over
+    * the shared symmetric-edge CTEs.
+    */
+  val triangleStatsSql: String =
+    s"""WITH $linkGraphCteSql,
+       |es AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |esc AS (SELECT es.src, es.dst FROM es
+       |  JOIN documents a ON a.doc_id = es.src
+       |  JOIN documents b ON b.doc_id = es.dst),
+       |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM esc GROUP BY src),
+       |oe AS (SELECT e.src AS u, e.dst AS v FROM esc e
+       |  JOIN deg a ON a.id = e.src JOIN deg b ON b.id = e.dst
+       |  WHERE (a.deg < b.deg) OR (a.deg = b.deg AND e.src < e.dst)),
+       |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM oe e1 JOIN oe e2 ON e2.u = e1.v
+       |  JOIN oe e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |tn AS (SELECT a AS id FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr),
+       |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM tn GROUP BY id)
+       |SELECT d.doc_id, COALESCE(tc.tri, 0) AS tri, COALESCE(deg.deg, 0) AS deg,
+       | CAST(CASE WHEN COALESCE(deg.deg, 0) >= 2
+       |  THEN (2000000 * COALESCE(tc.tri, 0)) // (deg.deg * (deg.deg - 1))
+       |  ELSE 0 END AS BIGINT) AS cc_ppm
+       |FROM documents d
+       |LEFT JOIN deg ON deg.id = d.doc_id
+       |LEFT JOIN tc ON tc.id = d.doc_id
+       |ORDER BY d.doc_id"""
+      .stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
     Q("k1_pagerank", pageRank, Some(pageRankSql),
       "integer-exact damped PageRank over the content-derived link graph — " +
@@ -356,5 +496,11 @@ object Graph {
         "verified pair artifact with keeper = least doc_id per cluster — " +
         "the pair→group resolution step every dedup pipeline needs before " +
         "removal; work is sized by the thresholded pair set, never the " +
-        "corpus (training-data extension)"))
+        "corpus (training-data extension)"),
+    Q("k3_triangle_count", triangleStats, Some(triangleStatsSql),
+      "per-document triangle count, degree, and local clustering " +
+        "coefficient (integer ppm) via degree-ordered edge orientation — " +
+        "each triangle counted exactly once at its least vertex, wedge " +
+        "join bounded O(m^1.5) by the orientation; the link-spam / " +
+        "boilerplate-ring cohesion prior (training-data extension)"))
 }

@@ -130,6 +130,73 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // k3 — triangle counting
+  // ---------------------------------------------------------------------
+
+  /** Symmetrize an undirected edge list given as one row per edge. */
+  private def sym(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+  }
+
+  private def triStats(nodes: Seq[Long], pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Graph.triangleStatsOf(() => nodes.toDF("doc_id"), () => sym(pairs))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("triangle + pendant: hand-computed counts, degrees, coefficients") {
+    // triangle 0-1-2 with pendant 3 hanging off 0
+    val got = triStats(Seq(0L, 1L, 2L, 3L),
+      Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L)))
+    assert(got === Map(
+      0L -> ((1L, 3L, 333333L)),   // 2e6·1 / (3·2)
+      1L -> ((1L, 2L, 1000000L)),  // closed neighborhood: cc = 1
+      2L -> ((1L, 2L, 1000000L)),
+      3L -> ((0L, 1L, 0L))))       // deg < 2: coefficient defined as 0
+  }
+
+  test("K4: every vertex sits on 3 triangles, each triangle counted once") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val got = triStats(Seq(0L, 1L, 2L, 3L), k4)
+    got.foreach { case (_, (tri, deg, cc)) =>
+      assert((tri, deg, cc) === ((3L, 3L, 1000000L)))
+    }
+    // 4 vertices × 3 = 12 incidences = 4 distinct triangles, not 4·3!
+    assert(got.values.map(_._1).sum === 12L)
+  }
+
+  test("an edgeless graph zero-fills every node") {
+    val got = triStats(Seq(0L, 1L, 2L), Seq.empty)
+    assert(got.values.toSet === Set((0L, 0L, 0L)))
+  }
+
+  test("fixture triangles match a driver-side brute-force count") {
+    val idx = Graph.componentEdges(spark, sfDir)
+    val edges = spark.read.parquet(idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // brute force: per node, count UNORDERED neighbor pairs that are
+    // themselves adjacent — each triangle contributes exactly 1 per vertex
+    val brute = adj.map { case (a, ns) =>
+      a -> ns.toSeq.combinations(2).count {
+        case Seq(b, c) => edges.contains((b, c))
+        case _ => false
+      }.toLong
+    }
+    val got = Graph.triangleStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.count(_._2 > 0L) > 0, "fixture graph has no triangles — vacuous")
+    brute.foreach { case (id, tri) =>
+      assert(got(id) === tri, s"node $id brute=$tri engine=${got(id)}")
+    }
+    got.filter(_._2 > 0L).keys.foreach(id =>
+      assert(brute.getOrElse(id, 0L) === got(id)))
+  }
+
   test("fixture ranks: mass leaks but never grows, floor holds, skew exists") {
     val ranks = Graph.pageRank(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
