@@ -573,6 +573,75 @@ object TextOps {
       }: _*)
 
   // ---------------------------------------------------------------------
+  // X15 — blocklist scrub: the C4 badwords pass generalized — a denylist
+  // of terms is scrubbed from the token stream (each hit replaced by a
+  // typed tag), with per-document hit accounting and a keep/drop policy
+  // verdict. This is the stage PII masking, toxicity word-filters, and
+  // content-policy scrubs all instantiate; the regex-based redact() above
+  // is its pattern-shaped sibling (spec-only — fixtures carry no PII),
+  // while token-exact matching is gate-able: no regex dialect to diverge
+  // cross-engine, and the fixture vocabulary contains the pinned terms.
+  //
+  // Deployment shape: denylists are thousands of terms maintained as a
+  // RELATION; the scrub collects them once as bounded query-planning
+  // state (one list per policy — the fittedCentroids / b10 discipline)
+  // and binds them into the expression, so the pass stays ONE codegen'd
+  // scan-side projection — zero shuffle, streams through 100 TB. The
+  // token list splits once per row (multi-referenced non-cheap aliases
+  // don't collapse into the outer projection — the x2 lesson); scrubbed
+  // text is the canonical token-stream rebuild (lowercased,
+  // single-space), i.e. scrubbing happens AFTER tokenization exactly as
+  // training-data pipelines apply it.
+  // ---------------------------------------------------------------------
+
+  /** Pinned gate denylist: two terms present in the fixture vocabulary
+    * plus one absent (absence must be a no-op, not an error).
+    */
+  private[graft] val BlockTerms = Seq("customer", "vector", "forbidden")
+  val BlockTag = "<BLOCKED>"
+
+  /** Keep policy: at most this many blocked tokens per million. */
+  val BlockDropPpm = 66000L
+
+  /** Token-exact denylist scrub over any relation with (doc_id, text):
+    * (doc_id, scrubbed, n_tokens, n_blocked, blocked_ppm, keep). NULL
+    * text propagates NULL through every column — policy on unreadable
+    * docs belongs to the quality floor, not the scrub.
+    */
+  def blocklistScrubOf(docs: DataFrame, terms: Seq[String],
+      dropPpm: Long = BlockDropPpm): DataFrame = {
+    val hit = (t: Column) => t.isInCollection(terms)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("l"))
+      .select(col("doc_id"),
+        array_join(transform(col("l"),
+          t => when(hit(t), lit(BlockTag)).otherwise(t)), " ").as("scrubbed"),
+        size(col("l")).as("n_tokens"),
+        size(filter(col("l"), hit)).as("n_blocked"))
+      .select(col("doc_id"), col("scrubbed"), col("n_tokens"), col("n_blocked"),
+        expr("(1000000L * n_blocked) div n_tokens").as("blocked_ppm"),
+        (expr("(1000000L * n_blocked) div n_tokens") <= dropPpm).as("keep"))
+  }
+
+  def blocklistScrub(spark: SparkSession, dir: String): DataFrame =
+    blocklistScrubOf(Catalog.documents(spark, dir), BlockTerms)
+      .orderBy(col("doc_id"))
+
+  val blocklistScrubSql: String = {
+    val terms = BlockTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS l FROM documents)
+       |SELECT doc_id,
+       | array_to_string(list_transform(l,
+       |   x -> CASE WHEN x IN ($terms) THEN '$BlockTag' ELSE x END), ' ') AS scrubbed,
+       | len(l) AS n_tokens,
+       | len(list_filter(l, x -> x IN ($terms))) AS n_blocked,
+       | (1000000 * len(list_filter(l, x -> x IN ($terms)))) // len(l) AS blocked_ppm,
+       | (1000000 * len(list_filter(l, x -> x IN ($terms)))) // len(l) <= $BlockDropPpm AS keep
+       |FROM t ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
   // Text normalization (library API, spec-covered): the canonicalization
   // a pipeline runs BEFORE fingerprinting/dedup so byte-different
   // renderings of the same text (decomposed accents, zero-width junk,
@@ -738,6 +807,12 @@ object TextOps {
       "Gopher-style intra-document repetition signals via a one-pass codegen'd kernel (training-data extension)"),
     Q("x1_token_count", tokenCounts, Some(tokenCountsSql),
       "whitespace + BPE-ish token counting (training-data extension)"),
+    Q("x15_blocklist_scrub", blocklistScrub, Some(blocklistScrubSql),
+      "token-exact denylist scrub (the C4 badwords / PII-mask stage): " +
+        "blocked tokens replaced by a typed tag with per-document hit " +
+        "accounting and a ppm keep/drop verdict — one codegen'd scan-side " +
+        "projection, denylist bound as query-planning state, zero shuffle " +
+        "(training-data extension)"),
     Q("x5_split_assign", splitAssign, Some(splitAssignSql),
       "deterministic hash-bucket train/val/test split assignment (training-data extension)"),
     Q("x6_corpus_accounting", corpusAccounting, Some(corpusAccountingSql),
