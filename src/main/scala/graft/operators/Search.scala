@@ -909,7 +909,109 @@ object Search {
        |FROM scored GROUP BY doc_id
        |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // B11 — SNIPPET localization: the minimal token window containing ALL
+  // query terms, with the window's text — the Lucene-highlighter /
+  // best-passage primitive every retrieval UI and RAG context-builder
+  // runs AFTER ranking (b1 says WHICH document; b11 says WHERE inside
+  // it, and hands back the evidence span). Exact minimal-window is the
+  // classic sliding-window problem, re-expressed relationally: over the
+  // Q-term-pruned positional postings ordered by position, the running
+  // per-term MAX position (one window frame per term) gives, at every
+  // occurrence, the tightest window ENDING there — least(last_t) is its
+  // start. Every minimal window ends at some occurrence, so the per-doc
+  // argmin over these candidates (length, then leftmost start — a
+  // deterministic tie-break) is the true global minimum.
+  //
+  // Scale shape: the corpus-sized work is b4's one posexplode map pass,
+  // pruned to the query terms BEFORE the shuffle; the window functions,
+  // argmin aggregate, and snippet slice all run over the O(Σ df(term))
+  // pruned relation, partitioned by doc_id — one shuffle of 16-byte
+  // rows. The snippet text joins the token arrays back only for the
+  // one winning window per doc.
+  //
+  // Cross-engine: position BASE differs (posexplode 0-based, DuckDB
+  // ordinality 1-based), so only base-INVARIANT columns cross the hash —
+  // window length and the snippet string — never a raw position (b4's
+  // anchor discipline).
+  // ---------------------------------------------------------------------
+  val SnippetTerms: Seq[String] = Seq("table", "merge", "scan")
+
+  /** (doc_id, window_len, snippet) for every doc containing ALL `terms`:
+    * the shortest token window covering them, leftmost on ties.
+    */
+  def snippetWindowOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alive = docs.filter(col("text").isNotNull)
+    val pos = alive
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms: _*))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val lasts = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("tok") === t, col("pos"))).over(w).as(s"l$i")
+    }
+    val anno = pos.select(col("doc_id") +: col("pos") +: lasts: _*)
+    val valid = anno
+      .filter(terms.indices.map(i => col(s"l$i").isNotNull).reduce(_ && _))
+      .select(col("doc_id"),
+        least(terms.indices.map(i => col(s"l$i")): _*).as("start"),
+        col("pos"))
+      .select(col("doc_id"), col("start"),
+        (col("pos") - col("start") + 1).as("len"))
+    val minLen = valid.groupBy(col("doc_id")).agg(min(col("len")).as("len"))
+    val best = valid.join(minLen, Seq("doc_id", "len"))
+      .groupBy(col("doc_id"), col("len")).agg(min(col("start")).as("start"))
+    best
+      .join(alive.select(col("doc_id"), TextOps.tokens(col("text")).as("tk")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("len").as("window_len"),
+        // posexplode positions are 0-based; slice() is 1-based
+        array_join(slice(col("tk"), col("start") + 1, col("len")), " ")
+          .as("snippet"))
+      .orderBy(col("doc_id"))
+  }
+
+  def snippetWindow(spark: SparkSession, dir: String): DataFrame =
+    snippetWindowOf(graft.Catalog.documents(spark, dir), SnippetTerms)
+
+  val snippetWindowSql: String = {
+    val inList = SnippetTerms.map(t => s"'$t'").mkString(", ")
+    val lasts = SnippetTerms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN tok = '$t' THEN pos END)" +
+        s" OVER (PARTITION BY doc_id ORDER BY pos) AS l$i"
+    }.mkString(", ")
+    val ls = SnippetTerms.indices.map(i => s"l$i")
+    s"""WITH base AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       | FROM documents WHERE text IS NOT NULL),
+       |idx AS (
+       | SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos FROM base),
+       |toks AS (SELECT doc_id, tk[pos] AS tok, pos FROM idx),
+       |p AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ($inList)),
+       |ann AS (SELECT doc_id, pos, $lasts FROM p),
+       |valid AS (
+       | SELECT doc_id, least(${ls.mkString(", ")}) AS start,
+       |  pos - least(${ls.mkString(", ")}) + 1 AS len
+       | FROM ann WHERE ${ls.map(_ + " IS NOT NULL").mkString(" AND ")}),
+       |m AS (SELECT doc_id, min(len) AS len FROM valid GROUP BY doc_id),
+       |best AS (
+       | SELECT v.doc_id, v.len, min(v.start) AS start
+       | FROM valid v JOIN m USING (doc_id, len) GROUP BY v.doc_id, v.len)
+       |SELECT b.doc_id, b.len AS window_len,
+       | array_to_string(list_slice(tk, b.start, b.start + b.len - 1), ' ') AS snippet
+       |FROM best b JOIN base USING (doc_id)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("b11_snippet_window", snippetWindow, Some(snippetWindowSql),
+      "snippet localization: minimal token window covering all query " +
+        "terms + its text (the Lucene-highlighter / RAG evidence-span " +
+        "primitive) — running per-term max positions over Q-pruned " +
+        "postings give the tightest window ending at each occurrence; " +
+        "per-doc argmin with leftmost tie-break; only base-invariant " +
+        "columns cross engines (training-data extension)"),
     Q("b10_more_like_this", moreLikeThis, Some(moreLikeThisSql),
       s"more-like-this related-document retrieval: the probe document's top-$MltTerms discriminative terms (integer idf_bits x probe-tf, lexicographic ties) feed b1's shared BM25 tail, probe excluded; two-phase serving form off b2's postings — the probe's own vocabulary collects as query-planning state so the term restriction pushes to the scan (training-data extension)"),
     Q("b9_passage_bm25", bm25Passages, Some(bm25PassagesSql),

@@ -351,4 +351,56 @@ class SearchSpec extends SparkSuite {
     assert(merged.filter(col("doc_id") >= Search.AddedIdOffset).limit(1)
       .collect().nonEmpty, "no added-doc postings in the maintained view")
   }
+
+  // ---------------------------------------------------------------------
+  // b11 — snippet localization
+  // ---------------------------------------------------------------------
+
+  private def snips(terms: Seq[String], rows: (Long, String)*) =
+    Search.snippetWindowOf(corpus(rows: _*), terms).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+
+  test("b11: the minimal window is found, not just the first or last") {
+    // doc 1: the tight windows are the TRAILING "b a c" (start 4) and
+    // "a c b" (start 5), both len 3 — not the leading a..b span (5);
+    // leftmost of the two wins. doc 2 lacks 'c' entirely.
+    val got = snips(Seq("a", "b", "c"),
+      (1L, "a x x x b a c b"),
+      (2L, "a b a b x x x x"))
+    assert(got === Map(1L -> ((3, "b a c"))))
+  }
+
+  test("b11: leftmost window wins on ties") {
+    // two disjoint minimal windows "a b" at 0 and 4 — report the first
+    val got = snips(Seq("a", "b"), (1L, "a b x x a b"))
+    assert(got(1L) === ((2, "a b")))
+  }
+
+  test("b11: adjacent occurrence gives window_len = |terms|; case folds") {
+    val got = snips(Seq("x", "y"), (1L, "pad X y pad"))
+    assert(got(1L) === ((2, "x y")))
+  }
+
+  test("b11: repeated nearer occurrence tightens the running window") {
+    // last 'a' before the closing 'b' is position 2, so len = 2, not 3
+    val got = snips(Seq("a", "b"), (1L, "a a b"))
+    assert(got(1L) === ((2, "a b")))
+  }
+
+  test("b11: fixture snippets are non-vacuous and every snippet covers all terms") {
+    val got = Search.snippetWindow(spark, sfDir).collect()
+    assert(got.length > 0, "no fixture doc contains all snippet terms — vacuous")
+    got.foreach { r =>
+      val toks = r.getString(2).split(" ")
+      assert(toks.length === r.getInt(1),
+        s"doc ${r.getLong(0)}: snippet length != window_len")
+      Search.SnippetTerms.foreach(t =>
+        assert(toks.contains(t), s"doc ${r.getLong(0)}: snippet misses '$t'"))
+      // minimality at the edges: a window not STARTING and ENDING on a
+      // query term could shrink — both boundary tokens must be terms
+      assert(Search.SnippetTerms.contains(toks.head) &&
+        Search.SnippetTerms.contains(toks.last),
+        s"doc ${r.getLong(0)}: window not tight at its edges")
+    }
+  }
 }
