@@ -104,6 +104,109 @@ object Pipeline {
   }
 
   // ---------------------------------------------------------------------
+  // Z11 — drop AUDIT: z1's complement, per document — the debuggability
+  // layer every production pipeline grows the week someone asks "why is
+  // doc X missing from the training set?". For every document, the FIRST
+  // pipeline stage (z1's order: quality → language → exact-dup →
+  // near-dup) that drops it, or 'kept'; duplicates also report WHICH
+  // keeper displaced them (the actual question behind a dedup bug
+  // report). Attribution is first-fail by definition, not a claim that
+  // later stages pass — a doc failing quality is never evaluated for
+  // language, exactly as the pipeline executes.
+  //
+  // Same plan skeleton as z1 (one scan computing every scalar signal,
+  // one fingerprint-window shuffle, the persisted near-dup pair
+  // relation aggregated to min-partner) — the audit costs what the
+  // pipeline costs, so it can run alongside every production build.
+  // Spec-pinned invariant: verdict = 'kept' reproduces z1's output
+  // EXACTLY (the audit and the pipeline can never drift).
+  // ---------------------------------------------------------------------
+
+  /** The audit over any (doc_id, text) relation plus a verified near-dup
+    * pair relation (da < db) — spec entry; the gate binds the fixture
+    * corpus and the persisted d2 pairs.
+    */
+  def dropAuditOf(docs: DataFrame, nearPairs: DataFrame): DataFrame = {
+    val normText =
+      regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+", " ")
+    val feats = docs
+      .select(col("doc_id"),
+        graft.expressions.HashFunctions.quality_stats(
+          col("text"), TextOps.Stopwords).as("s"),
+        TextOps.detectedLang(col("text")).as("detected_lang"),
+        TextOps.hash60(normText).as("content_fp"))
+      .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+        col("detected_lang"), col("content_fp"))
+    val w = Window.partitionBy(col("content_fp"))
+    val nearPartner = nearPairs
+      .groupBy(col("db").as("doc_id")).agg(min(col("da")).as("near_keeper"))
+    feats
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .join(nearPartner, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!coalesce(col("n_tokens").between(MinTokens, MaxTokens),
+          lit(false)), "quality")
+          .when(col("detected_lang") =!= "en", "language")
+          .when(col("doc_id") =!= col("keeper_id"), "exact_dup")
+          .when(col("near_keeper").isNotNull, "near_dup")
+          .otherwise("kept").as("verdict"),
+        col("keeper_id"), col("near_keeper"))
+      .select(col("doc_id"), col("verdict"),
+        when(col("verdict") === "exact_dup", col("keeper_id"))
+          .when(col("verdict") === "near_dup", col("near_keeper"))
+          .as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dropAudit(spark: SparkSession, dir: String): DataFrame =
+    dropAuditOf(Catalog.documents(spark, dir),
+      Dedup.minhashLshPairs(spark, dir))
+
+  /** Oracle: the same signals as z1's CTEs, attribution as one CASE in
+    * pipeline order; the near-dup partner is the brute-force pair
+    * relation aggregated to its min partner (the persisted pair artifact
+    * is an execution strategy, not a semantic change — d4/d6's rule).
+    */
+  val dropAuditSql: String = {
+    val toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    s"""WITH sig AS (
+       | SELECT doc_id,
+       |  len($toks) BETWEEN $MinTokens AND $MaxTokens AS okq,
+       |  (${TextOps.detectedLangSql}) = 'en' AS okl,
+       |  ${hash60Sql(norm)} AS fp
+       | FROM documents),
+       |ek AS (
+       | SELECT doc_id, okq, okl,
+       |  min(doc_id) OVER (PARTITION BY fp) AS keeper
+       | FROM sig),
+       |toks AS (SELECT doc_id, $toks AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(w) >= 3
+       |    THEN [${hash60Sql("array_to_string(w[i:i+2], ' ')")} for i in range(1, len(w) - 1)]
+       |    ELSE [] END) AS hs
+       |  FROM toks),
+       |near AS (
+       | SELECT b.doc_id, min(a.doc_id) AS near_keeper
+       | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       | WHERE len(list_intersect(a.hs, b.hs))::DOUBLE
+       |   / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= ${Dedup.JaccardThreshold}
+       | GROUP BY b.doc_id),
+       |v AS (
+       | SELECT e.doc_id, e.keeper, n.near_keeper,
+       |  CASE WHEN NOT COALESCE(e.okq, FALSE) THEN 'quality'
+       |   WHEN NOT e.okl THEN 'language'
+       |   WHEN e.doc_id <> e.keeper THEN 'exact_dup'
+       |   WHEN n.near_keeper IS NOT NULL THEN 'near_dup'
+       |   ELSE 'kept' END AS verdict
+       | FROM ek e LEFT JOIN near n USING (doc_id))
+       |SELECT doc_id, verdict,
+       | CASE WHEN verdict = 'exact_dup' THEN keeper
+       |  WHEN verdict = 'near_dup' THEN near_keeper END AS dup_of
+       |FROM v ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
   // Z2 — embedding-space dedup (the similarity-side twin of Z1): drop the
   // larger id of every verified high-cosine pair (greedy keep-smallest,
   // same rule and caveat as Z1's near-dup stage), keep everything else —
@@ -745,6 +848,11 @@ object Pipeline {
       "balanced source mixing: exact-integer deterministic downsample to the smallest source's share (training-data extension)"),
     Q("z1_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql),
       "end-to-end curation: quality -> lang -> exact dedup -> near-dup dedup, single-scan features + LSH candidates (training-data extension)"),
+    Q("z11_drop_audit", dropAudit, Some(dropAuditSql),
+      "drop audit, z1's complement: per document the FIRST pipeline " +
+        "stage that drops it (or kept) plus WHICH keeper displaced a " +
+        "duplicate — the why-is-my-doc-missing debuggability layer, " +
+        "costing exactly what the pipeline costs (training-data extension)"),
     Q("z2_embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
       "embedding-space near-dup dedup via deterministic LSH candidates + exact-cosine verify, greedy keep-smallest (training-data extension)"),
     Q("z3_cc_dedup", ccDedup, Some(ccDedupSql),

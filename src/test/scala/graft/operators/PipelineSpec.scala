@@ -227,4 +227,65 @@ class PipelineSpec extends SparkSuite {
       assert(inOrder.head._4 == 0L, "each shard's first doc starts sequence 0")
     }
   }
+
+  // ---------------------------------------------------------------------
+  // z11 — drop audit
+  // ---------------------------------------------------------------------
+
+  // 20 tokens, unambiguously English markers, no de/es/fr markers
+  private val EnBase = "the cat sat on the mat and the dog is " +
+    "happy to see it all of the time right now"
+
+  test("z11 attributes every drop to its FIRST failing stage, with dup pointers") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> Option(EnBase),                       // kept
+      2L -> Option("  " + EnBase.replace(" ", "  ") + " "), // ws-variant: exact dup of 1
+      3L -> Option("too short"),                  // quality
+      4L -> Option("der hund und die katze ist nicht hier und der mann " +
+        "ist nicht da und die frau ist nicht froh"), // language (de)
+      5L -> Option.empty[String],                 // NULL text → quality
+      6L -> Option(EnBase + " yes indeed"),       // near-dup of 1 (via pairs)
+      7L -> Option("short near dup"))             // quality AND near-dup → quality
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 6L), (1L, 7L)).toDF("da", "db")
+    val got = Pipeline.dropAuditOf(docs, pairs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> (("kept", -1L)),
+      2L -> (("exact_dup", 1L)),
+      3L -> (("quality", -1L)),
+      4L -> (("language", -1L)),
+      5L -> (("quality", -1L)),
+      6L -> (("near_dup", 1L)),
+      7L -> (("quality", -1L))))
+  }
+
+  test("z11 near-dup partner is the SMALLEST partner across pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> EnBase, 2L -> (EnBase + " one more"), 3L -> (EnBase + " yes indeed"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("da", "db")
+    val got = Pipeline.dropAuditOf(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dupOf = Pipeline.dropAuditOf(docs, pairs)
+      .filter(col("doc_id") === 3L).collect().head.getLong(2)
+    assert(got(3L) === "near_dup" && dupOf === 1L)
+  }
+
+  test("z11 'kept' verdicts reproduce z1's output exactly, and drops are non-vacuous") {
+    val kept = Pipeline.dropAudit(spark, sfDir)
+      .filter(col("verdict") === "kept").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val z1 = Pipeline.corpusPipeline(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === z1, "audit and pipeline drifted")
+    val verdicts = Pipeline.dropAudit(spark, sfDir)
+      .groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("quality", "language", "near_dup").foreach(v =>
+      assert(verdicts.getOrElse(v, 0L) > 0L, s"no '$v' drops — vacuous fixture"))
+  }
 }
