@@ -478,6 +478,123 @@ object Graph {
        |ORDER BY d.doc_id"""
       .stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // K4 — HITS (Kleinberg 1999): the two-relation alternating fixpoint —
+  // authorities are endorsed by good hubs, hubs endorse good
+  // authorities. The curation reading of the split: authorities ≈
+  // content pages, hubs ≈ directories/link farms — a high hub score with
+  // a low authority score is the link-farm signature PageRank's single
+  // scalar blurs (k3's cc is the third leg of that spam triad).
+  //
+  // The new structural shape vs k1/k2: each superstep runs the edge join
+  // in BOTH directions (h→dst aggregates authorities, a→src aggregates
+  // hubs) and renormalizes each relation by a GLOBAL scalar — a 1-row
+  // aggregate broadcast back (the j7 scalar-subquery shape inside an
+  // iterated plan). Normalization is by MAX, not L2: HITS' normalization
+  // constant is arbitrary for ranking (relative order is the contract —
+  // k1's argument), max is order-independent integer arithmetic where an
+  // L2 norm is irrational, and max-normalization bounds every score at
+  // 1e6 so the next superstep's products stay inside 64 bits. Overflow
+  // headroom: raw sums are ≤ in/out-degree · 1e6, so the ·1e6
+  // renormalization product needs degree ≲ 1e6 per unit scale — beyond
+  // that, rescale the unit (k1's rule).
+  //
+  // Dropped relations stay dropped: a node with no in-links scores
+  // authority 0 and simply contributes nothing through inner joins —
+  // zero-fill happens once at the output projection, never inside the
+  // loop (no per-superstep left join back onto the node set; HITS needs
+  // no base mass, unlike PageRank's damped update).
+  // ---------------------------------------------------------------------
+
+  /** Fixed HITS supersteps for the gate entry — hub/authority ORDER
+    * stabilizes within a few alternations on the fixture graphs; a
+    * deployment iterates to an L1-delta stop.
+    */
+  val HitsIters = 4
+
+  /** Integer max-normalized HITS over an explicit directed (src, dst)
+    * edge relation; returns (doc_id, hub_micro, auth_micro) zero-filled
+    * over `nodes`.
+    *
+    * Each half-step CHECKPOINTS its raw score relation
+    * (`localCheckpoint`): the renormalization references raw twice (the
+    * 1-row max aggregate + the scaling join), and unlike k1/k2 a global
+    * scalar cannot be folded into a single-reference plan — without the
+    * checkpoint the plan tree doubles per half-step (measured: 2298
+    * duplicated scans at 4 supersteps, zero exchange reuse). Pregel
+    * runtimes (GraphX included) materialize the score relation every
+    * superstep for exactly this reason; the checkpoint is node-sized
+    * (16-byte rows), never edge-sized.
+    */
+  def hitsOf(nodes: () => DataFrame, edges: () => DataFrame,
+      iters: Int): DataFrame = {
+    def renorm(rawPlan: DataFrame, out: String): DataFrame = {
+      val raw = rawPlan.localCheckpoint(true)
+      val m = raw.agg(greatest(coalesce(max(col("v")), lit(0L)), lit(1L))
+        .as("m"))
+      raw.crossJoin(m)
+        .select(col("id"), expr(s"(v * ${UnitMicro}L) div m").as(out))
+    }
+    var hubs = nodes().select(col("doc_id").as("id"),
+      lit(UnitMicro).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = hubs.withColumnRenamed("id", "src")
+        .join(edges(), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("v"))
+      auths = renorm(aRaw, "a")
+      val hRaw = auths.withColumnRenamed("id", "dst")
+        .join(edges(), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("v"))
+      hubs = renorm(hRaw, "h")
+    }
+    nodes()
+      .join(hubs.select(col("id").as("doc_id"), col("h")), Seq("doc_id"), "left")
+      .join(auths.select(col("id").as("doc_id"), col("a")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("h"), lit(0L)).as("hub_micro"),
+        coalesce(col("a"), lit(0L)).as("auth_micro"))
+  }
+
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val idx = linkGraph(spark, dir)
+    hitsOf(
+      () => Catalog.documents(spark, dir).select(col("doc_id")),
+      () => spark.read.parquet(idx).select(col("src"), col("dst")),
+      HitsIters)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same alternating supersteps unrolled; every raw sum is
+    * cast to BIGINT (DuckDB widens integer sums to HUGEINT — the Q rule)
+    * and each renormalization folds its global max in as a WINDOW over
+    * the same CTE — each unrolled level is referenced exactly ONCE by
+    * the next, keeping the inlined expression tree linear in the
+    * superstep count (a separate 1-row max CTE would reference each
+    * level twice and the tree doubles per half-step: the
+    * exponential-analysis trap, observed as a minutes-long oracle).
+    */
+  val hitsSql: String = {
+    val iterCtes = (1 to HitsIters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS id, CAST(sum(p.h) AS BIGINT) AS v
+         | FROM h${i - 1} p JOIN edges e ON e.src = p.id GROUP BY e.dst),
+         |a$i AS (SELECT id, (v * $UnitMicro) // greatest(max(v) OVER (), 1) AS a FROM ar$i),
+         |hr$i AS (SELECT e.src AS id, CAST(sum(p.a) AS BIGINT) AS v
+         | FROM a$i p JOIN edges e ON e.dst = p.id GROUP BY e.src),
+         |h$i AS (SELECT id, (v * $UnitMicro) // greatest(max(v) OVER (), 1) AS h FROM hr$i)"""
+        .stripMargin
+    }.mkString(", ")
+    s"""WITH $linkGraphCteSql,
+       |h0 AS (SELECT doc_id AS id, CAST($UnitMicro AS BIGINT) AS h FROM documents),
+       |$iterCtes
+       |SELECT d.doc_id, COALESCE(h.h, 0) AS hub_micro,
+       | COALESCE(a.a, 0) AS auth_micro
+       |FROM documents d
+       |LEFT JOIN h$HitsIters h ON h.id = d.doc_id
+       |LEFT JOIN a$HitsIters a ON a.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
     Q("k1_pagerank", pageRank, Some(pageRankSql),
       "integer-exact damped PageRank over the content-derived link graph — " +
@@ -502,5 +619,12 @@ object Graph {
         "coefficient (integer ppm) via degree-ordered edge orientation — " +
         "each triangle counted exactly once at its least vertex, wedge " +
         "join bounded O(m^1.5) by the orientation; the link-spam / " +
-        "boilerplate-ring cohesion prior (training-data extension)"))
+        "boilerplate-ring cohesion prior (training-data extension)"),
+    Q("k4_hits", hits, Some(hitsSql),
+      "integer max-normalized HITS: the two-relation alternating " +
+        "fixpoint (authorities endorsed by hubs, hubs endorsing " +
+        "authorities) — per superstep the edge join runs both directions " +
+        "and each relation renormalizes by a broadcast 1-row MAX; " +
+        "high-hub/low-authority is the link-farm signature PageRank " +
+        "blurs (training-data extension)"))
 }

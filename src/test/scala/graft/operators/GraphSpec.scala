@@ -197,6 +197,53 @@ class GraphSpec extends SparkSuite {
       assert(brute.getOrElse(id, 0L) === got(id)))
   }
 
+  // ---------------------------------------------------------------------
+  // k4 — HITS
+  // ---------------------------------------------------------------------
+
+  private def hitsAfter(iters: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    Graph.hitsOf(() => handNodes(), () => edges, iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("hits: two alternations match the hand-computed integer scores") {
+    // iter1: a_raw(1)=1e6, a_raw(2)=2e6 → a=(500000, 1000000)
+    //   h_raw(0)=1.5e6, h_raw(1)=1e6 → h=(1000000, 666666)
+    assert(hitsAfter(1) === Map(
+      0L -> ((1000000L, 0L)), 1L -> ((666666L, 500000L)),
+      2L -> ((0L, 1000000L)), 3L -> ((0L, 0L))))
+    // iter2: a_raw(1)=1e6, a_raw(2)=1666666 → a=(600000, 1000000)
+    //   h_raw(0)=1.6e6, h_raw(1)=1e6 → h=(1000000, 625000)
+    assert(hitsAfter(2) === Map(
+      0L -> ((1000000L, 0L)), 1L -> ((625000L, 600000L)),
+      2L -> ((0L, 1000000L)), 3L -> ((0L, 0L))))
+  }
+
+  test("hits: an edgeless graph scores everyone zero — no base mass") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = Graph.hitsOf(() => handNodes(), () => none, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((0L, 0L)))
+  }
+
+  test("fixture hits: normalization caps hold and the split is non-vacuous") {
+    val got = Graph.hits(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(g => g._2 >= 0L && g._2 <= Graph.UnitMicro))
+    assert(got.forall(g => g._3 >= 0L && g._3 <= Graph.UnitMicro))
+    // max-normalization pins at least one node at exactly the cap, per side
+    assert(got.exists(_._2 === Graph.UnitMicro), "no hub at the cap")
+    assert(got.exists(_._3 === Graph.UnitMicro), "no authority at the cap")
+    // the hub/authority split genuinely separates: both strict orderings
+    // occur (a pure authority would need an in-linked NULL-text doc —
+    // data-dependent, so assert separation, not zeros)
+    assert(got.exists(g => g._2 > g._3), "no hub-dominant node")
+    assert(got.exists(g => g._3 > g._2), "no authority-dominant node")
+  }
+
   test("fixture ranks: mass leaks but never grows, floor holds, skew exists") {
     val ranks = Graph.pageRank(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
