@@ -306,11 +306,18 @@ object Graph {
   // count converges with room to spare (spec-asserted fixpoint).
   // ---------------------------------------------------------------------
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    def pairs() = Dedup.jaccardPairsIndexed(spark, dir)
-    def nodes() = pairs().select(col("da").as("doc_id"))
-      .union(pairs().select(col("db").as("doc_id"))).distinct()
-    def edges() = pairs().select(col("da").as("src"), col("db").as("dst"))
-      .union(pairs().select(col("db").as("src"), col("da").as("dst")))
+    // checkpoint the mined pair relation ONCE: the thunks are consumed
+    // 4× per superstep (nodes twice, edges twice), and unlike k1/k2's
+    // artifact-backed reads each consumption would re-run the whole
+    // posting-join mining DAG — measured 14.5 s at sf0.1 against ~1 s
+    // checkpointed (the k4 lesson applied to a delta-sized relation;
+    // pair rows are 16 bytes, so the checkpoint is tiny by construction)
+    val pairs = Dedup.jaccardPairsIndexed(spark, dir)
+      .select(col("da"), col("db")).localCheckpoint(true)
+    def nodes() = pairs.select(col("da").as("doc_id"))
+      .union(pairs.select(col("db").as("doc_id"))).distinct()
+    def edges() = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
     Q.tinySort(
       componentsOf(nodes _, edges _, Iters)
         .select(col("doc_id"), col("component").as("cluster"),
