@@ -806,7 +806,106 @@ object Profile {
       |FROM parquet_metadata('__SF_DIR__/documents.parquet')
       |GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // C11 — inclusion-dependency (foreign-key candidate) DISCOVERY: which
+  // integer columns' value sets are contained in which — the
+  // data-catalog / schema-inference pre-pass (BINDER, Papenbrock 2015;
+  // SPIDER) that turns a pile of parquet into a joinable schema. c5
+  // VALIDATES a declared FK; c11 DISCOVERS the candidates when nobody
+  // declared anything — the first question against an inherited lake.
+  //
+  // The relational trick (BINDER's core, re-expressed): materialize the
+  // per-column DISTINCT value relation D = (col, value) across all
+  // candidate columns, then ONE value equi-join D ⋈ D counts every
+  // pairwise intersection simultaneously — containment(A ⊆ B) =
+  // |D_A ∩ D_B| / |D_A|. No per-pair scans: with C columns the naive
+  // approach is O(C²) table passes, this is one pass per table + one
+  // join of the (small) distinct relation. Join fan-out per value is
+  // bounded by C² (~200 here), never row-count-sized.
+  //
+  // Dense synthetic keys make unrelated columns coincide (l_linenumber
+  // ⊆ almost everything) — realistic and kept: discovery emits
+  // CANDIDATES (phase 1); semantic pruning by name/type/cardinality is
+  // phase 2 and a human/LLM judgment. The true FK skeleton
+  // (n_regionkey⊆r_regionkey, c/s_nationkey⊆n_nationkey,
+  // o_custkey⊆c_custkey, l_orderkey⊆o_orderkey, l_partkey⊆p_partkey,
+  // l_suppkey⊆s_suppkey) is spec-pinned present.
+  // ---------------------------------------------------------------------
+
+  /** Candidate columns: the integer-typed columns of the relational
+    * fixtures (key-ish by type; strings/doubles/timestamps excluded —
+    * IND discovery is per type class).
+    */
+  val FkCandidateCols: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "part" -> Seq("p_partkey", "p_size"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+
+  /** Report pairs at or above this containment (full inclusion = 1e6;
+    * slightly-below catches FKs with orphan rows — c5's concern).
+    */
+  val FkThresholdPpm = 950000L
+
+  /** (from_col, to_col, n_from, n_common, containment_ppm) for every
+    * ordered candidate pair with containment ≥ the threshold.
+    */
+  def fkDiscoveryOf(tables: Seq[(String, DataFrame, Seq[String])],
+      thresholdPpm: Long): DataFrame = {
+    val d = tables.flatMap { case (tname, df, cs) =>
+      cs.map(c => df
+        .filter(col(c).isNotNull)
+        .select(lit(s"$tname.$c").as("col"), col(c).cast("long").as("value"))
+        .distinct())
+    }.reduce(_ unionByName _)
+    val sizes = d.groupBy(col("col")).agg(count(lit(1)).as("n"))
+    val inter = d.select(col("col").as("from_col"), col("value"))
+      .join(d.select(col("col").as("to_col"), col("value")), Seq("value"))
+      .filter(col("from_col") =!= col("to_col"))
+      .groupBy(col("from_col"), col("to_col"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("col").as("from_col"), col("n").as("n_from"))),
+        Seq("from_col"))
+      .select(col("from_col"), col("to_col"), col("n_from"), col("n_common"),
+        expr("(1000000L * n_common) div n_from").as("containment_ppm"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .orderBy(col("from_col"), col("to_col"))
+  }
+
+  def fkDiscovery(spark: SparkSession, dir: String): DataFrame =
+    fkDiscoveryOf(
+      FkCandidateCols.map { case (t, cs) => (t, Catalog.table(spark, dir, t), cs) },
+      FkThresholdPpm)
+
+  val fkDiscoverySql: String = {
+    val union = FkCandidateCols.flatMap { case (t, cs) =>
+      cs.map(c => s"SELECT DISTINCT '$t.$c' AS col, CAST($c AS BIGINT) AS value" +
+        s" FROM $t WHERE $c IS NOT NULL")
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS ($union),
+       |sizes AS (SELECT col, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY col),
+       |inter AS (SELECT a.col AS from_col, b.col AS to_col,
+       |  CAST(count(*) AS BIGINT) AS n_common
+       | FROM d a JOIN d b ON a.value = b.value AND a.col <> b.col
+       | GROUP BY a.col, b.col)
+       |SELECT i.from_col, i.to_col, s.n AS n_from, i.n_common,
+       | (1000000 * i.n_common) // s.n AS containment_ppm
+       |FROM inter i JOIN sizes s ON s.col = i.from_col
+       |WHERE (1000000 * i.n_common) // s.n >= $FkThresholdPpm
+       |ORDER BY from_col, to_col""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("c11_fk_discovery", fkDiscovery, Some(fkDiscoverySql),
+      "inclusion-dependency (FK candidate) discovery, BINDER's shape: " +
+        "per-column distinct value relation + ONE value equi-join counts " +
+        "every pairwise containment simultaneously — one pass per table, " +
+        "never O(columns^2) scans; the schema-inference pre-pass for an " +
+        "undocumented lake (data-QA extension)"),
     Q("c10_storage_profile", storageProfile, Some(storageProfileSql),
       "per-column physical storage profile from parquet FOOTERS only (no data pages read): file listing driver-side, footer reads distributed; the oracle is DuckDB's own parquet_metadata() — two independent parquet readers agreeing byte-for-byte on the same thrift fields (data-QA extension)"),
     Q("c9_l_diversity", lDiversity, Some(lDiversitySql),

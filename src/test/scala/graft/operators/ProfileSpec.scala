@@ -288,4 +288,56 @@ class ProfileSpec extends SparkSuite {
     assert(row.getLong(0) > 0 && row.getLong(4) >= 0)
     assert(row.getLong(3) == (row.getLong(1) - 1) * (row.getLong(2) - 1))
   }
+
+  // ---------------------------------------------------------------------
+  // c11 — inclusion-dependency discovery
+  // ---------------------------------------------------------------------
+
+  test("c11 hand tables: containment arithmetic, direction, threshold, NULLs") {
+    import spark.implicits._
+    // child.fk = {1,2,3,ORPHAN 99, NULL}; parent.pk = {1,2,3,4}
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(99L), None, Some(2L))
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("pk")
+    def run(threshold: Long) = Profile.fkDiscoveryOf(
+      Seq(("child", child, Seq("fk")), ("parent", parent, Seq("pk"))),
+      threshold)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // NULLs drop, duplicates dedup: |child.fk| = 4, common = 3 → 750000
+    val all = run(0L)
+    assert(all.toSet === Set(
+      ("child.fk", "parent.pk", 4L, 3L, 750000L),
+      ("parent.pk", "child.fk", 4L, 3L, 750000L)))
+    // both directions clear 750000 ppm; neither clears 800000
+    assert(run(750000L).length === 2)
+    assert(run(800000L).isEmpty)
+  }
+
+  test("c11 direction matters: a strict subset is contained one way only") {
+    import spark.implicits._
+    val small = Seq(1L, 2L).toDF("k")
+    val big = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val got = Profile.fkDiscoveryOf(
+      Seq(("small", small, Seq("k")), ("big", big, Seq("k"))), 1000000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    assert(got.toSeq === Seq(("small.k", "big.k", 1000000L)))
+  }
+
+  test("c11 fixture: the full true-FK skeleton is discovered at full containment") {
+    val got = Profile.fkDiscovery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val skeleton = Seq(
+      "nation.n_regionkey" -> "region.r_regionkey",
+      "customer.c_nationkey" -> "nation.n_nationkey",
+      "supplier.s_nationkey" -> "nation.n_nationkey",
+      "orders.o_custkey" -> "customer.c_custkey",
+      "lineitem.l_orderkey" -> "orders.o_orderkey",
+      "lineitem.l_partkey" -> "part.p_partkey",
+      "lineitem.l_suppkey" -> "supplier.s_suppkey")
+    skeleton.foreach { edge =>
+      assert(got.get(edge).contains(1000000L),
+        s"true FK $edge not discovered at full containment: ${got.get(edge)}")
+    }
+  }
 }
