@@ -910,6 +910,149 @@ object Search {
        |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // B12 — PSEUDO-RELEVANCE-FEEDBACK query expansion (Rocchio 1971 /
+  // RM-style PRF, Lucene's "relevance feedback"): run the base query,
+  // assume the top-F results are relevant, pool their vocabulary, add
+  // the E most discriminative new terms, and rescore — the standard fix
+  // for vocabulary mismatch (the probe says "spark", relevant docs also
+  // say "stream"). Three phases, each in b1's exact integer arithmetic
+  // so selection AND scoring are hash-exact cross-engine:
+  //   1. base BM25, top-F feedback docs (b1's scoring tail verbatim);
+  //   2. pooled feedback-term frequencies (original terms excluded),
+  //      expansion weight = idf_bits × pooled-tf (b10's selection twin,
+  //      pooled over F docs instead of one probe), top-E, ties
+  //      lexicographic;
+  //   3. the shared scoring tail over original ∪ expansion terms.
+  //
+  // Gate = the two-phase serving form off b2's artifacts: the F doc ids
+  // and then the feedback docs' pooled vocabulary collect as bounded
+  // query-planning state (F point-lookups on documents — pushed on
+  // doc_id; NOT a doc_id filter over the tok-sorted postings, which
+  // could not skip), so every postings touch is a compile-time
+  // `tok IN (…)` that pushes to the term-sorted scan exactly as b2/b10.
+  // ---------------------------------------------------------------------
+  val PrfFeedbackDocs = 3
+  val PrfExpandTerms = 3
+
+  /** Direct (index-free) PRF over any (doc_id, text) frame — the spec
+    * entry; must equal [[prfExpansion]] on the same corpus.
+    */
+  def prfExpansionOf(docs: DataFrame, terms: Seq[String], f: Int, e: Int,
+      k: Int): DataFrame = {
+    val dl = withDl(docs)
+    val stats = statsOf(dl)
+    val all = dl.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+    val tf0 = all.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val top = scoreTf(tf0, stats, f).select(col("doc_id"))
+    val pooled = all.join(broadcast(top), Seq("doc_id"))
+      .filter(!col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("ptf"))
+    val alltf = all.join(broadcast(pooled.select(col("tok"))), Seq("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = alltf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val sel = pooled.join(dfreq, Seq("tok")).crossJoin(broadcast(stats))
+      .select(col("tok"), (idfBitsCol * col("ptf")).as("w"))
+      .orderBy(col("w").desc, col("tok"))
+      .limit(e)
+    import docs.sparkSession.implicits._
+    val finalTerms = sel.select(col("tok"))
+      .unionByName(terms.toDF("tok")).distinct()
+    val ftf = all.join(broadcast(finalTerms), Seq("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    scoreTf(ftf, stats, k)
+  }
+
+  /** Gate entry: the two-phase indexed form off b2's artifacts. */
+  def prfExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val post = postingsIndex(spark, dir)
+    val stats = statsIndex(spark, dir)
+    // phase 1: base-query scoring off the pushed postings slice; the F
+    // feedback ids collect as query-planning state
+    val topDocs = scoreTf(post.filter(col("tok").isin(QueryTerms: _*)),
+        stats, PrfFeedbackDocs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    // phase 2: the feedback docs' pooled vocabulary — F point-lookups on
+    // documents (pushed on doc_id), bounded planning state
+    val pooledRows = withDl(Catalog.documents(spark, dir)
+        .filter(col("doc_id").isin(topDocs: _*)))
+      .select(explode(col("toks")).as("tok"))
+      .filter(!col("tok").isin(QueryTerms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("ptf"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val candTerms = pooledRows.map(_._1)
+    val restricted = post.filter(col("tok").isin(candTerms: _*))
+    val dfreq = restricted.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    import post.sparkSession.implicits._
+    val sel = dfreq.join(broadcast(pooledRows.toDF("tok", "ptf")), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), (idfBitsCol * col("ptf")).as("w"))
+      .orderBy(col("w").desc, col("tok"))
+      .limit(PrfExpandTerms)
+      .collect().map(_.getString(0)).toSeq
+    // phase 3: compile-time IN-list over original ∪ expansion terms
+    val finalTerms = (QueryTerms ++ sel).distinct
+    scoreTf(post.filter(col("tok").isin(finalTerms: _*)), stats, TopK)
+  }
+
+  val prfExpansionSql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       | FROM documents),
+       |dl2 AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM dl),
+       |stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS t
+       | FROM dl2),
+       |tf0 AS (
+       | SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN ($terms) GROUP BY doc_id, dl, tok),
+       |dfreq0 AS (SELECT tok, count(*)::BIGINT AS df FROM tf0 GROUP BY tok),
+       |scored0 AS (
+       | SELECT tf0.doc_id,
+       |  CAST(round(CAST((length(bin((2*n + 2) // (2*df + 1))) - 1) * 22 * tf * t AS DOUBLE)
+       |   / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ppm
+       | FROM tf0 JOIN dfreq0 USING (tok), stats),
+       |top0 AS (
+       | SELECT doc_id, CAST(sum(ppm) AS BIGINT) AS s FROM scored0
+       | GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT $PrfFeedbackDocs),
+       |pooled AS (
+       | SELECT tok, count(*)::BIGINT AS ptf
+       | FROM (SELECT unnest(toks) AS tok FROM dl2
+       |   WHERE doc_id IN (SELECT doc_id FROM top0))
+       | WHERE tok NOT IN ($terms) GROUP BY tok),
+       |alltf AS (
+       | SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN (SELECT tok FROM pooled) GROUP BY doc_id, dl, tok),
+       |dfreq1 AS (SELECT tok, count(*)::BIGINT AS df FROM alltf GROUP BY tok),
+       |sel AS (
+       | SELECT pooled.tok FROM pooled JOIN dfreq1 USING (tok), stats
+       | ORDER BY (length(bin((2*n + 2) // (2*df + 1))) - 1) * ptf DESC, pooled.tok
+       | LIMIT $PrfExpandTerms),
+       |ftf AS (
+       | SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN ($terms) OR tok IN (SELECT tok FROM sel)
+       | GROUP BY doc_id, dl, tok),
+       |dfreq2 AS (SELECT tok, count(*)::BIGINT AS df FROM ftf GROUP BY tok),
+       |scored AS (
+       | SELECT ftf.doc_id,
+       |  CAST(round(CAST((length(bin((2*n + 2) // (2*df + 1))) - 1) * 22 * tf * t AS DOUBLE)
+       |   / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ppm
+       | FROM ftf JOIN dfreq2 USING (tok), stats)
+       |SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+       | CAST(sum(ppm) AS BIGINT) AS score_ppm
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
   // B11 — SNIPPET localization: the minimal token window containing ALL
   // query terms, with the window's text — the Lucene-highlighter /
   // best-passage primitive every retrieval UI and RAG context-builder
@@ -1005,6 +1148,13 @@ object Search {
   }
 
   val all: Seq[Q] = Seq(
+    Q("b12_prf_expansion", prfExpansion, Some(prfExpansionSql),
+      s"pseudo-relevance-feedback query expansion (Rocchio/RM): top-$PrfFeedbackDocs " +
+        s"feedback docs pool their vocabulary, the $PrfExpandTerms most " +
+        "discriminative new terms (integer idf_bits x pooled-tf) join the " +
+        "query, shared scoring tail rescores — the vocabulary-mismatch " +
+        "fix; two-phase serving form off b2's postings with feedback " +
+        "state collected as bounded planning state (training-data extension)"),
     Q("b11_snippet_window", snippetWindow, Some(snippetWindowSql),
       "snippet localization: minimal token window covering all query " +
         "terms + its text (the Lucene-highlighter / RAG evidence-span " +

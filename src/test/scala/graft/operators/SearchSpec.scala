@@ -353,6 +353,53 @@ class SearchSpec extends SparkSuite {
   }
 
   // ---------------------------------------------------------------------
+  // b12 — pseudo-relevance-feedback expansion
+  // ---------------------------------------------------------------------
+
+  test("b12: expansion retrieves the vocabulary-mismatch doc the base query cannot") {
+    // docs 1-3 match the base term and all carry the rare companion
+    // "gold"; doc 4 says ONLY "gold" — invisible to the base query,
+    // reachable after feedback expansion. "pad" is pooled too but
+    // common (every doc), so idf_bits × ptf favors "gold".
+    val docs = corpus(
+      Seq((1L, "q gold pad pad"), (2L, "q gold pad pad"),
+        (3L, "q gold pad pad"), (4L, "gold pad pad pad")) ++
+        (5L to 16L).map(i => (i, "pad noise filler words")): _*)
+    val base = Search.bm25Of(docs, Seq("q"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!base.contains(4L), "mismatch doc visible to base query — bad fixture")
+    val expanded = Search.prfExpansionOf(docs, Seq("q"), f = 3, e = 1, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(expanded.contains(4L),
+      s"expansion failed to retrieve the gold-only doc: $expanded")
+  }
+
+  test("b12: feedback from the top-F docs only — junk outside F never expands") {
+    // doc 4 is the ONLY base match ranked below F... simpler: the rare
+    // term "junk" lives in a NON-matching doc, so it can never be
+    // pooled; results must equal the base+pooled-common expansion
+    val docs = corpus(
+      Seq((1L, "q gold pad"), (2L, "q gold pad"), (3L, "q gold pad"),
+        (4L, "junk junk junk")) ++
+        (5L to 16L).map(i => (i, "pad noise filler words")): _*)
+    val got = Search.prfExpansionOf(docs, Seq("q"), f = 3, e = 1, k = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(4L), "a never-pooled term leaked into the expansion")
+  }
+
+  test("b12: gate (indexed two-phase) equals the direct form on the fixture") {
+    val direct = Search.prfExpansionOf(
+        graft.Catalog.documents(spark, sfDir), Search.QueryTerms,
+        Search.PrfFeedbackDocs, Search.PrfExpandTerms, Search.TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val indexed = Search.prfExpansion(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(indexed.toSeq === direct.toSeq,
+      s"indexed PRF drifted: got ${indexed.toSeq} want ${direct.toSeq}")
+    assert(direct.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------------
   // b11 — snippet localization
   // ---------------------------------------------------------------------
 
