@@ -539,7 +539,7 @@ object Graph {
       val raw = rawPlan.localCheckpoint(true)
       val m = raw.agg(greatest(coalesce(max(col("v")), lit(0L)), lit(1L))
         .as("m"))
-      raw.crossJoin(m)
+      raw.crossJoin(broadcast(m))
         .select(col("id"), expr(s"(v * ${UnitMicro}L) div m").as(out))
     }
     var hubs = nodes().select(col("doc_id").as("id"),

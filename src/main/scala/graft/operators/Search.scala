@@ -910,6 +910,93 @@ object Search {
        |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // B13 — right-to-be-forgotten PROPAGATION into the serving index: when
+  // consent is revoked for a data source (or a takedown lands), deleting
+  // rows from the base table is the easy half — every derived read view
+  // must stop serving the content too, and a 100 TB corpus is never
+  // re-tokenized for one revocation. This is b8's segment+tombstone
+  // pattern specialized to pure REMOVAL:
+  //   - maintained postings = full postings anti-joined against the
+  //     forgotten doc-id set (an 8-byte-key anti-join, b8's tombstones);
+  //   - corpus stats adjusted by three delta-local aggregates over the
+  //     forgotten docs THEMSELVES (tokenize only the revoked slice —
+  //     never a doc_id filter over the tok-sorted postings, which could
+  //     not row-group-skip);
+  //   - the gate PROVES propagation end-to-end by scoring b1's probe
+  //     over the maintained view: forgotten docs cannot appear, and the
+  //     adjusted (N, T) must shift every surviving score exactly as a
+  //     from-scratch rebuild would — the oracle recomputes BM25 from
+  //     scratch on the kept corpus, so stats drift of even one token
+  //     hash-fails.
+  // NULL-source docs are KEPT (null never equals the revoked source —
+  // the u1/u2 null-semantics rule), mirrored with IS DISTINCT FROM.
+  // ---------------------------------------------------------------------
+  val ForgetSource = "src3"
+
+  /** The postings relation of an arbitrary (doc_id, text) frame — the
+    * index build's body, exposed for the spec's rebuild-equality pin.
+    */
+  private[operators] def postingsOf(docs: DataFrame): DataFrame =
+    withDl(docs)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** Corpus stats of an arbitrary (doc_id, text) frame — spec hook. */
+  private[operators] def statsOfDocs(docs: DataFrame): DataFrame =
+    statsOf(withDl(docs))
+
+  /** The forgotten doc-id set + maintained postings + adjusted stats —
+    * shared by the gate query and the spec's rebuild-equality pin.
+    */
+  private[operators] def forgetViews(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Catalog.documents(spark, dir)
+    val forgotten = docs.filter(col("source") === ForgetSource)
+      .select(col("doc_id"))
+    val maintained = postingsIndex(spark, dir)
+      .join(forgotten, Seq("doc_id"), "left_anti")
+    val delta = statsOf(withDl(docs.filter(col("source") === ForgetSource)))
+      .select(col("n").as("dn"), coalesce(col("t"), lit(0L)).as("dt"))
+    val adjusted = statsIndex(spark, dir).crossJoin(broadcast(delta))
+      .select((col("n") - col("dn")).as("n"), (col("t") - col("dt")).as("t"))
+    (forgotten, maintained, adjusted)
+  }
+
+  def forgetSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (_, maintained, adjusted) = forgetViews(spark, dir)
+    scoreTf(maintained.filter(col("tok").isin(QueryTerms: _*)),
+      adjusted, TopK)
+  }
+
+  val forgetSearchSql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH kept AS (
+       | SELECT doc_id, text FROM documents
+       | WHERE source IS DISTINCT FROM '$ForgetSource'),
+       |dl AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       | FROM kept),
+       |dl2 AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM dl),
+       |stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS t
+       | FROM dl2),
+       |tf AS (
+       | SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl2)
+       | WHERE tok IN ($terms) GROUP BY doc_id, dl, tok),
+       |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |scored AS (
+       | SELECT tf.doc_id,
+       |  CAST(round(CAST((length(bin((2*n + 2) // (2*df + 1))) - 1) * 22 * tf * t AS DOUBLE)
+       |   / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ppm
+       | FROM tf JOIN dfreq USING (tok), stats)
+       |SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+       | CAST(sum(ppm) AS BIGINT) AS score_ppm
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_ppm DESC, doc_id LIMIT $TopK""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
   // B12 — PSEUDO-RELEVANCE-FEEDBACK query expansion (Rocchio 1971 /
   // RM-style PRF, Lucene's "relevance feedback"): run the base query,
   // assume the top-F results are relevant, pool their vocabulary, add
@@ -1148,6 +1235,13 @@ object Search {
   }
 
   val all: Seq[Q] = Seq(
+    Q("b13_forget", forgetSearch, Some(forgetSearchSql),
+      "right-to-be-forgotten propagation into the serving index: " +
+        "postings tombstoned by an 8-byte-key anti-join, corpus stats " +
+        "adjusted by delta-local aggregates over the revoked slice only " +
+        "(never re-tokenizing the corpus), proven end-to-end by b1's " +
+        "probe over the maintained view against a from-scratch oracle " +
+        "rebuild (training-data extension)"),
     Q("b12_prf_expansion", prfExpansion, Some(prfExpansionSql),
       s"pseudo-relevance-feedback query expansion (Rocchio/RM): top-$PrfFeedbackDocs " +
         s"feedback docs pool their vocabulary, the $PrfExpandTerms most " +

@@ -92,7 +92,19 @@ class PlanInvariantsSpec extends SparkSuite {
     *   (selection already collected as query-planning state);
     * - e4: the 1-row divisor count crossJoins broadcast onto the
     *   per-user counts (j7's shape; the corpus-sized passes are the
-    *   equi-keyed distinct + count aggregates).
+    *   equi-keyed distinct + count aggregates);
+    * - b12: b1's corpus-stats scalar shape — the final rescoring
+    *   crossJoins the ONE-row broadcast stats onto the tf relation
+    *   already restricted to original ∪ expansion terms (both selected
+    *   as bounded query-planning state);
+    * - b13: b8's maintained-stats shape — the 1-row adjusted (N, T)
+    *   relation (artifact stats × the 1-row revoked-slice delta)
+    *   crossJoins broadcast onto the tombstoned, term-pruned tf
+    *   relation; the corpus-sized work is the 8-byte-key anti-join;
+    * - k4: the per-superstep renormalization crossJoins the ONE-row
+    *   broadcast max onto the node-sized (checkpointed) score relation
+    *   (j7's shape inside an iterated plan — edges only ever move
+    *   through equi-joins).
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -103,7 +115,8 @@ class PlanInvariantsSpec extends SparkSuite {
       "b6_boolean_search", "n10_mips", "c4_chi_square", "b7_hybrid_rrf",
       "n11_filtered_ann", "b8_incremental_index",
       "c5_referential_integrity", "b9_passage_bm25", "n13_ivf_drift",
-      "d10_lsh_recall", "b10_more_like_this", "e4_relational_division")
+      "d10_lsh_recall", "b10_more_like_this", "e4_relational_division",
+      "b12_prf_expansion", "b13_forget", "k4_hits")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -353,6 +353,43 @@ class SearchSpec extends SparkSuite {
   }
 
   // ---------------------------------------------------------------------
+  // b13 — right-to-be-forgotten propagation
+  // ---------------------------------------------------------------------
+
+  test("b13: tombstoned postings equal a from-scratch rebuild of the kept corpus") {
+    val docs = graft.Catalog.documents(spark, sfDir)
+    val forgotten = docs.filter(col("source") === Search.ForgetSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(forgotten.nonEmpty, "no revoked-source docs — vacuous fixture")
+    val (_, maintained, adjusted) = Search.forgetViews(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("tok", "doc_id", "dl", "tf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = rows(maintained)
+    assert(got.forall(p => !forgotten.contains(p._2)),
+      "a forgotten doc survives in the maintained postings")
+    // from-scratch rebuild over the kept corpus — must be SET-equal
+    val kept = docs.filter(
+      col("source").isNull || col("source") =!= Search.ForgetSource)
+    val rebuilt = rows(Search.postingsOf(kept))
+    assert(got === rebuilt, "maintained view drifted from a full rebuild")
+    // adjusted stats must equal the kept corpus' recomputed stats exactly
+    val adj = adjusted.collect().head
+    val rec = Search.statsOfDocs(kept).collect().head
+    assert((adj.getLong(0), adj.getLong(1)) === ((rec.getLong(0), rec.getLong(1))),
+      "adjusted (N, T) drifted from recomputation")
+  }
+
+  test("b13: the forget visibly shifts the probe's scores vs the full corpus") {
+    val full = Search.bm25TopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val after = Search.forgetSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(full !== after,
+      "forgetting a whole source left the probe results bit-identical")
+  }
+
+  // ---------------------------------------------------------------------
   // b12 — pseudo-relevance-feedback expansion
   // ---------------------------------------------------------------------
 
