@@ -171,6 +171,62 @@ object Streams {
       }
   }
 
+  /** Streaming CURATION INGEST sink — the ONLINE front door of the batch
+    * curation pipeline, composing the batch rules per micro-batch so the
+    * two paths cannot drift:
+    *   1. quality floor: `length(text) >= Diff.MinIngestChars` (u2's
+    *      ingest rule, same constant);
+    *   2. content policy: x15's blocklist keep-verdict; survivors land
+    *      with their SCRUBBED text (scrubbing transforms survivors —
+    *      identity/dedup decisions key on the RAW content);
+    *   3. novelty: prefix fingerprint (d1/u2's shared
+    *      [[graft.operators.Dedup.prefixFingerprint]]) anti-joined
+    *      against the standing corpus AND deduped within the batch
+    *      (least doc_id wins, d12's keeper rule).
+    * The serving table persists the fingerprint COLUMN, so per batch the
+    * corpus contact is one column-pruned anti-join — the corpus is never
+    * re-fingerprinted (b13/b8's delta discipline). Replays are no-ops
+    * twice over: the replayed docs' fingerprints now exist in the table,
+    * and the doc_id upsert guard catches anything else — per-key
+    * exactly-once under foreachBatch's at-least-once delivery.
+    */
+  def curationIngestSink(docs: DataFrame, tablePath: String,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    implicit val spark: SparkSession = docs.sparkSession
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{Dedup, Diff, TextOps}
+        val scrub = TextOps.blocklistScrubOf(batch.select(col("doc_id"),
+          col("text")), TextOps.BlockTerms)
+        val graded = batch
+          .join(scrub.select(col("doc_id"), col("scrubbed"), col("keep")),
+            Seq("doc_id"))
+          .filter(length(col("text")) >= Diff.MinIngestChars &&
+            col("keep"))
+          .withColumn("fp", Dedup.prefixFingerprint(col("text")))
+        // within-batch dedup: least doc_id per fingerprint
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))
+        val survivors = graded
+          .withColumn("keeper", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("keeper"))
+          .select(col("doc_id"), col("scrubbed").as("text"),
+            col("source"), col("fp"))
+        val existingFps = scala.util.Try(
+          spark.read.parquet(tablePath).select(col("fp")).distinct())
+        existingFps match {
+          case scala.util.Success(fps) =>
+            graft.lifecycle.Lifecycle.upsert(tablePath,
+              survivors.join(fps, Seq("fp"), "left_anti"), Seq("doc_id"))
+          case scala.util.Failure(_) => // first batch bootstraps the table
+            survivors.write.parquet(tablePath)
+        }
+      }
+  }
+
   /** Streaming W2 — 5-minute decimation with a 10-minute watermark: the
     * latest event per tumbling window, emitted once the window closes.
     * Late rows beyond the watermark are dropped — the explicit version of

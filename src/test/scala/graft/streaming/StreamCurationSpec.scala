@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+case class IngestDoc(doc_id: Long, text: String, source: String)
+
+/** Streaming curation ingest: the online front door composes the batch
+  * rules per micro-batch — quality floor, blocklist policy, scrub,
+  * exact-dedup against the standing corpus and within the batch — and
+  * replays are no-ops (per-key exactly-once on the serving table).
+  */
+class StreamCurationSpec extends SparkSuite {
+
+  // 100+ chars (clears Diff.MinIngestChars), no blocklist hits
+  private val cleanBase = ("fresh words " * 12).trim
+  // heavy blocklist density: >6.6% of tokens are 'customer'
+  private val blocked = (("customer " * 6) + ("pad " * 30)).trim
+
+  test("curation ingest: floor, policy, dedup, scrub, and replay no-op") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-scur").toString
+    val table = s"$tmp/corpus"
+
+    val mem = MemoryStream[IngestDoc](spark)
+    val q = Streams.curationIngestSink(mem.toDF(), table, s"$tmp/ckpt").start()
+    try {
+      val batch = Seq(
+        IngestDoc(1L, "alpha " + cleanBase, "s1"),      // fresh → ingested
+        IngestDoc(2L, "too short", "s1"),               // under floor → drop
+        IngestDoc(3L, blocked, "s1"),                   // policy → drop
+        IngestDoc(4L, "beta " + cleanBase, "s1"),       // batch-dup keeper
+        IngestDoc(5L, "beta " + cleanBase, "s1"),       // batch-dup loser
+        IngestDoc(6L, "customer gamma " + cleanBase, "s2"))
+      // doc 6: one blocked token in ~26 → under the ppm threshold,
+      // KEPT but stored SCRUBBED (dedup keys on the RAW prefix, which
+      // differs from docs 1/4 in its first 50 chars)
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(after1.keySet === Set(1L, 4L, 6L),
+        s"wrong survivor set: ${after1.keySet}")
+      assert(after1(6L).contains(graft.operators.TextOps.BlockTag),
+        "policy hit not scrubbed in the stored text")
+      assert(!after1(6L).contains("customer"), "blocked token survived")
+
+      // batch 2: replay of batch 1 (at-least-once redelivery) plus a
+      // dup-of-existing under a NEW id — all no-ops; one genuinely new doc
+      mem.addData(batch :+ IngestDoc(7L, "alpha " + cleanBase, "s3")
+        :+ IngestDoc(8L, "delta fresh " + cleanBase, "s3"): _*)
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(table).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(after2 === Seq(1L, 4L, 6L, 8L),
+        s"replay/dup leaked or fresh doc missed: $after2")
+    } finally q.stop()
+  }
+
+  test("curation ingest equals the batch rules applied to the same delta") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-scur2").toString
+    val table = s"$tmp/corpus"
+    val docs = Seq(
+      IngestDoc(10L, "one " + cleanBase, "s1"),
+      IngestDoc(11L, "tiny", "s1"),
+      IngestDoc(12L, "two " + cleanBase, "s2"))
+    val mem = MemoryStream[IngestDoc](spark)
+    val q = Streams.curationIngestSink(mem.toDF(), table, s"$tmp/ckpt").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch twin: same floor + policy + scrub over the same rows
+    val twin = graft.operators.TextOps.blocklistScrubOf(
+        docs.toDF().select(col("doc_id"), col("text")),
+        graft.operators.TextOps.BlockTerms)
+      .join(docs.toDF().select(col("doc_id"), col("text").as("raw")), Seq("doc_id"))
+      .filter(length(col("raw")) >= graft.operators.Diff.MinIngestChars &&
+        col("keep"))
+      .select(col("doc_id"), col("scrubbed"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === twin, "stream and batch curation drifted")
+  }
+}
