@@ -642,6 +642,42 @@ object Monitoring {
   // Densify AFTER aggregating — a LOCF window over raw events would sort
   // the corpus.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // W14 — hourly percentile BANDS: p50/p95/p99 of the measure per
+  // (event_type, hour) — THE canonical monitoring dashboard panel (every
+  // latency chart is this query), and the time-bucketed generalization
+  // of p13's global percentiles. Exact `percentile` keeps the gate
+  // hash-comparable (both engines interpolate identically on sorted
+  // values); each group buffers ONE HOUR of one type's values, so the
+  // documented o1/p13 `approx_percentile` swap applies at 100 TB only if
+  // single hours grow beyond a task (t-digest partials, same plan minus
+  // the per-group sort). One grouped shuffle; the bucket expression is
+  // scan-side.
+  // ---------------------------------------------------------------------
+  def latencyBandsOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("hour"),
+        col("p").getItem(0).as("p50"),
+        col("p").getItem(1).as("p95"),
+        col("p").getItem(2).as("p99"),
+        col("n"))
+      .orderBy(col("event_type"), col("hour"))
+
+  def latencyBands(spark: SparkSession, dir: String): DataFrame =
+    latencyBandsOf(Catalog.events(spark, dir))
+
+  val latencyBandsSql: String =
+    """SELECT event_type, date_trunc('hour', ts) AS hour,
+      | quantile_cont(value, [0.5, 0.95, 0.99])[1] AS p50,
+      | quantile_cont(value, [0.5, 0.95, 0.99])[2] AS p95,
+      | quantile_cont(value, [0.5, 0.95, 0.99])[3] AS p99,
+      | count(*) AS n
+      |FROM events GROUP BY event_type, date_trunc('hour', ts)
+      |ORDER BY event_type, hour""".stripMargin.replace('\n', ' ')
+
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Catalog.events(spark, dir)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
@@ -1164,6 +1200,8 @@ object Monitoring {
       "bounded-row-frame moving average, decimal-exact frame sum"),
     Q("w8_gap_fill", gapFill, Some(gapFillSql),
       "gap-filled hourly series per event type: dense grid + last-observation-carried-forward over the aggregated buckets (chart densification)"),
+    Q("w14_latency_bands", latencyBands, Some(latencyBandsSql),
+      "hourly p50/p95/p99 percentile bands per event type — the canonical latency-dashboard panel; one grouped shuffle, per-group buffer bounded by one type-hour (approx_percentile is the documented 100 TB swap)"),
     Q("w6_hopping_window", hoppingWindowLoad, Some(hoppingWindowLoadSql),
       "hopping 10-min/5-min sliding-window aggregate (moving smoothing family; window() expansion + one grouped shuffle)"),
     Q("w5_asof_join", asofJoin, Some(asofJoinSql),

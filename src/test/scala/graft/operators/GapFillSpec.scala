@@ -48,4 +48,44 @@ class GapFillSpec extends SparkSuite {
       ("n", "03", 1L, Some(7.0)),
       ("n", "04", 0L, Some(7.0))), s"got ${got.mkString("\n")}")
   }
+
+  // ---------------------------------------------------------------------
+  // w14 — hourly percentile bands
+  // ---------------------------------------------------------------------
+
+  test("w14: hand-computed interpolated bands per (type, hour)") {
+    import spark.implicits._
+    val events = Seq(
+      ("m", "2024-01-01 00:05:00", 1.0),
+      ("m", "2024-01-01 00:15:00", 2.0),
+      ("m", "2024-01-01 00:25:00", 3.0),
+      ("m", "2024-01-01 00:35:00", 4.0),   // m@00: values 1..4
+      ("m", "2024-01-01 01:05:00", 10.0),  // m@01: single value
+      ("n", "2024-01-01 00:40:00", 6.0),   // n@00: 6,8
+      ("n", "2024-01-01 00:50:00", 8.0))
+      .toDF("event_type", "tss", "value")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"),
+        col("value"))
+    val got = Monitoring.latencyBandsOf(events).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 13))
+        -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    // 1..4: p50 = 2.5, p95 = 1 + 3·0.95 = 3.85, p99 = 3.97 (interpolated)
+    val (p50, p95, p99, n) = got(("m", "00"))
+    assert(n === 4L && p50 === 2.5)
+    assert(math.abs(p95 - 3.85) < 1e-9 && math.abs(p99 - 3.97) < 1e-9)
+    assert(got(("m", "01")) === ((10.0, 10.0, 10.0, 1L)), "single value = all bands")
+    val (q50, q95, _, n2) = got(("n", "00"))
+    assert(n2 === 2L && q50 === 7.0 && math.abs(q95 - 7.9) < 1e-9)
+  }
+
+  test("w14: band ordering holds on the fixture (p50 <= p95 <= p99)") {
+    val got = Monitoring.latencyBands(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p95 && p95 <= p99,
+        s"${r.getString(0)}@${r.getTimestamp(1)}: bands out of order")
+    }
+  }
 }
