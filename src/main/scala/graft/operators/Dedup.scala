@@ -1155,7 +1155,58 @@ object Dedup {
   }
 
   /** Registry of this module's catalogued queries. */
+  // ---------------------------------------------------------------------
+  // D13 — cross-source duplication matrix: WHICH source pairs share
+  // near-dups — the mirror/syndication detector (two crawl seeds serving
+  // the same content; a dataset vendor reselling another's scrape). Pair
+  // granularity (d4/d6) says two DOCS match; curation decisions about
+  // source WEIGHTS (z5/z10's mixing) and source DROPS need the
+  // source×source aggregation. Work is sized by the verified pair
+  // artifact: two broadcast-able joins attach the endpoints' sources
+  // (documents pruned to (doc_id, source)), then one grouped count over
+  // the canonically-ordered (least source first) pair — within-source
+  // duplication lands on the diagonal.
+  // ---------------------------------------------------------------------
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.Catalog.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val pairs = jaccardPairsIndexed(spark, dir)
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+    pairs
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Oracle: brute-force exact-Jaccard pairs (the d4/d6 oracle shape) +
+    * the same source attachment and canonical ordering.
+    */
+  val sourceOverlapSql: String =
+    s"""WITH $shingleCteSql,
+       |pr AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.hs, b.hs))::DOUBLE
+       |    / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+       |    >= $JaccardThreshold),
+       |sp AS (SELECT least(x.source, y.source) AS source_a,
+       |  greatest(x.source, y.source) AS source_b
+       | FROM pr JOIN documents x ON x.doc_id = pr.da
+       |  JOIN documents y ON y.doc_id = pr.db)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM sp GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("d13_source_overlap", sourceOverlap, Some(sourceOverlapSql),
+      "cross-source duplication matrix: which source pairs share " +
+        "near-dups (mirror/syndication detection feeding z5/z10's mixing " +
+        "weights) — two source-attach joins over the verified pair " +
+        "artifact + one grouped count, canonically ordered so " +
+        "within-source duplication lands on the diagonal (training-data " +
+        "extension)"),
     Q("d10_lsh_recall", lshRecall, Some(lshRecallSql),
       "LSH recall accounting (n7's discipline for dedup): what the band arm alone recalls of the exact ground truth, as gated data — the number that decides whether d2's exact backstop can be dropped at a given (K, bands, threshold) tuning (training-data extension)"),
     Q("x7_decontaminate", decontaminate, Some(decontaminateSql),

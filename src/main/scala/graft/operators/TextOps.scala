@@ -642,6 +642,34 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // X16 — lexical diversity (type-token ratio): distinct tokens over
+  // total tokens per document — the standard cheap signal for template/
+  // boilerplate detection that x2's counters and x8's repetition stats
+  // both miss (a page listing 500 DIFFERENT product names has low
+  // repetition but high diversity; a template repeating 20 words has the
+  // reverse). Integer ppm for the hash-exact gate; one scan-side
+  // projection, zero shuffle (the x-op shape). NULL text → NULL columns.
+  // ---------------------------------------------------------------------
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("l"))
+      .select(col("doc_id"),
+        size(array_distinct(col("l"))).as("n_types"),
+        size(col("l")).as("n_tokens"))
+      .select(col("doc_id"), col("n_types"), col("n_tokens"),
+        expr("(1000000L * n_types) div n_tokens").as("ttr_ppm"))
+      .orderBy(col("doc_id"))
+
+  val lexicalDiversitySql: String =
+    """WITH t AS (SELECT doc_id,
+      |  string_split_regex(lower(trim(text)), '\s+') AS l FROM documents)
+      |SELECT doc_id,
+      | len(list_distinct(l)) AS n_types,
+      | len(l) AS n_tokens,
+      | (1000000 * len(list_distinct(l))) // len(l) AS ttr_ppm
+      |FROM t ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // Text normalization (library API, spec-covered): the canonicalization
   // a pipeline runs BEFORE fingerprinting/dedup so byte-different
   // renderings of the same text (decomposed accents, zero-width junk,
@@ -807,6 +835,11 @@ object TextOps {
       "Gopher-style intra-document repetition signals via a one-pass codegen'd kernel (training-data extension)"),
     Q("x1_token_count", tokenCounts, Some(tokenCountsSql),
       "whitespace + BPE-ish token counting (training-data extension)"),
+    Q("x16_ttr", lexicalDiversity, Some(lexicalDiversitySql),
+      "lexical diversity (type-token ratio) per document in integer ppm " +
+        "— the template/boilerplate signal x2's counters and x8's " +
+        "repetition stats miss; one scan-side projection, zero shuffle " +
+        "(training-data extension)"),
     Q("x15_blocklist_scrub", blocklistScrub, Some(blocklistScrubSql),
       "token-exact denylist scrub (the C4 badwords / PII-mask stage): " +
         "blocked tokens replaced by a typed tag with per-document hit " +

@@ -366,4 +366,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(a.sameElements(b))
     assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 60)))
   }
+
+  test("x16: type-token ratio is exact ppm, bounded, and NULL-propagating") {
+    val got = TextOps.lexicalDiversity(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val (types, toks, ppm) = (r.getInt(1), r.getInt(2), r.getLong(3))
+        assert(types >= 1 && types <= toks, s"doc ${r.getLong(0)}")
+        assert(ppm === 1000000L * types / toks)
+        assert(ppm >= 1L && ppm <= 1000000L)
+      } else assert(r.isNullAt(1) && r.isNullAt(2), "partial NULL row")
+    }
+    // the signal separates: the fixture has both repetitive and diverse docs
+    val ppms = got.filter(!_.isNullAt(3)).map(_.getLong(3))
+    assert(ppms.distinct.length > 1, "TTR constant across the corpus — vacuous")
+  }
+
+  test("d13: source matrix totals reconcile with the pair artifact") {
+    val pairs = Dedup.jaccardPairsIndexed(spark, sfDir).count()
+    val matrix = Dedup.sourceOverlap(spark, sfDir).collect()
+    assert(matrix.nonEmpty, "no cross-source rows — vacuous fixture")
+    assert(matrix.map(_.getLong(2)).sum === pairs,
+      "matrix cells must partition the pair set exactly")
+    matrix.foreach(r => assert(r.getString(0) <= r.getString(1),
+      "canonical ordering violated"))
+  }
 }
