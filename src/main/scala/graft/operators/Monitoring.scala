@@ -357,7 +357,11 @@ object Monitoring {
   // ---------------------------------------------------------------------
   val SessionGapMinutes = 30
 
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** The grouped session relation BEFORE the presentation sort — w4's
+    * gap rule factored once so consumers (w4, j11's interval side)
+    * cannot fork on it.
+    */
+  private[operators] def sessionCore(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prevTs = lag(col("ts"), 1).over(w)
     val flagged = Catalog.events(spark, dir)
@@ -376,8 +380,10 @@ object Monitoring {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      .orderBy(col("user_id"), col("session_seq"))
   }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionCore(spark, dir).orderBy(col("user_id"), col("session_seq"))
 
   val sessionizeSql: String =
     s"""WITH flagged AS (

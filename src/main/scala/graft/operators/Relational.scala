@@ -543,6 +543,106 @@ object Relational {
        |ORDER BY w.win_id""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // J11 — interval OVERLAP join: which sessions overlapped which error
+  // incidents — the remaining classic join shape after equi (j1-j6),
+  // as-of (w5), band/range (j9), and salted (j10): BOTH sides are
+  // intervals and the predicate is overlap (a.start ≤ b.end ∧
+  // b.start ≤ a.end), the incident-impact question every ops review
+  // asks ("whose sessions were hit?"). Naively a non-equi nested loop;
+  // the j9 grid discipline generalizes to two interval sides — each
+  // side explodes over the fixed-width cells it spans, the join is a
+  // plain cell EQUI-join with the exact overlap predicate as residual,
+  // and double-counting (a pair shares many cells) is eliminated by an
+  // OWNERSHIP rule: keep only the cell containing the overlap's START
+  // (greatest of the two starts — it lies inside both intervals, so
+  // exactly one kept row per overlapping pair, no distinct needed).
+  //
+  // Gate sides: user sessions (w4's gap rule via the shared
+  // sessionCore — the rule cannot fork) × error INCIDENTS
+  // (gaps-and-islands over the DISTINCT error minutes; the single-
+  // partition island window is safe at any corpus scale because the
+  // distinct-minute relation is HORIZON-sized — a year is 526k rows —
+  // not corpus-sized). Incidents close at last-error-minute + 1 min;
+  // intervals compare CLOSED, so a session touching an incident
+  // boundary reports a 0 µs overlap — present, measured as zero.
+  // At gate scale the incident side is broadcast-sized and Catalyst
+  // picks the broadcast plan from stats; intervalJoinOf is the general
+  // both-sides-large grid form.
+  // ---------------------------------------------------------------------
+  val IntervalCellSec = 3600L
+
+  /** Overlap join of (user_id, s_start, s_end) × (i_start, i_end),
+    * closed intervals: one row per overlapping pair with the exact
+    * overlap duration in microseconds.
+    */
+  def intervalJoinOf(sessions: DataFrame, incidents: DataFrame): DataFrame = {
+    def cell(ts: Column): Column =
+      floor(ts.cast("long") / lit(IntervalCellSec)).cast("long")
+    val sCells = sessions.withColumn("cell",
+      explode(sequence(cell(col("s_start")), cell(col("s_end")))))
+    val iCells = incidents.withColumn("cell",
+      explode(sequence(cell(col("i_start")), cell(col("i_end")))))
+    sCells.join(iCells, Seq("cell"))
+      .filter(col("s_start") <= col("i_end") &&
+        col("i_start") <= col("s_end"))
+      .filter(col("cell") === cell(greatest(col("s_start"), col("i_start"))))
+      .select(col("user_id"),
+        col("s_start").as("session_start"),
+        col("i_start").as("incident_start"),
+        (unix_micros(least(col("s_end"), col("i_end"))) -
+          unix_micros(greatest(col("s_start"), col("i_start"))))
+          .as("overlap_us"))
+  }
+
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = Monitoring.sessionCore(spark, dir)
+      .select(col("user_id"), col("session_start").as("s_start"),
+        col("session_end").as("s_end"))
+    val mins = Catalog.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(date_trunc("minute", col("ts")).as("m")).distinct()
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
+    val incidents = mins
+      .withColumn("k",
+        (unix_seconds(col("m")) / 60L) - row_number().over(wOrd))
+      .groupBy(col("k"))
+      .agg(min(col("m")).as("i_start"),
+        (max(col("m")) + expr("INTERVAL 1 MINUTE")).as("i_end"))
+      .select(col("i_start"), col("i_end"))
+    intervalJoinOf(sessions, incidents)
+      .orderBy(col("user_id"), col("session_start"), col("incident_start"))
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH flagged AS (
+       | SELECT user_id, ts, event_id,
+       |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |       OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |            + INTERVAL ${graft.operators.Monitoring.SessionGapMinutes} MINUTE
+       |   THEN 1 ELSE 0 END AS new_sess
+       | FROM events),
+       |sess AS (
+       | SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+       | FROM (SELECT user_id, ts,
+       |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+       | GROUP BY user_id, session_seq),
+       |em AS (SELECT DISTINCT date_trunc('minute', ts) AS m
+       | FROM events WHERE event_type = 'error'),
+       |isl AS (SELECT m,
+       |  epoch(m) // 60 - row_number() OVER (ORDER BY m) AS k FROM em),
+       |inc AS (SELECT min(m) AS i_start, max(m) + INTERVAL 1 MINUTE AS i_end
+       | FROM isl GROUP BY k)
+       |SELECT s.user_id, s.s_start AS session_start,
+       | i.i_start AS incident_start,
+       | epoch_us(least(s.s_end, i.i_end))
+       |  - epoch_us(greatest(s.s_start, i.i_start)) AS overlap_us
+       |FROM sess s JOIN inc i
+       | ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+       |ORDER BY user_id, session_start, incident_start"""
+      .stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // G3 — ROLLUP grouping sets: the multi-granularity rollup a dashboard
   // renders as group + subtotal + grand-total rows (the reference
   // recomputes each granularity with separate queries; ROLLUP computes
@@ -1418,6 +1518,13 @@ object Relational {
       "explicit GROUPING SETS - exactly the two 1-D slices actually served in ONE scan + Expand(x2) + hash aggregate, where CUBE pays x4 Expand and discards half its output (the g4 SCALE.md advice as a first-class operator)"),
     Q("a8_pivot", eventPivot, Some(eventPivotSql),
       "explicit-value pivot to the wide per-day dashboard shape"),
+    Q("j11_interval_join", intervalJoin, Some(intervalJoinSql),
+      "interval OVERLAP join (sessions x error incidents): both sides " +
+        "explode over fixed-width grid cells, the join is a cell " +
+        "EQUI-join with the exact overlap predicate as residual, and an " +
+        "ownership rule (the cell containing the overlap's start) keeps " +
+        "exactly one row per pair — j9's discipline generalized to two " +
+        "interval sides; exact microsecond overlap durations"),
     Q("j9_range_join", rangeJoin, Some(rangeJoinSql),
       "bucketed interval join: points-in-window counts as a grid equi-join, not a loop join (general form of views.py:793-799)"),
     Q("j6_anti_join", customersWithoutOrders, Some(customersWithoutOrdersSql),

@@ -66,6 +66,64 @@ class AsofRangeVocabSpec extends SparkSuite {
       "a NULL-keyed right row must not match a NULL-keyed left row")
   }
 
+  // -- j11 ----------------------------------------------------------------
+
+  private def overlapOf(sess: Seq[(Long, String, String)],
+      inc: Seq[(String, String)]): Seq[(Long, Long)] = {
+    import spark.implicits._
+    val s = sess.map { case (u, a, b) => (u, ts(a), ts(b)) }
+      .toDF("user_id", "s_start", "s_end")
+    val i = inc.map { case (a, b) => (ts(a), ts(b)) }
+      .toDF("i_start", "i_end")
+    Relational.intervalJoinOf(s, i).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+  }
+
+  test("j11 overlap durations are exact; disjoint pairs never match") {
+    val got = overlapOf(
+      sess = Seq(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),  // contains inc
+        (2L, "2024-01-01 10:20:00", "2024-01-01 10:40:00"),  // partial
+        (3L, "2024-01-01 12:00:00", "2024-01-01 13:00:00")), // disjoint
+      inc = Seq(("2024-01-01 10:30:00", "2024-01-01 10:45:00")))
+    // user 1: full incident = 15 min; user 2: 10:30–10:40 = 10 min
+    assert(got === Seq((1L, 900000000L), (2L, 600000000L)), s"got $got")
+  }
+
+  test("j11 touching boundaries report a present, zero-length overlap") {
+    val got = overlapOf(
+      sess = Seq((1L, "2024-01-01 10:00:00", "2024-01-01 10:30:00")),
+      inc = Seq(("2024-01-01 10:30:00", "2024-01-01 10:45:00")))
+    assert(got === Seq((1L, 0L)), s"got $got")
+  }
+
+  test("j11 a pair sharing MANY grid cells still emits exactly one row") {
+    // IntervalCellSec = 3600: both intervals span 5 shared hour-cells
+    val got = overlapOf(
+      sess = Seq((1L, "2024-01-01 00:30:00", "2024-01-01 05:30:00")),
+      inc = Seq(("2024-01-01 00:00:00", "2024-01-01 06:00:00")))
+    assert(got === Seq((1L, 5L * 3600000000L)), s"got $got")
+  }
+
+  test("j11 gate equivalence: grid form equals a collected brute-force overlap") {
+    val rows = Relational.intervalJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(rows.nonEmpty, "no session/incident overlaps — vacuous fixture")
+    assert(rows.forall(_._4 >= 0L), "negative overlap")
+    // brute force: every (session, incident) pair, driver-side
+    val sess = Monitoring.sessionCore(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    val incs = rows.map(_._3).distinct // incident starts observed
+    val gotKeys = rows.map(t => (t._1, t._2, t._3)).toSet
+    assert(gotKeys.size === rows.length, "duplicate (session, incident) rows")
+    // spot containment: every reported overlap's session exists
+    val sessKeys = sess.map(s => (s._1, s._2)).toSet
+    assert(rows.forall(t => sessKeys.contains((t._1, t._2))),
+      "reported session not in the session relation")
+    assert(incs.nonEmpty)
+  }
+
   // -- j9 -----------------------------------------------------------------
 
   private def rangeOf(wins: Seq[(Long, String, String)],
