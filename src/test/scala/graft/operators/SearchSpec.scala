@@ -380,6 +380,16 @@ class SearchSpec extends SparkSuite {
       "adjusted (N, T) drifted from recomputation")
   }
 
+  test("b13: the probe's tok IN-list pushes THROUGH the tombstone anti-join") {
+    // the whole point of the maintained view: the revocation adds an
+    // 8-byte-key anti-join but must not cost the pushed term scan
+    val plan = Search.forgetSearch(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(tok"),
+      s"tok IN (…) lost below the anti-join:\n$plan")
+    assert(plan.contains("LeftAnti"), "tombstone anti-join missing")
+  }
+
   test("b13: the forget visibly shifts the probe's scores vs the full corpus") {
     val full = Search.bm25TopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
