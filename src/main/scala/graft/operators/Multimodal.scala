@@ -294,6 +294,69 @@ object Multimodal {
       |ORDER BY keeper_doc_id""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // M8 — media hash-DENYLIST filter: flag every media row whose payload
+  // fingerprint appears on a known-hash list — the mandatory
+  // policy/compliance stage of every media pipeline (known-bad-content
+  // hash matching, takedown lists, licensed-asset blocks). The whole
+  // point of hash matching is that it catches REHOSTED COPIES: any row
+  // sharing a listed payload flags, not just the originally-listed id
+  // (spec-pinned on a hand corpus with a rehosted copy).
+  //
+  // The gate binds a hash-derived pseudo-list (payload fps of the
+  // doc_id % 41 == 7 rows) because the oracle must recompute the list
+  // from the same bytes — x11's pseudo-model discipline; a deployment
+  // passes its real external list to [[mediaDenylistOf]] unchanged.
+  // Plan: the m5 fingerprint pass (shared definition — the key cannot
+  // fork from the dedup key) + ONE broadcast semi-join against the
+  // list (denylist are thousands-to-millions of 8-byte keys —
+  // broadcast-sized by nature); output is flagged-rows-only,
+  // delta-sized.
+  // ---------------------------------------------------------------------
+  val DenySeedMod = 41L
+  val DenySeedRem = 7L
+
+  /** (doc_id, payload_fp) of every media row with actual payload —
+    * the m5 fingerprint pass factored for both consumers.
+    */
+  private def payloadFps(media: DataFrame): DataFrame =
+    media
+      .filter(col("media").isNotNull && length(col("media")) > HeaderBytes)
+      .select(col("doc_id"),
+        TextOps.hash60(hex(expr(s"substring(media, ${HeaderBytes + 1})")))
+          .as("payload_fp"))
+
+  /** Flag every media row whose payload fingerprint is on `denyFps`
+    * (a 1-column `payload_fp` relation).
+    */
+  def mediaDenylistOf(media: DataFrame, denyFps: DataFrame): DataFrame =
+    payloadFps(media)
+      .join(broadcast(denyFps.select(col("payload_fp")).distinct()),
+        Seq("payload_fp"), "left_semi")
+      .select(col("doc_id"))
+
+  def mediaDenylist(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir)
+    val deny = payloadFps(m)
+      .filter(col("doc_id") % DenySeedMod === DenySeedRem)
+      .select(col("payload_fp"))
+    mediaDenylistOf(m, deny)
+      .select(col("doc_id"),
+        (col("doc_id") % DenySeedMod === DenySeedRem).as("is_seed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mediaDenylistSql: String =
+    s"""WITH fp AS (
+       | SELECT doc_id, ${TextOps.hash60Sql("hex(encode(text))")} AS payload_fp
+       | FROM documents
+       | WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+       |deny AS (SELECT DISTINCT payload_fp FROM fp
+       | WHERE doc_id % $DenySeedMod = $DenySeedRem)
+       |SELECT doc_id, doc_id % $DenySeedMod = $DenySeedRem AS is_seed
+       |FROM fp WHERE payload_fp IN (SELECT payload_fp FROM deny)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // M6 — content-defined chunking (CDC) dedup: SUB-file duplicate
   // detection for binary media, the byte-level analogue of d7/d8's text
   // granularity ladder and the technique behind LBFS/restic/FastCDC
@@ -549,6 +612,11 @@ object Multimodal {
       "content-defined chunking (LBFS/FastCDC shape) over binary payloads: trailing-window hash boundaries, cross-media duplicate-chunk accounting — sub-file dedup granularity for media (training-data extension)"),
     Q("m5_media_dedup", mediaDedup, Some(mediaDedupSql),
       "exact media dedup by payload content hash — byte-identical blobs collapse to one keeper; portable md5-over-hex blob fingerprint, delta-sized duplicate report (training-data extension)"),
+    Q("m8_media_denylist", mediaDenylist, Some(mediaDenylistSql),
+      "media hash-denylist filter (the takedown/known-hash compliance " +
+        "stage): m5's shared payload fingerprint + one broadcast " +
+        "semi-join against the list — catches rehosted copies, not just " +
+        "listed ids; flagged-rows-only output (training-data extension)"),
     Q("m1_decode_frames", decodeFrames, Some(decodeFramesSql),
       "binary media decode via mapPartitions, stub kernel, real plumbing (training-data extension)"),
     Q("m4_media_features", mediaFeatures, Some(mediaFeaturesSql),

@@ -54,6 +54,35 @@ class MultimodalSpec extends SparkSuite {
     assert(got(1L)._2 != got(6L)._2, "distinct payloads must not collide")
   }
 
+  test("m8 denylist flags REHOSTED copies of a listed payload, not just listed ids") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("bad content")),    // listed
+      (2L, Some("bad content")),    // rehosted copy — must flag
+      (3L, Some("fine content")),   // clean
+      (4L, None),                   // NULL media — never flags
+      (5L, Some("")))               // header-only — never flags
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaTableOf(docs)
+    val deny = Multimodal.mediaDedupOf(media)   // derive the listed fp
+      .select(col("payload_fp"))                // (1/2's shared payload)
+    val flagged = Multimodal.mediaDenylistOf(media, deny)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L, 2L),
+      s"denylist must catch both the listed id AND its copy: $flagged")
+  }
+
+  test("m8 gate: seeds are flagged and every flagged row shares a seed payload") {
+    val got = Multimodal.mediaDenylist(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(got.nonEmpty, "no denylist hits — vacuous")
+    assert(got.exists(_._2), "no seed rows flagged")
+    // every seed with payload must self-flag
+    got.filter(_._2).foreach { case (id, _) =>
+      assert(id % Multimodal.DenySeedMod === Multimodal.DenySeedRem)
+    }
+  }
+
   test("m4 features: normalized histogram (sums to ~1), UTF-8 bytes, empty excluded") {
     import spark.implicits._
     val docs = Seq((1L, "héllo ünïcode ✓"), (2L, "abc"), (3L, ""))
