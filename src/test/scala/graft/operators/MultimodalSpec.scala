@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.col
 
 /** Decode-kernel invariants beyond the oracle gate — in particular the
   * UTF-8 byte accounting on non-ASCII payloads (round-4 verdict item #9:
