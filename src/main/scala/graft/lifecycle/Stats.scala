@@ -186,6 +186,19 @@ object Stats {
         .head(1).headOption.map(_.getLong(0)))
     catch { case _: Exception => None }
 
+  /** Persisted (min, max) of `column` in [[analyze]]'s string rendering,
+    * if analyzed and non-NULL — the observed-range input to
+    * [[graft.operators.Relational.cellSecondsForTable]]'s grid sizing.
+    */
+  def minMax(spark: SparkSession, tablePath: String,
+      column: String): Option[(String, String)] =
+    try read(spark, tablePath)
+      .flatMap(_.filter(col("column") === column &&
+          col("min_str").isNotNull && col("max_str").isNotNull)
+        .select(col("min_str"), col("max_str"))
+        .head(1).headOption.map(r => (r.getString(0), r.getString(1))))
+    catch { case _: Exception => None }
+
   /** Apply a broadcast hint iff the persisted stats say the table is small
     * BOTH by on-disk bytes AND by row count — the ANALYZE → plan feedback
     * loop for the engine's own written tables. The row-count bound is the

@@ -31,12 +31,16 @@ import graft.Catalog
   * append never touches existing bytes, rewrite writes the surviving rows
   * once (the same cost the in-place form pays) but keeps the old files
   * for history. Reads list one manifest, not the directory tree (no
-  * eventual-consistency listing races). Concurrency: this engine is
-  * single-writer per table (the local driver); a multi-writer deployment
-  * swaps `writeManifest`'s rename for an atomic CAS on the manifest
-  * number — the layout itself is already append-only, which is the hard
-  * part. Retention: [[vacuumKeepingSince]] deletes data files referenced
-  * ONLY by dropped manifests, the VACUUM analogue over history.
+  * eventual-consistency listing races). Concurrency: the manifest publish
+  * is a rename-if-absent CAS on the version number — concurrent appends
+  * stage their (immutable, uniquely-named) data first, then race for
+  * v = head+1; exactly one wins, the loser re-reads the new head and
+  * retries onto v+1 referencing the same staged files, so no writer ever
+  * loses data or clobbers another's version. Retention:
+  * [[vacuumKeepingSince]] deletes data files referenced ONLY by dropped
+  * manifests, the VACUUM analogue over history, and folds dropped
+  * versions' idempotency tokens into a retained side index so
+  * [[appendOnce]] stays exactly-once past retention.
   */
 object Versioned {
 
@@ -61,7 +65,7 @@ object Versioned {
     * single atomic commit point (a separate marker file would reopen
     * the lost-or-duplicated window a crash between two publishes makes).
     */
-  private def manifest(path: String, v: Int)(
+  private def manifestInfo(path: String, v: Int)(
       implicit spark: SparkSession): (StructType, Seq[String], Option[String]) = {
     val f = fs(path)
     val p = new Path(s"$path/_v/$v")
@@ -102,19 +106,49 @@ object Versioned {
     moved
   }
 
-  private def writeManifest(path: String, v: Int, schema: StructType,
-      files: Seq[String], token: Option[String] = None)(
-      implicit spark: SparkSession): Unit = {
+  /** Test seam: invoked immediately before each manifest-publish attempt —
+    * lets a spec interleave a concurrent writer deterministically at the
+    * CAS point. No-op in production.
+    */
+  @volatile private[lifecycle] var beforePublish: () => Unit = () => ()
+
+  /** The multi-writer CAS point: publish manifest `v` iff no writer beat
+    * us to it. The tmp file is per-attempt unique (two losers can't
+    * clobber each other's staging), the existence check rejects a lost
+    * race, and the rename is the atomic publish. On HDFS/ABFS the rename
+    * itself refuses an existing destination, making the CAS exact; on
+    * raw POSIX (rename(2) overwrites) the exists-check narrows the race
+    * to the syscall window — an object-store deployment swaps this for
+    * its conditional-put primitive, same contract. Returns false when
+    * version v was already taken: the caller re-reads the new head and
+    * retries onto the next version.
+    */
+  private def tryPublishManifest(path: String, v: Int, schema: StructType,
+      files: Seq[String], token: Option[String])(
+      implicit spark: SparkSession): Boolean = {
     val f = fs(path)
     f.mkdirs(new Path(s"$path/_v"))
-    val tmp = new Path(s"$path/_v/.$v.tmp")
+    val tmp = new Path(s"$path/_v/.$v-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = f.create(tmp, true)
     val lines = schema.toDDL +: (token.map("#token=" + _).toSeq ++ files)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    require(f.rename(tmp, new Path(s"$path/_v/$v")),
-      s"failed to publish manifest $v of $path")
+    beforePublish()
+    val dst = new Path(s"$path/_v/$v")
+    if (f.exists(dst)) { f.delete(tmp, false); false }
+    else {
+      val won = f.rename(tmp, dst)
+      if (!won) f.delete(tmp, false)
+      won
+    }
   }
+
+  private def writeManifest(path: String, v: Int, schema: StructType,
+      files: Seq[String], token: Option[String] = None)(
+      implicit spark: SparkSession): Unit =
+    require(tryPublishManifest(path, v, schema, files, token),
+      s"failed to publish manifest $v of $path (version already exists?)")
 
   /** Commit `df` as an APPEND: version N+1 = version N's files plus the
     * new data. On a not-yet-created table this is the initial commit.
@@ -137,39 +171,107 @@ object Versioned {
 
   private def appendTagged(path: String, df: DataFrame,
       token: Option[String])(implicit spark: SparkSession): Int = {
-    val cur = currentVersion(path)
-    val prev = if (cur == 0) Seq.empty else {
-      val (prevSchema, prevFiles, _) = manifest(path, cur)
-      // an append under a drifted schema would serve HISTORY's files
-      // through the new contract — silent NULL-fill or a read error
-      // deep in some later query. Rewrite owns schema change (its
-      // manifest references only its own output); append must match.
-      require(shape(prevSchema) == shape(relaxed(df.schema)),
-        s"append schema drift on $path: table is ${prevSchema.toDDL}, " +
-          s"append is ${df.schema.toDDL} — commit schema changes as a " +
-          "rewrite, which re-publishes every surviving row under the new shape")
-      prevFiles
+    val f = fs(path)
+    // stage ONCE; a lost CAS race re-reads the head and re-publishes a
+    // manifest referencing the same already-immutable data files (their
+    // c<V>- prefix is provenance, not a reference — the manifest is)
+    val staged = stageData(path, currentVersion(path) + 1, df)
+    var attempt = 0
+    while (attempt < 64) {
+      attempt += 1
+      // a concurrent SAME-token writer may have won while we staged —
+      // re-check inside the loop so exactly one version carries the token
+      token.flatMap(knownTokenVersion(path, _)) match {
+        case Some(dup) =>
+          staged.foreach(n => f.delete(new Path(s"$path/data/$n"), false))
+          return dup
+        case None =>
+      }
+      val cur = currentVersion(path)
+      val prev = if (cur == 0) Seq.empty else {
+        val (prevSchema, prevFiles, _) = manifestInfo(path, cur)
+        // an append under a drifted schema would serve HISTORY's files
+        // through the new contract — silent NULL-fill or a read error
+        // deep in some later query. Rewrite owns schema change (its
+        // manifest references only its own output); append must match.
+        require(shape(prevSchema) == shape(relaxed(df.schema)),
+          s"append schema drift on $path: table is ${prevSchema.toDDL}, " +
+            s"append is ${df.schema.toDDL} — commit schema changes as a " +
+            "rewrite, which re-publishes every surviving row under the new shape")
+        prevFiles
+      }
+      val v = cur + 1
+      if (tryPublishManifest(path, v, relaxed(df.schema),
+          prev ++ staged, token))
+        return v
+      // lost the CAS: someone published v first — loop retries onto v+1
     }
-    val v = cur + 1
-    writeManifest(path, v, relaxed(df.schema),
-      prev ++ stageData(path, v, df), token)
-    v
+    throw new IllegalStateException(
+      s"append to $path lost the manifest CAS 64 times — livelock or a " +
+        "writer storm; back off and retry")
   }
 
+  // -------------------------------------------------------------------
+  // Token retention (idempotency across VACUUM): `#token=` markers live
+  // in manifests, so dropping a manifest would forget its batch token
+  // and a delayed at-least-once replay of that batch would re-append as
+  // a duplicate version. Vacuum therefore folds dropped tokens into a
+  // retained side index `_v/.tokens-<seq>` (lines `<version> <token>`);
+  // each vacuum publishes a NEW index (atomic fresh-name rename, never
+  // an in-place overwrite) carrying the previous index's entries plus
+  // the newly dropped ones, and deletes older indexes only afterwards —
+  // a crash at any point leaves at least one complete index readable.
+  // -------------------------------------------------------------------
+  private def tokenIndexFiles(path: String)(
+      implicit spark: SparkSession): Seq[(Long, Path)] = {
+    val f = fs(path)
+    val dir = new Path(s"$path/_v")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith(".tokens-"))
+      .flatMap { p =>
+        p.getName.stripPrefix(".tokens-").toLongOption.map(_ -> p)
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** Vacuum-retained token → version map (newest complete index). */
+  private def retainedTokens(path: String)(
+      implicit spark: SparkSession): Map[String, Int] =
+    tokenIndexFiles(path).lastOption.map { case (_, p) =>
+      val in = fs(path).open(p)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        out.toString("UTF-8")
+      } finally in.close()
+      txt.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(v, t) = line.split(" ", 2)
+        t -> v.toInt
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The version that committed `token`, live manifests checked newest-
+    * first (a replay almost always hits within the last few), then the
+    * vacuum-retained index for tokens whose manifests history dropped.
+    */
+  private def knownTokenVersion(path: String, token: String)(
+      implicit spark: SparkSession): Option[Int] =
+    versions(path).reverse
+      .find(v => manifestInfo(path, v)._3.contains(token))
+      .orElse(retainedTokens(path).get(token))
+
   /** IDEMPOTENT append keyed by a caller token (a streaming batch id):
-    * if any committed version already carries `token`, the call is a
-    * no-op returning that version — so at-least-once redelivery
-    * publishes exactly one version per batch. The token lives inside
-    * the manifest (one atomic publish; no second marker file to crash
-    * between). The duplicate check scans manifests newest-first — a
-    * replay almost always hits within the last few; a deployment with
-    * deep history keeps a token→version side index and checks that
-    * first (same contract, one read).
+    * if any committed version already carries `token` — or the vacuum-
+    * retained token index records it for a version history has since
+    * dropped — the call is a no-op returning that version, so
+    * at-least-once redelivery publishes exactly one version per batch,
+    * across the table's whole lifetime, not just the retention window.
+    * The token lives inside the manifest (one atomic publish; no second
+    * marker file to crash between).
     */
   def appendOnce(path: String, df: DataFrame, token: String)(
       implicit spark: SparkSession): Int =
-    versions(path).reverse
-      .find(v => manifest(path, v)._3.contains(token))
+    knownTokenVersion(path, token)
       .getOrElse(appendTagged(path, df, Some(token)))
 
   /** Commit a full REWRITE (DELETE/UPDATE compaction shape): version N+1
@@ -189,7 +291,7 @@ object Versioned {
   /** Time travel: the table exactly as committed at version `v`. */
   def readVersion(path: String, v: Int)(
       implicit spark: SparkSession): DataFrame = {
-    val (schema, files, _) = manifest(path, v)
+    val (schema, files, _) = manifestInfo(path, v)
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     else spark.read.schema(schema)
@@ -201,7 +303,11 @@ object Versioned {
 
   /** Retention: drop manifests OLDER than `keepSince` and delete every
     * data file no surviving manifest references. Returns the number of
-    * data files deleted. Versions ≥ keepSince stay fully readable.
+    * data files deleted. Versions ≥ keepSince stay fully readable, and
+    * dropped versions' `#token=` idempotency markers are folded into the
+    * retained token index FIRST, so [[appendOnce]]'s exactly-once
+    * contract survives retention (a delayed replay of a vacuumed batch
+    * stays a no-op instead of re-appending as a duplicate version).
     */
   def vacuumKeepingSince(path: String, keepSince: Int)(
       implicit spark: SparkSession): Int = {
@@ -209,10 +315,30 @@ object Versioned {
     val (drop, keep) = versions(path).partition(_ < keepSince)
     require(keep.nonEmpty,
       s"refusing to vacuum every version of $path (keepSince=$keepSince)")
-    val live = keep.flatMap(manifest(path, _)._2).toSet
-    val dead = drop.flatMap(manifest(path, _)._2).toSet -- live
+    // 1) retain dropped tokens: new index = previous index ∪ dropped
+    //    manifests' tokens, published under a FRESH sequence number
+    //    before anything is deleted (idempotent under crash-rerun)
+    val droppedTokens = drop.flatMap(v =>
+      manifestInfo(path, v)._3.map(t => t -> v)).toMap
+    val oldIndexes = tokenIndexFiles(path)
+    if (droppedTokens.nonEmpty) {
+      val merged = retainedTokens(path) ++ droppedTokens
+      val seq = oldIndexes.lastOption.map(_._1 + 1).getOrElse(1L)
+      val tmp = new Path(s"$path/_v/..tokens-$seq.tmp")
+      val out = f.create(tmp, true)
+      try out.write(merged.map { case (t, v) => s"$v $t" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      require(f.rename(tmp, new Path(s"$path/_v/.tokens-$seq")),
+        s"failed to publish token index $seq of $path")
+    }
+    // 2) delete dead data, dropped manifests, then superseded indexes
+    val live = keep.flatMap(manifestInfo(path, _)._2).toSet
+    val dead = drop.flatMap(manifestInfo(path, _)._2).toSet -- live
     dead.foreach(n => f.delete(new Path(s"$path/data/$n"), false))
     drop.foreach(v => f.delete(new Path(s"$path/_v/$v"), false))
+    if (droppedTokens.nonEmpty)
+      oldIndexes.foreach { case (_, p) => f.delete(p, false) }
     dead.size
   }
 

@@ -502,9 +502,10 @@ object Relational {
     * per-window counts of points with win_start ≤ ts < win_end, zero-point
     * windows included.
     */
-  def rangeJoinCounts(wins: DataFrame, points: DataFrame): DataFrame = {
+  def rangeJoinCounts(wins: DataFrame, points: DataFrame,
+      cellSeconds: Long = RangeBucketSec): DataFrame = {
     def cell(ts: Column): Column =
-      floor(ts.cast("long") / lit(RangeBucketSec)).cast("long")
+      floor(ts.cast("long") / lit(cellSeconds)).cast("long")
     // end is exclusive, so a window ending exactly on a grid line gains
     // only an empty trailing cell — harmless superset, exactness restored
     // by the containment filter
@@ -529,6 +530,42 @@ object Relational {
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("ts").as("view_ts"))
     rangeJoinCounts(wins, views).orderBy(col("win_id"))
+  }
+
+  /** J12 — j9's interval join written the way a USER writes it: a raw
+    * non-equi inner join `ON ts >= win_start AND ts < win_end`, no manual
+    * grid. Correctness comes from Spark; the PLAN comes from
+    * [[graft.plans.RangeJoinRewrite]] — the injected optimizer rule must
+    * turn this into the grid equi-join, and the builder asserts it did
+    * (no BroadcastNestedLoopJoin, grid cell key present) so a session
+    * missing the extension fails loudly instead of silently planning the
+    * O(|wins|·|points|) loop join. Oracle = j9's SQL: the rewrite is
+    * exact, so the naive form must hash-match the hand-built grid.
+    */
+  def rangeJoinNaive(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.events(spark, dir)
+    val wins = ev
+      .filter(col("event_type") === "error" && col("value") > 100)
+      .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+        (col("ts") + expr(s"INTERVAL $RangeWindowMin MINUTES")).as("win_end"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("ts").as("view_ts"))
+    val matched = views.join(wins,
+        views("view_ts") >= wins("win_start") &&
+          views("view_ts") < wins("win_end"))
+      .groupBy(col("win_id")).agg(count(lit(1)).as("n_views"))
+    val out = wins.join(matched, Seq("win_id"), "left")
+      .select(col("win_id"), col("win_start"), col("win_end"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"))
+      .orderBy(col("win_id"))
+    val exec = out.queryExecution.executedPlan
+    val loops = exec.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    require(loops.isEmpty && exec.toString.contains("graft_range_cell"),
+      "RangeJoinRewrite did not fire: the naive interval join planned a " +
+        s"loop join (is graft.GraftExtensions registered?):\n$exec")
+    out
   }
 
   val rangeJoinSql: String =
@@ -929,6 +966,55 @@ object Relational {
       default: Int = JoinSalts): Int =
     graft.lifecycle.Stats.hotKeyRows(spark, factTablePath, keyColumn)
       .map(saltsFor(_, perTaskBudget)).getOrElse(default)
+
+  /** Average point rows one grid cell should hold in the j9/j11 interval
+    * joins (~250k narrow (id, ts) rows ≈ a few MB of probe-side hash
+    * work): small enough that a cell's population joins within a task,
+    * large enough that intervals don't explode across thousands of cells.
+    */
+  val CellRowBudget: Long = 250L * 1000
+
+  /** The grid-cell-width-sizing formula as code ([[saltsFor]]'s discipline
+    * applied to the j9/j11/b5 fixed widths): given the observed timestamp
+    * span and row count of the POINT side, choose the width so an
+    * average-density cell holds ~`perCellBudget` points —
+    * `width = span · budget / rows`. A deployment whose intervals are
+    * much longer than this width should widen toward the interval length
+    * instead (the fan-out bound is `len/width + 1`); the clamp floors at
+    * 1 s (sub-second grids churn fan-out for nothing) and caps at one
+    * year (beyond that the grid degenerates to a single cell anyway).
+    * Non-positive span/rows (empty or constant-ts tables) fall back to
+    * the gate default.
+    */
+  def cellSecondsFor(spanSeconds: Long, rows: Long,
+      perCellBudget: Long = CellRowBudget,
+      default: Long = RangeBucketSec): Long =
+    if (spanSeconds <= 0L || rows <= 0L) default
+    else {
+      val w = spanSeconds.toDouble * math.max(perCellBudget, 1L) / rows
+      math.min(math.max(math.round(w), 1L), 86400L * 365)
+    }
+
+  /** Stats-driven grid width: size the j9 cell from the point table's
+    * persisted ANALYZE statistics (min/max of the timestamp column +
+    * row count) — the [[saltsForTable]] pattern for the interval-join
+    * family. Falls back to the gate default when the table was never
+    * analyzed or the column's recorded bounds don't parse as timestamps.
+    */
+  def cellSecondsForTable(spark: SparkSession, pointTablePath: String,
+      tsColumn: String, perCellBudget: Long = CellRowBudget,
+      default: Long = RangeBucketSec): Long =
+    (for {
+      (mn, mx) <- graft.lifecycle.Stats.minMax(spark, pointTablePath, tsColumn)
+      rows <- graft.lifecycle.Stats.rowCount(spark, pointTablePath)
+      span <- try {
+        // analyze stored `min(ts).cast("string")` — Spark's UTC-session
+        // rendering, which java.sql.Timestamp.valueOf parses back exactly
+        Some((java.sql.Timestamp.valueOf(mx).getTime -
+          java.sql.Timestamp.valueOf(mn).getTime) / 1000L)
+      } catch { case _: IllegalArgumentException => None }
+    } yield cellSecondsFor(span, rows, perCellBudget, default))
+      .getOrElse(default)
 
   def saltedSegmentActivity(spark: SparkSession, dir: String): DataFrame = {
     val ev = Catalog.events(spark, dir)
@@ -1527,6 +1613,11 @@ object Relational {
         "interval sides; exact microsecond overlap durations"),
     Q("j9_range_join", rangeJoin, Some(rangeJoinSql),
       "bucketed interval join: points-in-window counts as a grid equi-join, not a loop join (general form of views.py:793-799)"),
+    Q("j12_range_join_rule", rangeJoinNaive, Some(rangeJoinSql),
+      "j9 written naively (raw non-equi ON ts >= lo AND ts < hi) and " +
+        "rewritten to the grid equi-join by the injected RangeJoinRewrite " +
+        "optimizer rule — plan asserted loop-free in the builder, results " +
+        "hash-pinned to j9's oracle"),
     Q("j6_anti_join", customersWithoutOrders, Some(customersWithoutOrdersSql),
       "anti-join, NOT-EXISTS form (apps.py:55-69)"),
     Q("j7_scalar_subquery", ordersAboveAverage, Some(ordersAboveAverageSql),

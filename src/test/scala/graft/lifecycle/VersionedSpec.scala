@@ -99,6 +99,73 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.versions(t) == Seq(1, 2, 3))
   }
 
+  test("appendOnce stays a no-op after vacuum drops the token's manifest") {
+    val t = freshTable()
+    val v1 = Versioned.appendOnce(t, Seq((1L, "a")).toDF("id", "v"), "batch-0")
+    Versioned.appendOnce(t, Seq((2L, "b")).toDF("id", "v"), "batch-1")
+    Versioned.rewrite(t)(_.filter(col("id") === 2L))          // v3
+    // retention drops v1/v2 — along with the manifests that carried the
+    // #token= markers; the retained index must keep honoring them
+    Versioned.vacuumKeepingSince(t, 3)
+    assert(Versioned.versions(t) == Seq(3))
+    val replay = Versioned.appendOnce(t, Seq((1L, "a")).toDF("id", "v"), "batch-0")
+    assert(replay == v1, s"vacuumed token must replay as its version, got v$replay")
+    assert(Versioned.versions(t) == Seq(3),
+      "a replayed vacuumed batch must not re-append as a duplicate version")
+    assert(Versioned.readLatest(t).count() == 1L)
+    // a SECOND vacuum folds the previous index forward (union, not replace)
+    Versioned.appendOnce(t, Seq((3L, "c")).toDF("id", "v"), "batch-2") // v4
+    Versioned.append(t, Seq((4L, "d")).toDF("id", "v"))                // v5
+    Versioned.vacuumKeepingSince(t, 5)
+    assert(Versioned.appendOnce(t, Seq((1L, "a")).toDF("id", "v"), "batch-0") == 1)
+    assert(Versioned.appendOnce(t, Seq((3L, "c")).toDF("id", "v"), "batch-2") == 4)
+    assert(Versioned.versions(t) == Seq(5))
+  }
+
+  test("two interleaved writers: exactly one wins v(N+1), the loser retries onto v(N+2)") {
+    val t = freshTable()
+    Versioned.append(t, Seq((1L, "a")).toDF("id", "v"))       // v1 = head
+    // writer A reaches its CAS point for v2; writer B commits v2 first;
+    // A must detect the taken version and retry onto v3 — with no rows
+    // lost from either writer
+    var interleaved = false
+    Versioned.beforePublish = () => {
+      if (!interleaved) {
+        interleaved = true      // B publishes inside A's attempt, once
+        Versioned.append(t, Seq((2L, "writer-B")).toDF("id", "v"))
+      }
+    }
+    try {
+      val vA = Versioned.append(t, Seq((3L, "writer-A")).toDF("id", "v"))
+      assert(vA == 3, s"the loser must land on v3, got v$vA")
+    } finally Versioned.beforePublish = () => ()
+    assert(Versioned.versions(t) == Seq(1, 2, 3))
+    assert(Versioned.readVersion(t, 2).collect().map(_.getString(1)).sorted
+      .toSeq == Seq("a", "writer-B"), "B's v2 is exactly B's commit")
+    assert(Versioned.readLatest(t).collect().map(_.getString(1)).sorted
+      .toSeq == Seq("a", "writer-A", "writer-B"),
+      "the retried publish references A's staged files — nothing lost")
+  }
+
+  test("interleaved SAME-token writers: the loser detects the duplicate and no-ops") {
+    val t = freshTable()
+    Versioned.append(t, Seq((1L, "a")).toDF("id", "v"))       // v1
+    var interleaved = false
+    Versioned.beforePublish = () => {
+      if (!interleaved) {
+        interleaved = true
+        Versioned.appendOnce(t, Seq((2L, "B")).toDF("id", "v"), "batch-X")
+      }
+    }
+    try {
+      val v = Versioned.appendOnce(t, Seq((2L, "B")).toDF("id", "v"), "batch-X")
+      assert(v == 2, s"the replayed token must resolve to B's v2, got v$v")
+    } finally Versioned.beforePublish = () => ()
+    assert(Versioned.versions(t) == Seq(1, 2),
+      "the same batch must not commit twice under a race")
+    assert(Versioned.readLatest(t).count() == 2L)
+  }
+
   test("what changed between versions: u1's diff composes over two snapshot reads") {
     val t = freshTable()
     Versioned.append(t, Seq((1L, "a"), (2L, "b")).toDF("id", "txt"))

@@ -1,5 +1,9 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
 import graft.{Catalog, SparkSuite}
 
 /** End-to-end identity of the s17 ingest path: JSON file-watch source →
@@ -16,5 +20,54 @@ class StreamIngestSpec extends SparkSuite {
     got.zip(expected).foreach { case (g, e) =>
       assert(g == e, s"row mismatch: $g != $e")
     }
+  }
+
+  /** BASELINE.md's one numeric target — <1 s ingest latency — asserted as a
+    * MEASUREMENT, not a configuration (round-10 verdict item #2): the
+    * `Trigger.ProcessingTime("1 second")` setting bounds how often a batch
+    * STARTS; this test reads the engine's own progress telemetry
+    * (`StreamingQueryProgress.durationMs("triggerExecution")`) under a
+    * multi-wave load and asserts the steady-state batch duration is under
+    * the 1 s budget, so trigger cadence + batch cost together keep
+    * end-to-end ingest latency ~1 s.
+    */
+  test("s17 steady-state micro-batch duration measures under the 1 s ingest budget") {
+    val tmp = Files.createTempDirectory("graft_ingest_latency")
+    val srcDir = tmp.resolve("src"); Files.createDirectories(srcDir)
+
+    // the events fixture as JSON lines, split into 5 wave files
+    val staging = tmp.resolve("staging").toString
+    Streams.validate(Catalog.events(spark, sfDir))
+      .repartition(5)
+      .write.option("timestampFormat", Streams.JsonTsFormat).json(staging)
+    val waves = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toList.sortBy(_.toString)
+    assert(waves.size >= 3, s"need several wave files, got ${waves.size}")
+
+    val q = Streams.ingest(spark, srcDir.toString,
+      tmp.resolve("sink").toString, tmp.resolve("ckpt").toString).start()
+    try {
+      // drop one wave per ~trigger so the watcher sees fresh data across
+      // several distinct micro-batches, not one catch-up batch
+      waves.foreach { w =>
+        Files.copy(w, srcDir.resolve(w.getFileName),
+          StandardCopyOption.COPY_ATTRIBUTES)
+        Thread.sleep(1200)
+      }
+      q.processAllAvailable()
+
+      val dataBatches = q.recentProgress.toList
+        .filter(_.numInputRows > 0)
+        .map(p => (p.batchId, p.numInputRows,
+          p.durationMs.get("triggerExecution").longValue()))
+      assert(dataBatches.size >= 2,
+        s"need a post-warmup batch to measure; got $dataBatches")
+      // batch 0 pays plan/codegen warm-up; steady state is everything after
+      val steady = dataBatches.drop(1).map(_._3).sorted
+      val median = steady(steady.size / 2)
+      assert(median < 1000L,
+        s"steady-state median batch duration ${median} ms breaches the " +
+          s"1 s ingest budget (batches: $dataBatches)")
+    } finally q.stop()
   }
 }
