@@ -157,6 +157,16 @@ object Bench {
     if (only.isEmpty) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), json + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] could not write bench_local.json: ${e.getMessage}") }
+      // append-only history (round-10 verdict item #3): box-to-box noise
+      // claims (±20% totals / ±40% per-query medians) are checkable only
+      // against REPEATED full runs on record — bench_local.json alone
+      // keeps just the newest
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_history.jsonl"),
+        (json + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable => System.err.println(s"[bench] could not append bench_history.jsonl: ${e.getMessage}") }
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("leakcheck_meta.json"),
         s"""{"commit":"$sha","written_by":"graft.Bench","written_at":"${java.time.Instant.now()}"}\n""")
       catch { case e: Throwable => System.err.println(s"[bench] could not write leakcheck_meta.json: ${e.getMessage}") }

@@ -31,7 +31,8 @@ object Dashboard {
       topResourceConsumers: DataFrame,
       tableSizes: DataFrame,
       backupDelta: DataFrame,
-      usersWithRoles: DataFrame)
+      usersWithRoles: DataFrame,
+      latencyBands: DataFrame)
 
   /** Default per-section row cap. The reference's slow/idle/blocked
     * sections return every matching row (views.py:396-421 — no LIMIT),
@@ -57,7 +58,12 @@ object Dashboard {
     topResourceConsumers = Monitoring.topResourceConsumers(spark, dir),
     tableSizes = Monitoring.tableSizesPretty(spark, dir),
     backupDelta = Monitoring.lagDelta(spark, dir).limit(sectionCap),
-    usersWithRoles = Monitoring.usersWithRoles(spark, dir).limit(sectionCap))
+    usersWithRoles = Monitoring.usersWithRoles(spark, dir).limit(sectionCap),
+    // w14's per-(type, hour) p50/p95/p99 — the latency-band panel class
+    // the reference's gauge row approximates with instantaneous values
+    // (index.html:1047-1067); already sorted by (type, hour), so the cap
+    // composes into TakeOrderedAndProject like the other row sections
+    latencyBands = Monitoring.latencyBands(spark, dir).limit(sectionCap))
 
   /** Materialize every index section concurrently: the reference issues
     * its ~20 statements sequentially on one cursor (views.py:394-681); as
@@ -76,7 +82,8 @@ object Dashboard {
       "total_sessions" -> p.totalSessions, "connection_load" -> p.connectionLoad,
       "cache_hit_ratio" -> p.cacheHitRatio, "tps" -> p.transactionsPerSecond,
       "top_consumers" -> p.topResourceConsumers, "table_sizes" -> p.tableSizes,
-      "backup_delta" -> p.backupDelta, "users_roles" -> p.usersWithRoles)
+      "backup_delta" -> p.backupDelta, "users_roles" -> p.usersWithRoles,
+      "latency_bands" -> p.latencyBands)
     val futures = sections.map { case (name, df) =>
       // collect (not count) so every projected expression actually
       // materializes — count() lets Catalyst prune the section's columns

@@ -325,12 +325,12 @@ object Graph {
       col("doc_id"))
   }
 
-  /** Oracle: brute-force exact-Jaccard pairs (the d4/d6 oracle's shape —
-    * the persisted pair artifact is an execution strategy, not a
-    * semantic change) + the same unrolled min-label supersteps.
+  /** The d12 oracle's whole CTE chain through a final
+    * `cl(doc_id, cluster)` relation — shared with z12's leakage-safe
+    * split oracle, which re-keys x5's split on the cluster.
     */
-  val dedupClustersSql: String =
-    s"""WITH ${Dedup.shingleCteSql},
+  private[operators] def dedupClusterCtesSql: String =
+    s"""${Dedup.shingleCteSql},
        |pr AS (SELECT a.doc_id AS da, b.doc_id AS db
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |  WHERE len(list_intersect(a.hs, b.hs))::DOUBLE
@@ -341,9 +341,18 @@ object Graph {
        |  UNION SELECT db AS src, da AS dst FROM pr
        |  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM nd),
        |l0 AS (SELECT doc_id, doc_id AS l FROM nd),
-       |${labelPropCtesSql(Iters)}
-       |SELECT doc_id, l AS cluster, (doc_id = l) AS is_keeper
-       | FROM l$Iters ORDER BY doc_id"""
+       |${labelPropCtesSql(Iters)},
+       |cl AS (SELECT doc_id, l AS cluster FROM l$Iters)"""
+      .stripMargin.replace('\n', ' ')
+
+  /** Oracle: brute-force exact-Jaccard pairs (the d4/d6 oracle's shape —
+    * the persisted pair artifact is an execution strategy, not a
+    * semantic change) + the same unrolled min-label supersteps.
+    */
+  val dedupClustersSql: String =
+    s"""WITH $dedupClusterCtesSql
+       |SELECT doc_id, cluster, (doc_id = cluster) AS is_keeper
+       | FROM cl ORDER BY doc_id"""
       .stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------

@@ -500,6 +500,15 @@ object Multimodal {
     */
   val NeardupBandWidth: Long = NeardupL1Micro / (FeatureBins / 2)
 
+  /** A second, 2.5× looser threshold registered as its own gate entry
+    * (round-10 verdict item #4): the pigeonhole construction's
+    * losslessness must be a property of the MATH (cell width = T/#bands),
+    * not a fixture coincidence at the gate default — the wide entry
+    * re-derives its band width from ITS T and must still hash-match the
+    * all-pairs oracle at ITS T.
+    */
+  val NeardupL1MicroWide = 50000L
+
   /** Integer micro-unit feature vectors (doc_id, m: array<bigint>) — the
     * extract pass of m7, factored out because it is the EXPENSIVE side at
     * scale (a perceptual model per blob) and therefore what
@@ -537,14 +546,21 @@ object Multimodal {
   def mediaNeardupOf(media: DataFrame): DataFrame =
     neardupPairsOf(microFeaturesOf(media))
 
-  /** The mining pass over a (doc_id, m) micro-feature relation. */
-  def neardupPairsOf(micro: DataFrame): DataFrame = {
+  /** The mining pass over a (doc_id, m) micro-feature relation. The band
+    * width is DERIVED from the threshold (T / #bands — the largest width
+    * for which the pigeonhole guarantee holds), so losslessness is
+    * parameter-robust: any T yields exact candidates, wider T just widens
+    * the cells.
+    */
+  def neardupPairsOf(micro: DataFrame,
+      threshold: Long = NeardupL1Micro): DataFrame = {
     val nBands = FeatureBins / 2
+    val bandWidth = math.max(threshold / nBands, 1L)
     val sig = micro.select(col("doc_id"), col("m"),
       explode(array((0 until nBands).map(b => struct(
         lit(b).as("band"),
-        expr(s"m[${2 * b}] div $NeardupBandWidth").as("ca"),
-        expr(s"m[${2 * b + 1}] div $NeardupBandWidth").as("cb"))): _*)).as("s"))
+        expr(s"m[${2 * b}] div $bandWidth").as("ca"),
+        expr(s"m[${2 * b + 1}] div $bandWidth").as("cb"))): _*)).as("s"))
       .select(col("doc_id"), col("m"),
         col("s.band").as("band"), col("s.ca").as("ca"), col("s.cb").as("cb"))
     // probe side fans out to the 3×3 neighbor cells -> pure equi-join
@@ -569,7 +585,7 @@ object Multimodal {
       .filter(col("da") < col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         l1.as("l1_micro"))
-      .filter(col("l1_micro") <= NeardupL1Micro)
+      .filter(col("l1_micro") <= threshold)
       // a pair surfaces once per matching band (within a band the build
       // cell is exact, so exactly one probe offset hits — ≤ #bands dups),
       // and every surfacing computes the SAME deterministic l1. Verify
@@ -583,10 +599,18 @@ object Multimodal {
   def mediaNeardup(spark: SparkSession, dir: String): DataFrame =
     neardupPairsOf(mediaMicroIndexed(spark, dir))
 
+  /** m9 — the wide-threshold twin (band width re-derived from ITS T). */
+  def mediaNeardupWide(spark: SparkSession, dir: String): DataFrame =
+    neardupPairsOf(mediaMicroIndexed(spark, dir), NeardupL1MicroWide)
+
   /** Oracle: the ALL-PAIRS form of the same integer-exact distance — a
     * hash match proves the banded candidate join lost no pair.
     */
-  val mediaNeardupSql: String =
+  val mediaNeardupSql: String = mediaNeardupSqlFor(NeardupL1Micro)
+
+  val mediaNeardupWideSql: String = mediaNeardupSqlFor(NeardupL1MicroWide)
+
+  private def mediaNeardupSqlFor(threshold: Long): String =
     s"""WITH f AS (
        | SELECT doc_id, octet_length(encode(text)) AS n,
        |  [CAST('0x' || substr(hex(encode(text)), 2*i-1, 2) AS INT)
@@ -602,12 +626,14 @@ object Multimodal {
        |  CAST(list_sum([abs(a.m[i+1] - b.m[i+1]) for i in range(0, $FeatureBins)]) AS BIGINT) AS l1_micro
        | FROM h a JOIN h b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, l1_micro FROM p
-       |WHERE l1_micro <= $NeardupL1Micro
+       |WHERE l1_micro <= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
 
   val all: Seq[Q] = Seq(
     Q("m7_media_neardup", mediaNeardup, Some(mediaNeardupSql),
       "media near-dup pairs over the m4 feature space: integer-exact micro-unit L1, pigeonhole-banded equi-join candidates (zero false negatives by construction; oracle is the all-pairs form, so the gate proves the pruning lossless) — the perceptual-dedup slot of the media ladder m5/m6/m7 (training-data extension)"),
+    Q("m9_media_neardup_wide", mediaNeardupWide, Some(mediaNeardupWideSql),
+      s"m7 at a 2.5x looser threshold (T=$NeardupL1MicroWide) with the band width re-derived as T/#bands: the second hash-green point proving the pigeonhole pruning is parameter-robust, not fixture-tuned (training-data extension)"),
     Q("m6_cdc_dedup", cdcDedup, Some(cdcDedupSql),
       "content-defined chunking (LBFS/FastCDC shape) over binary payloads: trailing-window hash boundaries, cross-media duplicate-chunk accounting — sub-file dedup granularity for media (training-data extension)"),
     Q("m5_media_dedup", mediaDedup, Some(mediaDedupSql),

@@ -596,6 +596,52 @@ object Pipeline {
     assemblyBase(spark, dir).orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------------
+  // Z12 — LEAKAGE-SAFE train/val/test split: x5 buckets documents by
+  // hash(doc_id), so two near-duplicate documents can land in different
+  // splits — the classic eval-contamination leak (a test document whose
+  // near-twin was trained on measures memorization, not generalization;
+  // Lee et al. 2022's core motivation). The fix re-keys THE shard/split
+  // expression on the document's near-dup CLUSTER representative (d12's
+  // min-label component; singletons are their own representative), so an
+  // entire duplicate cluster moves between splits as one unit and no
+  // qualifying pair can ever straddle a split boundary — by construction,
+  // not by audit.
+  //
+  // Scale shape: the cluster relation is DELTA-sized (only docs in a
+  // qualifying pair; broadcastable at any corpus scale where dup mass is
+  // a fraction of the corpus), so the cost over x5 is one broadcast left
+  // join; the split expression itself is x5's — same buckets, same
+  // thresholds — so packing (z4) and manifests (z7) keyed on the same
+  // bucket stay aligned with the leakage-safe split for clustered and
+  // unclustered documents alike.
+  // ---------------------------------------------------------------------
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Graph.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster"))
+    val rep = Catalog.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("rep"))
+    val bucket = TextOps.shardBucket(col("rep"))
+    Q.tinySort(
+      rep.select(col("doc_id"), col("rep"), bucket.as("bucket"),
+        TextOps.splitCase(bucket).as("split")),
+      col("doc_id"))
+  }
+
+  val leakageSafeSplitSql: String = {
+    val b = TextOps.shardBucketSql("rep")
+    s"""WITH ${Graph.dedupClusterCtesSql},
+       |rp AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep
+       | FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+       |SELECT doc_id, rep, $b::INT AS bucket,
+       | CASE WHEN $b < ${TextOps.SplitTrainPct} THEN 'train'
+       |      WHEN $b < ${TextOps.SplitTrainPct + TextOps.SplitValPct} THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM rp ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
   // Z7 — the assembly manifest: per-(split, shard) document / token /
   // sequence accounting over z6's output — the artifact a training job
   // reads to plan its data loader (shard sizes, split budgets, packed
@@ -858,5 +904,11 @@ object Pipeline {
     Q("z3_cc_dedup", ccDedup, Some(ccDedupSql),
       "connected-component survivor selection over the near-dup pair graph, iterative min-label propagation vs recursive-CTE oracle (training-data extension)"),
     Q("z4_sequence_pack", sequencePack, Some(sequencePackSql),
-      "fixed-token-window sequence packing within hash shards — sharded cumulative sum, no global window (training-data extension)"))
+      "fixed-token-window sequence packing within hash shards — sharded cumulative sum, no global window (training-data extension)"),
+    Q("z12_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitSql),
+      "leakage-safe train/val/test split: x5's split expression re-keyed " +
+        "on the d12 near-dup cluster representative, so duplicate " +
+        "clusters move between splits as one unit and no qualifying pair " +
+        "straddles a boundary — eval-contamination safety by " +
+        "construction (training-data extension)"))
 }

@@ -207,7 +207,12 @@ object Streams {
           .filter(length(col("text")) >= Diff.MinIngestChars &&
             col("keep"))
           .withColumn("fp", Dedup.prefixFingerprint(col("text")))
-        // within-batch dedup: least doc_id per fingerprint
+        // within-batch dedup: least doc_id per fingerprint, THEN one row
+        // per doc_id — a re-delivered source file landing twice in one
+        // micro-batch makes the same (doc_id, fp) the keeper of both
+        // copies, and the downstream upsert anti-join (which guards
+        // against the TABLE, not within the batch) would land duplicate
+        // keys in the serving table (upsertSink's dropDuplicates lesson)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("fp"))
         val survivors = graded
@@ -215,14 +220,21 @@ object Streams {
           .filter(col("doc_id") === col("keeper"))
           .select(col("doc_id"), col("scrubbed").as("text"),
             col("source"), col("fp"))
+          .dropDuplicates("doc_id")
         val existingFps = scala.util.Try(
           spark.read.parquet(tablePath).select(col("fp")).distinct())
         existingFps match {
           case scala.util.Success(fps) =>
             graft.lifecycle.Lifecycle.upsert(tablePath,
               survivors.join(fps, Seq("fp"), "left_anti"), Seq("doc_id"))
-          case scala.util.Failure(_) => // first batch bootstraps the table
-            survivors.write.parquet(tablePath)
+          case scala.util.Failure(_) =>
+            // first batch bootstraps the table — with an explicit Append,
+            // not the default ErrorIfExists: a pre-existing empty/partial
+            // table directory read-fails above (so we land here) but
+            // would make the default-mode write throw and wedge the
+            // stream on every retry of its first batch
+            survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(tablePath)
         }
       }
   }

@@ -16,9 +16,10 @@ class DashboardSpec extends SparkSuite {
 
   test("concurrent index materialization returns every section") {
     val counts = Dashboard.collectIndexConcurrently(spark, sfDir)
-    assert(counts.size == 12)
+    assert(counts.size == 13)
     assert(counts("total_sessions") == 1L) // one aggregate row
     assert(counts("top_consumers") == 20L)
+    assert(counts("latency_bands") > 0L)
     assert(counts.values.forall(_ >= 0L))
   }
 
@@ -32,6 +33,24 @@ class DashboardSpec extends SparkSuite {
     assert(counts("slow_queries") == cap)
     assert(counts("blocked_sessions") == cap)
     assert(counts("users_roles") == cap)
+    assert(counts("latency_bands") == cap)
+  }
+
+  test("latency-bands section serves w14's percentile relation, capped by its own order") {
+    val p = Dashboard.index(spark, sfDir, sectionCap = 5)
+    val rows = p.latencyBands.collect()
+    assert(rows.length == 5, s"cap must bound the panel, got ${rows.length}")
+    // same shape AND same leading rows as the registered w14 query — the
+    // panel is a serving view over the gate-verified relation, not a fork
+    assert(p.latencyBands.schema.fieldNames.toSeq ===
+      Seq("event_type", "hour", "p50", "p95", "p99", "n"))
+    val w14 = operators.Monitoring.latencyBands(spark, sfDir).limit(5).collect()
+    assert(rows.toSeq === w14.toSeq, "panel drifted from w14")
+    rows.foreach { r =>
+      val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p95 && p95 <= p99,
+        s"percentile bands must be monotone: $r")
+    }
   }
 
   test("index_resource payload: trend bounded at 50, decimated at 25") {

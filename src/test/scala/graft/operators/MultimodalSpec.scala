@@ -179,6 +179,41 @@ class MultimodalSpec extends SparkSuite {
       "fixture must also contain far pairs or the test proves nothing")
   }
 
+  test("m7/m9 losslessness is parameter-robust: a threshold sweep matches " +
+    "brute force at every T") {
+    import spark.implicits._
+    def text(seed: Int): String =
+      (0 until 400).map(i =>
+        if (i % 10 < 7) (96 + seed % 8).toChar
+        else ((seed * 31 + i * 17) % 64 + 48).toChar).mkString
+    val docs = (1L to 12L).map(d => d -> text(d.toInt)) ++
+      Seq(101L -> text(3), 102L -> (text(5) + "zz"))
+    val media = mediaOf(docs: _*)
+    val micro = Multimodal.microFeaturesOf(media)
+    val feats = Multimodal.mediaFeaturesOf(media).collect()
+      .map(r => r.getLong(0) ->
+        (2 until 2 + Multimodal.FeatureBins).map(i =>
+          math.round(r.getDouble(i) * 1e6)))
+    val pairCount = scala.collection.mutable.ListBuffer.empty[Int]
+    // spans tighter AND looser than both registered thresholds, plus a
+    // width-1-cell degenerate (T < #bands) exercising the floor clamp
+    Seq(3L, 5000L, Multimodal.NeardupL1Micro, Multimodal.NeardupL1MicroWide,
+      200000L).foreach { t =>
+      val got = Multimodal.neardupPairsOf(micro, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        (da, ma) <- feats; (db, mb) <- feats if da < db
+        l1 = ma.zip(mb).map { case (x, y) => math.abs(x - y) }.sum
+        if l1 <= t
+      } yield (da, db, l1)).toSet
+      assert(got == brute,
+        s"T=$t: banded != brute: ${got.diff(brute)} / ${brute.diff(got)}")
+      pairCount += brute.size
+    }
+    assert(pairCount.distinct.size > 1,
+      "the sweep must actually change the pair set or it proves one point")
+  }
+
   test("m6 dedup accounting: identical payloads share every chunk, cross-doc only") {
     import spark.implicits._
     val text = ("shared payload body " * 50)

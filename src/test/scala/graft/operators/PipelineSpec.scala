@@ -121,6 +121,40 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("z12: no near-dup pair straddles a split; clusters move as one unit") {
+    val split = Pipeline.leakageSafeSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    // the property z12 exists for: every d12 pair shares a split
+    val pairs = Dedup.jaccardPairsIndexed(spark, sfDir)
+      .select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2,
+        s"pair ($a, $b) straddles splits: ${split(a)._2} vs ${split(b)._2}")
+    }
+    // x5 (doc-keyed) does NOT have this property on the same fixture —
+    // z12 must be a real change, not a coincidence of the hash
+    val x5 = TextOps.splitAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(pairs.exists { case (a, b) => x5(a) != x5(b) },
+      "fixture never leaks under x5 — the spec proves nothing")
+    // unclustered docs keep exactly their x5 split (rep = doc_id)
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    split.foreach { case (id, (rep, s)) =>
+      if (!clustered.contains(id)) {
+        assert(rep == id, s"singleton $id must be its own representative")
+        assert(s == x5(id), s"singleton $id drifted from the x5 split")
+      }
+    }
+    // split fractions stay sane (the rule is still 80/10/10 by bucket)
+    val bySplit = split.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"all three splits must be populated: $bySplit")
+    assert(bySplit("train") > bySplit("val") &&
+      bySplit("train") > bySplit("test"), s"train must dominate: $bySplit")
+  }
+
   test("shardBucketsFor derives scale-safe counts from corpus size") {
     import graft.operators.TextOps.{shardBucketsFor, PackTaskTokenBudget, ShardBuckets}
     // gate-scale corpora stay on the gate default (oracle SQL pins it)

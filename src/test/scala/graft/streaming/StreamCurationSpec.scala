@@ -61,6 +61,34 @@ class StreamCurationSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("same doc_id re-delivered WITHIN one micro-batch lands once, and a " +
+    "pre-existing empty table directory does not wedge the first batch") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-scur3").toString
+    val table = s"$tmp/corpus"
+    // the wedge case: the directory exists (a crashed writer's empty
+    // husk) but holds no parquet — the read fails, and a default-mode
+    // bootstrap write would throw ErrorIfExists forever
+    Files.createDirectories(java.nio.file.Paths.get(table))
+
+    val mem = MemoryStream[IngestDoc](spark)
+    val q = Streams.curationIngestSink(mem.toDF(), table, s"$tmp/ckpt").start()
+    try {
+      // doc 20 delivered twice in the SAME batch (one source file landing
+      // twice): same (doc_id, fp) pair survives the keeper rule both
+      // times — only the doc_id dedup keeps the table single-keyed
+      mem.addData(
+        IngestDoc(20L, "alpha " + cleanBase, "s1"),
+        IngestDoc(20L, "alpha " + cleanBase, "s1"),
+        IngestDoc(21L, "beta " + cleanBase, "s1"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(table).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(rows === Seq(20L, 21L),
+        s"within-batch doc_id redelivery must land exactly once: $rows")
+    } finally q.stop()
+  }
+
   test("curation ingest equals the batch rules applied to the same delta") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-scur2").toString
