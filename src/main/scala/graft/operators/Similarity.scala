@@ -642,7 +642,12 @@ object Similarity {
     * absorbs aggregation-order ULP noise, which is what makes the fit —
     * and hence the whole "approximate" query — bit-reproducible.
     */
-  val annIvfKmeansSql: String = {
+  /** The entire deterministic spherical k-means fit unrolled as a CTE
+    * chain (embeddings, seed + LCG padding, [[KmeansIters]] Lloyd rounds)
+    * ending in `ct$KmeansIters(c, v)` — factored out so the n5 oracle and
+    * d14's SemDeDup oracle share ONE fit that can never drift.
+    */
+  private def kmeansFitCtesSql: Seq[String] = {
     def normList(v: String): String =
       s"""CASE WHEN sqrt(list_inner_product($v,$v)) = 0
          | THEN [CAST(CAST(round(x * 1000000) AS FLOAT) / CAST(1000000 AS FLOAT) AS DOUBLE) for x in $v]
@@ -668,8 +673,85 @@ object Similarity {
       parts += s"""ct$it AS (SELECT p.c, CASE WHEN mv.c IS NULL THEN p.v ELSE ${normList("mv.mv")} END AS v
         | FROM $prev p LEFT JOIN mv$it mv ON p.c = mv.c)""".stripMargin
     }
-    parts += ivfProbeCtes(s"ct$KmeansIters")
-    ("WITH " + parts.mkString(", ") + ", " + scoredTailSql).replace('\n', ' ')
+    parts.toSeq
+  }
+
+  val annIvfKmeansSql: String =
+    ("WITH " + (kmeansFitCtesSql :+ ivfProbeCtes(s"ct$KmeansIters"))
+      .mkString(", ") + ", " + scoredTailSql).replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
+  // D14 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+  // dedup by CLUSTER-then-compare — k-means the embedding space with the
+  // n5 fitted quantizer, compute exact pairwise cosine only WITHIN each
+  // cluster, and greedily keep the smallest id of every qualifying pair
+  // (z1's keeper rule). This is the published industrial-scale answer to
+  // z2's question with a different candidate generator: z2's LSH bands
+  // are probabilistic (recall measured, d10-style), SemDeDup's cluster
+  // restriction is DETERMINISTIC given the quantizer — a cross-cluster
+  // near-dup pair is missed by design (the paper's trade), and the pair
+  // set is exactly "cosine ≥ t AND same cluster", which the oracle
+  // re-derives from the SAME unrolled k-means fit, so the gate hash
+  // proves both the fit and the restriction.
+  //
+  // Scale shape: the pairwise work is Σ_c |c|² — with k grown ∝ corpus
+  // (k ≈ n/targetClusterSize, exactly how the paper runs 50k clusters
+  // over LAION) each cluster's self-join is one task-sized hash join
+  // partitioned by centroid, total work n·(n/k) = n·targetClusterSize —
+  // LINEAR in the corpus at fixed cluster size, never all-pairs. The
+  // fitted quantizer is the persisted k·Dim artifact (fittedCentroids);
+  // assignment is one map-side argmax-dot pass.
+  // ---------------------------------------------------------------------
+  /** SemDeDup cosine threshold — deliberately z2's [[PairThreshold]], so
+    * the two candidate generators answer the same question and their
+    * disagreement (cross-cluster pairs only) is measurable in specs.
+    */
+  val SemThreshold: Double = PairThreshold
+
+  /** Verdict per vector: (vec_id, centroid, is_keeper) over any
+    * (vec_id, embedding) relation, given a fitted quantizer.
+    */
+  def semDedupOf(e: DataFrame, ctrs: Seq[Seq[Float]]): DataFrame = {
+    val assigned = e.select(col("vec_id"),
+      assignColumnOf(ctrs)(col("embedding")).cast("long").as("centroid"),
+      col("embedding"))
+    val a = assigned.select(col("vec_id").as("va"),
+      col("centroid").as("ca"), col("embedding").as("ea"))
+    val b = assigned.select(col("vec_id").as("vb"),
+      col("centroid").as("cb"), col("embedding").as("eb"))
+    val losers = a.join(b, col("ca") === col("cb") && col("va") < col("vb"))
+      .filter(round(cosine_sim(col("ea"), col("eb")), 6) >= SemThreshold)
+      .select(col("vb").as("vec_id")).distinct()
+    Q.tinySort(
+      assigned.join(losers.withColumn("l", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("centroid"),
+          coalesce(!col("l"), lit(true)).as("is_keeper")),
+      col("vec_id"))
+  }
+
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupOf(nonZeroEmbeddings(spark, dir), fittedCentroids(spark, dir))
+
+  /** Oracle: the SAME unrolled k-means fit as n5 (shared CTEs), argmax
+    * assignment over ALL vectors, within-cluster exact-cosine pairs,
+    * greedy keep-smallest.
+    */
+  val semDedupSql: String = {
+    val listsCtes =
+      s"""dall AS (SELECT e.vec_id, ct.c,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_inner_product(e.emb, ct.v) DESC, ct.c DESC) AS rk
+         | FROM e, ct$KmeansIters ct),
+         |lst AS (SELECT vec_id, c AS centroid FROM dall WHERE rk = 1),
+         |prs AS (
+         | SELECT a.vec_id AS va, b.vec_id AS vb
+         | FROM lst a JOIN lst b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+         | JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         | WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= $SemThreshold)""".stripMargin
+    ("WITH " + (kmeansFitCtesSql :+ listsCtes).mkString(", ") +
+      s""" SELECT l.vec_id, l.centroid,
+         | (l.vec_id NOT IN (SELECT vb FROM prs)) AS is_keeper
+         |FROM lst l ORDER BY l.vec_id""".stripMargin).replace('\n', ' ')
   }
 
   // ---------------------------------------------------------------------
@@ -1157,5 +1239,11 @@ object Similarity {
     Q("n4_ann_ivf", annIvf, Some(annIvfSql),
       s"IVF coarse-quantizer ANN, NProbe=$NProbe of $NCentroids centroids — exact SQL oracle regenerates the centroids (training-data extension)"),
     Q("n5_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql),
-      s"IVF ANN over a fitted deterministic spherical k-means quantizer ($KmeansIters Lloyd iterations) — oracle unrolls the fit in SQL (training-data extension)"))
+      s"IVF ANN over a fitted deterministic spherical k-means quantizer ($KmeansIters Lloyd iterations) — oracle unrolls the fit in SQL (training-data extension)"),
+    Q("d14_semdedup", semDedup, Some(semDedupSql),
+      "SemDeDup (Abbas et al. 2023): cluster-then-compare semantic dedup " +
+        "— n5's fitted k-means restricts exact-cosine pairs to within " +
+        "clusters (sum |c|^2 work, linear at fixed cluster size), greedy " +
+        "keep-smallest; oracle re-derives the SAME unrolled fit + " +
+        "restriction, so the hash proves both (training-data extension)"))
 }
