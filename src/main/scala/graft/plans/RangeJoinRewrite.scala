@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite a timestamp interval join — an inner join whose
   * only cross-side predicates are range bounds
@@ -37,7 +37,11 @@ import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
   *     equality, a non-match for the fixed-point re-run)
   *   - one conjunct bounds p from below, another from above, with p the
   *     SAME attribute in both, p from one side and both bounds plain
-  *     attributes of the other side, all TimestampType
+  *     attributes of the other side, all of ONE type among timestamp /
+  *     long / int (timestamps are the j9 shape; integral positions are
+  *     the b5 shape — token offsets, epoch numbers, sequence ids; the
+  *     construction only needs truncated division's monotonicity, which
+  *     holds for negative values too)
   *   - NULL bounds/points fall out exactly as the inner join's
   *     three-valued logic does: a NULL cell equi-matches nothing, and a
   *     NULL-bounded interval generates an empty cell array
@@ -45,8 +49,10 @@ import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
   *     sequence), matching the always-false original predicate
   *
   * Bucket width: `spark.graft.rangejoin.bucket.seconds` (default 300) —
-  * size it to the typical interval length so fan-out stays ~2-3 cells
-  * per interval (j9's sizing rule).
+  * seconds for timestamps, raw units for integral points; size it to the
+  * typical interval length so fan-out stays ~2-3 cells per interval
+  * (j9's sizing rule; `Relational.cellSecondsForTable` derives it from
+  * persisted stats).
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -104,8 +110,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       if p2.semanticEquals(p)
       loA <- Seq(lo).collect { case a: AttributeReference => a }
       hiA <- Seq(hi).collect { case a: AttributeReference => a }
-      if p.dataType == TimestampType &&
-        loA.dataType == TimestampType && hiA.dataType == TimestampType
+      // timestamps (the j9 shape) or integral positions (the b5 shape:
+      // token offsets, epoch numbers, sequence ids). Monotonicity of
+      // truncated division is all the construction needs — cell(lo) ≤
+      // cell(p) ≤ cell(hi) for any p in [lo, hi] holds for negatives too
+      if Seq(TimestampType, LongType, IntegerType).contains(p.dataType) &&
+        loA.dataType == p.dataType && hiA.dataType == p.dataType
       pointIsLeft <- (fromOnly(p, j.left), fromOnly(loA, j.right) &&
         fromOnly(hiA, j.right)) match {
         case (true, true) => Seq(true)

@@ -82,6 +82,57 @@ class RangeJoinRewriteSpec extends SparkSuite {
     assert(joined.count() == 5) // 4 matches + unmatched pid 13
   }
 
+  test("integral (long) interval joins rewrite too — the b5 token-position shape") {
+    import spark.implicits._
+    // token-offset intervals, including NEGATIVE positions (epoch-relative
+    // offsets): truncated division is monotonic, so the grid stays a
+    // superset and the residual keeps it exact
+    val spans = Seq(
+      (1L, 100L, 700L),
+      (2L, -650L, -350L),   // fully negative interval
+      (3L, -100L, 100L))    // spans zero (trunc-div's asymmetric cell)
+      .toDF("win_id", "lo", "hi")
+    val pts = Seq((10L, 100L), (11L, 699L), (12L, 700L), (13L, -400L),
+      (14L, -650L), (15L, 0L), (16L, -100L), (17L, 101L), (18L, -651L))
+      .toDF("pid", "p")
+    val joined = pts.join(spans,
+      pts("p") >= spans("lo") && pts("p") < spans("hi"))
+      .select(col("pid"), col("win_id"))
+    val plan = joined.queryExecution.executedPlan
+    assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"integral interval join must not plan a nested loop:\n$plan")
+    assert(plan.toString.contains("graft_range_cell"))
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Set((10L, 1L), (11L, 1L), (13L, 2L), (14L, 2L),
+      (15L, 3L), (16L, 3L), (17L, 1L))
+    assert(got == brute, s"got $got")
+  }
+
+  test("int-typed bounds rewrite and match the long semantics") {
+    import spark.implicits._
+    val spans = Seq((1, 5, 900), (2, -300, 4)).toDF("win_id", "lo", "hi")
+    val pts = Seq((10, 5), (11, 899), (12, 900), (13, 0), (14, -300), (15, 4))
+      .toDF("pid", "p")
+    val joined = pts.join(spans,
+      pts("p") >= spans("lo") && pts("p") < spans("hi"))
+      .select(col("pid"), col("win_id"))
+    assert(joined.queryExecution.executedPlan.toString.contains("graft_range_cell"))
+    val got = joined.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((10, 1), (11, 1), (13, 2), (14, 2)), s"got $got")
+  }
+
+  test("mixed-type bounds stay untouched (no implicit cast hides a rewrite)") {
+    import spark.implicits._
+    val spans = Seq((1L, 5L, 900)).toDF("win_id", "lo", "hi") // long lo, int hi
+    val pts = Seq((10L, 50L)).toDF("pid", "p")
+    val joined = pts.join(spans,
+      pts("p") >= spans("lo") && pts("p") < spans("hi"))
+    // Spark's analyzer casts hi up to long INSIDE the predicate, so the
+    // bound is no longer a plain attribute — guarded out, still correct
+    assert(!joined.queryExecution.executedPlan.toString.contains("graft_range_cell"))
+    assert(joined.count() == 1)
+  }
+
   test("rewrite respects the configured bucket width") {
     spark.conf.set(RangeJoinRewrite.WidthConf, "60")
     try {
