@@ -491,6 +491,64 @@ object Pipeline {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------------
+  // Z13 — TOKEN-budget source mixing: z5/z10 mix by DOCUMENT counts, but
+  // published data recipes state their mixes in TOKENS (the unit models
+  // train on — a source of long documents at the same doc share
+  // contributes far more gradient steps). Same acceptance discipline as
+  // z5 with the dimension swapped: the per-source statistic is the token
+  // SUM, so rate_s = pct·min_tok/(100·tok_s) and every source's EXPECTED
+  // accepted token mass is the identical pct·min_tok/100 — equal token
+  // contribution, however long each source's documents run. Acceptance
+  // stays a deterministic per-doc integer compare (a document is the
+  // atomic unit — token shares are exact in expectation, doc-granular in
+  // realization, which is how real recipes sample too).
+  //
+  // Scale: one partial-agged token-sum pass (dimension-sized relation,
+  // broadcast back), then a map-side filter — the corpus never shuffles.
+  // The gate compare multiplies h(<1e4)·100·tok_s; past ~1e12 tokens per
+  // source a deployment moves the threshold arithmetic driver-side into
+  // BigInt exactly as sourceMixSampleWeighted already does for doc
+  // counts.
+  // ---------------------------------------------------------------------
+  /** The token-budget acceptance core over any (doc_id, source, n_tokens)
+    * relation — z5's [[mixAccept]] with token sums as the dimension.
+    */
+  private[operators] def tokenMixAcceptOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("tok"))
+      .withColumn("min_tok", min(col("tok")).over(Window.partitionBy()))
+    val coin = TextOps.hash60(
+      concat(col("doc_id").cast("string"), lit(":tokmix")))
+    docs
+      .join(broadcast(toks), "source")
+      .filter(pmod(coin, lit(MixScale)) * lit(100L) * col("tok") <
+        lit(MixScale) * lit(MixBudgetPct) * col("min_tok"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  def tokenMixSample(spark: SparkSession, dir: String): DataFrame =
+    tokenMixAcceptOf(
+      Catalog.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
+      .orderBy(col("doc_id"))
+
+  val tokenMixSampleSql: String = {
+    val h = TextOps.hash60Sql("doc_id::VARCHAR || ':tokmix'")
+    s"""WITH nt AS (
+       | SELECT doc_id, source,
+       |  len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
+       | FROM documents),
+       |tk AS (
+       | SELECT source, sum(n_tokens) AS tok, min(sum(n_tokens)) OVER () AS min_tok
+       | FROM nt GROUP BY source)
+       |SELECT d.doc_id, d.source, d.n_tokens
+       |FROM nt d JOIN tk t ON t.source = d.source
+       |WHERE ($h % $MixScale) * 100 * t.tok < $MixScale * $MixBudgetPct * t.min_tok
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val sourceMixSampleSql: String = {
     val h = TextOps.hash60Sql("doc_id::VARCHAR || ':mix'")
     s"""WITH cnts AS (
@@ -905,6 +963,12 @@ object Pipeline {
       "connected-component survivor selection over the near-dup pair graph, iterative min-label propagation vs recursive-CTE oracle (training-data extension)"),
     Q("z4_sequence_pack", sequencePack, Some(sequencePackSql),
       "fixed-token-window sequence packing within hash shards — sharded cumulative sum, no global window (training-data extension)"),
+    Q("z13_token_mix", tokenMixSample, Some(tokenMixSampleSql),
+      "token-budget source mixing: z5's exact-integer acceptance with the " +
+        "dimension swapped from doc counts to token sums, so every " +
+        "source's EXPECTED accepted token mass is identical — mixes " +
+        "stated in tokens, the unit models train on (training-data " +
+        "extension)"),
     Q("z12_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitSql),
       "leakage-safe train/val/test split: x5's split expression re-keyed " +
         "on the d12 near-dup cluster representative, so duplicate " +

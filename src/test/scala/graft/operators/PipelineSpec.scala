@@ -121,6 +121,43 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("z13 token mix: verdicts match an independent JVM recomputation and " +
+    "token-heavy sources thin where doc-count mixing would not") {
+    import spark.implicits._
+    // source A: 10 long docs (100 tokens); source B: 10 short docs (10
+    // tokens). Equal DOC counts — z5 treats them identically; z13 must
+    // thin A 10x harder because its TOKEN mass is 10x B's.
+    val fixture = ((1L to 10L).map(i => (i, "A", 100L)) ++
+      (11L to 20L).map(i => (i, "B", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Pipeline.tokenMixAcceptOf(fixture).collect()
+      .map(_.getLong(0)).toSet
+
+    // independent recomputation: JVM md5 → first 15 hex chars → long,
+    // the rule as arithmetic (nothing reused from the engine expression)
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val tok = Map("A" -> 1000L, "B" -> 100L); val minTok = 100L
+    val expected = (1L to 20L).filter { id =>
+      val src = if (id <= 10) "A" else "B"
+      (hash60(s"$id:tokmix") % Pipeline.MixScale) * 100L * tok(src) <
+        Pipeline.MixScale * Pipeline.MixBudgetPct * minTok
+    }.toSet
+    assert(got === expected, s"engine ${got} != recomputed ${expected}")
+
+    // the rates themselves: A's threshold is 10x tighter than B's, while
+    // a doc-count rule would give both the same rate (equal doc counts)
+    val rateA = Pipeline.MixBudgetPct.toDouble * minTok / (100.0 * tok("A"))
+    val rateB = Pipeline.MixBudgetPct.toDouble * minTok / (100.0 * tok("B"))
+    assert(rateA * 10 == rateB && rateB == 0.6)
+    // and the expected accepted TOKEN mass is equal by construction:
+    // rate_s * tok_s = pct * min_tok / 100 for both sources
+    assert(rateA * tok("A") == rateB * tok("B"))
+  }
+
   test("z12: no near-dup pair straddles a split; clusters move as one unit") {
     val split = Pipeline.leakageSafeSplit(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
