@@ -1573,7 +1573,85 @@ object Relational {
       |FROM sc GROUP BY event_type ORDER BY event_type"""
       .stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // O7 — change-point LOCALIZATION per metric type: o6 answers "did the
+  // level shift?" (the alarm statistic); o7 answers WHEN — the day t*
+  // maximizing |P_t| over the mean-centered prefix sums, the standard
+  // CUSUM change-point estimator (argmax of the centered cumsum; t* is
+  // the last day of the old regime). Exactness: P_t = n·cum_t − t·S is
+  // the o6 integer (units of 1/n events), argmax ranks by
+  // (|P_t| DESC, day ASC) — a total order, no division anywhere; the
+  // reported segment means divide ONCE into floor'd micro-units
+  // (positive operands, so Spark `div` and DuckDB `//` agree). Types
+  // with a single day have no split candidate (n−t would be 0) and are
+  // excluded; t* = n is impossible beyond that because P_n = 0 exactly.
+  //
+  // Plan: the same collapse-then-window shape as o6 — one map-side
+  // partial shuffle to (type, day), windows over the tiny daily
+  // relation, one row per type. BIGINT headroom: 1e6·cum overflows past
+  // ~9e12 events per type; a deployment at that scale moves the mean
+  // report to DECIMAL(38,0), the z10 discipline.
+  // ---------------------------------------------------------------------
+  def changePointOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ord = byType.orderBy(col("day"))
+    val series = daily
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("x")).over(byType))
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("x")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("p", col("n_days") * col("cum") - col("t") * col("total"))
+    series.filter(col("n_days") >= 2)
+      .withColumn("rk", row_number().over(
+        byType.orderBy(abs(col("p")).desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_days"), col("day").as("change_day"),
+        abs(col("p")).as("split_stat"),
+        expr("(1000000 * cum) div t").as("mean_before_micro"),
+        expr("(1000000 * (total - cum)) div (n_days - t)").as("mean_after_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  def changePoint(spark: SparkSession, dir: String): DataFrame =
+    changePointOf(Catalog.events(spark, dir))
+
+  val changePointSql: String =
+    """WITH dly AS (
+      | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |s AS (
+      | SELECT event_type, day, x,
+      |  count(*) OVER (PARTITION BY event_type) AS n_days,
+      |  CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+      |  CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      | FROM dly),
+      |pp AS (
+      | SELECT *, n_days * cum - t * total AS p FROM s WHERE n_days >= 2),
+      |r AS (
+      | SELECT *, row_number() OVER (PARTITION BY event_type
+      |  ORDER BY abs(p) DESC, day) AS rk FROM pp)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, day AS change_day,
+      | CAST(abs(p) AS BIGINT) AS split_stat,
+      | CAST((1000000 * cum) // t AS BIGINT) AS mean_before_micro,
+      | CAST((1000000 * (total - cum)) // (n_days - t) AS BIGINT) AS mean_after_micro
+      |FROM r WHERE rk = 1 ORDER BY event_type"""
+      .stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("o7_change_point", changePoint, Some(changePointSql),
+      "CUSUM change-point localization per metric type: the day t* " +
+        "maximizing the |mean-centered prefix sum| (argmax-CUSUM " +
+        "estimator — WHEN the level shifted, o6's detection made " +
+        "actionable), integer-exact ranking with no division, floor'd " +
+        "micro-unit segment means; same collapse-then-window shape as o6 " +
+        "(monitoring + data-QA extension)"),
     Q("o6_cusum_drift", cusumDrift, Some(cusumDriftSql),
       "CUSUM level-shift detection per metric type: Page's sequential recurrence rewritten as its maximal-suffix-sum closed form — two window passes over the collapsed daily relation, integer-exact in units of 1/n events, upward and downward detectors in one pass (monitoring + data-QA extension)"),
     Q("o5_seasonal_anomaly", seasonalAnomaly, Some(seasonalAnomalySql),

@@ -1234,7 +1234,112 @@ object Search {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // B14 — fuzzy term matching ("did you mean"): the query-time typo
+  // bridge every lexical search layer needs — a misspelled probe term
+  // matches nothing in b1-b13's exact-token world. Candidates WITHOUT a
+  // vocab × probes edit-distance scan via the SymSpell deletion-
+  // neighborhood (Garbe 2012, public domain): every term maps to the
+  // set {itself} ∪ {one char deleted}, and any pair within Levenshtein 1
+  // (substitution, insertion, or deletion) provably shares a variant —
+  // deleting the differing position from each side lands on the same
+  // string — so the candidate step is a PURE EQUI-join on the variant
+  // key (fan-out = len+1 ≤ FuzzyMaxLen+1 per term, the m7 pigeonhole
+  // discipline applied to edit distance). Shared variants can also come
+  // from distance-2 pairs (e.g. a transposition), so exact
+  // `levenshtein` verifies every candidate — both engines implement the
+  // classic integer DP, so the verdict is hash-exact. Suggestion = the
+  // (dist asc, freq desc, term asc) best candidate per probe; probes
+  // with no within-1 match surface with NULL suggestion (accounting,
+  // not absence).
+  //
+  // Scale: the vocabulary relation is Heaps-law bounded (sublinear in
+  // the corpus); variants explode it ≤ 25×; probes broadcast. Nothing
+  // corpus-sized shuffles — the corpus is touched once to build the
+  // (term, freq) vocab, which b2's postings already materialize.
+  // ---------------------------------------------------------------------
+  /** Probe battery: deletion, insertion, substitution, an exact term, a
+    * transposition (candidate surfaced, verify-rejected — distance 2),
+    * a two-suggestion tie broken by frequency, and a no-candidate miss.
+    */
+  val FuzzyProbes: Seq[String] =
+    Seq("filtr", "windoww", "quer", "sprak", "sow", "hash", "zzzz")
+
+  /** Terms longer than this skip variant generation: typo matching on
+    * very long tokens is noise (URLs, hashes), and the cap bounds the
+    * explode fan-out.
+    */
+  val FuzzyMaxLen = 24
+
+  /** {term} ∪ {term with one char deleted}, deduped; `name` is the
+    * column name in scope.
+    */
+  private def deletionVariants(name: String): Column =
+    array_union(
+      array(col(name)),
+      expr(s"transform(sequence(1, length($name)), i -> " +
+        s"concat(substring($name, 1, i - 1), substring($name, i + 1)))"))
+
+  def fuzzyTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Catalog.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(length(col("term")).between(1, FuzzyMaxLen))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val vv = vocab.select(col("term"), col("freq"),
+      explode(deletionVariants("term")).as("v"))
+    val probes = FuzzyProbes.toDF("probe")
+    val pv = probes.select(col("probe"),
+      explode(deletionVariants("probe")).as("v"))
+    val cand = broadcast(pv).join(vv, "v")
+      .select(col("probe"), col("term"), col("freq")).distinct()
+    val verified = cand
+      .withColumn("dist", levenshtein(col("probe"), col("term")).cast("long"))
+      .filter(col("dist") <= 1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe"))
+      .orderBy(col("dist"), col("freq").desc, col("term"))
+    val best = verified.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("probe"), col("term").as("suggestion"),
+        col("dist"), col("freq"))
+    probes.join(best, Seq("probe"), "left")
+      .orderBy(col("probe"))
+  }
+
+  val fuzzyTermsSql: String = {
+    val probeList = FuzzyProbes.map(p => s"'$p'").mkString(", ")
+    def vars(c: String) =
+      s"list_distinct(list_append([substr($c, 1, i - 1) || substr($c, i + 1) " +
+        s"for i in range(1, len($c) + 1)], $c))"
+    s"""WITH toks AS (
+       | SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       | FROM documents),
+       |vocab AS (
+       | SELECT term, count(*) AS freq FROM toks
+       | WHERE len(term) BETWEEN 1 AND $FuzzyMaxLen GROUP BY term),
+       |vv AS (SELECT term, freq, unnest(${vars("term")}) AS v FROM vocab),
+       |probes AS (SELECT unnest([$probeList]) AS probe),
+       |pv AS (SELECT probe, unnest(${vars("probe")}) AS v FROM probes),
+       |cand AS (SELECT DISTINCT p.probe, t.term, t.freq
+       | FROM pv p JOIN vv t ON t.v = p.v),
+       |ok AS (
+       | SELECT probe, term, freq,
+       |  CAST(levenshtein(probe, term) AS BIGINT) AS dist
+       | FROM cand WHERE levenshtein(probe, term) <= 1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY probe
+       |  ORDER BY dist, freq DESC, term) AS rk FROM ok)
+       |SELECT p.probe, r.term AS suggestion, r.dist, r.freq
+       |FROM probes p LEFT JOIN r ON r.probe = p.probe AND r.rk = 1
+       |ORDER BY p.probe""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("b14_fuzzy_term", fuzzyTerms, Some(fuzzyTermsSql),
+      "SymSpell fuzzy term matching (did-you-mean): deletion-neighborhood " +
+        "variants make Levenshtein-1 candidates a pure equi-join (never " +
+        "vocab x probes), exact levenshtein verifies, best suggestion by " +
+        "(dist, freq desc, term); Heaps-bounded vocab x <=25 fan-out " +
+        "(training-data extension)"),
     Q("b13_forget", forgetSearch, Some(forgetSearchSql),
       "right-to-be-forgotten propagation into the serving index: " +
         "postings tombstoned by an 8-byte-key anti-join, corpus stats " +

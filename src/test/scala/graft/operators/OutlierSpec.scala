@@ -220,6 +220,50 @@ class OutlierSpec extends SparkSuite {
     assert(got("B") == ((2L, 4L, 0L, 0L)), s"got ${got("B")}")
   }
 
+  test("o7 change point: hand series, uniform tie-break, single-day exclusion, NULL ts") {
+    import org.apache.spark.sql.functions.col
+    def day(d: Int, n: Int, t: String) =
+      Seq.fill(n)((t, f"2024-01-$d%02d 10:00:00"))
+    // A: [2,2,2,8,8,8] — n=6, S=30, P_t = 6·cum − 30t =
+    // [-18,-36,-54,-36,-18,0] → argmax|P| at t=3 (54): the last day of
+    // the old regime. mean_before = 2e6 exact, mean_after = 8e6 exact.
+    val a = (1 to 3).flatMap(d => day(d, 2, "A")) ++
+      (4 to 6).flatMap(d => day(d, 8, "A"))
+    // B: flat [3,3] — every P_t = 0, earliest-day tie-break → day 1,
+    // split_stat 0, means 3e6 both sides (t*=1 < n, so never div-by-0)
+    val b = day(1, 3, "B") ++ day(2, 3, "B")
+    // C: one day only — no split candidate, excluded
+    val c = day(1, 5, "C")
+    val events = (a ++ b ++ c ++ Seq(("A", null: String)))
+      .toDF("event_type", "ts_s")
+      .select(col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Relational.changePointOf(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDate(2).toString, r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === Set("A", "B"), s"single-day C must be excluded: $got")
+    assert(got("A") === ((6L, "2024-01-03", 54L, 2000000L, 8000000L)),
+      s"got ${got("A")}")
+    assert(got("B") === ((2L, "2024-01-01", 0L, 3000000L, 3000000L)),
+      s"got ${got("B")}")
+  }
+
+  test("o7 localizes the shift the detection statistic only signals") {
+    import org.apache.spark.sql.functions.col
+    // a long steady series with a mid-series regime change at a known
+    // day: localization must land exactly there, whatever the magnitudes
+    val rows = (1 to 20).flatMap { d =>
+      val n = if (d <= 12) 3 else 9
+      Seq.fill(n)(("T", f"2024-02-$d%02d 08:00:00"))
+    }
+    val events = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val r = Relational.changePointOf(events).collect()(0)
+    assert(r.getDate(2).toString == "2024-02-12",
+      s"change day must be the last old-regime day, got ${r.getDate(2)}")
+    assert(r.getLong(4) == 3000000L && r.getLong(5) == 9000000L)
+  }
+
   test("o6 closed form equals the literal sequential recurrence on random series") {
     import org.apache.spark.sql.functions.col
     // 40 random daily-count series (one event_type each), evaluated in

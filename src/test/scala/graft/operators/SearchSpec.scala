@@ -15,6 +15,28 @@ class SearchSpec extends SparkSuite {
   private def corpus(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("b14 fuzzy terms: every edit class resolves, the transposition is " +
+    "candidate-surfaced but verify-rejected, ties break by frequency") {
+    val got = Search.fuzzyTerms(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(got.keySet === Search.FuzzyProbes.toSet, "one row per probe")
+    assert(got("filtr") === ((Some("filter"), 1L)), "deletion typo")
+    assert(got("windoww") === ((Some("window"), 1L)), "insertion typo")
+    assert(got("quer") === ((Some("query"), 1L)), "truncation typo")
+    assert(got("hash") === ((Some("hash"), 0L)), "exact term at distance 0")
+    // 'sprak' is a transposition of 'spark' (distance 2): the deletion
+    // neighborhoods intersect (both contain 'spak'), so the CANDIDATE
+    // surfaces — the exact-levenshtein verify must reject it
+    assert(got("sprak") === ((None, -1L)), "transposition must not match")
+    assert(got("zzzz") === ((None, -1L)), "no-candidate miss")
+    // 'sow' is distance 1 from BOTH 'row' and 'slow' — the more frequent
+    // fixture term wins (row at sf0.001 fixture frequencies)
+    val sowPick = got("sow")._1.get
+    assert(Set("row", "slow").contains(sowPick))
+  }
+
   test("a fully hand-computed score: one term, uniform doc lengths") {
     // corpus: 4 docs, 2 tokens each -> N=4, T=8, dl=2
     // query term "x": doc 1 has tf=2, doc 2 tf=1, docs 3-4 none -> df=2
