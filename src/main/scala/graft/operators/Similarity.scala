@@ -999,11 +999,14 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
-  val pqAdcRecallSql: String = {
+  /** The PQ encode→reconstruct CTE chain (`cb`, `subdots`, `codes`,
+    * `recon(vec_id, r)`) — factored so the n9 oracle and n14's IVF-PQ
+    * oracle share ONE codebook/assignment that can never drift.
+    */
+  private def pqReconCtesSql: String = {
     val lcg = s"((1103515245 * ((m.range * $PqKs + k.range) * $PqSubDim " +
       "+ d.range + 12345) + 54321) & 2147483647)"
-    s"""WITH $embCte,
-       |cb AS (
+    s"""cb AS (
        | SELECT m.range AS m, k.range AS k,
        |  list(CAST($lcg::DOUBLE / 2147483648 - 0.5 AS FLOAT)::DOUBLE
        |    ORDER BY d.range) AS v
@@ -1023,7 +1026,12 @@ object Similarity {
        |recon AS (
        | SELECT c.vec_id, flatten(list(cb.v ORDER BY c.m)) AS r
        | FROM codes c JOIN cb ON cb.m = c.m AND cb.k = c.k
-       | GROUP BY c.vec_id),
+       | GROUP BY c.vec_id)""".stripMargin
+  }
+
+  val pqAdcRecallSql: String = {
+    s"""WITH $embCte,
+       |$pqReconCtesSql,
        |pqtop AS (
        | SELECT query_id, vec_id FROM (
        |  SELECT q.vec_id AS query_id, r.vec_id,
@@ -1039,6 +1047,79 @@ object Similarity {
        |LEFT JOIN pqtop p USING (query_id, vec_id)
        |GROUP BY query_id ORDER BY query_id""".stripMargin.replace('\n', ' ')
   }
+
+  // ---------------------------------------------------------------------
+  // N14 — IVF-PQ: the two compressions COMPOSED, which is the layout
+  // billion-scale vector serving actually runs (FAISS IndexIVFPQ, Jégou
+  // et al. 2011): the coarse quantizer (n4's IVF) bounds WHICH vectors a
+  // query touches (NProbe inverted lists, not the corpus), and product
+  // quantization (n9) bounds WHAT is read per touched vector (8 code
+  // bytes + a codebook lookup, not 256 float bytes). Candidates come
+  // from the probe join; ranking is asymmetric-distance (exact query ×
+  // reconstructed candidate). Gate = the n7-style per-query exact-integer
+  // recall against the brute-force top-K, so BOTH loss sources — probing
+  // (missed lists) and quantization (reordered survivors) — are measured
+  // together, the acceptance number a deployment actually cares about.
+  //
+  // Scale: per query the touched set is Σ|probed lists| — with k grown
+  // ∝ corpus the probe cost is corpus/k · NProbe per query, and the
+  // scanned bytes shrink 32× vs raw floats (n9's ratio). Everything is
+  // the already-persisted artifacts composed: inverted lists (n12
+  // maintains them O(delta)), PQ codes (one map pass to encode).
+  // ---------------------------------------------------------------------
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = nonZeroEmbeddings(spark, dir)
+    val recon = e.select(col("vec_id"),
+      assignColumnOf(centroids)(col("embedding")).as("centroid"),
+      pqReconstruct(pqCodeCols(col("embedding"))).as("recon"))
+    val queries = broadcast(
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(topCentroidsOf(centroids)(col("embedding"), NProbe))
+            .as("centroid")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val top = recon.join(queries,
+        recon("centroid") === queries("centroid") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("recon")), 6).as("adc"))
+      // no dedup needed: a candidate lives in exactly ONE inverted list
+      // (argmax assignment), so a (query, candidate) pair arises once
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    annBruteForce(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+      .join(top, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_expected"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_expected"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_expected"), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val ivfPqRecallSql: String =
+    s"""WITH ${centroidLcgCteSql("ctrs")},
+       |$embCte,
+       |${ivfProbeCtes("ctrs")},
+       |$pqReconCtesSql,
+       |pqtop AS (
+       | SELECT query_id, vec_id FROM (
+       |  SELECT p.query_id, p.vec_id,
+       |   row_number() OVER (PARTITION BY p.query_id
+       |     ORDER BY round(list_cosine_similarity(qe.emb, r.r), 6) DESC, p.vec_id) AS rank
+       |  FROM pairs p JOIN e qe ON qe.vec_id = p.query_id
+       |  JOIN recon r ON r.vec_id = p.vec_id) t
+       | WHERE rank <= $TopK)
+       |SELECT query_id, CAST(count(*) AS BIGINT) AS n_expected,
+       | CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       | round(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |   / count(*), 6) AS recall
+       |FROM ($annBruteForceSql) x
+       |LEFT JOIN pqtop p USING (query_id, vec_id)
+       |GROUP BY query_id ORDER BY query_id""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
   // N10 — exact MIPS (maximum inner product search) top-k: the recommender
@@ -1240,6 +1321,12 @@ object Similarity {
       s"IVF coarse-quantizer ANN, NProbe=$NProbe of $NCentroids centroids — exact SQL oracle regenerates the centroids (training-data extension)"),
     Q("n5_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql),
       s"IVF ANN over a fitted deterministic spherical k-means quantizer ($KmeansIters Lloyd iterations) — oracle unrolls the fit in SQL (training-data extension)"),
+    Q("n14_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallSql),
+      "IVF-PQ composed (the FAISS IndexIVFPQ billion-scale layout): IVF " +
+        "probing bounds WHICH vectors a query touches, PQ codes bound " +
+        "WHAT is read per vector (32x), ADC ranks the probed candidates; " +
+        "gate = per-query exact-integer recall vs brute force, measuring " +
+        "both loss sources together (training-data extension)"),
     Q("d14_semdedup", semDedup, Some(semDedupSql),
       "SemDeDup (Abbas et al. 2023): cluster-then-compare semantic dedup " +
         "— n5's fitted k-means restricts exact-cosine pairs to within " +

@@ -57,4 +57,33 @@ class PqSpec extends SparkSuite {
       assert(math.abs(rec - hits.toDouble / exp) < 1e-9)
     }
   }
+
+  test("n14 IVF-PQ composes both compressions: recall <= each single stage's, " +
+    "never vacuously zero or one across the battery") {
+    def recallOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivfpq = recallOf(Similarity.ivfPqRecall(spark, sfDir))
+    assert(ivfpq.size == Similarity.NQueries)
+    // IVF-PQ's candidate set is n4's (same probes) and its ranking is
+    // n9's (same codes) — so per query it can never recall MORE than the
+    // probing stage alone (quantization only reorders the probed set;
+    // the PQ-only comparison is not per-query monotone because its
+    // candidate pool is the whole corpus, so only the probe bound holds)
+    val ivfRows = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val brute = Similarity.annBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    ivfpq.foreach { case (q, hits) =>
+      val probeRecallBound = (ivfRows(q) & brute(q)).size
+      assert(hits <= probeRecallBound,
+        s"query $q: IVF-PQ hits $hits exceed the probing stage's $probeRecallBound")
+    }
+    // non-vacuity: the battery must separate — something is lost to the
+    // two compressions and something survives them
+    assert(ivfpq.values.sum > 0, "IVF-PQ recalled nothing — broken compose")
+    assert(ivfpq.values.sum < Similarity.NQueries * Similarity.TopK,
+      "IVF-PQ recalled everything — the fixture exercises no loss")
+  }
 }
