@@ -675,6 +675,51 @@ object Monitoring {
   def latencyBands(spark: SparkSession, dir: String): DataFrame =
     latencyBandsOf(Catalog.events(spark, dir))
 
+  // ---------------------------------------------------------------------
+  // W16 — retention cohorts: the classic cohort triangle ("of the users
+  // who first appeared in week X, how many were still active N weeks
+  // later") — the one canonical user-analytics panel the w-family's
+  // funnels (w9), streaks (w11), and decay (a11) don't cover, and the
+  // growth counterpart of p4's idle-session view. Weeks are EXPLICIT
+  // integer arithmetic (days since Monday 1970-01-05, floor-div 7)
+  // rather than date_trunc('week') so the bucket rule is one expression
+  // both engines evaluate identically, with no week-start convention in
+  // the hash path.
+  //
+  // Plan: distinct (user, week) collapses the corpus first (bounded by
+  // users × horizon-weeks, not events); the cohort relation reuses that
+  // collapse's partitioning for its min-aggregate and the join back is
+  // user-co-partitioned — two exchanges total, then a dimension-sized
+  // rollup. At 100 TB nothing user-unbounded shuffles twice.
+  // ---------------------------------------------------------------------
+  def retentionCohortsOf(events: DataFrame): DataFrame = {
+    val weekly = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-05') AS BIGINT) div 7")
+          .as("w"))
+      .distinct()
+    val cohort = weekly.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    weekly.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohortsOf(Catalog.events(spark, dir))
+
+  val retentionCohortsSql: String =
+    """WITH ew AS (
+      | SELECT DISTINCT user_id,
+      |  date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS w
+      | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |ch AS (SELECT user_id, min(w) AS cw FROM ew GROUP BY user_id)
+      |SELECT c.cw AS cohort_week, e.w - c.cw AS week_offset,
+      | count(*) AS n_users
+      |FROM ew e JOIN ch c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
+
   val latencyBandsSql: String =
     """SELECT event_type, date_trunc('hour', ts) AS hour,
       | quantile_cont(value, [0.5, 0.95, 0.99])[1] AS p50,
@@ -1206,6 +1251,8 @@ object Monitoring {
       "bounded-row-frame moving average, decimal-exact frame sum"),
     Q("w8_gap_fill", gapFill, Some(gapFillSql),
       "gap-filled hourly series per event type: dense grid + last-observation-carried-forward over the aggregated buckets (chart densification)"),
+    Q("w16_retention_cohorts", retentionCohorts, Some(retentionCohortsSql),
+      "retention cohort triangle: distinct (user, week) collapse, min-week cohort, user-co-partitioned join back, dimension-sized rollup — explicit integer week buckets so no week-start convention enters the hash (user-analytics extension)"),
     Q("w14_latency_bands", latencyBands, Some(latencyBandsSql),
       "hourly p50/p95/p99 percentile bands per event type — the canonical latency-dashboard panel; one grouped shuffle, per-group buffer bounded by one type-hour (approx_percentile is the documented 100 TB swap)"),
     Q("w6_hopping_window", hoppingWindowLoad, Some(hoppingWindowLoadSql),

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** w16 retention-cohort semantics: explicit Monday-anchored integer week
+  * buckets, per-user cohort = first active week, one row per
+  * (cohort, offset) with distinct-user counts.
+  */
+class CohortSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("hand-built cohort triangle: offsets, multi-event weeks, NULL hygiene") {
+    // week anchor: 1970-01-05 is a Monday; 2024-01-01 is also a Monday
+    // (week index 2817), so the fixture's weeks are unambiguous
+    val rows = Seq(
+      // user 1: first week W, active W and W+2 (twice — must count once)
+      (1L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-15 10:00:00"), (1L, "2024-01-16 11:00:00"),
+      // user 2: same cohort week (joins on Sunday), active W+1
+      (2L, "2024-01-07 23:00:00"), (2L, "2024-01-08 01:00:00"),
+      // user 3: later cohort W+2 only
+      (3L, "2024-01-17 09:00:00"))
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+      // NULL user / NULL ts rows must not create phantom cohorts
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], "2024-01-01 10:00:00"),
+        (java.lang.Long.valueOf(9L), null.asInstanceOf[String]))
+        .toDF("user_id", "ts_s")
+        .select(col("user_id"), col("ts_s").cast("timestamp").as("ts")))
+    val got = Monitoring.retentionCohortsOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = 2817L // (2024-01-01 − 1970-01-05) / 7
+    assert(got === Map(
+      (w, 0L) -> 2L,      // users 1 and 2 join in week W
+      (w, 1L) -> 1L,      // user 2 returns in W+1
+      (w, 2L) -> 1L,      // user 1 returns in W+2 (two events, one user)
+      (w + 2, 0L) -> 1L), // user 3's own cohort
+      s"got $got")
+  }
+
+  test("every user contributes exactly once per (cohort, offset), offset 0 is full") {
+    val got = Monitoring.retentionCohorts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // offset-0 rows over all cohorts sum to the distinct active user count
+    val users = graft.Catalog.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id")).distinct().count()
+    assert(got.filter(_._2 == 0L).map(_._3).sum === users,
+      "every user must appear in its own cohort at offset 0")
+    assert(got.forall(_._2 >= 0L), "offsets are relative to the FIRST week")
+  }
+}
