@@ -681,10 +681,11 @@ object Pipeline {
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("rep"))
     val bucket = TextOps.shardBucket(col("rep"))
-    Q.tinySort(
-      rep.select(col("doc_id"), col("rep"), bucket.as("bucket"),
-        TextOps.splitCase(bucket).as("split")),
-      col("doc_id"))
+    // range presentation sort: one row per corpus document (x5's shape),
+    // not a delta-sized relation
+    rep.select(col("doc_id"), col("rep"), bucket.as("bucket"),
+        TextOps.splitCase(bucket).as("split"))
+      .orderBy(col("doc_id"))
   }
 
   val leakageSafeSplitSql: String = {

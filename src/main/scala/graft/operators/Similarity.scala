@@ -722,11 +722,13 @@ object Similarity {
     val losers = a.join(b, col("ca") === col("cb") && col("va") < col("vb"))
       .filter(round(cosine_sim(col("ea"), col("eb")), 6) >= SemThreshold)
       .select(col("vb").as("vec_id")).distinct()
-    Q.tinySort(
-      assigned.join(losers.withColumn("l", lit(true)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("centroid"),
-          coalesce(!col("l"), lit(true)).as("is_keeper")),
-      col("vec_id"))
+    // presentation sort is a RANGE sort: the verdict relation is one row
+    // per corpus vector (tinySort's one-partition collapse is for
+    // delta-sized outputs only)
+    assigned.join(losers.withColumn("l", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid"),
+        coalesce(!col("l"), lit(true)).as("is_keeper"))
+      .orderBy(col("vec_id"))
   }
 
   def semDedup(spark: SparkSession, dir: String): DataFrame =

@@ -104,7 +104,11 @@ class PlanInvariantsSpec extends SparkSuite {
     * - k4: the per-superstep renormalization crossJoins the ONE-row
     *   broadcast max onto the node-sized (checkpointed) score relation
     *   (j7's shape inside an iterated plan — edges only ever move
-    *   through equi-joins).
+    *   through equi-joins);
+    * - n14: the IVF-PQ candidate join itself is a pure (centroid)
+    *   equi-join — the nested loop is n7's evaluation shape, the
+    *   embedded n1 brute-force arm the recall is measured AGAINST
+    *   (evaluation-set-sized, never a serving path).
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -116,7 +120,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "n11_filtered_ann", "b8_incremental_index",
       "c5_referential_integrity", "b9_passage_bm25", "n13_ivf_drift",
       "d10_lsh_recall", "b10_more_like_this", "e4_relational_division",
-      "b12_prf_expansion", "b13_forget", "k4_hits")
+      "b12_prf_expansion", "b13_forget", "k4_hits", "n14_ivfpq_recall")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
