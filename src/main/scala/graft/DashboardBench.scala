@@ -13,7 +13,7 @@ object DashboardBench {
     val t0 = System.nanoTime()
     val counts = Dashboard.collectIndexConcurrently(spark, dir)
     val warmSec = (System.nanoTime() - t0) / 1e9
-    println(f"dashboard refresh (12 sections, warm): $warmSec%.3f s")
+    println(f"dashboard refresh (${counts.size}%d sections, warm): $warmSec%.3f s")
     println(counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }.mkString(" "))
     spark.stop()

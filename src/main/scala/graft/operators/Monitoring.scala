@@ -709,6 +709,60 @@ object Monitoring {
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
     retentionCohortsOf(Catalog.events(spark, dir))
 
+  // ---------------------------------------------------------------------
+  // W17 — rolling 7-day distinct actives (WAU): the other canonical
+  // user-analytics panel next to w16's cohorts. Rolling DISTINCT is the
+  // window aggregate that famously does NOT decompose (a user active on
+  // 3 days of the window still counts once, so per-day counts can't
+  // sum); the exact scalable form inverts the window: each distinct
+  // (user, day) CONTRIBUTES to the 7 window-ends [d, d+6], and the count
+  // per window-end over the deduped contribution relation is exactly the
+  // windowed distinct. Window-ends are restricted to OBSERVED activity
+  // days by an equi-join (no calendar scaffold, no non-equi join).
+  //
+  // Cost: 7× the (user, day) relation — |users|·horizon-bounded, never
+  // event-bounded — through one distinct shuffle and one count. The
+  // 100 TB approx swap is per-day HLL sketches merged over the window
+  // (c2's mergeable-sketch pattern) when 7× distinct-actives outgrows a
+  // shuffle budget.
+  // ---------------------------------------------------------------------
+  val RollingWindowDays = 7
+
+  def rollingActivesOf(events: DataFrame): DataFrame = {
+    val ud = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").as("d"))
+      .distinct()
+    val contrib = ud
+      .select(col("user_id"),
+        explode(sequence(col("d"), col("d") + (RollingWindowDays - 1))).as("we"))
+      .distinct()
+    val days = ud.select(col("d").as("we")).distinct()
+    contrib.join(days, "we")
+      .groupBy(col("we")).agg(count(lit(1)).as("n_active_7d"))
+      .select(expr("date_add(DATE '1970-01-01', CAST(we AS INT))").as("day"),
+        col("n_active_7d"))
+      .orderBy(col("day"))
+  }
+
+  def rollingActives(spark: SparkSession, dir: String): DataFrame =
+    rollingActivesOf(Catalog.events(spark, dir))
+
+  val rollingActivesSql: String =
+    s"""WITH ud AS (
+      | SELECT DISTINCT user_id,
+      |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |contrib AS (
+      | SELECT DISTINCT user_id, d + o.range AS we
+      | FROM ud, range($RollingWindowDays) o),
+      |days AS (SELECT DISTINCT d AS we FROM ud)
+      |SELECT DATE '1970-01-01' + CAST(c.we AS INT) AS day,
+      | count(*) AS n_active_7d
+      |FROM contrib c JOIN days USING (we)
+      |GROUP BY c.we ORDER BY day""".stripMargin.replace('\n', ' ')
+
   val retentionCohortsSql: String =
     """WITH ew AS (
       | SELECT DISTINCT user_id,
@@ -1251,6 +1305,8 @@ object Monitoring {
       "bounded-row-frame moving average, decimal-exact frame sum"),
     Q("w8_gap_fill", gapFill, Some(gapFillSql),
       "gap-filled hourly series per event type: dense grid + last-observation-carried-forward over the aggregated buckets (chart densification)"),
+    Q("w17_rolling_actives", rollingActives, Some(rollingActivesSql),
+      "rolling 7-day distinct actives (WAU): rolling DISTINCT doesn't decompose, so the window inverts — each distinct (user, day) contributes to its 7 window-ends, one dedup shuffle + one count, observed-day window-ends via equi-join; per-day HLL merge is the documented 100 TB approx swap (user-analytics extension)"),
     Q("w16_retention_cohorts", retentionCohorts, Some(retentionCohortsSql),
       "retention cohort triangle: distinct (user, week) collapse, min-week cohort, user-co-partitioned join back, dimension-sized rollup — explicit integer week buckets so no week-start convention enters the hash (user-analytics extension)"),
     Q("w14_latency_bands", latencyBands, Some(latencyBandsSql),

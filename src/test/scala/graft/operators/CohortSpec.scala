@@ -41,6 +41,39 @@ class CohortSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("w17 rolling actives: hand window, within-window dedup, observed-day ends") {
+    val rows = Seq(
+      (1L, "2024-03-01 10:00:00"),
+      (1L, "2024-03-03 10:00:00"),   // user 1 twice inside one window → once
+      (2L, "2024-03-03 11:00:00"),
+      (3L, "2024-03-20 09:00:00"))   // isolated day far outside
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Monitoring.rollingActivesOf(rows).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // observed days: 03-01, 03-03, 03-20. Windows END on observed days:
+    //  03-01: users active in [02-24, 03-01] = {1}            → 1
+    //  03-03: users active in [02-26, 03-03] = {1, 2}         → 2
+    //  03-20: {3}                                             → 1
+    assert(got === Map("2024-03-01" -> 1L, "2024-03-03" -> 2L,
+      "2024-03-20" -> 1L), s"got $got")
+  }
+
+  test("w17 equals a per-day brute-force recomputation on the fixture") {
+    val ud = graft.Catalog.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSet
+    val expectedUsers = ud.map(_._2).map { end =>
+      end.toString -> ud.filter { case (_, d) =>
+        !d.isAfter(end) && d.isAfter(end.minusDays(Monitoring.RollingWindowDays))
+      }.map(_._1).size.toLong
+    }.toMap
+    val got = Monitoring.rollingActives(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got === expectedUsers, s"diff: ${got.toSet.diff(expectedUsers.toSet)}")
+  }
+
   test("every user contributes exactly once per (cohort, offset), offset 0 is full") {
     val got = Monitoring.retentionCohorts(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
