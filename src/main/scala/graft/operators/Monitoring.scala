@@ -749,6 +749,59 @@ object Monitoring {
   def rollingActives(spark: SparkSession, dir: String): DataFrame =
     rollingActivesOf(Catalog.events(spark, dir))
 
+  // ---------------------------------------------------------------------
+  // W18 — w17's documented 100 TB swap DEPLOYED and driver-gated (the
+  // o2/c2 pattern): per-day Apache DataSketches HLL sketches
+  // (hll_sketch_agg — fixed-size mergeable state, one per day), each
+  // day's sketch fanned out to its window-ends, hll_union_agg merging 7
+  // sketches per window, hll_sketch_estimate at the end. The sketch path
+  // shuffles |days| fixed-size sketches where w17 shuffles 7× the
+  // (user, day) relation — the trade a 100 TB deployment takes. The
+  // estimate itself is not cross-engine reproducible, so the gate
+  // encodes the accuracy CLAIM as data: the estimate must land within
+  // max(3, 10%) of the exact count — a boolean the oracle pins to true,
+  // so a broken sketch pipeline goes hash-red (the o2 discipline).
+  // ---------------------------------------------------------------------
+  def rollingActivesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Catalog.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").as("d"))
+      .distinct()
+    val daySketch = ud.groupBy(col("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val contrib = daySketch.select(
+      explode(sequence(col("d"), col("d") + (RollingWindowDays - 1))).as("we"),
+      col("sk"))
+    val days = ud.select(col("d").as("we")).distinct()
+    val approx = contrib.join(days, "we")
+      .groupBy(col("we"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .select(expr("date_add(DATE '1970-01-01', CAST(we AS INT))").as("day"),
+        col("est"))
+    rollingActivesOf(Catalog.events(spark, dir))
+      .join(approx, "day")
+      .select(col("day"), col("n_active_7d"),
+        (abs(col("est") - col("n_active_7d")) <=
+          greatest(lit(3L), col("n_active_7d") / lit(10L))).as("approx_in_band"))
+      .orderBy(col("day"))
+  }
+
+  /** Oracle: the exact rolling distinct + the accuracy claim pinned true. */
+  val rollingActivesApproxSql: String =
+    s"""WITH ud AS (
+      | SELECT DISTINCT user_id,
+      |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |contrib AS (
+      | SELECT DISTINCT user_id, d + o.range AS we
+      | FROM ud, range($RollingWindowDays) o),
+      |days AS (SELECT DISTINCT d AS we FROM ud)
+      |SELECT DATE '1970-01-01' + CAST(c.we AS INT) AS day,
+      | count(*) AS n_active_7d, true AS approx_in_band
+      |FROM contrib c JOIN days USING (we)
+      |GROUP BY c.we ORDER BY day""".stripMargin.replace('\n', ' ')
+
   val rollingActivesSql: String =
     s"""WITH ud AS (
       | SELECT DISTINCT user_id,
@@ -1305,6 +1358,8 @@ object Monitoring {
       "bounded-row-frame moving average, decimal-exact frame sum"),
     Q("w8_gap_fill", gapFill, Some(gapFillSql),
       "gap-filled hourly series per event type: dense grid + last-observation-carried-forward over the aggregated buckets (chart densification)"),
+    Q("w18_rolling_actives_hll", rollingActivesApprox, Some(rollingActivesApproxSql),
+      "w17's 100 TB swap deployed: per-day DataSketches HLL sketches merged over the 7-day window (|days| fixed-size sketches shuffle instead of 7x the user-day relation); the estimate's accuracy claim rides as a max(3, 10%) band boolean the oracle pins true — a broken sketch goes hash-red (the o2 discipline; user-analytics extension)"),
     Q("w17_rolling_actives", rollingActives, Some(rollingActivesSql),
       "rolling 7-day distinct actives (WAU): rolling DISTINCT doesn't decompose, so the window inverts — each distinct (user, day) contributes to its 7 window-ends, one dedup shuffle + one count, observed-day window-ends via equi-join; per-day HLL merge is the documented 100 TB approx swap (user-analytics extension)"),
     Q("w16_retention_cohorts", retentionCohorts, Some(retentionCohortsSql),

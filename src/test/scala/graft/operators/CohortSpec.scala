@@ -74,6 +74,40 @@ class CohortSpec extends SparkSuite {
     assert(got === expectedUsers, s"diff: ${got.toSet.diff(expectedUsers.toSet)}")
   }
 
+  test("w18 HLL twin: same day set as w17, band holds, and the sketch is " +
+    "genuinely approximate at scale (not a disguised exact count)") {
+    val exact = Monitoring.rollingActives(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val got = Monitoring.rollingActivesApprox(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSet === exact.keySet, "day sets must agree")
+    got.foreach { case (d, n, inBand) =>
+      assert(n === exact(d), s"exact column drifted on $d")
+      assert(inBand, s"estimate out of band on $d")
+    }
+    // non-vacuity: on a fixture wide enough to stress the sketch, the
+    // estimate must DIFFER from exact somewhere (else the band boolean
+    // is a tautology) while still landing inside the band
+    import spark.implicits._
+    val wide = (1L to 60000L).map(u => (u, f"2024-05-${(u % 3) + 1}%02d 10:00:00"))
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val wExact = Monitoring.rollingActivesOf(wide).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val wApprox = wide
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").as("d"))
+      .distinct()
+      .groupBy(col("d")).agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .select(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val total = wExact.values.max // the last window sees all 60k users
+    assert(wApprox != total,
+      s"HLL returned the exact 60k count — the fixture doesn't stress the sketch")
+    assert(math.abs(wApprox - total) <= math.max(3L, total / 10),
+      s"estimate $wApprox breaches the band around $total")
+  }
+
   test("every user contributes exactly once per (cohort, offset), offset 0 is full") {
     val got = Monitoring.retentionCohorts(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
