@@ -416,6 +416,104 @@ case class HeavyHitters(
   override def prettyName: String = "heavy_hitters"
 }
 
+/** `cms_build(keyHash, width, divisors)` — Count-Min sketch (Cormode &
+  * Muthukrishnan 2005) over BIGINT key hashes as a native Catalyst
+  * aggregate with FIXED-SIZE mergeable state: a depth×width counter
+  * matrix flattened row-major into `Array[Long]`. Each update increments
+  * one cell per row; merge is element-wise sum; `eval` emits the matrix
+  * as `array<bigint>` for scan-side probing (the bloom_build shape:
+  * build in one aggregate pass, probe via broadcast binding).
+  *
+  * POINT-QUERY estimate = min over rows of the probed cell, computed by
+  * the consumer with `element_at`/`least` — never under the true count,
+  * over by at most the colliding keys' mass in the best row.
+  *
+  * Determinism (the bitmap_distinct philosophy — the sketch primitive
+  * itself is oracle-exact): row d's bucket is `(h div divisors(d)) % w`,
+  * the link-graph divisor family, NOT a salted multiply-shift — so a SQL
+  * oracle recomputes every cell as an exact collision-group SUM and the
+  * ESTIMATE is gate-comparable as a value, not merely banded. The
+  * probabilistic ε–δ dial of a salted family is traded for exact
+  * replayability; row independence is weaker, which the min over rows
+  * tolerates (estimates stay upper bounds regardless).
+  *
+  * Scale rationale: exact per-key counts shuffle every distinct key (the
+  * a9/a10 argument) — this ships depth·width·8 bytes per (partition,
+  * group) regardless of cardinality and combines map-side; width trades
+  * memory for collision mass (~n/width expected overcount per row).
+  * Negative inputs are rejected by the divisor rule (`div` truncates
+  * toward zero, SQL `//` floors — they diverge below zero), which the
+  * 60-bit non-negative [[Hash]] family satisfies by construction; NULL
+  * keys are ignored.
+  */
+case class CountMinBuild(
+    child: Expression,
+    width: Int,
+    divisors: Seq[Long],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(width > 0, s"width must be positive, got $width")
+  require(divisors.nonEmpty && divisors.forall(_ > 0),
+    s"divisors must be positive, got $divisors")
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](divisors.length * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      require(h >= 0L,
+        s"cms_build requires a non-negative key hash, got $h")
+      var d = 0
+      while (d < divisors.length) {
+        buf(d * width + ((h / divisors(d)) % width).toInt) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): CountMinBuild =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CountMinBuild =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): CountMinBuild =
+    copy(child = newChild)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cms_build requires a BIGINT key hash, got ${child.dataType.sql}")
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cms_build"
+}
+
 object SketchFunctions {
   /** Occupied-bucket count of an m-bit bitmap over `floorMod(c, numBits)`;
     * NULLs ignored (SQL `count(DISTINCT …)` semantics).
@@ -448,4 +546,35 @@ object SketchFunctions {
   def heavy_hitters(key: Column, k: Int): Column =
     Shims.column(
       HeavyHitters(Shims.expression(key), k).toAggregateExpression())
+
+  /** Count-Min counter matrix (depth = divisors.length rows × width,
+    * flattened row-major) over non-negative BIGINT key hashes; probe
+    * with [[CountMinBuild.estimate]]. NULL keys ignored. See
+    * [[CountMinBuild]].
+    */
+  def cms_build(keyHash: Column, width: Int, divisors: Seq[Long]): Column =
+    Shims.column(
+      CountMinBuild(Shims.expression(keyHash), width, divisors)
+        .toAggregateExpression())
+}
+
+object CountMinBuild {
+  import org.apache.spark.sql.functions.{col, element_at, expr, least}
+
+  /** The point-query estimate against a built matrix column: min over
+    * rows of the key's cell (1-based `element_at` over the row-major
+    * flattening). Takes COLUMN NAMES, not Columns: the bucket arithmetic
+    * must be SQL `div` (integral), never Column `/` (IEEE double — a
+    * 60-bit hash through a double loses low bits silently). Pure column
+    * arithmetic — codegen'd, broadcast-friendly.
+    */
+  def estimate(matrixCol: String, keyHashCol: String, width: Int,
+      divisors: Seq[Long]): Column = {
+    val cells = divisors.zipWithIndex.map { case (p, d) =>
+      element_at(col(matrixCol),
+        expr(s"cast((($keyHashCol div ${p}L) % $width) as int)" +
+          s" + ${d * width + 1}"))
+    }
+    if (cells.length == 1) cells.head else least(cells: _*)
+  }
 }

@@ -341,6 +341,49 @@ object Dedup {
        |ORDER BY fp""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // D15 — SOFT dedup: downweight duplicates instead of deleting them (the
+  // reweighting alternative to d1's keep-first — SoftDedup, He et al.
+  // 2024; also the "count-and-weight" step of CCNet-style pipelines).
+  // Removal loses the frequency signal and risks dropping the one good
+  // copy; reweighting keeps every row and divides each duplicate group's
+  // sampling mass evenly, so the GROUP contributes one document's worth
+  // of gradient regardless of copy count. Weight = 1e6 div n_copies in
+  // integer ppm (the z10/x10 exactness discipline — no cross-engine
+  // float division in hash-compared output); downstream mixers (z5/z13)
+  // consume weight_ppm exactly like their source weights.
+  //
+  // Plan/scale: the corpus-width input is the same (doc_id, fp)
+  // projection d1 shuffles, through ONE fp-keyed window shuffle (count
+  // shares the partition spec) — no join back, no second exchange, and
+  // the output streams at corpus width. At 100 TB this is d1's exact
+  // cost with the keeper filter removed.
+  // ---------------------------------------------------------------------
+  /** Per-document duplicate-group reweighting over any (doc_id, text)
+    * relation: (doc_id, fp, n_copies, weight_ppm).
+    */
+  def softDedupOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"), prefixFingerprint(col("text")).as("fp"))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("fp"), col("n_copies"),
+        expr("1000000L div n_copies").as("weight_ppm"))
+  }
+
+  def softDedup(spark: SparkSession, dir: String): DataFrame =
+    softDedupOf(Catalog.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val softDedupSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id, ${prefixFingerprintSql("text")} AS fp FROM documents),
+       |w AS (SELECT doc_id, fp,
+       |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies FROM f)
+       |SELECT doc_id, fp, n_copies,
+       | CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
+       |FROM w ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // D2 — MinHash + LSH near-dup pairs. K=32 signature, 16 bands × 2 rows
   // (s-curve threshold ≈ 0.25, far below the 0.5 verify threshold). Band
   // buckets bound the join; exact Jaccard verifies candidates.
@@ -1215,6 +1258,12 @@ object Dedup {
       "the EVAL-side contamination report (x7's flip side, the GPT-3-appendix clean/dirty accounting): per benchmark item, overlapping / threshold-compromising training docs + worst single-doc overlap — pair-level counts bounded by the small eval side (training-data extension)"),
     Q("d1_exact_dedup", exactDedup, Some(exactDedupSql),
       "prefix-fingerprint exact dedup, hash-groupBy keep-first (training-data extension)"),
+    Q("d15_soft_dedup", softDedup, Some(softDedupSql),
+      "soft dedup (SoftDedup / CCNet count-and-weight): every document " +
+        "kept, sampling weight = 1e6 div copies in integer ppm so each " +
+        "duplicate group contributes one document's mass — d1's exact " +
+        "plan with the keeper filter removed, one fp-keyed window " +
+        "shuffle, weights feed z5/z13's mixers (training-data extension)"),
     Q("d11_quality_keeper", qualityKeeper, Some(qualityKeeperSql),
       "keeper selection by content value (Lee et al. keep-longest): per duplicate group the most-token copy wins, ties to the smaller id, NULL counts pinned last in BOTH engines — emitted as the delta-sized divergence report against d1's min-id default; one fp-keyed window shuffle shared by rank, group size, and min id (training-data extension)"),
     Q("d2_minhash_lsh", minhashLsh, Some(minhashLshSql),

@@ -611,6 +611,99 @@ object Graph {
        |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // K5 — k-core decomposition by iterative peeling (Seidman 1983; the
+  // distributed rendering of Montresor et al. 2013): repeatedly remove
+  // nodes whose degree in the SURVIVING subgraph is below k. The curation
+  // reading: the k-core is the maximal subgraph where every member is
+  // multiply-corroborated — a cohesion floor that separates densely
+  // interlinked reference material from peripheral one-off pages, and
+  // the standard cheap pre-filter before expensive community analysis
+  // (k3's cc scores a node's OWN neighborhood; the core number is a
+  // GLOBAL cohesion certificate a single spam ring can't fake by
+  // self-linking, since its members' degrees collapse together once the
+  // periphery peels).
+  //
+  // Fixed peel rounds (k1's fixed-superstep discipline): the registered
+  // semantics are "the surviving set after R rounds", which is exactly
+  // the k-core once no round changes the set — GraphSpec asserts the
+  // fixture reaches that fixpoint, and a deployment iterates to an
+  // empty-delta stop instead. Each round: restrict the symmetric edge
+  // artifact to surviving endpoints (two semi-joins), one
+  // map-side-combined degree count, one >= k filter. The surviving set
+  // is referenced twice per round (both endpoints), so each round
+  // CHECKPOINTS its node-sized output (the k4 lesson — 8-byte rows,
+  // never edge-sized); the edge relation itself re-reads the build-once
+  // artifact and never moves after the build.
+  //
+  // Determinism: integer degree counts and an integer threshold — the
+  // peeled set is unique (peeling is confluent: removal order cannot
+  // change the fixpoint), so hash-exact cross-engine for free.
+  // ---------------------------------------------------------------------
+
+  /** Peel threshold + fixed rounds for the registered gate entry. The
+    * symmetrized 3-out-link fixture graph has mean degree ≈ 6, so k = 4
+    * peels a real periphery while keeping a non-trivial core.
+    */
+  val KCoreK = 4
+  val KCoreRounds = 4
+
+  /** `rounds` rounds of degree-< k peeling over an explicit SYMMETRIC,
+    * deduplicated, self-loop-free edge relation; returns the surviving
+    * (doc_id, deg) — deg measured in the subgraph the PREVIOUS round
+    * left, i.e. the value the >= k cut certified.
+    */
+  def kcoreOf(nodes: () => DataFrame, edges: () => DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    var out = nodes().select(col("doc_id"),
+      lit(Long.MaxValue).as("deg")) // round-0 "survivors": everyone
+    for (_ <- 1 to rounds) {
+      val alive = out.select(col("doc_id"))
+      out = edges()
+        .join(alive.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint(true)
+    }
+    out.select(col("doc_id"), col("deg"))
+  }
+
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val sym = componentEdges(spark, dir)
+    kcoreOf(
+      () => Catalog.documents(spark, dir).select(col("doc_id")),
+      () => spark.read.parquet(sym),
+      KCoreK, KCoreRounds)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same peel rounds unrolled; each round's survivor set is
+    * referenced twice by the next round's endpoint restriction, so the
+    * survivor CTEs are pinned MATERIALIZED — without it an inlining
+    * planner doubles the expression tree per round (the k4 trap).
+    */
+  val kcoreSql: String = {
+    val roundCtes = (1 to KCoreRounds).map { i =>
+      val restrict =
+        if (i == 1) "" // a0 = all documents; esc is endpoint-clean already
+        else s" JOIN a${i - 1} s ON s.doc_id = e.src" +
+          s" JOIN a${i - 1} t ON t.doc_id = e.dst"
+      s"""d$i AS (SELECT e.src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         | FROM esc e$restrict GROUP BY e.src),
+         |a$i AS MATERIALIZED (SELECT doc_id FROM d$i WHERE deg >= $KCoreK)"""
+        .stripMargin
+    }.mkString(", ")
+    s"""WITH $linkGraphCteSql,
+       |es AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |esc AS MATERIALIZED (SELECT es.src, es.dst FROM es
+       |  JOIN documents a ON a.doc_id = es.src
+       |  JOIN documents b ON b.doc_id = es.dst),
+       |$roundCtes
+       |SELECT doc_id, deg FROM d$KCoreRounds WHERE deg >= $KCoreK
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
     Q("k1_pagerank", pageRank, Some(pageRankSql),
       "integer-exact damped PageRank over the content-derived link graph — " +
@@ -636,6 +729,15 @@ object Graph {
         "each triangle counted exactly once at its least vertex, wedge " +
         "join bounded O(m^1.5) by the orientation; the link-spam / " +
         "boilerplate-ring cohesion prior (training-data extension)"),
+    Q("k5_kcore", kcore, Some(kcoreSql),
+      "k-core decomposition by iterative peeling (Seidman; Montresor et " +
+        "al. distributed form): fixed rounds of remove-degree-below-k " +
+        "over the build-once symmetric edge artifact — two semi-joins + " +
+        "one map-side-combined degree count per round, node-sized " +
+        "checkpoints only; the global cohesion certificate (multiply-" +
+        "corroborated subgraph) feeding curation priors, confluent so " +
+        "the fixpoint is order-independent and hash-exact cross-engine " +
+        "(training-data extension)"),
     Q("k4_hits", hits, Some(hitsSql),
       "integer max-normalized HITS: the two-relation alternating " +
         "fixpoint (authorities endorsed by hubs, hubs endorsing " +

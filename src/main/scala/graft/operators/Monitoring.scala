@@ -957,6 +957,70 @@ object Monitoring {
        |ORDER BY lang""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // A12 — per-key FREQUENCY estimates via a Count-Min sketch
+  // ([[graft.expressions.CountMinBuild]]): a9 answers how many distinct,
+  // a10 which keys dominate; a12 serves POINT lookups — "how often did
+  // THIS key occur" — without the distinct-key shuffle an exact count
+  // table costs. The matrix builds in ONE map-side-combined aggregate
+  // pass (depth×width longs per partition, regardless of cardinality),
+  // broadcasts as a single row, and every probe is codegen'd
+  // element_at/least arithmetic — the deployment shape for request-rate
+  // / abuse-frequency lookups at 100 TB.
+  //
+  // Gate discipline (the bitmap_distinct philosophy, one step further
+  // than c2/o2's error bands): the divisor-family buckets make every
+  // CELL an exact collision-group sum the DuckDB oracle recomputes, so
+  // the ESTIMATE itself is hash-compared as a value — plus the
+  // structural `never_under` guarantee pinned true. The exact arm exists
+  // to judge the sketch; a deployment serves the sketch alone.
+  // ---------------------------------------------------------------------
+  private val CmsWidth = 512
+  private val CmsDivisors: Seq[Long] = Seq(1L, 7L, 49L, 343L)
+  private val CmsTopUsers = 10
+
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        TextOps.hash60(col("user_id").cast("string")).as("h"))
+    val cms = ev.agg(graft.expressions.SketchFunctions
+      .cms_build(col("h"), CmsWidth, CmsDivisors).as("cms"))
+    ev.groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+      .limit(CmsTopUsers)
+      .crossJoin(broadcast(cms))
+      .select(col("user_id"), col("n_exact"),
+        graft.expressions.CountMinBuild
+          .estimate("cms", "h", CmsWidth, CmsDivisors).as("est"))
+      .withColumn("never_under", col("est") >= col("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  val cmsCountsSql: String = {
+    val h = TextOps.hash60Sql("CAST(user_id AS VARCHAR)")
+    val cellCtes = CmsDivisors.zipWithIndex.map { case (p, d) =>
+      s"""c$d AS (SELECT (h // $p) % $CmsWidth AS cell,
+         | CAST(sum(n_exact) AS BIGINT) AS s FROM k GROUP BY 1)""".stripMargin
+    }.mkString(", ")
+    val joins = CmsDivisors.zipWithIndex.map { case (p, d) =>
+      s"JOIN c$d ON c$d.cell = (t.h // $p) % $CmsWidth"
+    }.mkString(" ")
+    val estExpr =
+      s"least(${CmsDivisors.indices.map(d => s"c$d.s").mkString(", ")})"
+    s"""WITH k AS (
+       | SELECT user_id, $h AS h, count(*)::BIGINT AS n_exact
+       | FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |$cellCtes,
+       |top AS (SELECT * FROM k
+       | ORDER BY n_exact DESC, user_id LIMIT $CmsTopUsers)
+       |SELECT t.user_id, t.n_exact, $estExpr AS est,
+       | $estExpr >= t.n_exact AS never_under
+       |FROM top t $joins
+       |ORDER BY t.n_exact DESC, t.user_id""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
   // W9 — ordered funnel (sequential-pattern) analysis: per user, the first
   // signup, the first click strictly AFTER that signup, and the first
   // purchase strictly AFTER that click — the product-analytics
@@ -1354,6 +1418,13 @@ object Monitoring {
       "distinct-user cardinality per event type via the bitmap_distinct fixed-state sketch aggregate (custom TypedImperativeAggregate)"),
     Q("a10_heavy_hitters", heavyHitters, Some(heavyHittersSql),
       "Misra-Gries frequent-elements sketch (bounded mergeable state, <= k pairs per partition): deterministic n/(k+1) guarantee judged against exact counts, booleans pinned true by the oracle"),
+    Q("a12_cms_counts", cmsCounts, Some(cmsCountsSql),
+      "Count-Min point-frequency sketch with divisor-family buckets: " +
+        "every cell an exact collision-group sum the oracle recomputes, " +
+        "so the ESTIMATE gate-compares as a value (the bitmap_distinct " +
+        "philosophy) plus the never-under guarantee pinned true; one " +
+        "map-side-combined matrix build, broadcast probe — the point-" +
+        "lookup companion to a9's distinct and a10's top-keys"),
     Q("w7_moving_average", movingAverage, Some(movingAverageSql),
       "bounded-row-frame moving average, decimal-exact frame sum"),
     Q("w8_gap_fill", gapFill, Some(gapFillSql),

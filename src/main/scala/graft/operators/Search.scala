@@ -221,6 +221,112 @@ object Search {
       probesOf(spark), statsIndex(spark, dir), TopK)
   }
 
+  // ---------------------------------------------------------------------
+  // B15 — MaxScore-pruned top-k (Turtle & Flood 1995, the static
+  // essential-terms variant): dynamic pruning for disjunctive top-k —
+  // the standard trick every production engine (Lucene's WAND/MaxScore,
+  // Tantivy, PISA) applies so a query containing one stopword-frequency
+  // term doesn't score that term's entire posting list. LOSSLESS by
+  // construction, so the gate oracle is b1's exact SQL unchanged (the
+  // b2/d6 rule: pruning is an execution strategy, never semantics).
+  //
+  // Mechanics, all relational and all over tiny term-sized relations:
+  // (1) per-term upper bound ub = max single-doc contribution (one
+  // grouped max over the already-term-restricted postings); (2) a seed
+  // threshold θ = the exact k-th best FULL score among documents
+  // containing the highest-ub term (TakeOrdered over one posting list —
+  // the rarest-strongest term by construction of ub); (3) terms whose
+  // ascending-ub cumulative sum stays STRICTLY below θ are non-essential:
+  // a document matching only those terms scores ≤ that cumulative bound
+  // < θ, and the k seed documents already beat it strictly, so it cannot
+  // enter the top-k under any tiebreak. Candidates = documents matching
+  // ≥ 1 essential term; they get their FULL exact score (df from the
+  // unrestricted term postings — restricting df would change semantics).
+  // Fewer than k seed documents ⇒ θ = −1 ⇒ every term essential ⇒
+  // plain b1 (no prune without a certified floor).
+  //
+  // Scale shape: the pruned term's posting list is never joined into the
+  // candidate set — at 100 TB with a skewed vocabulary that list is the
+  // scan (millions of docs for a boilerplate token vs thousands for the
+  // discriminative terms); everything else here is ≤ |terms| rows or
+  // one-posting-sized, and the final scoring inherits b2's
+  // pushed-filter index read.
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, tok, ppm) with df from the FULL term-restricted relation —
+    * the scoring atoms MaxScore prunes over.
+    */
+  private def scoredAtoms(tf: DataFrame, stats: DataFrame): DataFrame =
+    tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("ppm", contribPpm)
+      .select(col("doc_id"), col("tok"), col("ppm"))
+
+  /** The candidate documents MaxScore actually scores: docs matching at
+    * least one essential term (private[operators] so the spec can assert
+    * the prune is real, not vacuous).
+    */
+  private[operators] def maxscoreCandidates(
+      tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredAtoms(tf, stats)
+    val ub = scored.groupBy(col("tok")).agg(max(col("ppm")).as("ub"))
+    val seedTok = ub.orderBy(col("ub").desc, col("tok")).limit(1)
+      .select(col("tok"))
+    val seedDocs = scored.join(broadcast(seedTok), "tok")
+      .select(col("doc_id")).distinct()
+    // exact k-th best full score among seed docs — TakeOrdered, then the
+    // min of the kept k; an under-full seed set certifies nothing (θ=−1)
+    val seedKth = scored.join(broadcast(seedDocs), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("ppm")).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(k)
+      .agg(count(lit(1)).as("c"), min(col("s")).as("m"))
+      .filter(col("c") === k).select(col("m").as("theta"))
+    val theta = seedKth
+      .unionByName(tf.sparkSession.range(1).select(lit(-1L).as("theta")))
+      .agg(max(col("theta")).as("theta"))
+    // ≤ |terms| rows: the single-partition window is by construction tiny
+    // (partitionBy(lit) only silences the planner's mass-move warning)
+    val essential = ub
+      .withColumn("cum", sum(col("ub")).over(
+        Window.partitionBy(lit(1)).orderBy(col("ub").asc, col("tok").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(theta))
+      .filter(col("cum") >= col("theta")) // strictly-below-θ prefix prunes
+      .select(col("tok"))
+    scored.join(broadcast(essential), "tok").select(col("doc_id")).distinct()
+  }
+
+  /** MaxScore top-k over a (doc_id, dl, tok, tf) relation already
+    * restricted to the query terms: provably [[scoreTf]]'s exact rows.
+    */
+  private def scoreTfMaxScore(
+      tf: DataFrame, stats: DataFrame, k: Int): DataFrame =
+    scoredAtoms(tf, stats)
+      .join(maxscoreCandidates(tf, stats, k), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_matched"),
+        sum(col("ppm")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+
+  /** MaxScore over any (doc_id, text) frame — the spec-facing form. */
+  def bm25MaxScoreOf(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val dl = withDl(docs)
+    val tf = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    scoreTfMaxScore(tf, statsOf(dl), k)
+  }
+
+  def bm25MaxScore(spark: SparkSession, dir: String): DataFrame =
+    scoreTfMaxScore(
+      postingsIndex(spark, dir).filter(col("tok").isin(QueryTerms: _*)),
+      statsIndex(spark, dir), TopK)
+
   val bm25TopKSql: String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH dl AS (
@@ -1380,5 +1486,12 @@ object Search {
     Q("b2_bm25_indexed", bm25Indexed, Some(bm25TopKSql),
       "BM25 off the persisted term-sorted inverted index + 1-row stats artifact — tok IN (…) pushes to the scan and row-group stats skip all but the probed terms; same oracle as b1 (the index is derived state) (training-data extension)"),
     Q("b3_bm25_batch", bm25Batch, Some(bm25BatchSql),
-      "BM25 over a probe BATCH off b2's postings: shared terms scanned + df-counted once, fanned out by a broadcast probe join, per-query top-k via a WindowGroupLimit rank cut (training-data extension)"))
+      "BM25 over a probe BATCH off b2's postings: shared terms scanned + df-counted once, fanned out by a broadcast probe join, per-query top-k via a WindowGroupLimit rank cut (training-data extension)"),
+    Q("b15_maxscore", bm25MaxScore, Some(bm25TopKSql),
+      "MaxScore dynamic pruning (Turtle & Flood): terms whose " +
+        "ascending upper-bound prefix stays strictly below the exact " +
+        "k-th seed score are never joined into the candidate set — " +
+        "LOSSLESS, so the oracle is b1's exact SQL unchanged; at scale " +
+        "the pruned stopword-frequency posting list IS the scan " +
+        "(training-data extension)"))
 }

@@ -257,4 +257,69 @@ class GraphSpec extends SparkSuite {
     assert(vals.max > vals.min,
       "link structure produced no rank separation — graph degenerate")
   }
+
+  // ------------------------------------------------------------------
+  // k5 — k-core peeling
+  // ------------------------------------------------------------------
+
+  /** Symmetric edge relation from undirected pairs. */
+  private def symEdges(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+  }
+
+  // 5-clique {0..4}, pendant path 0–5–6–7
+  private def cliquePlusPath(): DataFrame = {
+    val clique = for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b)
+    symEdges(clique ++ Seq((0L, 5L), (5L, 6L), (6L, 7L)): _*)
+  }
+  private def cliquePathNodes(): DataFrame = {
+    import spark.implicits._
+    (0L to 7L).toDF("doc_id")
+  }
+
+  test("kcore peels the path one node per round; degrees are the certified cut") {
+    def run(rounds: Int) =
+      Graph.kcoreOf(() => cliquePathNodes(), () => cliquePlusPath(), 2, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 drops 7 (deg 1); round 2 drops 6 (deg 1 once 7 is gone);
+    // round 3 drops 5 — but 0's degree still counts 5 this round, since
+    // deg is measured in the PREVIOUS round's subgraph
+    assert(run(3) ===
+      Map(0L -> 5L, 1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L))
+    // round 4 reaches the fixpoint: the clique at its true core degrees
+    assert(run(4) ===
+      Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L))
+    assert(run(5) === run(4), "peeling not at fixpoint after the set froze")
+  }
+
+  test("kcore above the max degree empties; k=0 keeps every edged node") {
+    val none = Graph.kcoreOf(
+      () => cliquePathNodes(), () => cliquePlusPath(), 10, 3).collect()
+    assert(none.isEmpty)
+    val all = Graph.kcoreOf(
+      () => cliquePathNodes(), () => cliquePlusPath(), 0, 2)
+      .collect().map(_.getLong(0)).sorted
+    // an ISOLATED node never appears (no edge rows to count) — by design:
+    // the k-core of an edgeless node is empty for any k >= 1, and the
+    // gate's k is 4
+    assert(all.toSeq === (0L to 7L))
+  }
+
+  test("fixture kcore: gate rounds reach the fixpoint and the core is proper") {
+    val sym = Graph.componentEdges(spark, sfDir)
+    def run(rounds: Int) =
+      Graph.kcoreOf(
+        () => graft.Catalog.documents(spark, sfDir).select(col("doc_id")),
+        () => spark.read.parquet(sym),
+        Graph.KCoreK, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val atGate = run(Graph.KCoreRounds)
+    assert(atGate === run(Graph.KCoreRounds + 1),
+      "gate round count does not reach the peeling fixpoint on the fixture")
+    val docs = graft.Catalog.documents(spark, sfDir).count()
+    assert(atGate.nonEmpty, "core empty — k too high for the fixture graph")
+    assert(atGate.size < docs.toInt, "nothing peeled — k vacuous")
+    assert(atGate.forall(_._2 >= Graph.KCoreK))
+  }
 }
