@@ -937,7 +937,65 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // Z14 — soft-dedup-WEIGHTED source accounting: the composition proof
+  // that d15's weights actually flow into the mixing layer. x6 accounts
+  // raw token mass per source; a mirror-heavy source (every doc crawled
+  // twice) looks twice as big there and z5/z13 would over-allocate it.
+  // Effective mass divides each duplicate group's tokens by its copy
+  // count — per document an exact integer floor (n_tokens·weight_ppm
+  // div 1e6), so the sum is order-independent and hash-exact — and the
+  // inflation ratio (raw/effective, ppm) is the per-source mirror-rate
+  // diagnostic a recipe review reads before trusting the mix weights.
+  //
+  // Plan: d15's one fp-keyed window shuffle + x1's codegen'd token
+  // count, joined doc-to-doc (same key, no extra corpus shuffle class),
+  // then one partial-agged rollup to a source-sized relation.
+  // ---------------------------------------------------------------------
+  def weightedAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog.documents(spark, dir)
+    val w = Dedup.softDedupOf(docs).select(col("doc_id"), col("weight_ppm"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(w, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(expr("(n_tokens * weight_ppm) div 1000000L"))
+          .as("effective_tokens"))
+      .withColumn("dup_inflation_ppm",
+        expr("(1000000L * raw_tokens) div greatest(effective_tokens, 1L)"))
+      .orderBy(col("source"))
+  }
+
+  val weightedAccountingSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id, ${Dedup.prefixFingerprintSql("text")} AS fp
+       | FROM documents),
+       |w AS (SELECT doc_id,
+       |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies FROM f),
+       |tk AS (SELECT doc_id, source,
+       |  len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
+       | FROM documents),
+       |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+       |  CAST(sum((n_tokens * (1000000 // n_copies)) // 1000000) AS BIGINT)
+       |    AS effective_tokens
+       | FROM tk JOIN w USING (doc_id) GROUP BY source)
+       |SELECT source, n_docs, raw_tokens, effective_tokens,
+       | CAST((1000000 * raw_tokens) // greatest(effective_tokens, 1)
+       |   AS BIGINT) AS dup_inflation_ppm
+       |FROM g ORDER BY source""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("z14_weighted_accounting", weightedAccounting,
+      Some(weightedAccountingSql),
+      "soft-dedup-weighted source accounting: d15's weights composed " +
+        "into x6's rollup — effective (dedup-discounted) token mass per " +
+        "source plus the raw/effective inflation ratio, the mirror-rate " +
+        "diagnostic that keeps z5/z13's mix weights honest " +
+        "(training-data extension)"),
     Q("z10_temperature_mix", temperatureMixSample,
       Some(temperatureMixSampleSql),
       "temperature (alpha=1/2) source mixing: accepted counts proportional to sqrt(source size), exact via a squared integer acceptance compare (training-data extension)"),

@@ -899,7 +899,90 @@ object Profile {
        |ORDER BY from_col, to_col""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // C12 — class-balance profile: per categorical column the Gini
+  // impurity, majority share, and class count — the imbalance
+  // diagnostic a training-data review runs before trusting any
+  // stratified operation (z8's quotas, z5's mixes, c7's per-slice AUC
+  // all assume the strata aren't degenerate). Gini = 1 − Σp² is the
+  // impurity measure that needs NO transcendental (entropy's log is
+  // exactly what the x10 lesson forbids in hash-compared output):
+  // gini_ppm = (n² − Σc²)·1e6 div n², exact integer arithmetic,
+  // hash-identical cross-engine. Overflow headroom: (n² − Σc²)·1e6
+  // needs n ≲ 3·10⁶ per profiled column at micro scale — beyond that,
+  // rescale the unit (k1's rule) or lift the moment sums to DECIMAL(38)
+  // as c3 does.
+  //
+  // Plan: one grouped count per column (dimension-sized shuffle —
+  // categorical by assumption; a high-cardinality column wants a9/a12
+  // sketches instead) folded to a single row each, unioned into the
+  // column-per-row profile shape c1 established. NULLs are accounted
+  // (n_null) but excluded from the class distribution — a missing label
+  // is a completeness problem (c6's axis), not a class.
+  // ---------------------------------------------------------------------
+
+  /** One column's class-balance row over an explicit (v) projection. */
+  private def classBalanceOf(vals: DataFrame, label: String): DataFrame =
+    vals
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum(when(col("v").isNotNull, col("c"))), lit(0L)).as("n"),
+        coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_null"),
+        coalesce(sum(when(col("v").isNotNull, 1L)), lit(0L)).as("n_classes"),
+        coalesce(max(when(col("v").isNotNull, col("c"))), lit(0L)).as("maxc"),
+        coalesce(sum(when(col("v").isNotNull, col("c") * col("c"))), lit(0L))
+          .as("sumc2"))
+      .select(lit(label).as("column_name"), col("n"), col("n_null"),
+        col("n_classes"),
+        expr("CASE WHEN n > 0 THEN (maxc * 1000000L) div n ELSE 0L END")
+          .as("majority_ppm"),
+        expr("CASE WHEN n > 0 THEN ((n * n - sumc2) * 1000000L) div (n * n)" +
+          " ELSE 0L END").as("gini_ppm"))
+
+  /** The profiled categorical columns: (label, table loader, column). */
+  private def balanceColumns: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("documents.lang", Catalog.documents _, "lang"),
+    ("documents.source", Catalog.documents _, "source"),
+    ("events.event_type", Catalog.events _, "event_type"))
+
+  def classBalance(spark: SparkSession, dir: String): DataFrame =
+    balanceColumns
+      .map { case (label, load, c) =>
+        classBalanceOf(load(spark, dir).select(col(c).as("v")), label)
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("column_name"))
+
+  val classBalanceSql: String = {
+    val arms = Seq(
+      ("documents.lang", "documents", "lang"),
+      ("documents.source", "documents", "source"),
+      ("events.event_type", "events", "event_type")).map { case (label, t, c) =>
+      s"""SELECT '$label' AS column_name,
+         | CAST(coalesce(sum(cnt) FILTER (WHERE v IS NOT NULL), 0) AS BIGINT) AS n,
+         | CAST(coalesce(sum(cnt) FILTER (WHERE v IS NULL), 0) AS BIGINT) AS n_null,
+         | CAST(count(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS n_classes,
+         | CAST(coalesce(max(cnt) FILTER (WHERE v IS NOT NULL), 0) AS BIGINT) AS maxc,
+         | CAST(coalesce(sum(cnt * cnt) FILTER (WHERE v IS NOT NULL), 0) AS BIGINT) AS sumc2
+         |FROM (SELECT $c AS v, count(*)::BIGINT AS cnt FROM $t GROUP BY 1) g"""
+        .stripMargin.replace('\n', ' ')
+    }.mkString(" UNION ALL ")
+    s"""WITH b AS ($arms)
+       |SELECT column_name, n, n_null, n_classes,
+       | CAST(CASE WHEN n > 0 THEN (maxc * 1000000) // n ELSE 0 END AS BIGINT)
+       |  AS majority_ppm,
+       | CAST(CASE WHEN n > 0 THEN ((n * n - sumc2) * 1000000) // (n * n)
+       |  ELSE 0 END AS BIGINT) AS gini_ppm
+       |FROM b ORDER BY column_name""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("c12_class_balance", classBalance, Some(classBalanceSql),
+      "per-column class-balance profile: exact-integer Gini impurity " +
+        "(no transcendental — entropy's log is the x10 trap), majority " +
+        "share, and class count per categorical column — the imbalance " +
+        "diagnostic guarding every stratified operation (data-QA " +
+        "extension)"),
     Q("c11_fk_discovery", fkDiscovery, Some(fkDiscoverySql),
       "inclusion-dependency (FK candidate) discovery, BINDER's shape: " +
         "per-column distinct value relation + ONE value equi-join counts " +

@@ -864,6 +864,82 @@ object Relational {
       .stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // P14 — p13's sketch deployment form with a fully DETERMINISTIC
+  // primitive: log2-bucket (HdrHistogram-shape) quantile estimation.
+  // p13's exact percentile sorts every group and o2's t-digest is
+  // engine-divergent by construction; the fixed log2 histogram is the
+  // third point on that curve — MERGEABLE (bucket counts sum), bounded
+  // state (≤ 64 counters per group), and the estimate is an integer the
+  // DuckDB oracle recomputes EXACTLY (the bitmap_distinct/a12
+  // philosophy), with the deterministic guarantee that the true
+  // φ-quantile lies inside the reported bucket — value known to one
+  // OCTAVE (2×), the monitoring-latency trade HdrHistogram standardized.
+  //
+  // Plan shape: one codegen'd scan projection (floor + bin-length, no
+  // transcendental — the x10 floor-log2 kernel), one map-side-combined
+  // (type, bucket) count — ~16 rows per group shuffle — then window
+  // arithmetic over the tiny histogram relation. At 100 TB the shuffle
+  // ships kilobytes; p13 would sort terabytes per group.
+  // ---------------------------------------------------------------------
+  val HdrPhis: Seq[Int] = Seq(50, 95, 99)
+
+  /** Log2-bucket quantile estimates over any (event_type, value) frame:
+    * for each φ the least bucket whose cumulative count reaches
+    * ⌈φ·n/100⌉, with the bucket's [lo, hi] micro-unit value bounds.
+    * Buckets key on bitlength(floor(value·1e6)): micro 0 → bucket 1
+    * (shared with micro 1 — lo pinned 0), so the mapping is total over
+    * non-negative values; negatives are upstream quality-floor work and
+    * are filtered (log buckets cover magnitudes).
+    */
+  def hdrQuantilesOf(events: DataFrame): DataFrame = {
+    val hist = events
+      .filter(col("value") >= 0)
+      .select(col("event_type"),
+        length(bin(expr("CAST(floor(value * 1000000.0) AS BIGINT)")))
+          .cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("c")).over(byType.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("c")).over(byType))
+      .withColumn("phi", explode(array(HdrPhis.map(lit(_)): _*)))
+      .filter(col("cum") >= expr("(phi * n + 99L) div 100L"))
+      .groupBy(col("event_type"), col("phi"), col("n"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("event_type"), col("phi"), col("bucket"),
+        expr("CASE WHEN bucket = 1 THEN 0L" +
+          " ELSE shiftleft(1L, CAST(bucket - 1 AS INT)) END").as("lo_micro"),
+        expr("shiftleft(1L, CAST(bucket AS INT)) - 1L").as("hi_micro"),
+        col("n"))
+      .orderBy(col("event_type"), col("phi"))
+  }
+
+  def hdrQuantiles(spark: SparkSession, dir: String): DataFrame =
+    hdrQuantilesOf(Catalog.events(spark, dir))
+
+  val hdrQuantilesSql: String = {
+    val phis = HdrPhis.map(p => s"($p)").mkString(", ")
+    s"""WITH h AS (
+       | SELECT event_type,
+       |  length(bin(CAST(floor(value * 1000000.0) AS BIGINT))) AS bucket,
+       |  count(*)::BIGINT AS c
+       | FROM events WHERE value >= 0 GROUP BY 1, 2),
+       |cw AS (SELECT event_type, bucket, c,
+       |  CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+       |  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h),
+       |p(phi) AS (VALUES $phis),
+       |sel AS (SELECT event_type, phi, n, min(bucket) AS bucket
+       | FROM cw CROSS JOIN p WHERE cum >= (phi * n + 99) // 100
+       | GROUP BY event_type, phi, n)
+       |SELECT event_type, phi, bucket,
+       | CASE WHEN bucket = 1 THEN 0
+       |  ELSE (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INTEGER)) END AS lo_micro,
+       | (CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) - 1 AS hi_micro, n
+       |FROM sel ORDER BY event_type, phi""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
   // F2 — JSON extraction: pull a typed field out of a JSON string column
   // and aggregate it (events.props carries the reference's free-form
   // payload; every monitoring store grows one of these). `get_json_object`
@@ -1674,6 +1750,12 @@ object Relational {
       "typed JSON field extraction + grouped rollup over the props payload column"),
     Q("p13_percentiles", valuePercentiles, Some(valuePercentilesSql),
       "exact interpolated per-group percentiles (p50/p95 latency-quantile rollup)"),
+    Q("p14_hdr_quantiles", hdrQuantiles, Some(hdrQuantilesSql),
+      "log2-bucket (HdrHistogram-shape) quantile estimation: mergeable " +
+        "<= 64-counter state per group, estimate oracle-recomputed " +
+        "exactly, true quantile guaranteed inside the reported bucket " +
+        "(one octave) — p13's sketch deployment form where exact " +
+        "percentile would sort terabytes per group"),
     Q("g3_rollup", rollupSummary, Some(rollupSummarySql),
       "ROLLUP grouping sets: group/subtotal/grand-total in one aggregate pass"),
     Q("g4_cube", cubeSummary, Some(cubeSummarySql),

@@ -303,6 +303,27 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Streaming a12 — the Count-Min frequency matrix maintained ONLINE
+    * (complete mode): the identical [[graft.expressions.CountMinBuild]]
+    * aggregate over the live stream, so the serving layer answers "how
+    * often has THIS key occurred so far" from a single broadcastable row
+    * at any moment. The matrix is a commutative monoid (element-wise
+    * sums), so the streamed state after ANY micro-batch split equals the
+    * batch build over the same rows — StreamsSpec asserts that equality,
+    * the c2/o2 twin discipline applied to streaming state. State size is
+    * the fixed depth×width matrix regardless of key cardinality — the
+    * reason a streaming deployment carries the sketch and not an exact
+    * per-key count table.
+    */
+  def streamingCms(events: DataFrame, width: Int,
+      divisors: Seq[Long]): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .select(graft.operators.TextOps.hash60(
+        col("user_id").cast("string")).as("h"))
+      .agg(graft.expressions.SketchFunctions
+        .cms_build(col("h"), width, divisors).as("cms"))
+
   /** Stream-STATIC join: flag in-flight events against the per-type
     * Tukey fence relation ([[graft.operators.Relational.tukeyFences]],
     * computed batch-side from history — o1's exact rule, so batch
