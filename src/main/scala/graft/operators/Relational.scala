@@ -1469,6 +1469,130 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------------
+  // O8 — o4's documented 100 TB swap EXECUTED as a gate entry (the
+  // c2/o2 "claim as data" rule applied to SCALE.md prose): the binned
+  // ECDF KS statistic over h2's equal-width grid. o4's per-type sort of
+  // DISTINCT values is its scale bottleneck; the binned form needs only
+  // the (type, bucket) count relation — ≤ HistBuckets rows per type,
+  // map-side combined, no distinct-value sort anywhere.
+  //
+  // The swap's error is PROVABLE, and the gate pins the proof as data.
+  // In cleared-denominator gap units g = |cum_old·n_new − cum_new·n_old|:
+  // (1) the binned statistic evaluates g at bucket edges — a subset of
+  // the exact supremum's domain — so d_binned ≤ d_exact ALWAYS;
+  // (2) within one bucket cum_old moves by ≤ b_old and cum_new by
+  // ≤ b_new, and g is monotone in each, so its in-bucket extreme is a
+  // rectangle corner: d_exact ≤ d_binned + max_b max(b_old·n_new,
+  // b_new·n_old) — one bucket's mass, the SCALE.md claim. Both bounds
+  // are exact integer comparisons, hash-pinned `true` by the oracle;
+  // the exact arm exists only to judge the binned one (a deployment
+  // runs the binned arm alone).
+  // ---------------------------------------------------------------------
+  def ksBinned(spark: SparkSession, dir: String): DataFrame =
+    ksBinnedOf(Catalog.events(spark, dir),
+      col("event_id") % 7 =!= 0, col("event_id") % 5 =!= 0)
+
+  /** o8 core: binned KS vs o4's exact statistic over the same snapshot
+    * flags, with both error-band booleans emitted as data.
+    */
+  def ksBinnedOf(events: DataFrame, inOld: Column, inNew: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slice = events.filter(col("value").isNotNull && (inOld || inNew))
+    // shared-bounds grid over the UNION slice (h2's two-pass shape) so
+    // both snapshots bin identically — per-snapshot bounds would not be
+    // a comparable ECDF domain
+    val bounds = slice.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val binned = slice
+      .join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"),
+        bucketOf(col("value"), col("lo"), col("hi")).as("bucket"))
+      .agg(sum(when(inOld, 1L).otherwise(0L)).as("b_old"),
+        sum(when(inNew, 1L).otherwise(0L)).as("b_new"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    val perType = binned
+      .withColumn("cum_old", sum(col("b_old")).over(cum))
+      .withColumn("cum_new", sum(col("b_new")).over(cum))
+      .withColumn("n_old", sum(col("b_old")).over(whole))
+      .withColumn("n_new", sum(col("b_new")).over(whole))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_old")).cast("long").as("n_old"),
+        max(col("n_new")).cast("long").as("n_new"),
+        max(abs(col("cum_old") * col("n_new") -
+          col("cum_new") * col("n_old"))).cast("long").as("d_binned"),
+        max(greatest(col("b_old") * col("n_new"),
+          col("b_new") * col("n_old"))).cast("long").as("bucket_mass"))
+    val exact = ksDriftOf(events, inOld, inNew)
+      .select(col("event_type"), col("d_num").as("d_exact"))
+    perType.join(exact, "event_type")
+      .select(col("event_type"), col("n_old"), col("n_new"),
+        col("d_binned"), col("d_exact"), col("bucket_mass"),
+        (col("d_binned") <= col("d_exact")).as("binned_never_over"),
+        (col("d_exact") <= col("d_binned") + col("bucket_mass"))
+          .as("exact_within_bucket_mass"))
+      .orderBy(col("event_type"))
+  }
+
+  val ksBinnedSql: String =
+    s"""WITH e AS (
+       | SELECT event_type, value,
+       |  CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END AS in_old,
+       |  CASE WHEN event_id % 5 <> 0 THEN 1 ELSE 0 END AS in_new
+       | FROM events
+       | WHERE value IS NOT NULL AND (event_id % 7 <> 0 OR event_id % 5 <> 0)),
+       |bo AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+       | FROM e GROUP BY event_type),
+       |bi AS (
+       | SELECT event_type,
+       |  CASE WHEN hi = lo THEN 0 ELSE least(
+       |   CAST(floor((value - lo) / ((hi - lo) / $HistBuckets)) AS BIGINT),
+       |   ${HistBuckets - 1}) END AS bucket,
+       |  CAST(sum(in_old) AS BIGINT) AS b_old,
+       |  CAST(sum(in_new) AS BIGINT) AS b_new
+       | FROM e JOIN bo USING (event_type) GROUP BY 1, 2),
+       |c AS (
+       | SELECT event_type, b_old, b_new,
+       |  sum(b_old) OVER (PARTITION BY event_type ORDER BY bucket
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_old,
+       |  sum(b_new) OVER (PARTITION BY event_type ORDER BY bucket
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_new,
+       |  sum(b_old) OVER (PARTITION BY event_type) AS n_old,
+       |  sum(b_new) OVER (PARTITION BY event_type) AS n_new
+       | FROM bi),
+       |bt AS (
+       | SELECT event_type,
+       |  CAST(max(n_old) AS BIGINT) AS n_old,
+       |  CAST(max(n_new) AS BIGINT) AS n_new,
+       |  CAST(max(abs(cum_old*n_new - cum_new*n_old)) AS BIGINT) AS d_binned,
+       |  CAST(max(greatest(b_old*n_new, b_new*n_old)) AS BIGINT) AS bucket_mass
+       | FROM c GROUP BY event_type),
+       |g AS (
+       | SELECT event_type, value,
+       |  CAST(sum(in_old) AS BIGINT) AS c_old,
+       |  CAST(sum(in_new) AS BIGINT) AS c_new
+       | FROM e GROUP BY event_type, value),
+       |x AS (
+       | SELECT event_type,
+       |  sum(c_old) OVER (PARTITION BY event_type ORDER BY value
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_old,
+       |  sum(c_new) OVER (PARTITION BY event_type ORDER BY value
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_new,
+       |  sum(c_old) OVER (PARTITION BY event_type) AS n_old,
+       |  sum(c_new) OVER (PARTITION BY event_type) AS n_new
+       | FROM g),
+       |xt AS (
+       | SELECT event_type,
+       |  CAST(max(abs(cum_old*n_new - cum_new*n_old)) AS BIGINT) AS d_exact
+       | FROM x GROUP BY event_type)
+       |SELECT event_type, n_old, n_new, d_binned, d_exact, bucket_mass,
+       | d_binned <= d_exact AS binned_never_over,
+       | d_exact <= d_binned + bucket_mass AS exact_within_bucket_mass
+       |FROM bt JOIN xt USING (event_type)
+       |ORDER BY event_type""".stripMargin.replace('\n', ' ')
+
   val ksDriftSql: String =
     """WITH e AS (
       | SELECT event_type, value,
@@ -1734,6 +1858,12 @@ object Relational {
       "hour-of-day seasonal anomaly baselines: o3's Hampel rule per (metric, hour) slot - a global fence flags every evening spike and sleeps through a 3am surge; baseline relation is |types|*24 rows broadcast onto map-side rescans (monitoring extension)"),
     Q("o4_ks_drift", ksDrift, Some(ksDriftSql),
       "exact two-sample Kolmogorov–Smirnov drift per metric type on h3's snapshot slices: integer-exact CDF-gap supremum over distinct values, ONE terminal division to micro-points — binning-free drift h3's bucket L1 can miss (data-QA extension)"),
+    Q("o8_ks_binned", ksBinned, Some(ksBinnedSql),
+      "o4's documented scale swap executed as a gate entry: binned-ECDF " +
+        "KS over h2's shared-bounds grid (bucket counts only — no " +
+        "distinct-value sort), with BOTH provable error bounds pinned " +
+        "as data: binned never exceeds exact, exact within one bucket's " +
+        "cleared-denominator mass (data-QA extension)"),
     Q("h3_histogram_drift", histogramDrift, Some(histogramDriftSql),
       "snapshot-over-snapshot histogram drift: shared-bounds h2 buckets, per-type exact-integer L1 distance in ONE flagged scan — distribution drift caught before it crosses an o1 fence (data-QA extension)"),
     Q("h2_value_histogram", valueHistogram, Some(valueHistogramSql),

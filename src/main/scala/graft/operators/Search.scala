@@ -148,6 +148,7 @@ object Search {
   def prewarmIndexes(spark: SparkSession, dir: String): Unit = {
     postingsIndex(spark, dir)
     statsIndex(spark, dir)
+    maxscoreMeta(spark, dir); ()
   }
 
   def bm25Indexed(spark: SparkSession, dir: String): DataFrame =
@@ -254,7 +255,11 @@ object Search {
   // ---------------------------------------------------------------------
 
   /** (doc_id, tok, ppm) with df from the FULL term-restricted relation —
-    * the scoring atoms MaxScore prunes over.
+    * the scoring atoms MaxScore prunes over. The df window shuffles the
+    * term-restricted tf relation by tok (b1's documented shape) — the
+    * ad-hoc-corpus form; the INDEXED gate entry replaces this window
+    * with [[maxscoreMeta]]'s per-term metadata join and shuffles nothing
+    * before the candidate aggregation.
     */
   private def scoredAtoms(tf: DataFrame, stats: DataFrame): DataFrame =
     tf.withColumn("df", count(lit(1)).over(
@@ -263,15 +268,42 @@ object Search {
       .withColumn("ppm", contribPpm)
       .select(col("doc_id"), col("tok"), col("ppm"))
 
-  /** The candidate documents MaxScore actually scores: docs matching at
-    * least one essential term (private[operators] so the spec can assert
-    * the prune is real, not vacuous).
+  /** Per-term index METADATA (tok, df, ub): document frequency and the
+    * maximum single-document score contribution, persisted build-once
+    * beside the postings (what Lucene stores as per-term max impact for
+    * MaxScore/WAND). At query time df and the upper bounds come from
+    * ≤ |terms| pushed-filter metadata rows instead of a df WINDOW over
+    * the term-restricted postings — the window is a shuffle of every
+    * matching (doc, term) row by tok, and for a stopword-frequency term
+    * that shuffle is corpus-sized; with the metadata join the b15 plan
+    * moves NOTHING before the candidate-sized aggregation (scan-side
+    * broadcast joins only).
     */
-  private[operators] def maxscoreCandidates(
-      tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = scoredAtoms(tf, stats)
-    val ub = scored.groupBy(col("tok")).agg(max(col("ppm")).as("ub"))
+  private[operators] def maxscoreMeta(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.Scratch.materialize(spark, "bm25_maxscore_meta",
+      IndexVersion, dir) { staging =>
+      val postings = postingsIndex(spark, dir)
+      val stats = statsIndex(spark, dir)
+      postings
+        .join(postings.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("ppm", contribPpm)
+        .groupBy(col("tok"))
+        .agg(max(col("df")).as("df"), max(col("ppm")).as("ub"))
+        .repartitionByRange(col("tok"))
+        .sortWithinPartitions(col("tok"))
+        .write.parquet(staging)
+    }
+    spark.read.parquet(p)
+  }
+
+  /** The MaxScore candidate set over explicit scoring atoms
+    * (doc_id, tok, ppm) and a per-term upper-bound relation (tok, ub):
+    * docs matching at least one essential term. Every non-atom relation
+    * here is ≤ |terms| rows or one-posting-sized.
+    */
+  private def maxscoreCandidatesFrom(spark: SparkSession,
+      scored: DataFrame, ub: DataFrame, k: Int): DataFrame = {
     val seedTok = ub.orderBy(col("ub").desc, col("tok")).limit(1)
       .select(col("tok"))
     val seedDocs = scored.join(broadcast(seedTok), "tok")
@@ -284,34 +316,52 @@ object Search {
       .agg(count(lit(1)).as("c"), min(col("s")).as("m"))
       .filter(col("c") === k).select(col("m").as("theta"))
     val theta = seedKth
-      .unionByName(tf.sparkSession.range(1).select(lit(-1L).as("theta")))
+      .unionByName(spark.range(1).select(lit(-1L).as("theta")))
       .agg(max(col("theta")).as("theta"))
-    // ≤ |terms| rows: the single-partition window is by construction tiny
-    // (partitionBy(lit) only silences the planner's mass-move warning)
+    // ascending-(ub, tok) prefix sums over the ≤ |terms|-row bound
+    // relation via a broadcast triangular self-join — |terms|² ≤ a few
+    // dozen rows, and it keeps the gate plan entirely WINDOW-free (a
+    // single-partition window would be harmless here but MaxScoreSpec
+    // pins "no Window operator" as the no-shuffle-before-candidates
+    // proof, so the tiny arithmetic uses joins like everything else)
+    val ubB = ub.select(col("tok").as("tok2"), col("ub").as("ub2"))
     val essential = ub
-      .withColumn("cum", sum(col("ub")).over(
-        Window.partitionBy(lit(1)).orderBy(col("ub").asc, col("tok").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(ubB),
+        col("ub2") < col("ub") ||
+          (col("ub2") === col("ub") && col("tok2") <= col("tok")))
+      .groupBy(col("tok")).agg(sum(col("ub2")).as("cum"))
       .crossJoin(broadcast(theta))
       .filter(col("cum") >= col("theta")) // strictly-below-θ prefix prunes
       .select(col("tok"))
     scored.join(broadcast(essential), "tok").select(col("doc_id")).distinct()
   }
 
-  /** MaxScore top-k over a (doc_id, dl, tok, tf) relation already
-    * restricted to the query terms: provably [[scoreTf]]'s exact rows.
+  /** The candidate documents MaxScore actually scores — the window-df
+    * ad-hoc form (private[operators] so the spec can assert the prune is
+    * real, not vacuous).
     */
-  private def scoreTfMaxScore(
-      tf: DataFrame, stats: DataFrame, k: Int): DataFrame =
-    scoredAtoms(tf, stats)
-      .join(maxscoreCandidates(tf, stats, k), Seq("doc_id"), "left_semi")
+  private[operators] def maxscoreCandidates(
+      tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    val scored = scoredAtoms(tf, stats)
+    maxscoreCandidatesFrom(tf.sparkSession, scored,
+      scored.groupBy(col("tok")).agg(max(col("ppm")).as("ub")), k)
+  }
+
+  /** The shared top-k tail over atoms + a candidate set. */
+  private def maxscoreTail(scored: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame =
+    scored
+      .join(candidates, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_terms_matched"),
         sum(col("ppm")).as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("doc_id"))
       .limit(k)
 
-  /** MaxScore over any (doc_id, text) frame — the spec-facing form. */
+  /** MaxScore over any (doc_id, text) frame — the spec-facing ad-hoc
+    * form (df via the window; the gate entry rides the metadata
+    * artifact instead).
+    */
   def bm25MaxScoreOf(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val dl = withDl(docs)
     val tf = dl
@@ -319,13 +369,31 @@ object Search {
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    scoreTfMaxScore(tf, statsOf(dl), k)
+    val scored = scoredAtoms(tf, statsOf(dl))
+    maxscoreTail(scored,
+      maxscoreCandidates(tf, statsOf(dl), k), k)
   }
 
-  def bm25MaxScore(spark: SparkSession, dir: String): DataFrame =
-    scoreTfMaxScore(
-      postingsIndex(spark, dir).filter(col("tok").isin(QueryTerms: _*)),
-      statsIndex(spark, dir), TopK)
+  /** The gate entry — b15 off the persisted index + per-term metadata:
+    * df and the upper bounds come from ≤ |terms| pushed metadata rows
+    * ([[maxscoreMeta]]), so the plan has NO df window and NO shuffle of
+    * posting rows before the candidate-sized aggregation — scan-side
+    * broadcast joins only (SearchSpec/MaxScoreSpec assert the
+    * window-free plan and b2-equality).
+    */
+  def bm25MaxScore(spark: SparkSession, dir: String): DataFrame = {
+    val meta = maxscoreMeta(spark, dir)
+      .filter(col("tok").isin(QueryTerms: _*))
+    val scored = postingsIndex(spark, dir)
+      .filter(col("tok").isin(QueryTerms: _*))
+      .join(broadcast(meta.select(col("tok"), col("df"))), "tok")
+      .crossJoin(broadcast(statsIndex(spark, dir)))
+      .withColumn("ppm", contribPpm)
+      .select(col("doc_id"), col("tok"), col("ppm"))
+    maxscoreTail(scored,
+      maxscoreCandidatesFrom(spark, scored,
+        meta.select(col("tok"), col("ub")), TopK), TopK)
+  }
 
   val bm25TopKSql: String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString(", ")

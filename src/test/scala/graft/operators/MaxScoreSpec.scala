@@ -66,9 +66,44 @@ class MaxScoreSpec extends SparkSuite {
     assert(pruned == exact)
   }
 
-  test("fixture: b15 off the persisted index equals b2 exactly") {
+  test("fixture: b15 off the persisted index + metadata equals b2 exactly") {
     val b2 = Search.bm25Indexed(spark, sfDir).collect().toSeq
     val b15 = Search.bm25MaxScore(spark, sfDir).collect().toSeq
     assert(b15 == b2)
+  }
+
+  test("gate plan carries no df window: per-term bounds come from metadata") {
+    // the ad-hoc form pays a Window (df over tok — a shuffle of posting
+    // rows); the indexed gate entry must not: df and ub are pushed
+    // metadata-row joins, so nothing moves before the candidate-sized
+    // aggregation
+    val plan = Search.bm25MaxScore(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"df window leaked into the plan:\n$plan")
+  }
+
+  test("metadata artifact agrees with the window-df derivation") {
+    import spark.implicits._
+    val meta = Search.maxscoreMeta(spark, sfDir)
+      .filter(col("tok").isin(Search.QueryTerms: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // recompute df/ub from the raw postings with the window form
+    val postings = Search.postingsIndex(spark, sfDir)
+      .filter(col("tok").isin(Search.QueryTerms: _*))
+    val stats = Search.statsIndex(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    val expected = postings
+      .withColumn("df", count(lit(1)).over(w))
+      .crossJoin(broadcast(stats))
+      .withColumn("ppm", expr(
+        "CAST(round(CAST((length(bin((2*n + 2) div (2*df + 1))) - 1)" +
+          " * 22 * tf * t AS DOUBLE) / CAST(10*tf*t + 3*t + 9*dl*n AS DOUBLE)" +
+          " * 1000000.0, 0) AS BIGINT)"))
+      .groupBy(col("tok"))
+      .agg(max(col("df")).as("df"), max(col("ppm")).as("ub"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(meta == expected)
   }
 }
