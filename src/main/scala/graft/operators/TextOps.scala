@@ -530,6 +530,72 @@ object TextOps {
        |FROM tok2 JOIN bits USING (tok)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // X17 — bigram (context-conditioned) surprisal: x10 scores every token
+  // against the corpus-wide unigram distribution, which cannot see WORD
+  // ORDER — a scrambled document scores exactly like its original. The
+  // production perplexity filters (CCNet's KenLM 5-gram) are n-gram
+  // models precisely because fluency lives in transitions; x17 is the
+  // first context step, P(t2|t1) = c(t1,t2)/c(t1·), fitted on the corpus
+  // itself like x10's LM. Within-corpus scoring needs no backoff (every
+  // scored bigram has c12 ≥ 1 by construction — a deployment scoring
+  // against a FOREIGN reference corpus adds the unigram fallback, x10's
+  // relation, for unseen transitions).
+  //
+  // Determinism: x10's integer-bits rule on the conditional —
+  // bits = floor(log2(c1/c12)) = bitlength(c1 div c12) − 1, exact
+  // integer arithmetic end to end; the one double division (the mean)
+  // divides exact integers identically both engines.
+  //
+  // Plan shape: bigrams via x12's codegen'd slice+zip kernel (never a
+  // positional self-join); the pair-count and left-context aggregates
+  // are Heaps-law-bounded relations; scoring joins the per-doc bigram
+  // stream to the bits relation on the pair key — x10's dimension-vs-
+  // fact shape one order up. Docs with < 2 tokens have no transitions
+  // and drop (a length floor is x2's job, not a zero-fill here).
+  // ---------------------------------------------------------------------
+  /** Bigram-surprisal scoring core over any (doc_id, text) frame. */
+  def bigramSurprisalOf(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("t1"), col("p.1").as("t2"))
+    val pair = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
+    val ctx = pair.groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
+    val bits = pair.join(ctx, "t1")
+      .select(col("t1"), col("t2"),
+        (length(bin(expr("c1 DIV c12"))) - 1).cast("long").as("bits"))
+    bg.join(bits, Seq("t1", "t2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_surprisal"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_surprisal"),
+        round(col("sum_surprisal") / col("n_bigrams"), 6).as("avg_surprisal"))
+  }
+
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalOf(Catalog.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val bigramSurprisalSql: String =
+    s"""WITH base AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       | FROM documents WHERE text IS NOT NULL),
+       |p AS (
+       | SELECT doc_id, tk[pos] AS t1, tk[pos + 1] AS t2
+       | FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS pos
+       |       FROM base WHERE len(tk) >= 2)),
+       |pair AS (SELECT t1, t2, count(*)::BIGINT AS c12 FROM p GROUP BY 1, 2),
+       |ctx AS (SELECT t1, CAST(sum(c12) AS BIGINT) AS c1 FROM pair GROUP BY 1),
+       |bits AS (SELECT t1, t2, CAST(length(bin(c1 // c12)) - 1 AS BIGINT) AS bits
+       | FROM pair JOIN ctx USING (t1))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       | CAST(sum(bits) AS BIGINT) AS sum_surprisal,
+       | round(CAST(sum(bits) AS BIGINT) / count(*), 6) AS avg_surprisal
+       |FROM p JOIN bits USING (t1, t2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   /** Registry of this module's catalogued queries. */
   // ---------------------------------------------------------------------
   // PII redaction (library API, spec-covered): the scrub pass a curation
@@ -827,6 +893,13 @@ object TextOps {
       "model-based quality filter: hashing-trick linear-classifier margin in exact integer arithmetic, one codegen'd pass (training-data extension)"),
     Q("x10_lm_surprisal", lmSurprisal, Some(lmSurprisalSql),
       "unigram-LM mean surprisal per document — the perplexity-filter shape in exact integer bits (training-data extension)"),
+    Q("x17_bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql),
+      "bigram (context-conditioned) surprisal per document: the first " +
+        "n-gram step toward the KenLM filter shape — word ORDER enters " +
+        "the score where x10's unigram cannot see it; x10's integer-" +
+        "bits rule on the conditional c(t1·) div c(t1,t2), x12's " +
+        "codegen'd pairing kernel, Heaps-bounded LM relations " +
+        "(training-data extension)"),
     Q("x9_vocabulary", vocabulary, Some(vocabularySql),
       "corpus vocabulary: top-N token frequency/doc-frequency table via a two-level algebraic aggregate (training-data extension)"),
     Q("x12_merge_pairs", mergePairs, Some(mergePairsSql),
