@@ -237,6 +237,104 @@ object Dedup {
       dedup: Boolean = true): DataFrame =
     joinPrefixPostings(prefixPostings(spark, dir), JaccardThreshold, dedup)
 
+  // ---------------------------------------------------------------------
+  // D16 — DIRECTED containment dedup: C(A→B) = |S_A ∩ S_B| / |S_A|. The
+  // quote/excerpt detector Jaccard is structurally blind to — a 100-line
+  // article pasted inside a 10,000-line aggregator page has J ≈ 0.01
+  // and containment ≈ 1.0. Asymmetric by design (the smaller side's
+  // shingles are the denominator), so pairs are DIRECTED and both
+  // directions can hold (mutual containment ≈ exact dup). This is the
+  // doc-level summary of what d8 localizes span-by-span, and the signal
+  // aggregator/boilerplate-wrapper curation policies act on.
+  //
+  // Candidates REUSE the persisted t=0.5 prefix postings at a TIGHTER
+  // window: the containment prefix bound is position(smallest shared
+  // token) ≤ n_a − ⌈t·n_a⌉ + 1 (the intersection ≥ ⌈t·n_a⌉ cannot fit
+  // in the suffix), and window(0.8) ⊂ window(0.5), so the A side is a
+  // FILTER over the existing artifact — zero new index builds. Only A
+  // is window-bounded (the container side has no prefix bound under
+  // containment), so B joins from the df-capped full postings. The
+  // threshold is the exact rational 4/5 and every compare is integer
+  // (5·inter ≥ 4·n_a; ⌈4n/5⌉ = (4n+4) div 5) — no float anywhere.
+  // Miss-mode: identical to d4's documented cap trade (a pair whose
+  // every shared shingle is corpus-hot).
+  // ---------------------------------------------------------------------
+  /** Containment threshold as an exact rational: num/den = 4/5. */
+  val ContainNum = 4
+  val ContainDen = 5
+
+  /** Exact containment verify over an explicit DIRECTED candidate set:
+    * (da → db) survives iff den·|∩| ≥ num·|S_da| with |S_da| > 0.
+    */
+  private def containmentForCandidatesHs(
+      hs: DataFrame, candidates: DataFrame): DataFrame =
+    candidates
+      .join(hs.select(col("doc_id").as("da"), col("hs").as("hsa")), "da")
+      .join(hs.select(col("doc_id").as("db"), col("hs").as("hsb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("hsa"), col("hsb"))).cast("long").as("inter"),
+        size(col("hsa")).cast("long").as("na"),
+        size(col("hsb")).cast("long").as("nb"))
+      .filter(col("na") > 0 &&
+        col("inter") * ContainDen >= col("na") * ContainNum)
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
+        expr("(1000000L * inter) div na").as("containment_ppm"))
+
+  /** Directed containment candidates: the contained side's tightened
+    * prefix window over the persisted t=0.5 postings, joined against the
+    * df-capped full postings of every potential container.
+    */
+  private def containmentCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val prefA = prefixPostings(spark, dir)
+      .filter(col("rn") <=
+        col("n") - expr(s"($ContainNum * n + $ContainNum) div $ContainDen") + 1)
+      .select(col("doc_id").as("da"), col("h"))
+    val exB = capPostings(
+      shingleIndex(spark, dir)
+        .select(col("doc_id"), explode(col("hs")).as("h")), "h", DocFreqCap)
+      .select(col("doc_id").as("db"), col("h"))
+    prefA.join(exB, "h")
+      .filter(col("da") =!= col("db"))
+      .select(col("da"), col("db"))
+      .distinct()
+  }
+
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Q.tinySort(
+      containmentForCandidatesHs(
+        shingleIndex(spark, dir), containmentCandidates(spark, dir)),
+      col("da"), col("db"))
+
+  /** Spec-facing form over any (doc_id, text) frame: brute candidates
+    * (every ordered pair), exact verify — the oracle's own shape.
+    */
+  def containmentDedupOf(docs: DataFrame): DataFrame = {
+    val hs = docs.select(col("doc_id"),
+      shingle_hash60(col("text"), 3).as("hs"))
+    val ids = hs.select(col("doc_id"))
+    val cand = ids.select(col("doc_id").as("da"))
+      .crossJoin(ids.select(col("doc_id").as("db")))
+      .filter(col("da") =!= col("db"))
+    containmentForCandidatesHs(hs, cand)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Oracle: brute-force exact containment over the shared shingle CTEs
+    * (the d4/d12 oracle shape — candidates are an execution strategy).
+    */
+  val containmentDedupSql: String =
+    s"""WITH ${shingleCteSql}
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       | len(list_intersect(a.hs, b.hs))::BIGINT AS inter,
+       | len(a.hs)::BIGINT AS na, len(b.hs)::BIGINT AS nb,
+       | CAST((1000000 * len(list_intersect(a.hs, b.hs))) // len(a.hs)
+       |   AS BIGINT) AS containment_ppm
+       |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+       |WHERE len(a.hs) > 0
+       | AND $ContainDen * len(list_intersect(a.hs, b.hs))
+       |     >= $ContainNum * len(a.hs)
+       |ORDER BY da, db""".stripMargin.replace('\n', ' ')
+
   /** Exact pairwise shingle-Jaccard for every co-shingle pair over an
     * explicit (doc_id, hs) relation: candidates off the df-capped,
     * prefix-filtered inverted index, then the exact verify step over the
@@ -1258,6 +1356,15 @@ object Dedup {
       "the EVAL-side contamination report (x7's flip side, the GPT-3-appendix clean/dirty accounting): per benchmark item, overlapping / threshold-compromising training docs + worst single-doc overlap — pair-level counts bounded by the small eval side (training-data extension)"),
     Q("d1_exact_dedup", exactDedup, Some(exactDedupSql),
       "prefix-fingerprint exact dedup, hash-groupBy keep-first (training-data extension)"),
+    Q("d16_containment", containmentDedup, Some(containmentDedupSql),
+      "directed containment dedup C(A->B) = |A∩B|/|A| >= 4/5: the " +
+        "quote/excerpt detector Jaccard is structurally blind to " +
+        "(article-inside-aggregator has J~0.01, containment~1.0) — the " +
+        "contained side's TIGHTENED prefix window filters the persisted " +
+        "t=0.5 postings (zero new index builds), the container side " +
+        "joins from the df-capped full postings, every compare the " +
+        "exact rational 4/5 in integers; doc-level summary of d8's " +
+        "span localization (training-data extension)"),
     Q("d15_soft_dedup", softDedup, Some(softDedupSql),
       "soft dedup (SoftDedup / CCNet count-and-weight): every document " +
         "kept, sampling weight = 1e6 div copies in integer ppm so each " +
