@@ -891,12 +891,17 @@ object Relational {
     * non-negative values; negatives are upstream quality-floor work and
     * are filtered (log buckets cover magnitudes).
     */
+  /** The p14 bucket kernel — bitlength of the value's micro-units; ONE
+    * definition shared by the batch quantile estimator and the streaming
+    * histogram twin so the two can never bin differently.
+    */
+  def hdrBucket(value: Column): Column =
+    length(bin(floor(value * lit(1000000.0)).cast("long"))).cast("long")
+
   def hdrQuantilesOf(events: DataFrame): DataFrame = {
     val hist = events
       .filter(col("value") >= 0)
-      .select(col("event_type"),
-        length(bin(expr("CAST(floor(value * 1000000.0) AS BIGINT)")))
-          .cast("long").as("bucket"))
+      .select(col("event_type"), hdrBucket(col("value")).as("bucket"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("c"))
     val byType = Window.partitionBy(col("event_type"))

@@ -324,6 +324,24 @@ object Streams {
       .agg(graft.expressions.SketchFunctions
         .cms_build(col("h"), width, divisors).as("cms"))
 
+  /** Streaming p14 — the log2-bucket latency histogram maintained ONLINE
+    * (complete mode): [[graft.operators.Relational.hdrBucket]]'s exact
+    * kernel over the live stream, grouped (type, bucket) counts as the
+    * state — ≤ 64 counters per type regardless of volume, the
+    * HdrHistogram serving shape for live latency percentiles. Counter
+    * addition is a monoid, so any micro-batch split equals the batch
+    * histogram (StreamCmsSpec's discipline, asserted in StreamHdrSpec);
+    * the batch p14 tail (cumulative + φ-target cut) reads the snapshot
+    * to serve quantiles at any moment.
+    */
+  def streamingHdrHistogram(events: DataFrame): DataFrame =
+    events
+      .filter(col("value") >= 0)
+      .select(col("event_type"),
+        graft.operators.Relational.hdrBucket(col("value")).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** Stream-STATIC join: flag in-flight events against the per-type
     * Tukey fence relation ([[graft.operators.Relational.tukeyFences]],
     * computed batch-side from history — o1's exact rule, so batch

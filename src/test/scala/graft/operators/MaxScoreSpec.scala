@@ -80,6 +80,10 @@ class MaxScoreSpec extends SparkSuite {
     val plan = Search.bm25MaxScore(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"df window leaked into the plan:\n$plan")
+    // and the query terms reach BOTH artifact scans as pushed In filters
+    // (postings: b2's property; metadata: the reason it is tok-sorted)
+    assert(plan.contains("PushedFilters: [In(tok"),
+      s"tok IN (…) not pushed to the artifact scans:\n$plan")
   }
 
   test("metadata artifact agrees with the window-df derivation") {
