@@ -1124,6 +1124,101 @@ object Similarity {
        |GROUP BY query_id ORDER BY query_id""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // N15 — two-stage REFINE serving (FAISS IndexRefineFlat over any
+  // compressed index; Jégou et al.'s re-ranking stage): ADC over the
+  // 8-byte codes builds a SHORTLIST of L candidates per query, then the
+  // full-precision vectors are fetched for the shortlist ONLY and the
+  // final top-k re-ranks on exact cosine. This is how compressed vector
+  // serving actually ships — the 32× compression bounds the scan, and
+  // the k-vs-L dial trades one extra read of L·256 bytes per query for
+  // recall quantization loss can't otherwise recover.
+  //
+  // Gate discipline: next to the per-query refined recall (n7's
+  // exact-integer accounting), the STRUCTURAL claim rides as data —
+  // refine can never do worse than raw ADC at the same k, because ADC's
+  // top-k is a subset of the shortlist and any true-top-k member inside
+  // the shortlist must out-rank (exact score, id tiebreak — brute's own
+  // comparator) all but < k candidates there. `refine_never_worse` is
+  // pinned true by the oracle; a broken refine path goes hash-red.
+  //
+  // Scale: the shortlist join fetches L full vectors per query by
+  // vec_id — at 100 TB that is the point-lookup read pattern (row-group
+  // skip on a vec_id-sorted layout), Σ L·k bytes per query batch,
+  // nothing corpus-sized beyond the ADC scan n9 already costs.
+  // ---------------------------------------------------------------------
+  val ShortlistL = 50
+
+  def pqRerankRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = nonZeroEmbeddings(spark, dir)
+    val recon = e.select(col("vec_id"),
+      pqReconstruct(pqCodeCols(col("embedding"))).as("recon"))
+    val queries = broadcast(
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = recon.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"),
+        round(cosine_sim(col("qv"), col("recon")), 6).as("adc"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= ShortlistL)
+    val refined = shortlist
+      .join(e.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
+      .withColumn("exact", round(cosine_sim(col("qv"), col("cv")), 6))
+      .withColumn("rrank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("exact").desc, col("vec_id"))))
+    val adcTop = shortlist.filter(col("adc_rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit_adc"))
+    val refTop = refined.filter(col("rrank") <= TopK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit_ref"))
+    annBruteForce(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+      .join(adcTop, Seq("query_id", "vec_id"), "left")
+      .join(refTop, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_expected"),
+        sum(coalesce(col("hit_adc"), lit(0))).cast("long").as("n_hits_adc"),
+        sum(coalesce(col("hit_ref"), lit(0))).cast("long")
+          .as("n_hits_refined"))
+      .select(col("query_id"), col("n_expected"), col("n_hits_adc"),
+        col("n_hits_refined"),
+        round(col("n_hits_refined").cast("double") / col("n_expected"), 6)
+          .as("recall_refined"),
+        (col("n_hits_refined") >= col("n_hits_adc")).as("refine_never_worse"))
+      .orderBy(col("query_id"))
+  }
+
+  val pqRerankRecallSql: String =
+    s"""WITH $embCte,
+       |$pqReconCtesSql,
+       |adc AS (
+       | SELECT q.vec_id AS query_id, r.vec_id,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY round(list_cosine_similarity(q.emb, r.r), 6) DESC, r.vec_id) AS adc_rank
+       | FROM e q JOIN recon r ON q.vec_id < $NQueries AND r.vec_id <> q.vec_id),
+       |short AS (SELECT query_id, vec_id FROM adc WHERE adc_rank <= $ShortlistL),
+       |ref AS (
+       | SELECT s.query_id, s.vec_id,
+       |  row_number() OVER (PARTITION BY s.query_id
+       |    ORDER BY round(list_cosine_similarity(qe.emb, ce.emb), 6) DESC, s.vec_id) AS rrank
+       | FROM short s JOIN e qe ON qe.vec_id = s.query_id
+       | JOIN e ce ON ce.vec_id = s.vec_id)
+       |SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_expected,
+       | CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_adc,
+       | CAST(sum(CASE WHEN rf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_refined,
+       | round(sum(CASE WHEN rf.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |   / count(*), 6) AS recall_refined,
+       | sum(CASE WHEN rf.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   >= sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS refine_never_worse
+       |FROM ($annBruteForceSql) x
+       |LEFT JOIN (SELECT query_id, vec_id FROM adc WHERE adc_rank <= $TopK) a
+       |  USING (query_id, vec_id)
+       |LEFT JOIN (SELECT query_id, vec_id FROM ref WHERE rrank <= $TopK) rf
+       |  USING (query_id, vec_id)
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // N10 — exact MIPS (maximum inner product search) top-k: the recommender
   // scoring shape (user·item, score magnitudes matter) that cosine ANN
   // cannot serve directly — a long vector can out-score a perfectly
@@ -1329,6 +1424,13 @@ object Similarity {
         "WHAT is read per vector (32x), ADC ranks the probed candidates; " +
         "gate = per-query exact-integer recall vs brute force, measuring " +
         "both loss sources together (training-data extension)"),
+    Q("n15_pq_rerank", pqRerankRecall, Some(pqRerankRecallSql),
+      "two-stage refine serving (FAISS IndexRefineFlat): ADC shortlist " +
+        s"of L=$ShortlistL over the 8-byte codes, full-precision vectors " +
+        "fetched for the shortlist ONLY, final top-k on exact cosine — " +
+        "per-query refined recall in exact integers plus the structural " +
+        "refine-never-worse-than-ADC claim pinned true by the oracle " +
+        "(training-data extension)"),
     Q("d14_semdedup", semDedup, Some(semDedupSql),
       "SemDeDup (Abbas et al. 2023): cluster-then-compare semantic dedup " +
         "— n5's fitted k-means restricts exact-cosine pairs to within " +

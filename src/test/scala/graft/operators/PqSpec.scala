@@ -86,4 +86,26 @@ class PqSpec extends SparkSuite {
     assert(ivfpq.values.sum < Similarity.NQueries * Similarity.TopK,
       "IVF-PQ recalled everything — the fixture exercises no loss")
   }
+
+  test("n15 refine: never worse than ADC at the same k, bounded by L and k") {
+    val rows = Similarity.pqRerankRecall(spark, sfDir).collect()
+    assert(rows.length == Similarity.NQueries)
+    rows.foreach { r =>
+      assert(r.getLong(1) == Similarity.TopK)
+      // the structural claim (refined hits = |shortlist ∩ brute top-k| ⊇
+      // |ADC top-k ∩ brute top-k| since ADC's top-k ⊆ the shortlist and
+      // brute's own comparator orders the exact re-rank)
+      assert(r.getBoolean(5), s"refine did worse than ADC: $r")
+      assert(r.getLong(3) >= r.getLong(2) && r.getLong(3) <= r.getLong(1))
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(3).toDouble / r.getLong(1)) < 1e-9)
+    }
+    // the refine stage must be able to help on SOME fixture query, else
+    // the L-vs-k dial is vacuous here — allow equality only if raw ADC
+    // was already perfect everywhere
+    val anyImprovement = rows.exists(r => r.getLong(3) > r.getLong(2))
+    val adcPerfect = rows.forall(r => r.getLong(2) == r.getLong(1))
+    assert(anyImprovement || adcPerfect,
+      "refine never improved on ADC and ADC was not perfect — dial vacuous")
+  }
 }
