@@ -116,7 +116,11 @@ class PlanInvariantsSpec extends SparkSuite {
     *   sums run as a broadcast triangular self-join — |terms|² rows by
     *   construction, chosen over a window so the gate plan stays
     *   window-free (MaxScoreSpec pins that); posting rows themselves
-    *   move only through equi-joins.
+    *   move only through equi-joins;
+    * - n15: n9's evaluation shape — the ADC stage is the broadcast-query
+    *   scan (n1's labeled baseline form) and the embedded brute-force
+    *   arm exists only to measure recall; the refine join itself is a
+    *   pure vec_id equi-join.
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -129,7 +133,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "c5_referential_integrity", "b9_passage_bm25", "n13_ivf_drift",
       "d10_lsh_recall", "b10_more_like_this", "e4_relational_division",
       "b12_prf_expansion", "b13_forget", "k4_hits", "n14_ivfpq_recall",
-      "a12_cms_counts", "b15_maxscore")
+      "a12_cms_counts", "b15_maxscore", "n15_pq_rerank")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
