@@ -988,7 +988,100 @@ object Pipeline {
        |   AS BIGINT) AS dup_inflation_ppm
        |FROM g ORDER BY source""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // Z16 — the DATASET CARD: the one-page release datasheet (Gebru et
+  // al.'s datasheets-for-datasets, the model/data-card practice every
+  // published corpus ships) as a single gated query — corpus size in
+  // docs/tokens/chars, language and source breadth, the exact-duplicate
+  // profile, and the d15-weighted EFFECTIVE token mass, each as one
+  // (metric, value) row. This is the rollup a release review reads
+  // before anything ships, and pinning it as a query means the card can
+  // never drift from the engine that computed it.
+  //
+  // Plan: ONE corpus scan computes the doc-level features (fp, tokens,
+  // chars); the three metric relations are 1-row aggregates off it
+  // (the multi-distinct pass, the fp-group profile, the weighted mass),
+  // recombined by 1-row broadcast crossJoins (c1's unpivot shape, j7's
+  // allowed scalar recombine) and exploded to a row per metric.
+  // ---------------------------------------------------------------------
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Catalog.documents(spark, dir).select(
+      col("doc_id"), col("text"), col("lang"), col("source"),
+      Dedup.prefixFingerprint(col("text")).as("fp"),
+      size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+      length(col("text")).cast("long").as("chars"))
+    val groups = base.groupBy(col("fp")).agg(count(lit(1)).as("g"))
+    val m1 = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+      coalesce(sum(col("toks")), lit(0L)).as("n_tokens"),
+      coalesce(sum(col("chars")), lit(0L)).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val m2 = groups.agg(
+      coalesce(sum(when(col("g") > 1, col("g"))), lit(0L))
+        .as("n_docs_in_dup_groups"),
+      coalesce(sum(when(col("g") > 1, 1L)), lit(0L)).as("n_dup_groups"),
+      coalesce(max(col("g")), lit(0L)).as("largest_dup_group"))
+    val m3 = base
+      .withColumn("g", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .agg(coalesce(
+        sum(expr("(toks * (1000000L div g)) div 1000000L")), lit(0L))
+        .as("effective_tokens"))
+    val metrics = Seq("n_docs", "n_null_text", "n_tokens", "n_chars",
+      "n_langs", "n_sources", "n_docs_in_dup_groups", "n_dup_groups",
+      "largest_dup_group", "effective_tokens")
+    m1.crossJoin(broadcast(m2)).crossJoin(broadcast(m3))
+      .select(explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), col(m).cast("long").as("value"))): _*))
+        .as("p"))
+      .select(col("p.*"))
+      .orderBy(col("metric"))
+  }
+
+  val datasetCardSql: String =
+    s"""WITH b AS (
+       | SELECT doc_id, text, lang, source,
+       |  ${Dedup.prefixFingerprintSql("text")} AS fp,
+       |  len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS toks,
+       |  length(text)::BIGINT AS chars
+       | FROM documents),
+       |g AS (SELECT fp, count(*)::BIGINT AS g FROM b GROUP BY fp),
+       |m1 AS (SELECT count(*)::BIGINT AS n_docs,
+       |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       |  CAST(coalesce(sum(toks), 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum(chars), 0) AS BIGINT) AS n_chars,
+       |  count(DISTINCT lang)::BIGINT AS n_langs,
+       |  count(DISTINCT source)::BIGINT AS n_sources FROM b),
+       |m2 AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN g > 1 THEN g END), 0) AS BIGINT) AS n_docs_in_dup_groups,
+       |  CAST(coalesce(sum(CASE WHEN g > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_groups,
+       |  CAST(coalesce(max(g), 0) AS BIGINT) AS largest_dup_group FROM g),
+       |m3 AS (SELECT
+       |  CAST(coalesce(sum((toks * (1000000 // g)) // 1000000), 0) AS BIGINT) AS effective_tokens
+       | FROM b JOIN g USING (fp))
+       |SELECT metric, value FROM (
+       | SELECT 'n_docs' AS metric, n_docs AS value FROM m1
+       | UNION ALL SELECT 'n_null_text', n_null_text FROM m1
+       | UNION ALL SELECT 'n_tokens', n_tokens FROM m1
+       | UNION ALL SELECT 'n_chars', n_chars FROM m1
+       | UNION ALL SELECT 'n_langs', n_langs FROM m1
+       | UNION ALL SELECT 'n_sources', n_sources FROM m1
+       | UNION ALL SELECT 'n_docs_in_dup_groups', n_docs_in_dup_groups FROM m2
+       | UNION ALL SELECT 'n_dup_groups', n_dup_groups FROM m2
+       | UNION ALL SELECT 'largest_dup_group', largest_dup_group FROM m2
+       | UNION ALL SELECT 'effective_tokens', effective_tokens FROM m3) t
+       |ORDER BY metric""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("z16_dataset_card", datasetCard, Some(datasetCardSql),
+      "the release DATASET CARD as one gated query (datasheets-for-" +
+        "datasets practice): docs/tokens/chars, language + source " +
+        "breadth, the exact-duplicate profile, and the d15-weighted " +
+        "effective token mass, one (metric, value) row each — one " +
+        "corpus scan, three 1-row aggregates, c1's unpivot shape; the " +
+        "card can never drift from the engine that computed it " +
+        "(training-data extension)"),
     Q("z14_weighted_accounting", weightedAccounting,
       Some(weightedAccountingSql),
       "soft-dedup-weighted source accounting: d15's weights composed " +

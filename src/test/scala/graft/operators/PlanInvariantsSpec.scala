@@ -120,7 +120,10 @@ class PlanInvariantsSpec extends SparkSuite {
     * - n15: n9's evaluation shape — the ADC stage is the broadcast-query
     *   scan (n1's labeled baseline form) and the embedded brute-force
     *   arm exists only to measure recall; the refine join itself is a
-    *   pure vec_id equi-join.
+    *   pure vec_id equi-join;
+    * - z16: three 1-row metric aggregates recombine by broadcast
+    *   crossJoin before the unpivot (c1's shape — the corpus moves only
+    *   through the one shared scan and the fp aggregates).
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -133,7 +136,8 @@ class PlanInvariantsSpec extends SparkSuite {
       "c5_referential_integrity", "b9_passage_bm25", "n13_ivf_drift",
       "d10_lsh_recall", "b10_more_like_this", "e4_relational_division",
       "b12_prf_expansion", "b13_forget", "k4_hits", "n14_ivfpq_recall",
-      "a12_cms_counts", "b15_maxscore", "n15_pq_rerank")
+      "a12_cms_counts", "b15_maxscore", "n15_pq_rerank",
+      "z16_dataset_card")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
