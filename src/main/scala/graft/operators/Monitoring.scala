@@ -957,6 +957,60 @@ object Monitoring {
        |ORDER BY lang""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // W19 — OHLC bars (open/high/low/close per type per hour): the
+  // lossy-but-shaped downsampling standard for metric history — w2's
+  // decimation keeps the LATEST point per bucket (a gauge), OHLC keeps
+  // the bucket's full excursion envelope (what range did the metric
+  // cover, where did it enter, where did it leave), which is what
+  // capacity reviews and candlestick-style latency panels read months
+  // later after raw rows are vacuumed. Compaction ratio = rows per
+  // (type, hour) → 1.
+  //
+  // Determinism: open/close are defined by the (ts, event_id) TOTAL
+  // order (w2's tie discipline — ts alone can tie), realized as two
+  // row_number flags folded into one grouped aggregate; high/low are
+  // plain min/max. One Exchange on (type, hour); both window passes and
+  // the closing aggregate reuse its partitioning (sorts only, no second
+  // shuffle).
+  // ---------------------------------------------------------------------
+  def ohlcBarsOf(events: DataFrame): DataFrame = {
+    val bucket = date_trunc("hour", col("ts"))
+    val part = Window.partitionBy(col("event_type"), bucket)
+    val asc = part.orderBy(col("ts"), col("event_id"))
+    val desc = part.orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    ohlcBarsOf(Catalog.events(spark, dir))
+
+  val ohlcBarsSql: String =
+    """WITH r AS (
+      | SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+      |  row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |    ORDER BY ts, event_id) AS ra,
+      |  row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |    ORDER BY ts DESC, event_id DESC) AS rd
+      | FROM events)
+      |SELECT event_type, bucket,
+      | max(CASE WHEN ra = 1 THEN value END) AS open,
+      | max(value) AS high, min(value) AS low,
+      | max(CASE WHEN rd = 1 THEN value END) AS close,
+      | count(*) AS n_events
+      |FROM r GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // A12 — per-key FREQUENCY estimates via a Count-Min sketch
   // ([[graft.expressions.CountMinBuild]]): a9 answers how many distinct,
   // a10 which keys dominate; a12 serves POINT lookups — "how often did
@@ -1418,6 +1472,13 @@ object Monitoring {
       "distinct-user cardinality per event type via the bitmap_distinct fixed-state sketch aggregate (custom TypedImperativeAggregate)"),
     Q("a10_heavy_hitters", heavyHitters, Some(heavyHittersSql),
       "Misra-Gries frequent-elements sketch (bounded mergeable state, <= k pairs per partition): deterministic n/(k+1) guarantee judged against exact counts, booleans pinned true by the oracle"),
+    Q("w19_ohlc", ohlcBars, Some(ohlcBarsSql),
+      "OHLC downsampling (open/high/low/close per type per hour): the " +
+        "excursion-envelope compaction metric history keeps after raw " +
+        "rows vacuum — open/close pinned by the (ts, event_id) total " +
+        "order as row_number flags folded into ONE grouped aggregate; " +
+        "one exchange, both window passes and the aggregate reuse its " +
+        "partitioning"),
     Q("a12_cms_counts", cmsCounts, Some(cmsCountsSql),
       "Count-Min point-frequency sketch with divisor-family buckets: " +
         "every cell an exact collision-group sum the oracle recomputes, " +

@@ -976,7 +976,94 @@ object Profile {
        |FROM b ORDER BY column_name""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // C13 — Benford first-significant-digit profile: the classic
+  // fabricated-numbers screen (Benford 1938; the forensic-accounting
+  // standard, and the data-QA question "was this numeric column
+  // generated rather than measured"). Organic multi-order-of-magnitude
+  // data leads with 1 ~30% of the time; synthetic/uniform generators
+  // (this fixture included — which is exactly what the profile should
+  // SAY about it) sit near 1/9 per digit. The gate emits per digit the
+  // observed count and share against the pinned Benford expectation
+  // plus the absolute deviation — measurement, not a conformance
+  // assertion.
+  //
+  // Determinism: log10 is a transcendental (the x10 trap), so the first
+  // digit comes from the INTEGER micro-units' decimal rendering —
+  // substr(CAST(floor(v·1e6) AS BIGINT → VARCHAR), 1, 1), identical in
+  // both engines for positive values; shares are integer-ppm divisions.
+  // The Benford constants are pinned integer-ppm literals, the SAME
+  // numbers in both engines by construction.
+  //
+  // Plan: one codegen'd scan projection + one ≤ 9-row map-side-combined
+  // count — the cheapest profile in the family.
+  // ---------------------------------------------------------------------
+  /** floor(log10(1 + 1/d) · 1e6) for d = 1..9 — pinned, not computed. */
+  private val BenfordPpm: Seq[Long] = Seq(
+    301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L,
+    51152L, 45757L)
+
+  /** Per-digit Benford profile over any positive numeric column expr.
+    * Values below the 1e-6 micro resolution render as digit '0' and drop
+    * at the expectation join — a documented resolution floor, identical
+    * in both engines (rescale the unit for sub-micro data, k1's rule).
+    */
+  def benfordOf(rows: DataFrame, value: Column): DataFrame = {
+    val digit = substring(
+      floor(value * lit(1000000.0)).cast("long").cast("string"), 1, 1)
+    val expRel = BenfordPpm.zipWithIndex.map { case (p, i) =>
+      (String.valueOf(i + 1), p)
+    }
+    import rows.sparkSession.implicits._
+    val exp = expRel.toDF("digit", "exp_ppm")
+    rows.filter(value > 0)
+      .select(digit.as("digit"))
+      // sub-resolution values (digit '0') leave the POPULATION, not just
+      // the output — shares must sum to ~1e6 over measurable values
+      .filter(col("digit") =!= "0")
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .withColumn("n", sum(col("n_obs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .join(broadcast(exp), "digit")
+      .select(col("digit"), col("n_obs"),
+        expr("(1000000L * n_obs) div n").as("obs_ppm"),
+        col("exp_ppm"),
+        abs(expr("(1000000L * n_obs) div n") - col("exp_ppm"))
+          .as("abs_dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  def benfordProfile(spark: SparkSession, dir: String): DataFrame =
+    benfordOf(Catalog.lineitem(spark, dir), col("l_extendedprice"))
+
+  val benfordProfileSql: String = {
+    val expRows = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"('${i + 1}', ${p})" }.mkString(", ")
+    s"""WITH exp(digit, exp_ppm) AS (VALUES $expRows),
+       |o AS (
+       | SELECT digit, count(*)::BIGINT AS n_obs FROM (
+       |  SELECT substr(CAST(CAST(floor(l_extendedprice * 1000000.0) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS digit
+       |  FROM lineitem WHERE l_extendedprice > 0) d
+       | WHERE digit <> '0' GROUP BY 1),
+       |t AS (SELECT digit, n_obs,
+       |  CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM o)
+       |SELECT t.digit, t.n_obs,
+       | CAST((1000000 * n_obs) // n AS BIGINT) AS obs_ppm,
+       | CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       | CAST(abs((1000000 * n_obs) // n - exp_ppm) AS BIGINT) AS abs_dev_ppm
+       |FROM t JOIN exp USING (digit)
+       |ORDER BY digit""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("c13_benford", benfordProfile, Some(benfordProfileSql),
+      "Benford first-significant-digit profile (the fabricated-numbers " +
+        "forensic screen): digit from the integer micro-units' decimal " +
+        "rendering — no log10 transcendental — against pinned " +
+        "integer-ppm Benford expectations with absolute deviations; " +
+        "one scan + one <= 9-row count, a MEASUREMENT not a conformance " +
+        "assertion (data-QA extension)"),
     Q("c12_class_balance", classBalance, Some(classBalanceSql),
       "per-column class-balance profile: exact-integer Gini impurity " +
         "(no transcendental — entropy's log is the x10 trap), majority " +
