@@ -51,6 +51,30 @@ class ContainmentSpec extends SparkSuite {
     assert(row.getLong(5) == 800000L, s"ppm: $row")
   }
 
+  test("random corpora: operator equals a driver-side set computation") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val vocab = (0 until 30).map(i => s"v$i")
+      val corpus = (0L until 20L).map { id =>
+        val len = 3 + rnd.nextInt(12)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val got = Dedup.containmentDedupOf(docs(corpus: _*)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: shingle sets in plain Scala, same k=3 windows
+      def shingles(t: String): Set[Seq[String]] = {
+        val w = t.toLowerCase.trim.split("\\s+").toSeq
+        if (w.length < 3) Set.empty else w.sliding(3).toSeq.toSet
+      }
+      val sh = corpus.map { case (id, t) => id -> shingles(t) }.toMap
+      val expect = (for {
+        (a, sa) <- sh; (b, sb) <- sh
+        if a != b && sa.nonEmpty && 5 * (sa & sb).size >= 4 * sa.size
+      } yield (a, b)).toSet
+      assert(got == expect, s"got $got expect $expect")
+    }
+  }
+
   test("fixture: pruned candidates equal the brute-force relation") {
     val gate = Dedup.containmentDedup(spark, sfDir).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))

@@ -306,6 +306,43 @@ class GraphSpec extends SparkSuite {
     assert(all.toSeq === (0L to 7L))
   }
 
+  test("kcore matches a reference peeler on random graphs, any extra round a no-op") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 12 + rnd.nextInt(8)
+      val pairs = (for {
+        a <- 0L until n.toLong; b <- 0L until n.toLong
+        if a < b && rnd.nextInt(100) < 25
+      } yield (a, b)).toSeq
+      // driver-side reference peeler to an actual fixpoint
+      def peel(k: Int): Map[Long, Long] = {
+        var alive = (0L until n.toLong).toSet
+        var deg = Map.empty[Long, Long]
+        var changed = true
+        while (changed) {
+          deg = alive.map(v => v -> pairs.count { case (a, b) =>
+            (a == v && alive(b)) || (b == v && alive(a))
+          }.toLong).toMap
+          val next = alive.filter(v => deg(v) >= k)
+          changed = next != alive
+          alive = next
+        }
+        alive.map(v => v -> deg(v)).toMap
+      }
+      import spark.implicits._
+      def nodes() = (0L until n.toLong).toDF("doc_id")
+      def edges() = symEdges(pairs: _*)
+      val k = 2 + rnd.nextInt(2)
+      val rounds = 20 // generous: past any fixpoint on 20 nodes
+      val got = Graph.kcoreOf(nodes _, edges _, k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == peel(k), s"n=$n k=$k: $got vs ${peel(k)}")
+      val more = Graph.kcoreOf(nodes _, edges _, k, rounds + 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(more == got, "extra round changed a fixpoint")
+    }
+  }
+
   test("fixture kcore: gate rounds reach the fixpoint and the core is proper") {
     val sym = Graph.componentEdges(spark, sfDir)
     def run(rounds: Int) =
