@@ -32,7 +32,8 @@ object Dashboard {
       tableSizes: DataFrame,
       backupDelta: DataFrame,
       usersWithRoles: DataFrame,
-      latencyBands: DataFrame)
+      latencyBands: DataFrame,
+      ohlcBars: DataFrame)
 
   /** Default per-section row cap. The reference's slow/idle/blocked
     * sections return every matching row (views.py:396-421 — no LIMIT),
@@ -63,7 +64,11 @@ object Dashboard {
     // the reference's gauge row approximates with instantaneous values
     // (index.html:1047-1067); already sorted by (type, hour), so the cap
     // composes into TakeOrderedAndProject like the other row sections
-    latencyBands = Monitoring.latencyBands(spark, dir).limit(sectionCap))
+    latencyBands = Monitoring.latencyBands(spark, dir).limit(sectionCap),
+    // w19's per-(type, hour) excursion envelope — the capacity-review
+    // panel class (candlestick history); sorted by (type, bucket), so
+    // the cap composes into TakeOrderedAndProject like its siblings
+    ohlcBars = Monitoring.ohlcBars(spark, dir).limit(sectionCap))
 
   /** Materialize every index section concurrently: the reference issues
     * its ~20 statements sequentially on one cursor (views.py:394-681); as
@@ -83,7 +88,7 @@ object Dashboard {
       "cache_hit_ratio" -> p.cacheHitRatio, "tps" -> p.transactionsPerSecond,
       "top_consumers" -> p.topResourceConsumers, "table_sizes" -> p.tableSizes,
       "backup_delta" -> p.backupDelta, "users_roles" -> p.usersWithRoles,
-      "latency_bands" -> p.latencyBands)
+      "latency_bands" -> p.latencyBands, "ohlc_bars" -> p.ohlcBars)
     val futures = sections.map { case (name, df) =>
       // collect (not count) so every projected expression actually
       // materializes — count() lets Catalyst prune the section's columns

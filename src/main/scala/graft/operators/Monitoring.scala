@@ -967,26 +967,24 @@ object Monitoring {
   // (type, hour) → 1.
   //
   // Determinism: open/close are defined by the (ts, event_id) TOTAL
-  // order (w2's tie discipline — ts alone can tie), realized as two
-  // row_number flags folded into one grouped aggregate; high/low are
-  // plain min/max. One Exchange on (type, hour); both window passes and
-  // the closing aggregate reuse its partitioning (sorts only, no second
-  // shuffle).
+  // order (w2's tie discipline — ts alone can tie), realized as
+  // min_by/max_by on the (ts, event_id) struct — lexicographic struct
+  // ordering over a UNIQUE pair, so the argmin/argmax rows are unique
+  // and the result order-independent. ONE grouped aggregate with
+  // map-side partials and NO window sorts (a row_number formulation —
+  // the oracle's rendering, DuckDB's arg_min takes no composite key —
+  // costs two full per-partition sorts; measured ~1 s of the 14-section
+  // dashboard refresh before this form). high/low are plain min/max.
   // ---------------------------------------------------------------------
   def ohlcBarsOf(events: DataFrame): DataFrame = {
-    val bucket = date_trunc("hour", col("ts"))
-    val part = Window.partitionBy(col("event_type"), bucket)
-    val asc = part.orderBy(col("ts"), col("event_id"))
-    val desc = part.orderBy(col("ts").desc, col("event_id").desc)
+    val ord = struct(col("ts"), col("event_id"))
     events
-      .withColumn("ra", row_number().over(asc))
-      .withColumn("rd", row_number().over(desc))
-      .groupBy(col("event_type"), bucket.as("bucket"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
       .agg(
-        max(when(col("ra") === 1, col("value"))).as("open"),
+        min_by(col("value"), ord).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max(when(col("rd") === 1, col("value"))).as("close"),
+        max_by(col("value"), ord).as("close"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"), col("bucket"))
   }

@@ -16,7 +16,7 @@ class DashboardSpec extends SparkSuite {
 
   test("concurrent index materialization returns every section") {
     val counts = Dashboard.collectIndexConcurrently(spark, sfDir)
-    assert(counts.size == 13)
+    assert(counts.size == 14)
     assert(counts("total_sessions") == 1L) // one aggregate row
     assert(counts("top_consumers") == 20L)
     assert(counts("latency_bands") > 0L)
@@ -34,6 +34,7 @@ class DashboardSpec extends SparkSuite {
     assert(counts("blocked_sessions") == cap)
     assert(counts("users_roles") == cap)
     assert(counts("latency_bands") == cap)
+    assert(counts("ohlc_bars") == cap)
   }
 
   test("latency-bands section serves w14's percentile relation, capped by its own order") {
@@ -50,6 +51,22 @@ class DashboardSpec extends SparkSuite {
       val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
       assert(p50 <= p95 && p95 <= p99,
         s"percentile bands must be monotone: $r")
+    }
+  }
+
+  test("ohlc section serves w19's bar relation, capped by its own order") {
+    val p = Dashboard.index(spark, sfDir, sectionCap = 5)
+    val rows = p.ohlcBars.collect()
+    assert(rows.length == 5)
+    assert(p.ohlcBars.schema.fieldNames.toSeq ===
+      Seq("event_type", "bucket", "open", "high", "low", "close", "n_events"))
+    val w19 = operators.Monitoring.ohlcBars(spark, sfDir).limit(5).collect()
+    assert(rows.toSeq === w19.toSeq, "panel drifted from w19")
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))
+      assert(l <= o && o <= h && l <= c && c <= h,
+        s"open/close must sit inside the envelope: $r")
     }
   }
 
