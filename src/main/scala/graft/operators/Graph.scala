@@ -704,6 +704,109 @@ object Graph {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // K6 — multi-source BFS hop distance (delta-frontier form): distance in
+  // hops from a deterministic trusted-seed set, the TrustRank-style
+  // propagation prior (Gyöngyi et al. 2004) — crawl curation weighs a
+  // page by how few links separate it from vetted seeds, and hop distance
+  // is the integer-exact skeleton of every decayed-trust variant. It also
+  // completes the iterative family with the one kernel k1–k5 lack: a
+  // REACHABILITY measure (k1 reach-weight, k2 membership, k3 cohesion,
+  // k5 global cohesion — none answer "how far").
+  //
+  // Delta-frontier, not min-union: each superstep joins ONLY the frontier
+  // (nodes discovered last round) to the edge artifact, so message volume
+  // is frontier-sized — on a 100 TB graph the min-union form (k2's shape)
+  // re-shuffles the full distance relation every round, while BFS's
+  // monotone "first discovery is final" property lets the settled set sit
+  // still. One node-sized checkpoint per round (the k4/k5 lesson: the
+  // settled relation is referenced twice per round — anti-join + union —
+  // and lineage would otherwise double); the edge artifact re-reads and
+  // never moves after the build.
+  //
+  // Determinism: hop counts are integers and BFS layers are
+  // order-independent sets (the i-th layer is exactly the nodes at
+  // distance i regardless of traversal order), so the result is
+  // hash-exact cross-engine for free. Registered semantics are "within
+  // BfsRounds hops" (the k5 fixed-rounds discipline); unreached nodes
+  // report -1, a deployment iterates to an empty-frontier stop.
+  // ---------------------------------------------------------------------
+
+  /** Seed rule: doc_id ≡ 0 (mod 97) — ~1% of the corpus, deterministic,
+    * recomputable by the oracle from the same bytes (the link-graph
+    * derivation discipline: synthetic fixtures carry no curated seed
+    * list, so the seed set is id-derived).
+    */
+  val BfsSeedMod = 97L
+
+  /** Fixed BFS supersteps for the gate entry — the symmetrized 3-out-link
+    * graph is small-world (mean degree ≈ 6), so 6 rounds from a 1% seed
+    * set reaches everything reachable with room to spare.
+    */
+  val BfsRounds = 6
+
+  /** Delta-frontier BFS over an explicit SYMMETRIC edge relation; returns
+    * (doc_id, hops) for every node in `nodes`, -1 where unreached within
+    * `rounds`.
+    */
+  def bfsHopsOf(nodes: () => DataFrame, edges: () => DataFrame,
+      seeds: () => DataFrame, rounds: Int): DataFrame = {
+    var dist = seeds().select(col("doc_id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (i <- 1 to rounds) {
+      val frontier = dist.filter(col("hops") === lit(i - 1L))
+        .select(col("doc_id").as("src"))
+      val novel = edges()
+        .join(frontier, Seq("src"), "left_semi")
+        .select(col("dst").as("doc_id")).distinct()
+        .join(dist.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(i.toLong).as("hops"))
+      dist = dist.unionByName(novel).localCheckpoint(true)
+    }
+    nodes().select(col("doc_id"))
+      .join(dist, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hops"), lit(-1L)).as("hops"))
+  }
+
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val sym = componentEdges(spark, dir)
+    bfsHopsOf(
+      () => Catalog.documents(spark, dir).select(col("doc_id")),
+      () => spark.read.parquet(sym),
+      () => Catalog.documents(spark, dir)
+        .filter(col("doc_id") % BfsSeedMod === 0L).select(col("doc_id")),
+      BfsRounds)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same delta-frontier rounds unrolled; each settled set is
+    * referenced twice by the next round (frontier filter + anti-join), so
+    * every round CTE is pinned MATERIALIZED (the k5 discipline).
+    */
+  val bfsHopsSql: String = {
+    val roundCtes = (1 to BfsRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         | SELECT * FROM d${i - 1}
+         | UNION ALL
+         | SELECT e.dst AS doc_id, CAST($i AS BIGINT) AS hops
+         | FROM d${i - 1} p JOIN esc e ON e.src = p.doc_id
+         | WHERE p.hops = ${i - 1}
+         |  AND NOT EXISTS (SELECT 1 FROM d${i - 1} s WHERE s.doc_id = e.dst)
+         | GROUP BY e.dst)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $linkGraphCteSql,
+       |es AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |esc AS MATERIALIZED (SELECT es.src, es.dst FROM es
+       |  JOIN documents a ON a.doc_id = es.src
+       |  JOIN documents b ON b.doc_id = es.dst),
+       |d0 AS MATERIALIZED (SELECT doc_id, CAST(0 AS BIGINT) AS hops
+       |  FROM documents WHERE doc_id % $BfsSeedMod = 0),
+       |$roundCtes
+       |SELECT d.doc_id, COALESCE(dd.hops, -1) AS hops
+       |FROM documents d LEFT JOIN d$BfsRounds dd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
     Q("k1_pagerank", pageRank, Some(pageRankSql),
       "integer-exact damped PageRank over the content-derived link graph — " +
@@ -744,5 +847,12 @@ object Graph {
         "authorities) — per superstep the edge join runs both directions " +
         "and each relation renormalizes by a broadcast 1-row MAX; " +
         "high-hub/low-authority is the link-farm signature PageRank " +
-        "blurs (training-data extension)"))
+        "blurs (training-data extension)"),
+    Q("k6_bfs_hops", bfsHops, Some(bfsHopsSql),
+      "multi-source BFS hop distance from a deterministic trusted-seed " +
+        "set (TrustRank-style propagation prior): delta-frontier form — " +
+        "each superstep joins only the newly-discovered frontier to the " +
+        "build-once symmetric edge artifact, so message volume is " +
+        "frontier-sized, never corpus-sized; node-sized checkpoints " +
+        "only, unreached nodes report -1 (training-data extension)"))
 }

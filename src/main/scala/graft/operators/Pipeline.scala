@@ -1073,7 +1073,89 @@ object Pipeline {
        | UNION ALL SELECT 'effective_tokens', effective_tokens FROM m3) t
        |ORDER BY metric""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // Z15 — deterministic epoch shuffle: the reproducible training-order
+  // permutation. Trainers consume the corpus in a DIFFERENT pseudo-random
+  // order each epoch, and the order must be a pure function of
+  // (epoch, doc_id) so any worker — or a re-run months later — derives
+  // the same schedule without a coordination service (the data-ordering
+  // reproducibility requirement every training bug-bisect depends on).
+  // Permutation = rank by h = hash60(epoch ‖ ':' ‖ doc_id).
+  //
+  // The scale shape is the point: a naive global row_number() is a
+  // SINGLE-PARTITION window — the whole corpus through one task. Instead
+  // the global rank is composed two-level, the distributed-sort idiom:
+  // bucket = the high 12 bits of h (4096 RANGE buckets, so bucket order
+  // IS hash order), within-bucket rank is a window partitioned by
+  // bucket (full parallelism), and each bucket's global offset is a
+  // prefix-sum over the 4096-row bucket-size relation, broadcast back.
+  // position = offset + within == rank by (h, doc_id) exactly — the
+  // oracle computes the naive global row_number and the gate hash proves
+  // the decomposition.
+  //
+  // Determinism: md5 is bit-identical cross-engine (the hash60 contract)
+  // and ties on h break by doc_id, so the permutation is total and
+  // hash-exact. Epochs materialize as a 2-row broadcast (the j7 tiny
+  // side), not a loop.
+  // ---------------------------------------------------------------------
+  val EpochCount = 2
+  /** bucket = h >> 48: 4096 range buckets of the 60-bit hash space. */
+  val EpochShuffleBucketShift = 48
+
+  /** Per-epoch permutation core over any (doc_id) frame. */
+  def epochShuffleOf(docs: DataFrame, epochs: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val eps = spark.range(epochs.toLong).select(col("id").as("epoch"))
+    val keyed = docs.select(col("doc_id"))
+      .crossJoin(broadcast(eps))
+      .select(col("epoch"), col("doc_id"),
+        TextOps.hash60(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", expr(s"shiftright(h, $EpochShuffleBucketShift)"))
+    val within = row_number().over(
+      Window.partitionBy(col("epoch"), col("bucket"))
+        .orderBy(col("h"), col("doc_id")))
+    val offsets = keyed.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .select(col("epoch"), col("bucket"),
+        coalesce(sum(col("bn")).over(
+          Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    keyed.withColumn("within", within)
+      .join(broadcast(offsets), Seq("epoch", "bucket"))
+      .select(col("epoch"), col("doc_id"),
+        (col("off") + col("within")).as("pos"))
+  }
+
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffleOf(Catalog.documents(spark, dir).select(col("doc_id")),
+      EpochCount)
+      .orderBy(col("epoch"), col("pos"))
+
+  /** Oracle: the NAIVE global row_number per epoch — single-threaded
+    * DuckDB can afford it, and hash-equality proves the two-level
+    * decomposition reconstructs the exact global rank.
+    */
+  val epochShuffleSql: String = {
+    val h = TextOps.hash60Sql(
+      "CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")
+    s"""WITH e(epoch) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))),
+       |k AS (SELECT e.epoch, d.doc_id, $h AS h FROM documents d, e)
+       |SELECT epoch, doc_id,
+       | CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+       |  AS BIGINT) AS pos
+       |FROM k ORDER BY epoch, pos""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("z15_epoch_shuffle", epochShuffle, Some(epochShuffleSql),
+      "deterministic epoch shuffle — the reproducible training-order " +
+        "permutation: rank by hash60(epoch:doc_id), composed two-level " +
+        "(range-bucket by the hash's high bits, window within bucket, " +
+        "prefix-sum bucket offsets broadcast back) so no single-partition " +
+        "global window ever exists; oracle computes the naive global " +
+        "row_number and the gate hash proves the decomposition exact " +
+        "(training-data extension)"),
     Q("z16_dataset_card", datasetCard, Some(datasetCardSql),
       "the release DATASET CARD as one gated query (datasheets-for-" +
         "datasets practice): docs/tokens/chars, language + source " +

@@ -1056,7 +1056,87 @@ object Profile {
        |ORDER BY digit""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // C14 — quantized Shannon entropy per categorical column: the
+  // information-theoretic complement of c12's Gini. Gini (1 − Σp²) is the
+  // IMPURITY read; entropy is the CODE-LENGTH read — expected bits per
+  // value under the column's own empirical distribution, which is the
+  // number a storage planner (dictionary-vs-plain encoding choice) and a
+  // mixture designer (z5/z10 weigh sources by diversity) actually
+  // consume. c12's header calls entropy's log the x10 trap — this is the
+  // x10 RESOLUTION applied to profiling: per-value surprisal quantized
+  // to WHOLE bits in exact integer arithmetic, bits(v) =
+  // floor(log2(n/c_v)) = bitlength(n div c_v) − 1, so Σ c_v·bits(v) is
+  // an exact integer both engines agree on bit-for-bit, and the one
+  // double division (the mean) divides exact integers identically under
+  // IEEE. The quantization UNDERSTATES true entropy by < 1 bit/value —
+  // fine for the ordering/thresholding consumers profiling serves.
+  //
+  // Plan: one grouped count per column (dimension-sized — categorical by
+  // assumption, c12's caveat: high-cardinality columns want a9/a12
+  // sketches), the 1-row total broadcast back (x10's scalar shape), one
+  // codegen'd bitlength projection, one 1-row sum. NULLs are accounted
+  // (n_null) but excluded from the distribution, c12's rule.
+  // ---------------------------------------------------------------------
+
+  /** One column's quantized-entropy row over an explicit (v) projection
+    * (package-visible so the spec exercises the REAL core on hand
+    * distributions instead of re-implementing the arithmetic).
+    */
+  private[operators] def entropyOf(vals: DataFrame, label: String): DataFrame = {
+    val cnt = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(
+      coalesce(sum(when(col("v").isNotNull, col("c"))), lit(0L)).as("n"),
+      coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_null"),
+      coalesce(sum(when(col("v").isNotNull, 1L)), lit(0L)).as("n_distinct"))
+    val bits = cnt.filter(col("v").isNotNull)
+      .crossJoin(broadcast(tot.select(col("n"))))
+      .select((col("c") *
+        (length(bin(expr("n DIV c"))) - 1).cast("long")).as("wb"))
+      .agg(coalesce(sum(col("wb")), lit(0L)).as("sum_bits"))
+    tot.crossJoin(broadcast(bits))
+      .select(lit(label).as("column_name"), col("n"), col("n_null"),
+        col("n_distinct"), col("sum_bits"),
+        when(col("n") > 0, round(col("sum_bits") / col("n"), 6))
+          .otherwise(lit(0.0)).as("mean_bits"))
+  }
+
+  def entropyProfile(spark: SparkSession, dir: String): DataFrame =
+    balanceColumns
+      .map { case (label, load, c) =>
+        entropyOf(load(spark, dir).select(col(c).as("v")), label)
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("column_name"))
+
+  val entropyProfileSql: String = {
+    val arms = Seq(
+      ("documents.lang", "documents", "lang"),
+      ("documents.source", "documents", "source"),
+      ("events.event_type", "events", "event_type")).map { case (label, t, c) =>
+      s"""(WITH g AS (SELECT $c AS v, count(*)::BIGINT AS c FROM $t GROUP BY 1),
+         |tt AS (SELECT
+         |  CAST(coalesce(sum(c) FILTER (WHERE v IS NOT NULL), 0) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(c) FILTER (WHERE v IS NULL), 0) AS BIGINT) AS n_null,
+         |  CAST(count(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS n_distinct
+         | FROM g),
+         |b AS (SELECT CAST(coalesce(sum(c * (length(bin(tt.n // c)) - 1)), 0)
+         |  AS BIGINT) AS sum_bits FROM g, tt WHERE v IS NOT NULL)
+         |SELECT '$label' AS column_name, n, n_null, n_distinct, sum_bits,
+         | CASE WHEN n > 0 THEN round(sum_bits / n, 6) ELSE 0.0 END AS mean_bits
+         |FROM tt, b)""".stripMargin.replace('\n', ' ')
+    }.mkString(" UNION ALL ")
+    s"SELECT * FROM ($arms) u ORDER BY column_name"
+  }
+
   val all: Seq[Q] = Seq(
+    Q("c14_entropy", entropyProfile, Some(entropyProfileSql),
+      "quantized Shannon entropy per categorical column — per-value " +
+        "surprisal in whole bits via exact integer bitlength(n div c) - 1 " +
+        "(the x10 discipline applied to profiling), so the code-length " +
+        "read joins c12's Gini impurity read hash-exactly cross-engine; " +
+        "one dimension-sized grouped count + broadcast 1-row total per " +
+        "column (training-data extension)"),
     Q("c13_benford", benfordProfile, Some(benfordProfileSql),
       "Benford first-significant-digit profile (the fabricated-numbers " +
         "forensic screen): digit from the integer micro-units' decimal " +

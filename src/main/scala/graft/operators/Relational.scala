@@ -805,6 +805,85 @@ object Relational {
       .stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // G6 — the deep snowflake join (the TPC-H Q5 shape): revenue per nation
+  // where the customer and the line's SUPPLIER sit in the same nation,
+  // region-scoped and date-bounded. This is the one relational shape
+  // g1–g5 don't cover: a 6-table join where THREE dimensions broadcast
+  // (region→nation prunes to a 5-row key set, supplier and customer carry
+  // it outward) and the two fact-fact legs (orders⋈lineitem) shuffle on
+  // their natural key. The same-nation predicate is the classic
+  // "join-then-filter-on-two-dimension-columns" that only survives 100 TB
+  // if both dimension joins broadcast — a shuffle on either dimension key
+  // would re-partition the fact table twice for 25-row relations.
+  //
+  // Plan shape at scale: lineitem shuffles ONCE (on l_orderkey, against
+  // orders pre-filtered by the date bound and pre-joined to the broadcast
+  // customer-nation relation); the supplier→nation side broadcasts whole
+  // (supplier is corpus-scale-small: 10k rows/SF vs 6M lineitem). The
+  // same-nation equality lands as a join condition, not a post-filter, so
+  // rows from other nations never survive the probe. Exact-decimal
+  // revenue (the g1 discipline), DOUBLE only at the output edge.
+  // ---------------------------------------------------------------------
+  val G6Region = "ASIA"
+  val G6YearStart = "1996-01-01"
+  val G6YearEnd = "1997-01-01"
+
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    // region → nation: the 5-row key set every other dimension carries
+    val n = Catalog.nation(spark, dir)
+      .join(Catalog.region(spark, dir).filter(col("r_name") === G6Region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = broadcast(
+      Catalog.customer(spark, dir)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey")))
+    val supp = broadcast(
+      Catalog.supplier(spark, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+    val o = Catalog.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(G6YearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(G6YearEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Catalog.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (price * (lit(1).cast("decimal(18,2)") - disc))
+          .cast("decimal(28,4)").as("rev"))
+    o.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("revenue_dec"),
+        count(lit(1)).as("n_lineitems"))
+      // exact-decimal internally; DOUBLE at the edge so both engines
+      // canonicalize identically (the g1 pattern)
+      .select(col("n_name").as("nation"),
+        col("revenue_dec").cast("double").as("revenue"),
+        col("n_lineitems"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  val localSupplierVolumeSql: String =
+    s"""SELECT n_name AS nation,
+       | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       | count(*) AS n_lineitems
+       |FROM customer
+       | JOIN orders ON c_custkey = o_custkey
+       | JOIN lineitem ON l_orderkey = o_orderkey
+       | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       | JOIN nation ON s_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '$G6Region'
+       | AND o_orderdate >= TIMESTAMP '$G6YearStart 00:00:00'
+       | AND o_orderdate < TIMESTAMP '$G6YearEnd 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, nation""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------------
   // A8 — pivot: per-day event counts spread across one column per event
   // type (the wide shape every dashboard table renders). The pivot value
   // list is EXPLICIT, so Spark skips the extra distinct-values collect
@@ -1897,6 +1976,14 @@ object Relational {
       "CUBE over two dimensions with grouping_id disambiguating subtotal NULLs from data NULLs: every grouping subset in ONE Expand + hash aggregate"),
     Q("g5_grouping_sets", groupingSetsSummary, Some(groupingSetsSummarySql),
       "explicit GROUPING SETS - exactly the two 1-D slices actually served in ONE scan + Expand(x2) + hash aggregate, where CUBE pays x4 Expand and discards half its output (the g4 SCALE.md advice as a first-class operator)"),
+    Q("g6_local_supplier_volume", localSupplierVolume,
+      Some(localSupplierVolumeSql),
+      "the deep snowflake join (TPC-H Q5 shape): revenue per nation for " +
+        "same-nation customer/supplier pairs, region-scoped and " +
+        "date-bounded — three broadcast dimension joins (region→nation " +
+        "keys carried by customer and supplier) around ONE fact-fact " +
+        "shuffle on l_orderkey; same-nation lands as a join condition, " +
+        "not a post-filter; exact-decimal revenue (the g1 discipline)"),
     Q("a8_pivot", eventPivot, Some(eventPivotSql),
       "explicit-value pivot to the wide per-day dashboard shape"),
     Q("j11_interval_join", intervalJoin, Some(intervalJoinSql),

@@ -359,4 +359,80 @@ class GraphSpec extends SparkSuite {
     assert(atGate.size < docs.toInt, "nothing peeled — k vacuous")
     assert(atGate.forall(_._2 >= Graph.KCoreK))
   }
+
+  // ---------------------------------------------------------------------
+  // k6 — multi-source BFS hop distance
+  // ---------------------------------------------------------------------
+
+  /** Symmetric path 0–1–2–3 plus isolated 4. */
+  private def bfsPathEdges(): DataFrame = {
+    import spark.implicits._
+    Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+  }
+  private def bfsNodes(): DataFrame = {
+    import spark.implicits._
+    Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+  }
+  private def seedsOf(ids: Long*): () => DataFrame = { () =>
+    import spark.implicits._
+    ids.toDF("doc_id")
+  }
+
+  private def hopsAfter(seeds: Seq[Long], rounds: Int): Map[Long, Long] =
+    Graph.bfsHopsOf(() => bfsNodes(), () => bfsPathEdges(),
+        seedsOf(seeds: _*), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfs walks the path one layer per round; truncation reports -1") {
+    assert(hopsAfter(Seq(0L), 2) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> -1L, 4L -> -1L))
+    assert(hopsAfter(Seq(0L), 3) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> -1L))
+  }
+
+  test("multi-source bfs takes the least distance over seeds") {
+    assert(hopsAfter(Seq(0L, 3L), 2) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> -1L))
+  }
+
+  test("bfs from no seeds reaches nothing; extra rounds past the fixpoint are no-ops") {
+    assert(hopsAfter(Seq.empty, 3).values.toSet === Set(-1L))
+    assert(hopsAfter(Seq(0L), 5) === hopsAfter(Seq(0L), 3),
+      "rounds past the path's diameter changed settled distances")
+  }
+
+  test("fixture bfs: seeds at 0, layers certified by a hop-1 neighbor") {
+    val got = Graph.bfsHops(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Catalog.documents(spark, sfDir).count()
+    assert(got.size.toLong === docs, "one hop row per document")
+    got.foreach { case (id, h) =>
+      if (id % Graph.BfsSeedMod == 0) assert(h === 0L, s"seed $id not at hop 0")
+      else assert(h === -1L || (h >= 1L && h <= Graph.BfsRounds),
+        s"doc $id hop $h outside [1, ${Graph.BfsRounds}] ∪ {-1}")
+    }
+    assert(got.values.exists(_ > 0L), "no non-seed reached — vacuous fixture")
+    // BFS certificate: every reached non-seed has a neighbor one hop closer
+    val sym = spark.read.parquet(Graph.componentEdges(spark, sfDir))
+      .collect().map(e => e.getLong(0) -> e.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    got.filter { case (_, h) => h >= 1L }.foreach { case (id, h) =>
+      val nbrs = sym.getOrElse(id, Set.empty)
+      assert(nbrs.exists(n => got(n) == h - 1),
+        s"doc $id at hop $h has no hop-${h - 1} neighbor")
+    }
+    // layer prefix-stability: one more round never changes a settled hop
+    val more = Graph.bfsHopsOf(
+        () => graft.Catalog.documents(spark, sfDir).select(col("doc_id")),
+        () => spark.read.parquet(Graph.componentEdges(spark, sfDir)),
+        () => graft.Catalog.documents(spark, sfDir)
+          .filter(col("doc_id") % Graph.BfsSeedMod === 0L)
+          .select(col("doc_id")),
+        Graph.BfsRounds + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter(_._2 >= 0L).foreach { case (id, h) =>
+      assert(more(id) === h, s"settled hop moved for $id: $h → ${more(id)}")
+    }
+  }
 }

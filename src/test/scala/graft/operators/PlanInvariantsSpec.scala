@@ -123,7 +123,15 @@ class PlanInvariantsSpec extends SparkSuite {
     *   pure vec_id equi-join;
     * - z16: three 1-row metric aggregates recombine by broadcast
     *   crossJoin before the unpivot (c1's shape — the corpus moves only
-    *   through the one shared scan and the fp aggregates).
+    *   through the one shared scan and the fp aggregates);
+    * - c14: x10's scalar shape per profiled column — the 1-row total
+    *   crossJoins broadcast onto the dimension-sized grouped counts,
+    *   and the 1-row total × 1-row bits-sum recombine (c1's shape);
+    *   the only corpus-sized pass is the equi-keyed grouped count;
+    * - z15: the EpochCount-row epoch relation crossJoins broadcast onto
+    *   the doc-id projection to salt per-epoch hashes (j7's tiny-side
+    *   shape); position assembly is an equi-join on (epoch, bucket)
+    *   against the broadcast 4096-row offset relation.
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -137,7 +145,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "d10_lsh_recall", "b10_more_like_this", "e4_relational_division",
       "b12_prf_expansion", "b13_forget", "k4_hits", "n14_ivfpq_recall",
       "a12_cms_counts", "b15_maxscore", "n15_pq_rerank",
-      "z16_dataset_card")
+      "z16_dataset_card", "c14_entropy", "z15_epoch_shuffle")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
