@@ -435,4 +435,50 @@ class GraphSpec extends SparkSuite {
       assert(more(id) === h, s"settled hop moved for $id: $h → ${more(id)}")
     }
   }
+
+  // ---------------------------------------------------------------------
+  // k7 — personalized PageRank / TrustRank
+  // ---------------------------------------------------------------------
+
+  private def trustAfter(seeds: Seq[Long], iters: Int): Map[Long, Long] =
+    Graph.trustRankOf(() => handNodes(), () => handEdges(),
+        seedsOf(seeds: _*), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("trustrank: two supersteps match the hand-computed seeded fixpoint") {
+    // seed {0}: r0 = (1e6, 0, 0, 0)
+    // iter1: contribs 1←500000, 2←500000, 0←0
+    //   r1 = (0: 150000, 1: 425000, 2: 425000, 3: 0)
+    // iter2: contribs 0←425000, 1←75000, 2←75000+425000
+    //   r2 = (0: 511250, 1: 63750, 2: 425000, 3: 0)
+    assert(trustAfter(Seq(0L), 1) ===
+      Map(0L -> 150000L, 1L -> 425000L, 2L -> 425000L, 3L -> 0L))
+    assert(trustAfter(Seq(0L), 2) ===
+      Map(0L -> 511250L, 1L -> 63750L, 2L -> 425000L, 3L -> 0L))
+  }
+
+  test("trustrank with no seeds is identically zero; all-seeds equals k1") {
+    assert(trustAfter(Seq.empty, 3).values.toSet === Set(0L))
+    val allSeeded = trustAfter(Seq(0L, 1L, 2L, 3L), Graph.Iters)
+    val pr = ranksAfter(Graph.Iters)
+    assert(allSeeded === pr,
+      "teleporting to every node must degenerate to plain PageRank")
+  }
+
+  test("fixture trustrank: dominated by k1 pointwise, seeds carry base mass") {
+    val trust = Graph.trustRank(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rank = Graph.pageRank(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trust.keySet === rank.keySet)
+    trust.foreach { case (id, t) =>
+      assert(t <= rank(id),
+        s"doc $id: trust $t exceeds pagerank ${rank(id)} — " +
+          "seed-restricted teleport can never add mass")
+      if (id % Graph.BfsSeedMod == 0)
+        assert(t >= Graph.BaseMicro, s"seed $id below base mass")
+    }
+    assert(trust.values.exists(_ > 0L) && trust.values.exists(_ == 0L),
+      "fixture should have both trusted and untrusted documents")
+  }
 }
