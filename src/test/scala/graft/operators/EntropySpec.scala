@@ -52,6 +52,25 @@ class EntropySpec extends SparkSuite {
       r.getDouble(5)) === ((0L, 2L, 0L, 0L, 0.0)))
   }
 
+  test("random distributions: quantized mean brackets true entropy within 1 bit") {
+    // per value, floor(log2(n/c)) ≤ log2(n/c) < floor + 1, so summing:
+    // mean_q ≤ H_true < mean_q + 1 — the documented quantization contract
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 4) {
+      val k = 2 + rnd.nextInt(8)
+      val counts = (0 until k).map(_ => 1 + rnd.nextInt(20))
+      val vals = counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(Some(s"v$i"))
+      }
+      val n = counts.sum.toDouble
+      val hTrue = counts.map(c => c / n * (math.log(n / c) / math.log(2.0))).sum
+      val r = rowOf(vals)
+      val meanQ = r.getLong(4).toDouble / r.getLong(1).toDouble
+      assert(meanQ <= hTrue + 1e-9 && hTrue < meanQ + 1.0,
+        s"trial $trial (counts=$counts): quantized $meanQ vs true $hTrue")
+    }
+  }
+
   test("fixture gate entry: same columns as c12, quantization bounds hold") {
     val rows = Profile.entropyProfile(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ===

@@ -481,4 +481,79 @@ class GraphSpec extends SparkSuite {
     assert(trust.values.exists(_ > 0L) && trust.values.exists(_ == 0L),
       "fixture should have both trusted and untrusted documents")
   }
+
+  // ---------------------------------------------------------------------
+  // Random-graph properties: the relational kernels against independent
+  // driver-side reference implementations (the kcore discipline applied
+  // to the k6/k7 additions).
+  // ---------------------------------------------------------------------
+
+  test("bfs matches a reference driver BFS on random graphs, cap honored") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(10)
+      val pairs = for {
+        a <- 0 until n; b <- 0 until n
+        if a < b && rnd.nextDouble() < 0.12
+      } yield (a.toLong, b.toLong)
+      val seeds = (0 until n).map(_.toLong).filter(_ => rnd.nextDouble() < 0.2)
+      val rounds = 4
+      // reference: queue BFS, layer-capped
+      val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val dist = scala.collection.mutable.Map[Long, Long]()
+      seeds.foreach(s => dist(s) = 0L)
+      var frontier = seeds.toSet
+      for (h <- 1 to rounds) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = h.toLong)
+      }
+      val expected = (0L until n.toLong)
+        .map(v => v -> dist.getOrElse(v, -1L)).toMap
+      import spark.implicits._
+      val got = Graph.bfsHopsOf(
+          () => (0L until n.toLong).toDF("doc_id"),
+          () => symEdges(pairs: _*),
+          seedsOf(seeds: _*), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: n=$n seeds=$seeds")
+    }
+  }
+
+  test("trustrank matches a reference driver integer simulation on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(8)
+      // directed edges with explicit out-degree (the edges() contract)
+      val raw = for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextDouble() < 0.2
+      } yield (a.toLong, b.toLong)
+      val deg = raw.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val seeds = (0 until n).map(_.toLong).filter(_ % 3 == 0)
+      val iters = 4
+      // reference: the exact integer update simulated on the driver
+      var r = (0L until n.toLong)
+        .map(v => v -> (if (seeds.contains(v)) Graph.UnitMicro else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val c = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        raw.foreach { case (a, b) => c(b) += r(a) / deg(a) }
+        r = (0L until n.toLong).map { v =>
+          val s = if (seeds.contains(v)) 1L else 0L
+          v -> (s * Graph.BaseMicro +
+            (Graph.DampMicro * c(v)) / Graph.UnitMicro)
+        }.toMap
+      }
+      import spark.implicits._
+      val edgesDf = raw.map { case (a, b) => (a, b, deg(a)) }
+        .toDF("src", "dst", "deg")
+      val got = Graph.trustRankOf(
+          () => (0L until n.toLong).toDF("doc_id"),
+          () => edgesDf,
+          seedsOf(seeds: _*), iters)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got === r, s"trial $trial: n=$n")
+    }
+  }
 }
