@@ -1083,8 +1083,16 @@ object Profile {
     * (package-visible so the spec exercises the REAL core on hand
     * distributions instead of re-implementing the arithmetic).
     */
-  private[operators] def entropyOf(vals: DataFrame, label: String): DataFrame = {
-    val cnt = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+  private[graft] def entropyOf(vals: DataFrame, label: String): DataFrame =
+    entropyOfCounts(vals.groupBy(col("v")).agg(count(lit(1)).as("c")), label)
+
+  /** The entropy TAIL over an already-grouped (v, c) count relation —
+    * factored so [[graft.streaming.Streams.streamingValueCounts]]'s live
+    * state snapshot serves the same profile through the same arithmetic
+    * (the p14/a12 online-half discipline: count addition is a monoid, the
+    * tail is stateless).
+    */
+  private[graft] def entropyOfCounts(cnt: DataFrame, label: String): DataFrame = {
     val tot = cnt.agg(
       coalesce(sum(when(col("v").isNotNull, col("c"))), lit(0L)).as("n"),
       coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_null"),

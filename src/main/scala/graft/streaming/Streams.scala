@@ -324,6 +324,24 @@ object Streams {
       .agg(graft.expressions.SketchFunctions
         .cms_build(col("h"), width, divisors).as("cms"))
 
+  /** Streaming c14 — the categorical value-count state maintained ONLINE
+    * (complete mode): grouped (v, c) counts over the live event-type
+    * stream — dimension-sized state by c12's categorical assumption, and
+    * count addition is a monoid so any micro-batch split equals the
+    * batch counts (StreamEntropySpec asserts it). c14's entropy tail
+    * ([[graft.operators.Profile]], the broadcast-total + bitlength
+    * projection, factored as `entropyOfCounts`) reads the snapshot to
+    * serve the live diversity profile — the drift read a curation
+    * operator watches during a long ingest (a collapsing entropy means
+    * the feed degenerated to one source/type). NULL types are counted
+    * under a NULL key so the tail's n_null accounting survives streaming
+    * unchanged.
+    */
+  def streamingValueCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type").as("v"))
+      .agg(count(lit(1)).as("c"))
+
   /** Streaming p14 — the log2-bucket latency histogram maintained ONLINE
     * (complete mode): [[graft.operators.Relational.hdrBucket]]'s exact
     * kernel over the live stream, grouped (type, bucket) counts as the
