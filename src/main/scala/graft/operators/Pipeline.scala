@@ -1102,8 +1102,14 @@ object Pipeline {
   /** bucket = h >> 48: 4096 range buckets of the 60-bit hash space. */
   val EpochShuffleBucketShift = 48
 
-  /** Per-epoch permutation core over any (doc_id) frame. */
-  def epochShuffleOf(docs: DataFrame, epochs: Int): DataFrame = {
+  /** Per-epoch permutation core over any (doc_id) frame. The bucket
+    * shift is a deployment knob (smaller shift → more range buckets for
+    * bigger clusters); correctness is shift-invariant because any
+    * high-bit prefix is order-preserving over h (EpochShuffleSpec pins a
+    * non-default shift against the naive global rank).
+    */
+  def epochShuffleOf(docs: DataFrame, epochs: Int,
+      bucketShift: Int = EpochShuffleBucketShift): DataFrame = {
     val spark = docs.sparkSession
     val eps = spark.range(epochs.toLong).select(col("id").as("epoch"))
     val keyed = docs.select(col("doc_id"))
@@ -1111,7 +1117,7 @@ object Pipeline {
       .select(col("epoch"), col("doc_id"),
         TextOps.hash60(concat(col("epoch").cast("string"), lit(":"),
           col("doc_id").cast("string"))).as("h"))
-      .withColumn("bucket", expr(s"shiftright(h, $EpochShuffleBucketShift)"))
+      .withColumn("bucket", expr(s"shiftright(h, $bucketShift)"))
     val within = row_number().over(
       Window.partitionBy(col("epoch"), col("bucket"))
         .orderBy(col("h"), col("doc_id")))

@@ -41,6 +41,16 @@ class EpochShuffleSpec extends SparkSuite {
     assert(got === naive)
   }
 
+  test("decomposition is bucket-shift invariant (the deployment knob)") {
+    // 16 buckets (shift 56) and the default 4096 must both reconstruct
+    // the same global rank — the prefix is order-preserving at any width
+    val a = Pipeline.epochShuffleOf(ids(199), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Pipeline.epochShuffleOf(ids(199), 2, bucketShift = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
   test("different epochs produce different orders; reruns are identical") {
     def orderOf(e: Long) = Pipeline.epochShuffleOf(ids(64), 2)
       .filter(col("epoch") === e).orderBy(col("pos"))
