@@ -12,12 +12,20 @@ import graft.Catalog
   * north-star): media as opaque `binary` columns + typed metadata, with
   * decode / feature-extract / resize as partition-mapped batch functions.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (parses our own synthetic header) —
-  * the Spark-side contract (schema, batching, partition mapping, metadata
-  * propagation) is real and oracle-checked. Swapping the stub for a JNI /
-  * external-process decoder changes no plan shape: `mapPartitions` is the
-  * Scala analogue of Python's `mapInPandas` batch contract.
+  * The decode kernel is a MAGIC-BYTE DISPATCH with one real codec and one
+  * synthetic one: PNG decodes through the JDK's bundled `javax.imageio`
+  * (a genuine lossless image codec, zero external dependencies —
+  * MultimodalSpec drives real encoded PNGs through the partition-mapped
+  * pass and pins exact pixel statistics), while the fixture's synthetic
+  * 'GR' header parses through a deterministic stub arm (the container has
+  * no richer media libs, and the synthetic corpus carries no real blobs).
+  * Unknown formats yield NULL-metadata rows — accounted, never thrown.
+  * The Spark-side contract (schema, batching, partition mapping, metadata
+  * propagation) is identical across arms and oracle-checked on the
+  * fixture arm. Adding a JNI / external-process codec (JPEG, video
+  * keyframes) extends the dispatch and changes no plan shape:
+  * `mapPartitions` is the Scala analogue of Python's `mapInPandas` batch
+  * contract.
   */
 object Multimodal {
 
@@ -56,9 +64,8 @@ object Multimodal {
     StructField("payload_bytes", IntegerType),
     StructField("mean_byte", DoubleType)))
 
-  /** STUB decode kernel: parses the synthetic header and computes payload
-    * statistics. A real implementation would call an image codec here —
-    * everything around this function is production plumbing.
+  /** SYNTHETIC-format decode kernel: parses the 'GR' header and computes
+    * payload statistics — the fixture arm of the [[decodeAny]] dispatch.
     */
   private def decodeStub(docId: Long, source: String, media: Array[Byte]): Row = {
     def hex4(off: Int): Int =
@@ -74,6 +81,63 @@ object Multimodal {
     val mean: Any = if (payload > 0) sum.toDouble / payload else null
     Row(docId, source, width, height, payload, mean)
   }
+
+  /** REAL codec arm: PNG (and any other ImageIO-registered format whose
+    * magic we dispatch on) through the JDK's bundled `javax.imageio` —
+    * zero external dependencies, lossless and bit-deterministic for PNG.
+    * Emits (width, height, pixel count, mean luminance) where luminance
+    * is the integer (r+g+b)/3 per pixel — fixed-order integer summation,
+    * so the statistic is exact and platform-independent. A corrupt blob
+    * (ImageIO returns null / throws) yields a NULL-metadata row:
+    * ACCOUNTED loss, never a dead partition (the Quarantine discipline —
+    * a partition-mapped codec must survive any single bad row).
+    */
+  private def decodePng(docId: Long, source: String, media: Array[Byte]): Row =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(media))
+      if (img == null) Row(docId, source, null, null, null, null)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        val n = w * h
+        val mean: Any = if (n > 0) sum.toDouble / n else null
+        Row(docId, source, w, h, n, mean)
+      }
+    } catch {
+      // any decoder failure (truncated stream, malformed chunk table) is
+      // a per-row data problem, never a partition killer
+      case scala.util.control.NonFatal(_) =>
+        Row(docId, source, null, null, null, null)
+    }
+
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+  private def hasMagic(media: Array[Byte], magic: Array[Byte]): Boolean =
+    media.length >= magic.length && magic.indices.forall(i => media(i) == magic(i))
+
+  /** Format dispatch by magic bytes — PNG through the real JDK codec, the
+    * synthetic 'GR' header through its parser, anything else a
+    * NULL-metadata row (accounted, not thrown). This is the kernel a
+    * production ingest extends per registered container format.
+    */
+  private[operators] def decodeAny(docId: Long, source: String,
+      media: Array[Byte]): Row =
+    if (hasMagic(media, PngMagic)) decodePng(docId, source, media)
+    else if (media.length >= 10 && media(0) == 'G' && media(1) == 'R')
+      decodeStub(docId, source, media)
+    else Row(docId, source, null, null, null, null)
 
   /** Decode via mapPartitions, UNORDERED: one decoder instance per
     * partition (the expensive-initialization pattern for codec / model
@@ -96,7 +160,7 @@ object Multimodal {
     val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(frameSchema)
     val out = media.filter(col("media").isNotNull).mapPartitions { rows =>
       // per-partition decoder init would go here
-      rows.map(r => decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+      rows.map(r => decodeAny(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
     }(enc)
     // round at the edge (HALF_UP in both engines), not in the kernel
     out.withColumn("mean_byte", round(col("mean_byte"), 6))

@@ -33,6 +33,45 @@ class MultimodalSpec extends SparkSuite {
     assert(out.getInt(4) == 0 && out.isNullAt(5))
   }
 
+  /** A real w×h PNG with a constant (r,g,b) fill, encoded via the same JDK
+    * ImageIO the kernel decodes with — a genuine codec round-trip.
+    */
+  private def pngBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("m1 real-codec arm: encoded PNGs decode through the partition-mapped pass") {
+    import spark.implicits._
+    // two real PNGs with known dimensions and exact constant luminance,
+    // one corrupt blob (truncated PNG), one unknown format — all four
+    // through ONE mapPartitions pass, no partition may die
+    val good1 = pngBytes(8, 5, 30, 60, 90)   // lum = (30+60+90)/3 = 60
+    val good2 = pngBytes(3, 7, 255, 255, 255) // lum = 255
+    val corrupt = good1.take(20)             // valid magic, truncated body
+    val unknown = Array[Byte]('X', 'Y', 1, 2, 3)
+    val media = Seq(
+      (1L, Option("s"), good1), (2L, Option("s"), good2),
+      (3L, Option("s"), corrupt), (4L, Option("s"), unknown))
+      .toDF("doc_id", "source", "media")
+    val out = Multimodal.decodeFramesOf(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) == 8 && out(1L).getInt(3) == 5 &&
+      out(1L).getInt(4) == 40 && out(1L).getDouble(5) == 60.0,
+      s"8x5 constant-fill PNG decoded wrong: ${out(1L)}")
+    assert(out(2L).getInt(2) == 3 && out(2L).getInt(3) == 7 &&
+      out(2L).getDouble(5) == 255.0)
+    // corrupt and unknown blobs surface as accounted NULL-metadata rows
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(5),
+      "truncated PNG must yield a NULL-metadata row, not a dead partition")
+    assert(out(4L).isNullAt(2), "unknown magic must be accounted, not thrown")
+  }
+
   test("m5 dedup: byte-identical payloads collapse across different headers; NULLs excluded") {
     import spark.implicits._
     // docs 1/8/3 share an identical payload under DIFFERENT doc_ids (so
