@@ -261,7 +261,7 @@ object Multimodal {
       StructField("payload_bytes", IntegerType) +:
       (0 until FeatureBins).map(d => StructField(s"f$d", DoubleType)))
 
-  /** STUB-ADJACENT extract kernel over the synthetic header layout: skips
+  /** SYNTHETIC-format extract kernel over the 'GR' header layout: skips
     * the 10-byte header, histograms payload bytes by residue mod
     * [[FeatureBins]], normalizes by payload length.
     */
@@ -274,6 +274,58 @@ object Multimodal {
       counts.toSeq.map(c => c.toDouble / payload))
   }
 
+  /** REAL-codec extract arm: an n-bin LUMINANCE histogram over the
+    * DECODED pixels (bin = lum·FeatureBins/256, lum = integer (r+g+b)/3)
+    * — the actual perceptual feature the byte-residue stub stands in for.
+    * Decoding through the same JDK ImageIO as [[decodePng]]; the payoff
+    * is that m7/m9's near-dup mining becomes genuinely perceptual for
+    * real images: the SAME pixels re-encoded as different PNG bytes
+    * (m5's exact hash misses them) land at L1 = 0 (MultimodalSpec pins
+    * exactly that round-trip). payload_bytes reports the pixel count —
+    * the normalization denominator, m1's convention. None on decoder
+    * failure: an undecodable blob has no feature vector (accounted by
+    * the caller's flatMap — dropped from the feature relation, the
+    * quarantine discipline, never a fabricated histogram).
+    */
+  private def extractPng(docId: Long, media: Array[Byte]): Option[Row] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(media))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = w * h
+        if (n == 0) None
+        else {
+          val counts = new Array[Long](FeatureBins)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              counts(lum * FeatureBins / 256) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(Row.fromSeq(docId +: n +:
+            counts.toSeq.map(c => c.toDouble / n)))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Format dispatch for feature extraction (the m1 [[decodeAny]] twin):
+    * PNG → decoded-pixel luminance histogram, 'GR' → payload byte-residue
+    * histogram, unknown/undecodable → no feature row.
+    */
+  private[operators] def extractAny(docId: Long, media: Array[Byte]): Option[Row] =
+    if (hasMagic(media, PngMagic)) extractPng(docId, media)
+    else if (media.length > 10 && media(0) == 'G' && media(1) == 'R')
+      Some(extractStub(docId, media))
+    else None
+
   def mediaFeaturesOf(media: DataFrame): DataFrame = {
     val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(featureSchema)
     media
@@ -282,7 +334,7 @@ object Multimodal {
       .filter(length(col("media")) > 10)
       .mapPartitions { rows =>
         // per-partition feature-model init would go here
-        rows.map(r => extractStub(r.getLong(0), r.getAs[Array[Byte]](2)))
+        rows.flatMap(r => extractAny(r.getLong(0), r.getAs[Array[Byte]](2)))
       }(enc)
       .select(col("doc_id") +: col("payload_bytes") +:
         (0 until FeatureBins).map(d => round(col(s"f$d"), 6).as(s"f$d")): _*)

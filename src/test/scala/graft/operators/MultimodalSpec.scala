@@ -72,6 +72,40 @@ class MultimodalSpec extends SparkSuite {
     assert(out(4L).isNullAt(2), "unknown magic must be accounted, not thrown")
   }
 
+  test("m4/m7 real-codec arm: same pixels under different bytes are perceptual dups") {
+    import spark.implicits._
+    // a gradient image; its byte-identical re-host with trailing garbage
+    // after IEND decodes to the SAME pixels but a different byte stream —
+    // m5's exact payload hash can never match them, the decoded-pixel
+    // luminance histogram lands them at L1 = 0
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val lum = (y * 16 + x) * 255 / 255
+      img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytesA = bos.toByteArray
+    val bytesB = bytesA ++ Array[Byte](9, 9, 9)
+    assert(!java.util.Arrays.equals(bytesA, bytesB))
+    val media = Seq((1L, Option("s"), bytesA), (2L, Option("s"), bytesB))
+      .toDF("doc_id", "source", "media")
+    // identical luminance histograms from both encodings
+    val feats = Multimodal.mediaFeaturesOf(media).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(feats(1L) === feats(2L),
+      "same pixels must extract identical perceptual features")
+    // the m7 mining pass over the real-codec features: one pair at L1 = 0
+    val pairs = Multimodal.neardupPairsOf(Multimodal.microFeaturesOf(media))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)),
+      s"expected the re-encoded twin at L1=0, got ${pairs.toSeq}")
+    // while the exact payload hash (m5) correctly sees two DIFFERENT blobs
+    assert(Multimodal.mediaDedupOf(media).count() === 0L,
+      "byte-different blobs must not collapse under the exact hash")
+  }
+
   test("m5 dedup: byte-identical payloads collapse across different headers; NULLs excluded") {
     import spark.implicits._
     // docs 1/8/3 share an identical payload under DIFFERENT doc_ids (so
