@@ -244,6 +244,74 @@ object Multimodal {
        |ORDER BY doc_id, frame_idx""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
+  // Audio arm (library API, spec-covered — the redact precedent: the
+  // synthetic fixture carries no real audio, so a gate oracle would be
+  // vacuous): WAV/PCM metadata + amplitude statistics through the JDK's
+  // bundled javax.sound.sampled — like the PNG arm, a REAL codec with
+  // zero external dependencies. The same mapPartitions batch contract as
+  // m1; a corrupt/non-WAV blob yields no row (accounted drop, the
+  // quarantine discipline).
+  // ---------------------------------------------------------------------
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("mean_abs_amplitude", DoubleType)))
+
+  /** Decode one WAV blob: format metadata + mean absolute 16-bit sample
+    * amplitude (fixed-order integer summation over the decoded PCM
+    * stream, so the statistic is exact and platform-independent).
+    * Supports the PCM_SIGNED 16-bit little-endian layout WAV files
+    * overwhelmingly carry; anything else (or a corrupt header) → None.
+    */
+  private def decodeWav(docId: Long, media: Array[Byte]): Option[Row] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(media))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val frames = in.getFrameLength
+          val bytes = in.readAllBytes()
+          var sum = 0L
+          var n = 0L
+          var i = 0
+          val bigEndian = fmt.isBigEndian
+          while (i + 1 < bytes.length) {
+            val sample =
+              if (bigEndian)
+                (((bytes(i).toInt) << 8) | (bytes(i + 1) & 0xff)).toShort.toInt
+              else
+                (((bytes(i + 1).toInt) << 8) | (bytes(i) & 0xff)).toShort.toInt
+            sum += math.abs(sample.toLong)
+            n += 1
+            i += 2
+          }
+          val mean: Any = if (n > 0) sum.toDouble / n else null
+          Some(Row(docId, fmt.getChannels, fmt.getSampleRate.toInt, 16,
+            frames, mean))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The partition-mapped WAV metadata pass (the m1 contract applied to
+    * audio): one decoder per partition, undecodable blobs dropped as
+    * accounted loss.
+    */
+  def audioMetaOf(media: DataFrame): DataFrame = {
+    val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(audioSchema)
+    media.filter(col("media").isNotNull).mapPartitions { rows =>
+      rows.flatMap(r => decodeWav(r.getLong(0), r.getAs[Array[Byte]](2)))
+    }(enc)
+      .withColumn("mean_abs_amplitude", round(col("mean_abs_amplitude"), 6))
+  }
+
+  // ---------------------------------------------------------------------
   // M4 — feature extraction: the second partition-mapped batch pass the
   // banner promises (decode / FEATURE-EXTRACT / resize). The extractor
   // here is a real (if simple) feature, not a fake: the normalized

@@ -106,6 +106,41 @@ class MultimodalSpec extends SparkSuite {
       "byte-different blobs must not collapse under the exact hash")
   }
 
+  /** A real 16-bit PCM mono WAV with the given samples, encoded via the
+    * same JDK AudioSystem the kernel decodes with.
+    */
+  private def wavBytes(samples: Array[Short], rateHz: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1,
+      true, false) // PCM signed, little-endian, mono
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio arm: real WAV decodes through the partition-mapped pass") {
+    import spark.implicits._
+    // known samples: |100| + |-200| + |300| + |0| → mean abs = 150.0
+    val good = wavBytes(Array[Short](100, -200, 300, 0), 8000)
+    val notAudio = Array[Byte]('X', 'X', 1, 2)
+    val media = Seq((1L, Option("s"), good), (2L, Option("s"), notAudio))
+      .toDF("doc_id", "source", "media")
+    val out = Multimodal.audioMetaOf(media).collect()
+    assert(out.length === 1, "non-audio blob must drop, not throw")
+    val r = out(0)
+    assert(r.getLong(0) === 1L && r.getInt(1) === 1 &&
+      r.getInt(2) === 8000 && r.getInt(3) === 16 && r.getLong(4) === 4L,
+      s"WAV metadata wrong: $r")
+    assert(r.getDouble(5) === 150.0, s"mean abs amplitude: ${r.getDouble(5)}")
+  }
+
   test("m5 dedup: byte-identical payloads collapse across different headers; NULLs excluded") {
     import spark.implicits._
     // docs 1/8/3 share an identical payload under DIFFERENT doc_ids (so
