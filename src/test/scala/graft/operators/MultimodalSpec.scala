@@ -125,6 +125,61 @@ class MultimodalSpec extends SparkSuite {
     bos.toByteArray
   }
 
+  test("resize arm: real PNG re-rendered at target resolution round-trips") {
+    import spark.implicits._
+    // 16x16 gradient → 4x4 nearest-neighbor: deterministic pixel picks
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val lum = y * 16 + x
+      img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((1L, Option("s"), bos.toByteArray),
+      (2L, Option("s"), Array[Byte]('X', 'X', 0)))
+      .toDF("doc_id", "source", "media")
+    val out = Multimodal.resizePngOf(media, 4, 4).collect()
+    assert(out.length === 1, "non-PNG blob must drop from the resize pass")
+    val r = out(0)
+    assert(r.getInt(1) === 4 && r.getInt(2) === 4)
+    // the emitted bytes are a real decodable PNG at the target size
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+    assert(back.getWidth === 4 && back.getHeight === 4)
+    // determinism: the same input resizes to the same bytes
+    val again = Multimodal.resizePngOf(media, 4, 4).collect()(0)
+    assert(java.util.Arrays.equals(
+      r.getAs[Array[Byte]](3), again.getAs[Array[Byte]](3)))
+  }
+
+  test("frame-sample arm: animated GIF frames sample through the reader") {
+    import spark.implicits._
+    // a real 10-frame animated GIF via the JDK's sequence writer
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 10) {
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6)
+        img.setRGB(x, y, (f * 25) << 16)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val media = Seq((1L, Option("s"), bos.toByteArray),
+      (2L, Option("s"), Array[Byte]('G', 'R', 0)))
+      .toDF("doc_id", "source", "media")
+    val out = Multimodal.gifFrameSampleOf(media, every = 4)
+      .collect().map(r => (r.getInt(2), r.getInt(1), r.getInt(3), r.getInt(4)))
+    // frames 0, 4, 8 of 10; every sampled frame reports the true dims
+    assert(out.map(_._1).sorted.toSeq === Seq(0, 4, 8), s"got ${out.toSeq}")
+    assert(out.forall { case (_, n, w, h) => n == 10 && w == 6 && h == 4 })
+  }
+
   test("audio arm: real WAV decodes through the partition-mapped pass") {
     import spark.implicits._
     // known samples: |100| + |-200| + |300| + |0| → mean abs = 150.0
