@@ -901,7 +901,107 @@ object Multimodal {
        |WHERE l1_micro <= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // M10 — the media DROP AUDIT: z11's why-is-my-blob-missing
+  // debuggability layer applied to the media dedup ladder. For every
+  // media row, the FIRST stage that drops it — no_payload (nothing to
+  // dedup), drop_exact (m5: a byte-identical copy with a smaller id
+  // exists), drop_near (m7: a verified perceptual partner with a smaller
+  // id exists among the exact survivors) — or 'kept', plus WHICH keeper
+  // displaced it (exact: the fingerprint-group min; near: the smallest
+  // verified partner — z11's pair-granularity rule; d12-style cluster
+  // resolution is the transitive upgrade). Attribution is first-fail
+  // exactly as the pipeline executes: an exact dup is never evaluated
+  // perceptually.
+  //
+  // Plan: m5's fingerprint aggregate (one fp-keyed shuffle), the
+  // survivor semi-join, m7's banded candidate mining over SURVIVORS only
+  // (delta-shrunk input), and two left joins back onto the full row set.
+  // Same cost class as running m5 + m7 — the audit rides along.
+  // ---------------------------------------------------------------------
+  def mediaAuditOf(media: DataFrame): DataFrame = {
+    val base = media.select(col("doc_id"),
+      (if (media.columns.contains("source")) col("source")
+       else lit(null).cast("string")).as("source"),
+      col("media"))
+    val withPayload = base
+      .filter(col("media").isNotNull && length(col("media")) > HeaderBytes)
+    val fps = withPayload.select(col("doc_id"),
+      TextOps.hash60(hex(expr(s"substring(media, ${HeaderBytes + 1})")))
+        .as("fp"))
+    val exact = fps
+      .join(fps.groupBy(col("fp")).agg(min(col("doc_id")).as("gmin")), "fp")
+      .select(col("doc_id"), col("gmin"))
+    val survivors = exact.filter(col("doc_id") === col("gmin"))
+      .select(col("doc_id"))
+    val pairs = neardupPairsOf(microFeaturesOf(
+      withPayload.join(survivors, Seq("doc_id"), "left_semi")))
+    // doc_a < doc_b by construction, so doc_a IS the smaller partner
+    val nearDrop = pairs
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("partner"))
+      .groupBy(col("doc_id")).agg(min(col("partner")).as("near_keeper"))
+    base.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("gmin").isNull, lit("no_payload"))
+          .when(col("doc_id") =!= col("gmin"), lit("drop_exact"))
+          .when(col("near_keeper").isNotNull, lit("drop_near"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(col("gmin").isNotNull && col("doc_id") =!= col("gmin"),
+          col("gmin")).otherwise(col("near_keeper")).as("keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  def mediaAudit(spark: SparkSession, dir: String): DataFrame =
+    mediaAuditOf(mediaTable(spark, dir))
+
+  /** Oracle: m5's fingerprint grouping + m7's all-pairs form restricted
+    * to the exact survivors, composed into the first-fail CASE.
+    */
+  val mediaAuditSql: String =
+    s"""WITH fpz AS (
+       | SELECT doc_id, ${TextOps.hash60Sql("hex(encode(text))")} AS fp
+       | FROM documents
+       | WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+       |g AS (SELECT fp, min(doc_id) AS gmin FROM fpz GROUP BY fp),
+       |e AS (SELECT f.doc_id, g.gmin FROM fpz f JOIN g USING (fp)),
+       |sv AS (SELECT doc_id FROM e WHERE doc_id = gmin),
+       |f2 AS (
+       | SELECT d.doc_id, octet_length(encode(d.text)) AS n,
+       |  [CAST('0x' || substr(hex(encode(d.text)), 2*i-1, 2) AS INT)
+       |   for i in range(1, octet_length(encode(d.text)) + 1)] AS bs
+       | FROM documents d JOIN sv USING (doc_id)),
+       |h AS (
+       | SELECT doc_id,
+       |  [CAST(round(round(len(list_filter(bs, b -> b % $FeatureBins = d))::DOUBLE / n, 6) * 1e6) AS BIGINT)
+       |   for d in range(0, $FeatureBins)] AS m
+       | FROM f2 WHERE n > 0),
+       |p AS (
+       | SELECT a.doc_id AS da, b.doc_id AS db
+       | FROM h a JOIN h b ON a.doc_id < b.doc_id
+       | WHERE CAST(list_sum([abs(a.m[i+1] - b.m[i+1]) for i in range(0, $FeatureBins)]) AS BIGINT) <= $NeardupL1Micro),
+       |nd AS (SELECT db AS doc_id, min(da) AS near_keeper FROM p GROUP BY db)
+       |SELECT d.doc_id,
+       | CASE WHEN e.gmin IS NULL THEN 'no_payload'
+       |      WHEN d.doc_id <> e.gmin THEN 'drop_exact'
+       |      WHEN nd.near_keeper IS NOT NULL THEN 'drop_near'
+       |      ELSE 'kept' END AS verdict,
+       | CASE WHEN e.gmin IS NOT NULL AND d.doc_id <> e.gmin THEN e.gmin
+       |      ELSE nd.near_keeper END AS keeper
+       |FROM documents d
+       |LEFT JOIN e USING (doc_id)
+       |LEFT JOIN nd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("m10_media_audit", mediaAudit, Some(mediaAuditSql),
+      "the media DROP AUDIT (z11's debuggability layer over the media " +
+        "dedup ladder): per blob the FIRST stage that drops it — " +
+        "no_payload / drop_exact (m5) / drop_near (m7, evaluated over " +
+        "exact survivors only) — or kept, plus the displacing keeper; " +
+        "first-fail attribution exactly as the pipeline executes " +
+        "(training-data extension)"),
     Q("m7_media_neardup", mediaNeardup, Some(mediaNeardupSql),
       "media near-dup pairs over the m4 feature space: integer-exact micro-unit L1, pigeonhole-banded equi-join candidates (zero false negatives by construction; oracle is the all-pairs form, so the gate proves the pruning lossless) — the perceptual-dedup slot of the media ladder m5/m6/m7 (training-data extension)"),
     Q("m9_media_neardup_wide", mediaNeardupWide, Some(mediaNeardupWideSql),

@@ -125,6 +125,50 @@ class MultimodalSpec extends SparkSuite {
     bos.toByteArray
   }
 
+  test("m10 audit: every verdict class with first-fail priority on a hand corpus") {
+    import spark.implicits._
+    val aaa = "a" * 1000
+    val nearA = "a" * 999 + "b" // histogram L1 = 2000 micro ≤ 20000: near 10
+    val docs = Seq(
+      (10L, Some(aaa)),     // keeper of the exact group {10, 11}
+      (11L, Some(aaa)),     // byte-identical → drop_exact, keeper 10
+      (12L, Some(nearA)),   // survivor, perceptually near 10 → drop_near
+      (13L, Some("z" * 1000)), // far distribution → kept
+      (14L, None: Option[String]), // NULL payload → no_payload
+      (15L, Some(nearA)))   // exact copy of 12: drop_exact BEFORE near
+      .toDF("doc_id", "text")
+    val got = Multimodal.mediaAuditOf(Multimodal.mediaTableOf(docs))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(10L) === (("kept", -1L)))
+    assert(got(11L) === (("drop_exact", 10L)))
+    assert(got(12L) === (("drop_near", 10L)),
+      "survivor near the keeper must attribute to the smallest partner")
+    assert(got(13L) === (("kept", -1L)))
+    assert(got(14L) === (("no_payload", -1L)))
+    assert(got(15L) === (("drop_exact", 12L)),
+      "first-fail: an exact dup is never evaluated perceptually")
+  }
+
+  test("m10 fixture consistency: kept ≡ surviving both ladder stages") {
+    val audit = Multimodal.mediaAudit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.Catalog.documents(spark, sfDir).count()
+    assert(audit.size.toLong === docs, "one verdict per document")
+    // every m5 duplicate group: exactly its keeper survives the exact stage
+    val m5 = Multimodal.mediaDedup(spark, sfDir).collect()
+    m5.foreach { g =>
+      val keeper = g.getLong(2)
+      assert(audit(keeper) != "drop_exact",
+        s"group keeper $keeper marked drop_exact")
+    }
+    val nExact = audit.values.count(_ == "drop_exact")
+    val m5Dropped = m5.map(g => g.getLong(1) - 1).sum
+    assert(nExact.toLong === m5Dropped,
+      s"drop_exact count $nExact != m5's ${m5Dropped} non-keeper copies")
+  }
+
   test("resize arm: real PNG re-rendered at target resolution round-trips") {
     import spark.implicits._
     // 16x16 gradient → 4x4 nearest-neighbor: deterministic pixel picks
