@@ -340,7 +340,103 @@ object Diff {
        |GROUP BY resolution ORDER BY resolution""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // U5 — corpus PROVENANCE ("git blame" for documents): for every key
+  // across a versioned table's whole history, the version that INTRODUCED
+  // it, the version of its LAST content change, and how many revisions it
+  // has seen. The lineage questions every dataset audit asks — "when did
+  // this document enter the corpus, has it been edited since, how churned
+  // is this slice" — answered from s24's committed snapshots alone, no
+  // side metadata. u1/u3 diff ADJACENT versions; u5 folds the whole
+  // timeline per key.
+  //
+  // Plan/scale: each version contributes a map-side (key, v, fingerprint)
+  // projection — 13-byte rows, payloads never move (the u4 discipline) —
+  // unioned through ONE key-partitioned shuffle; the per-key timeline is
+  // ≤ V rows, so the lag window runs over tiny groups at full key
+  // parallelism (never a one-partition window). V manifest-pruned scans
+  // are the irreducible cost of reading V versions; at 100 TB a
+  // deployment provenance-folds incrementally (fold v(N+1) into the
+  // persisted provenance relation — one delta scan) exactly like b8's
+  // index maintenance.
+  //
+  // Change rule: a row CHANGES at version v when its fingerprint differs
+  // null-safely from its previous appearance (NULL payloads are content —
+  // the u1/u3/u4 rule); introduction itself is not a change, so an
+  // added-then-untouched doc has 0 revisions. Deletions are visible as
+  // absence from later versions (n_versions < latest − introduced_in + 1)
+  // — reported, not folded into last_changed, which tracks CONTENT edits.
+  // ---------------------------------------------------------------------
+
+  /** Provenance fold over explicit (version, snapshot) pairs; snapshots
+    * carry (key, payload); fingerprints compare null-safely.
+    */
+  def provenanceOf(versions: Seq[(Int, DataFrame)], key: String,
+      fp: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("v"))
+    val tagged = versions.map { case (v, df) =>
+      df.select(col(key), lit(v).as("v"), fp.as("fp"))
+    }.reduce(_ unionByName _)
+    tagged
+      .withColumn("prev_fp", lag(col("fp"), 1).over(w))
+      .withColumn("is_first", lag(col("v"), 1).over(w).isNull)
+      .withColumn("changed",
+        !col("is_first") && !(col("fp") <=> col("prev_fp")))
+      .groupBy(col(key))
+      .agg(
+        min(col("v")).as("introduced_in"),
+        coalesce(max(when(col("changed"), col("v"))), min(col("v")))
+          .as("last_changed"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("n_revisions"),
+        count(lit(1)).as("n_versions"))
+  }
+
+  /** Gate entry: the u3 timeline (v1 = base docs, v2 = the deterministic
+    * revised corpus) folded to per-document provenance.
+    */
+  def provenance(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import graft.lifecycle.Versioned
+    val t = graft.Scratch.freshRunDir(spark, "versioned_prov_run", dir) +
+      "/docs_v"
+    val docs = graft.Catalog.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    Versioned.append(t, docs)
+    Versioned.rewrite(t)(_ => Search.revisedCorpus(docs))
+    provenanceOf(
+      Seq(1 -> Versioned.readVersion(t, 1), 2 -> Versioned.readVersion(t, 2)),
+      "doc_id", TextOps.hash60(col("text")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same provenance derived from the deterministic revision
+    * rules (u3's precedent) — base docs introduced at 1 (revised ones
+    * doc_id % 10 = 7 with non-NULL text change at 2), added docs
+    * (doc_id % 50 = 3, id-shifted) introduced at 2 with no revision.
+    */
+  val provenanceSql: String =
+    s"""SELECT doc_id,
+       | CAST(1 AS INT) AS introduced_in,
+       | CAST(CASE WHEN doc_id % 10 = 7 AND text IS NOT NULL
+       |  THEN 2 ELSE 1 END AS INT) AS last_changed,
+       | CAST(CASE WHEN doc_id % 10 = 7 AND text IS NOT NULL
+       |  THEN 1 ELSE 0 END AS BIGINT) AS n_revisions,
+       | CAST(2 AS BIGINT) AS n_versions
+       |FROM documents
+       |UNION ALL
+       |SELECT doc_id + ${Search.AddedIdOffset}, 2, 2, 0, 1
+       |FROM documents WHERE doc_id % 50 = 3
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("u5_provenance", provenance, Some(provenanceSql),
+      "corpus provenance (git blame for documents): per key across the " +
+        "whole versioned history the introducing version, the last " +
+        "content change, revision count, and presence count — map-side " +
+        "(key, v, fingerprint) projections through one key-partitioned " +
+        "shuffle, per-key timelines of <= V rows under the lag window " +
+        "(training-data extension)"),
     Q("u4_three_way_merge", threeWayMerge, Some(threeWayMergeSql),
       "three-way merge of two curation branches off a common base — the git merge decision on content fingerprints: movers win, identical edits collapse, divergent edits / delete-vs-modify / add-add collisions surface as conflicts, never auto-resolved; 12-byte rows through two key equi-joins (training-data extension)"),
     Q("u3_version_diff", versionDiff, Some(versionDiffSql),

@@ -132,4 +132,51 @@ class DiffSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((2L, "changed"), (6L, "added")), s"got $got")
   }
+
+  // ---------------------------------------------------------------------
+  // u5 — provenance fold
+  // ---------------------------------------------------------------------
+
+  test("u5 provenance: introduction, change, deletion, re-add, NULL content") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def snap(rows: (Long, Option[String])*) = rows.toDF("doc_id", "text")
+    // A stable; B edited at v2; C NULL throughout (null-safe: no change);
+    // D added at v2, deleted at v3; E deleted at v2, RE-ADDED at v3 with
+    // new content (the change counts — content moved across its absence)
+    val v1 = snap(1L -> Some("x"), 2L -> Some("y"), 3L -> None,
+      5L -> Some("e1"))
+    val v2 = snap(1L -> Some("x"), 2L -> Some("y2"), 3L -> None,
+      4L -> Some("w"))
+    val v3 = snap(1L -> Some("x"), 2L -> Some("y2"), 3L -> None,
+      5L -> Some("e2"))
+    val got = Diff.provenanceOf(Seq(1 -> v1, 2 -> v2, 3 -> v3), "doc_id",
+        graft.operators.TextOps.hash60(col("text")))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((1, 1, 0L, 3L)), "stable doc never changes")
+    assert(got(2L) === ((1, 2, 1L, 3L)), "one edit at v2")
+    assert(got(3L) === ((1, 1, 0L, 3L)), "NULL payload compares null-safely")
+    assert(got(4L) === ((2, 2, 0L, 1L)), "added then deleted: 1 presence")
+    assert(got(5L) === ((1, 3, 1L, 2L)),
+      "re-add with new content counts as a change across the absence")
+  }
+
+  test("u5 fixture gate: rule-consistent with the u3 timeline") {
+    val got = Diff.provenance(spark, sfDir).collect()
+    val docs = graft.Catalog.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> !r.isNullAt(1)).toMap
+    assert(got.length === docs.size + docs.count(_._1 % 50 == 3))
+    got.foreach { r =>
+      val (id, intro, last, nRev) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))
+      if (id >= graft.operators.Search.AddedIdOffset)
+        assert(intro === 2 && nRev === 0L, s"added doc $id")
+      else if (id % 10 == 7 && docs(id))
+        assert(last === 2 && nRev === 1L, s"revised doc $id")
+      else assert(last === 1 && nRev === 0L, s"untouched doc $id")
+    }
+  }
 }
