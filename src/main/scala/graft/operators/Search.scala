@@ -223,6 +223,75 @@ object Search {
   }
 
   // ---------------------------------------------------------------------
+  // B16 — retrieval-quality EVAL: MRR@k of conjunctive containment under
+  // the BM25 ranking — n7's measure-don't-guess discipline applied to
+  // the lexical arm. Ground truth per probe is SET-retrieval semantics
+  // (documents matching ALL the probe's terms — b6's conjunctive
+  // contract); the metric asks where the ranked list first surfaces such
+  // a document: first_all_terms_rank, the reciprocal rank in exact
+  // micro-units (1e6 div rank — no float), and how many all-terms docs
+  // made the top-k at all. This is the search-quality regression gate a
+  // deployment runs after every scoring/pruning change: b15-style
+  // optimizations are provably lossless, but a k1/b parameter retune is
+  // not, and this number says what it did to conjunctive recall.
+  //
+  // Plan: pure post-processing of b3's ranked relation (k rows per
+  // probe) joined to the probe-size literal — truth membership inside
+  // the top-k is decidable from b3's own n_terms_matched column, so the
+  // eval adds ZERO corpus passes; probes with no all-terms doc in the
+  // top-k report rank -1 / rr 0 (accounting, not absence), zero-filled
+  // from the probe relation so even an empty corpus reports every probe.
+  // ---------------------------------------------------------------------
+  /** The eval tail over any b3-shaped ranked relation + a
+    * (query_id, n_terms) probe-size relation (spec entry point).
+    */
+  def mrrEvalOf(ranked: DataFrame, nt: DataFrame): DataFrame = {
+    val hits = ranked
+      .join(broadcast(nt), "query_id")
+      .filter(col("n_terms_matched") === col("n_terms"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).as("fr"),
+        count(lit(1)).as("n_allterm_in_topk"))
+    nt.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_terms"),
+        coalesce(col("fr"), lit(-1L)).as("first_all_terms_rank"),
+        coalesce(col("n_allterm_in_topk"), lit(0L)).as("n_allterm_in_topk"),
+        when(col("fr").isNotNull, expr("1000000L div fr"))
+          .otherwise(lit(0L)).as("rr_micro"))
+      .orderBy(col("query_id"))
+  }
+
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nt = BatchQueries
+      .map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("query_id", "n_terms")
+    mrrEvalOf(bm25Batch(spark, dir), nt)
+  }
+
+  // lazy: composes bm25BatchSql, which is declared LATER in this object —
+  // a strict val here reads null at init order (observed as `b AS (null)`)
+  lazy val mrrEvalSql: String = {
+    val ntRows = BatchQueries
+      .map { case (q, ts) => s"(CAST($q AS BIGINT), CAST(${ts.distinct.size} AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH nt(query_id, n_terms) AS (VALUES $ntRows),
+       |b AS ($bm25BatchSql),
+       |h AS (
+       | SELECT b.query_id, min(b.rank) AS fr, count(*)::BIGINT AS hits
+       | FROM b JOIN nt USING (query_id)
+       | WHERE b.n_terms_matched = nt.n_terms
+       | GROUP BY b.query_id)
+       |SELECT nt.query_id, nt.n_terms,
+       | CAST(coalesce(h.fr, -1) AS BIGINT) AS first_all_terms_rank,
+       | coalesce(h.hits, 0) AS n_allterm_in_topk,
+       | CAST(CASE WHEN h.fr IS NOT NULL THEN 1000000 // h.fr ELSE 0 END
+       |  AS BIGINT) AS rr_micro
+       |FROM nt LEFT JOIN h USING (query_id)
+       |ORDER BY nt.query_id""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
   // B15 — MaxScore-pruned top-k (Turtle & Flood 1995, the static
   // essential-terms variant): dynamic pruning for disjunctive top-k —
   // the standard trick every production engine (Lucene's WAND/MaxScore,
@@ -1508,6 +1577,13 @@ object Search {
   }
 
   val all: Seq[Q] = Seq(
+    Q("b16_mrr_eval", mrrEval, Some(mrrEvalSql),
+      "retrieval-quality eval (n7's discipline on the lexical arm): " +
+        "MRR@k of conjunctive containment under the BM25 ranking — per " +
+        "probe the first rank surfacing an all-terms document, exact " +
+        "integer micro reciprocal rank, and top-k all-terms hit count; " +
+        "pure post-processing of b3's ranked relation, zero extra " +
+        "corpus passes (training-data extension)"),
     Q("b14_fuzzy_term", fuzzyTerms, Some(fuzzyTermsSql),
       "SymSpell fuzzy term matching (did-you-mean): deletion-neighborhood " +
         "variants make Levenshtein-1 candidates a pure equi-join (never " +

@@ -131,7 +131,11 @@ class PlanInvariantsSpec extends SparkSuite {
     * - z15: the EpochCount-row epoch relation crossJoins broadcast onto
     *   the doc-id projection to salt per-epoch hashes (j7's tiny-side
     *   shape); position assembly is an equi-join on (epoch, bucket)
-    *   against the broadcast 4096-row offset relation.
+    *   against the broadcast 4096-row offset relation;
+    * - b16: pure post-processing of b3's ranked relation, so it inherits
+    *   b3's allowed corpus-stats scalar crossJoin (the 1-row (N, T)
+    *   relation onto the term-pruned tf relation); the eval tail itself
+    *   joins only probe-sized relations.
     */
   private val nonEquiAllowed =
     Set("j7_scalar_subquery", "x10_lm_surprisal", "n1_ann_brute",
@@ -145,7 +149,8 @@ class PlanInvariantsSpec extends SparkSuite {
       "d10_lsh_recall", "b10_more_like_this", "e4_relational_division",
       "b12_prf_expansion", "b13_forget", "k4_hits", "n14_ivfpq_recall",
       "a12_cms_counts", "b15_maxscore", "n15_pq_rerank",
-      "z16_dataset_card", "c14_entropy", "z15_epoch_shuffle")
+      "z16_dataset_card", "c14_entropy", "z15_epoch_shuffle",
+      "b16_mrr_eval")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -519,4 +519,44 @@ class SearchSpec extends SparkSuite {
         s"doc ${r.getLong(0)}: window not tight at its edges")
     }
   }
+
+  test("b16: MRR finds the first ALL-terms doc, not the top-ranked partial match") {
+    import spark.implicits._
+    // probe 1 = {x, y}: x is rare (df 2) and stuffed in the short doc 10,
+    // y is corpus-common (idf 0 bits), and the all-terms doc 11 is long —
+    // so the PARTIAL match outranks on BM25 and the first all-terms doc
+    // sits at rank 2, rr = 500000. probe 2 = {zz}: nothing → -1 / 0.
+    val docs = (Seq(
+      (10L, "x x x x x x x x"),
+      (11L, "x y " + Seq.fill(28)("filler").mkString(" "))) ++
+      (12L to 19L).map(i => i -> s"y pad$i pad$i pad$i"))
+      .toDF("doc_id", "text")
+    val probes = Seq((1L, "x"), (1L, "y"), (2L, "zz")).toDF("query_id", "tok")
+    val nt = Seq((1L, 2L), (2L, 1L)).toDF("query_id", "n_terms")
+    val ranked = Search.bm25BatchOf(docs, probes, 10)
+    // precondition: the term-stuffed partial match really does outrank
+    val top1 = ranked.filter(col("query_id") === 1L && col("rank") === 1L)
+      .collect()(0)
+    assert(top1.getLong(1) === 10L && top1.getLong(2) === 1L,
+      s"fixture assumption broke: $top1")
+    val got = Search.mrrEvalOf(ranked, nt).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((2L, 1L, 500000L)),
+      "all-terms doc at rank 2 → rr exactly 1e6 div 2")
+    assert(got(2L) === ((-1L, 0L, 0L)),
+      "probe with no all-terms doc reports -1/0, not absence")
+  }
+
+  test("b16 fixture gate: reciprocal-rank arithmetic is internally consistent") {
+    val got = Search.mrrEval(spark, sfDir).collect()
+    assert(got.length === Search.BatchQueries.length)
+    got.foreach { r =>
+      val (fr, hits, rr) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      if (fr > 0) {
+        assert(rr === 1000000L / fr && hits >= 1L)
+        assert(fr <= Search.TopK.toLong)
+      } else assert(fr === -1L && hits === 0L && rr === 0L)
+    }
+  }
 }
