@@ -65,6 +65,45 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => "" }
 
+  /** 1-minute loadavg as a number (NaN when /proc is unreadable). */
+  private def loadavg1(): Double =
+    try loadavg().split(",")(0).toDouble
+    catch { case _: Throwable => Double.NaN }
+
+  /** Contended-box guard (round-11 verdict item #1): BENCH_r11 was
+    * recorded at loadavg 3.26 and carried a false 43x "regression"
+    * (c3 at 38.07 s median vs 0.879 s for the IDENTICAL commit on a
+    * clean box two history entries earlier). Annotating loadavg lets a
+    * reader discount the artifact after the fact; this guard keeps the
+    * contaminated artifact from being written in the first place.
+    *
+    * Policy: sleep-retry rather than hard-refuse — the driver's
+    * per-round invocation must still terminate with an artifact. We
+    * wait up to [[GuardMaxWaitSec]] for the 1-minute loadavg to drop
+    * under [[GuardLoadMax]]; if it never does, we proceed (a number
+    * beats no number) but stamp `"load_guard":"exceeded"` in the JSON
+    * so the artifact self-declares as contended. Override knobs via
+    * env for the local iteration loop.
+    */
+  val GuardLoadMax: Double =
+    sys.env.get("SPARK_GRAFT_BENCH_LOADMAX").map(_.toDouble).getOrElse(1.5)
+  val GuardMaxWaitSec: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_LOADWAIT").map(_.toInt).getOrElse(600)
+
+  private def awaitQuietBox(): String = {
+    val deadline = System.nanoTime() + GuardMaxWaitSec * 1000000000L
+    var l = loadavg1()
+    while (!(l.isNaN || l <= GuardLoadMax) && System.nanoTime() < deadline) {
+      System.err.println(
+        f"[bench] load guard: loadavg $l%.2f > $GuardLoadMax%.2f, waiting 30s")
+      Thread.sleep(30000)
+      l = loadavg1()
+    }
+    if (l.isNaN) "unreadable"
+    else if (l <= GuardLoadMax) "ok"
+    else "exceeded"
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
@@ -74,6 +113,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // the guard runs BEFORE the session spins up: our own executor
+    // threads must not count against the quiet-box check
+    val loadGuard = awaitQuietBox()
     val spark = GraftSession.local(defaultCpus = 32)
     val loadBefore = loadavg()
     // warmup: JVM + codegen + parquet footer/listing + OS page caches.
@@ -144,7 +186,7 @@ object Bench {
     // rides in "method" (ADVICE r5: renaming the metric key breaks
     // downstream matchers silently)
     val sha = gitHead()
-    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_guard":"$loadGuard","failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // FULL runs also persist to files (a BENCH_ONLY iteration run must
     // not clobber the round artifact with a 2-query slice):

@@ -1145,7 +1145,12 @@ object Pipeline {
   val epochShuffleSql: String = {
     val h = TextOps.hash60Sql(
       "CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")
-    s"""WITH e(epoch) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))),
+    // epoch rows generated from EpochCount (ADVICE r11: a hardcoded
+    // VALUES list silently desyncs when the constant changes — the b16
+    // mrrEvalSql probe-row pattern)
+    val epochVals = (0 until EpochCount)
+      .map(i => s"(CAST($i AS BIGINT))").mkString(", ")
+    s"""WITH e(epoch) AS (VALUES $epochVals),
        |k AS (SELECT e.epoch, d.doc_id, $h AS h FROM documents d, e)
        |SELECT epoch, doc_id,
        | CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)

@@ -808,21 +808,28 @@ object Relational {
   // G6 — the deep snowflake join (the TPC-H Q5 shape): revenue per nation
   // where the customer and the line's SUPPLIER sit in the same nation,
   // region-scoped and date-bounded. This is the one relational shape
-  // g1–g5 don't cover: a 6-table join where THREE dimensions broadcast
-  // (region→nation prunes to a 5-row key set, supplier and customer carry
-  // it outward) and the two fact-fact legs (orders⋈lineitem) shuffle on
-  // their natural key. The same-nation predicate is the classic
-  // "join-then-filter-on-two-dimension-columns" that only survives 100 TB
-  // if both dimension joins broadcast — a shuffle on either dimension key
-  // would re-partition the fact table twice for 25-row relations.
+  // g1–g5 don't cover: a 6-table join where the ONE genuinely
+  // dimension-sized relation (region→nation, a 5-row key set after the
+  // region filter) broadcasts by explicit hint, and the two fact-fact
+  // legs (orders⋈lineitem) shuffle on their natural key.
   //
-  // Plan shape at scale: lineitem shuffles ONCE (on l_orderkey, against
-  // orders pre-filtered by the date bound and pre-joined to the broadcast
-  // customer-nation relation); the supplier→nation side broadcasts whole
-  // (supplier is corpus-scale-small: 10k rows/SF vs 6M lineitem). The
-  // same-nation equality lands as a join condition, not a post-filter, so
-  // rows from other nations never survive the probe. Exact-decimal
-  // revenue (the g1 discipline), DOUBLE only at the output edge.
+  // Broadcast discipline (ADVICE r11): customer (150k rows/SF) and
+  // supplier (10k rows/SF) both grow LINEARLY with scale factor, so
+  // force-broadcasting them would bypass autoBroadcastJoinThreshold and
+  // OOM executors at the 100 TB end. Only nation gets the hint —
+  // bounded at 25 rows by the data model regardless of SF. Customer and
+  // supplier joins are left to the optimizer's size estimate: at test
+  // SFs they broadcast (both sit far under the 10 MB threshold, so the
+  // local plan is the same as before), and at cluster scale they
+  // degrade gracefully to shuffle joins on their keys instead of
+  // dying. That is the correct trade: a shuffle on c_custkey co-located
+  // with the orders join key is the plan a 1000-executor deployment
+  // wants anyway.
+  //
+  // The same-nation equality lands as a join condition, not a
+  // post-filter, so rows from other nations never survive the probe.
+  // Exact-decimal revenue (the g1 discipline), DOUBLE only at the
+  // output edge.
   // ---------------------------------------------------------------------
   val G6Region = "ASIA"
   val G6YearStart = "1996-01-01"
@@ -836,14 +843,14 @@ object Relational {
       .join(Catalog.region(spark, dir).filter(col("r_name") === G6Region),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
-    val cust = broadcast(
-      Catalog.customer(spark, dir)
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("c_nationkey")))
-    val supp = broadcast(
-      Catalog.supplier(spark, dir)
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+    // no broadcast() hint on cust/supp: both scale linearly with SF
+    // (see header) — only the bounded 25-row nation relation is hinted
+    val cust = Catalog.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Catalog.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
     val o = Catalog.orders(spark, dir)
       .filter(col("o_orderdate") >= lit(G6YearStart).cast("timestamp") &&
         col("o_orderdate") < lit(G6YearEnd).cast("timestamp"))

@@ -262,6 +262,30 @@ class MultimodalSpec extends SparkSuite {
     assert(got(1L)._2 != got(6L)._2, "distinct payloads must not collide")
   }
 
+  test("m5 seeded gate is NON-VACUOUS: rehosted copies collapse, originals keep") {
+    // round-11 verdict item #2: the pure-fixture gate passed 0 = 0 rows;
+    // the registered gate now seeds rehosted copies and must prove the
+    // collapse rule with actual groups
+    val groups = Multimodal.mediaDedupSeeded(spark, sfDir).collect()
+    assert(groups.nonEmpty, "seeded m5 gate must be non-vacuous")
+    val eligible = graft.Catalog.documents(spark, sfDir)
+      .filter(col("doc_id") % Multimodal.RehostMod === Multimodal.RehostRem &&
+        col("text").isNotNull && org.apache.spark.sql.functions
+          .length(col("text")) > 0)
+      .count()
+    assert(eligible > 0, "fixture must contain rehost-eligible docs")
+    groups.foreach { g =>
+      assert(g.getLong(1) >= 2L, "only multi-copy groups emit")
+      assert(g.getLong(2) < Multimodal.RehostIdOffset,
+        s"keeper must be an ORIGINAL id (min-id election): ${g.getLong(2)}")
+    }
+    // every eligible doc's payload gained a copy → total duplicate mass
+    // is at least the eligible count (natural fixture dups only add)
+    val extraCopies = groups.map(g => g.getLong(1) - 1).sum
+    assert(extraCopies >= eligible,
+      s"expected ≥ $eligible rehosted duplicates, saw $extraCopies")
+  }
+
   test("m8 denylist flags REHOSTED copies of a listed payload, not just listed ids") {
     import spark.implicits._
     val docs = Seq(
