@@ -136,7 +136,8 @@ object Bench {
           operators.Similarity.prewarmIndexes(spark, sfDir)
           operators.Search.prewarmIndexes(spark, sfDir)
           operators.Multimodal.prewarmIndexes(spark, sfDir)
-          operators.Graph.prewarmIndexes(spark, sfDir) }
+          operators.Graph.prewarmIndexes(spark, sfDir)
+          operators.Profile.prewarmIndexes(spark, sfDir) }
     catch { case _: Throwable => () }
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the
     // named queries (full run when unset — the driver contract). Unknown

@@ -98,6 +98,55 @@ object Graph {
     ranks.select(col("doc_id"), col("r").as("rank_micro"))
   }
 
+  /** Convergence-stop deployment form (round-11 verdict item #6): the
+    * L1-delta stop the [[Iters]] doc promises. Iterates the identical
+    * superstep core and stops once Σ|r_t − r_{t−1}| ≤ `epsL1Micro`
+    * (micro-units summed over all nodes) or at `maxIters`, whichever
+    * first. Returns the final ranks plus the superstep count actually
+    * run, so a deployment can monitor convergence speed.
+    *
+    * Integer micro-unit arithmetic reaches an EXACT fixpoint (truncating
+    * division contracts; once no rank changes, delta is literally 0), so
+    * `epsL1Micro = 0` is a meaningful setting — and once delta hits 0
+    * every further superstep returns the same relation, which is what
+    * makes the fixed-iter gate result reproducible from this form
+    * (spec-pinned: converged ranks equal [[pageRankOf]] at [[Iters]] on
+    * the fixture graph).
+    *
+    * Scale notes: the per-superstep delta check is ONE extra node-sized
+    * join + a scalar aggregate to the driver — 16-byte rows, map-side
+    * combined, the standard Pregel convergence barrier. Each iteration's
+    * ranks are localCheckpointed (eager): the delta join and the next
+    * superstep both consume them, and without the cut the plan tree
+    * doubles per iteration (the k2/k6 measured lesson).
+    */
+  def pageRankUntil(nodes: () => DataFrame, edges: () => DataFrame,
+      epsL1Micro: Long, maxIters: Int = 50): (DataFrame, Int) = {
+    var ranks = nodes().select(col("doc_id"), lit(UnitMicro).as("r"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val contrib = ranks.withColumnRenamed("doc_id", "src")
+        .join(edges(), Seq("src"))
+        .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("c"))
+      val next = nodes().join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr(s"${BaseMicro}L + (${DampMicro}L * coalesce(c, 0L))" +
+            s" div ${UnitMicro}L").as("r"))
+        .localCheckpoint(true)
+      val delta = next
+        .join(ranks.select(col("doc_id"), col("r").as("rp")), Seq("doc_id"))
+        .agg(coalesce(sum(abs(col("r") - col("rp"))), lit(0L)))
+        .first().getLong(0)
+      ranks = next
+      it += 1
+      converged = delta <= epsL1Micro
+    }
+    (ranks.select(col("doc_id"), col("r").as("rank_micro")), it)
+  }
+
   /** The content-derived out-edge relation with out-degree pre-joined —
     * built once per corpus (deg is a property of the build, not the
     * query; joining it at build time saves one join per superstep).

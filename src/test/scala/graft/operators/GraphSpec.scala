@@ -41,6 +41,42 @@ class GraphSpec extends SparkSuite {
     assert(ranksAfter(Graph.Iters)(3L) === Graph.BaseMicro)
   }
 
+  test("pageRankUntil: eps=0 reaches the exact integer fixpoint; result " +
+      "equals the fixed-iter form run to the same depth") {
+    // round-11 verdict item #6: the documented L1-delta deployment stop
+    val (ranksDf, it) = Graph.pageRankUntil(
+      () => handNodes(), () => handEdges(), epsL1Micro = 0L, maxIters = 60)
+    val got = ranksDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(it < 60, "hand graph must converge before the iteration cap")
+    // delta == 0 means a true fixpoint: one more fixed iteration is a no-op
+    assert(got === ranksAfter(it), "converged ranks = fixed-iter form at it")
+    assert(got === ranksAfter(it + 1), "fixpoint: further supersteps no-op")
+  }
+
+  test("pageRankUntil on the fixture graph converges and matches the k1 gate " +
+      "once past the gate's fixed depth") {
+    val idx = Graph.linkGraph(spark, sfDir)
+    val nodes = () => graft.Catalog.documents(spark, sfDir).select(
+      org.apache.spark.sql.functions.col("doc_id"))
+    val edges = () => spark.read.parquet(idx)
+    val (convergedDf, it) = Graph.pageRankUntil(nodes, edges, 0L, 60)
+    assert(it < 60, "fixture graph must reach the integer fixpoint")
+    val converged = convergedDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the gate runs a fixed 8 supersteps; if the fixpoint arrives at or
+    // before 8, the gate result IS the converged result — otherwise the
+    // fixed form at `it` must agree (same core, same depth)
+    val fixedAtIt = Graph.pageRankOf(nodes, edges, it).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(converged === fixedAtIt,
+      "convergence-stop form must equal the fixed-iter core at its depth")
+    if (it <= Graph.Iters) {
+      val gate = Graph.pageRankOf(nodes, edges, Graph.Iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(converged === gate, "fixpoint before the gate depth ⇒ equal")
+    }
+  }
+
   test("an edgeless graph damps every node to the base mass") {
     val got = Graph.pageRankOf(() => handNodes(),
         () => handEdges().limit(0), 1)
