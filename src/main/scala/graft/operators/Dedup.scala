@@ -212,7 +212,7 @@ object Dedup {
     * [[shingleIndex]]; the version tag nests the shingle kernel version
     * plus the (t, cap) parameters baked into the postings).
     */
-  private def prefixPostings(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def prefixPostings(spark: SparkSession, dir: String): DataFrame = {
     // "pos1": layout carries rn for the positional filter
     val version = s"t${(JaccardThreshold * 100).toInt}-cap$DocFreqCap-pos1-" +
       ShingleIndexVersion
@@ -233,7 +233,7 @@ object Dedup {
     * postings — the query-time form every registered exact-Jaccard
     * operator uses.
     */
-  private def prefixIndexCandidates(spark: SparkSession, dir: String,
+  private[operators] def prefixIndexCandidates(spark: SparkSession, dir: String,
       dedup: Boolean = true): DataFrame =
     joinPrefixPostings(prefixPostings(spark, dir), JaccardThreshold, dedup)
 
@@ -284,7 +284,12 @@ object Dedup {
     * prefix window over the persisted t=0.5 postings, joined against the
     * df-capped full postings of every potential container.
     */
-  private def containmentCandidates(spark: SparkSession, dir: String): DataFrame = {
+  /** The two keyed sides of the d16 candidate join, exposed so the
+    * scaling-sweep guard can compute the per-token candidate budget
+    * Σ_h df_A(h)·df_B(h) from the same relations the join consumes.
+    */
+  private[operators] def containmentCandidateSides(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val prefA = prefixPostings(spark, dir)
       .filter(col("rn") <=
         col("n") - expr(s"($ContainNum * n + $ContainNum) div $ContainDen") + 1)
@@ -293,6 +298,11 @@ object Dedup {
       shingleIndex(spark, dir)
         .select(col("doc_id"), explode(col("hs")).as("h")), "h", DocFreqCap)
       .select(col("doc_id").as("db"), col("h"))
+    (prefA, exB)
+  }
+
+  private[operators] def containmentCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val (prefA, exB) = containmentCandidateSides(spark, dir)
     prefA.join(exB, "h")
       .filter(col("da") =!= col("db"))
       .select(col("da"), col("db"))
