@@ -46,6 +46,49 @@ class MultimodalSpec extends SparkSuite {
     bos.toByteArray
   }
 
+  /** A real JPEG of the given size filled with one gray level, encoded
+    * via the same JDK ImageIO the kernel decodes with.
+    */
+  private def jpegBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("m1 JPEG arm: real JPEGs decode through the dispatch; lossy, so " +
+      "dimensions pin exactly and statistics pin within tolerance") {
+    import spark.implicits._
+    val jpg = jpegBytes(12, 9, 144)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8,
+      "encoder must emit a real JPEG SOI marker")
+    val corrupt = jpg.take(6) // valid magic, truncated body
+    val media = Seq((1L, Option("s"), jpg), (2L, Option("s"), corrupt))
+      .toDF("doc_id", "source", "media")
+    val out = Multimodal.decodeFramesOf(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // dimensions and pixel count are metadata — exact under lossy coding
+    assert(out(1L).getInt(2) == 12 && out(1L).getInt(3) == 9 &&
+      out(1L).getInt(4) == 108, s"JPEG metadata wrong: ${out(1L)}")
+    // a uniform gray survives JPEG nearly exactly; pin a tight band, not
+    // a hash (round-11 verdict item #8: lossy codec, no pixel hashes)
+    val mean = out(1L).getDouble(5)
+    assert(math.abs(mean - 144.0) <= 3.0, s"uniform-gray mean drifted: $mean")
+    assert(out(2L).isNullAt(2) && out(2L).isNullAt(5),
+      "truncated JPEG must yield a NULL-metadata row, not a dead partition")
+    // the m4 feature arm: histogram concentrates at the gray bin
+    val feats = Multimodal.mediaFeaturesOf(media).collect()
+    assert(feats.length == 1, "only the decodable JPEG yields features")
+    // 144 sits mid-bin (bin 4 spans 128..159): a +/-1 lossy drift
+    // cannot flip the bin, unlike a boundary value like 128
+    val grayBin = 144 * Multimodal.FeatureBins / 256
+    val mass = feats(0).getDouble(2 + grayBin)
+    assert(mass > 0.99, s"uniform gray must concentrate its bin: $mass")
+  }
+
   test("m1 real-codec arm: encoded PNGs decode through the partition-mapped pass") {
     import spark.implicits._
     // two real PNGs with known dimensions and exact constant luminance,

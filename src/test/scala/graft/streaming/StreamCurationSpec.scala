@@ -89,6 +89,55 @@ class StreamCurationSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  /** Round-11 verdict item #7: s17's <1 s budget is MEASURED for raw
+    * ingest; the curation sink is the heavier per-batch path (floor +
+    * scrub + fingerprint + corpus anti-join + doc_id upsert + a table
+    * read). Same methodology as StreamIngestSpec: multi-wave load,
+    * steady-state median of the engine's own triggerExecution telemetry,
+    * asserted under a bounded budget. The budget is 2.5 s — deliberately
+    * looser than raw ingest's 1 s (each batch re-reads the growing
+    * serving table's fingerprint column and rewrites via upsert), but a
+    * hard ceiling: a regression that drags the whole corpus through the
+    * batch (re-fingerprinting instead of reading the persisted fp
+    * column) blows it immediately.
+    */
+  test("curation sink steady-state micro-batch duration stays bounded " +
+      "under a multi-wave load") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-scur-lat").toString
+    val table = s"$tmp/corpus"
+    val mem = MemoryStream[IngestDoc](spark)
+    val q = Streams.curationIngestSink(mem.toDF(), table, s"$tmp/ckpt").start()
+    try {
+      // 6 waves × 200 fresh docs; every doc distinct in its prefix so
+      // each wave genuinely grows the corpus the next wave anti-joins
+      for (wave <- 0 until 6) {
+        val docs = (0 until 200).map { i =>
+          val id = wave * 1000L + i
+          IngestDoc(id, s"wave$wave doc$i " + cleanBase, "load")
+        }
+        mem.addData(docs: _*)
+        // let the 1 s trigger pick this wave up as its own micro-batch
+        Thread.sleep(1200)
+      }
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.toList
+        .filter(_.numInputRows > 0)
+        .map(p => (p.batchId, p.numInputRows,
+          p.durationMs.get("triggerExecution").longValue()))
+      assert(dataBatches.size >= 3,
+        s"need several data batches to measure; got $dataBatches")
+      // batch 0 pays plan/codegen warm-up + table bootstrap
+      val steady = dataBatches.drop(1).map(_._3).sorted
+      val median = steady(steady.size / 2)
+      assert(median < 2500L,
+        s"steady-state median curation batch ${median} ms breaches the " +
+          s"2.5 s budget (batches: $dataBatches)")
+      // sanity: the load actually landed
+      assert(spark.read.parquet(table).count() === 6 * 200L)
+    } finally q.stop()
+  }
+
   test("curation ingest equals the batch rules applied to the same delta") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-scur2").toString
