@@ -151,13 +151,14 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val remeasured = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // only SUCCESSFUL repeats contribute timings: a fast-crashing repeat
       // would otherwise drag the median/min toward its time-to-failure and
       // make a broken query read as a fast one (ADVICE r5)
-      val times = (1 to Repeats).flatMap { _ =>
+      def run(n: Int): Seq[Double] = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -167,6 +168,20 @@ object Bench {
           if (!failed.contains(name)) failed += name
           None
         }
+      }
+      var times = run(Repeats)
+      // mid-run contention defense (complements the pre-run load guard,
+      // which cannot see load arriving AFTER the sweep starts — the
+      // BENCH_r11 failure mode): a median 3x above the same query's own
+      // min inside one session is contention, not plan cost — the plan
+      // is identical across repeats. Two extra repeats let the median
+      // shed the squeezed samples; the JSON names every query this
+      // fired for so the artifact is self-describing.
+      if (times.size == Repeats && median(times) > 3 * times.min) {
+        System.err.println(f"[bench] $name median ${median(times)}%.2fs > " +
+          f"3x min ${times.min}%.2fs — re-measuring")
+        remeasured += name
+        times = times ++ run(2)
       }
       (name, times)
     }
@@ -183,11 +198,12 @@ object Bench {
     val total = timed.map(_._2).sum
     val totalMin = timed.map(_._3).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val remeasuredJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "metric":"total" is the stable consumer contract; the methodology
     // rides in "method" (ADVICE r5: renaming the metric key breaks
     // downstream matchers silently)
     val sha = gitHead()
-    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_guard":"$loadGuard","failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_guard":"$loadGuard","remeasured":$remeasuredJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // FULL runs also persist to files (a BENCH_ONLY iteration run must
     // not clobber the round artifact with a 2-query slice):
