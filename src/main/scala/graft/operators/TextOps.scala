@@ -528,11 +528,69 @@ object TextOps {
   def bpeInduction(spark: SparkSession, dir: String): DataFrame =
     bpeInductionOf(Catalog.documents(spark, dir))
 
-  /** Oracle: the same rounds UNROLLED as CTEs (recursive CTEs forbid
-    * aggregates in the recursive term — the k1-oracle constraint), each
-    * round = re-split, pair count, 1-row argmax, literal replace.
+  // ---------------------------------------------------------------------
+  // X19 — BPE ENCODE: apply the induced merge table to the corpus — the
+  // other half of the tokenizer story (x18 induces, x19 tokenizes) and
+  // the statistic a tokenizer owner actually reviews: per-document
+  // compression (tokens in, symbols out, merges applied — "fertility"
+  // in the tokenizer literature is the inverse ratio). Applying merges
+  // 1..N in rank order to the ORIGINAL rendering reproduces exactly the
+  // induction's final corpus state (each replace is the identical
+  // operation the induction performed), and is precisely how a trained
+  // BPE encodes unseen text.
+  //
+  // Plan/scale: the merge table is driver-side (N rows — the trained
+  // artifact every encoder ships); the N replaces compose into ONE
+  // codegen'd projection chain over a single corpus scan — encode is a
+  // map-only pass, no shuffle at all beyond the presentation sort. The
+  // induce step reuses x18's machinery (its cost is the offline build;
+  // a deployment loads the persisted merge table instead).
+  // ---------------------------------------------------------------------
+  def bpeEncodeOf(docs: DataFrame, rounds: Int = BpeMergeRounds): DataFrame = {
+    val merges = bpeInductionOf(docs, rounds).collect()
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        concat(lit(SymSep), array_join(col("tk"), SymSep + SymSep),
+          lit(SymSep)).as("s"))
+    val encoded = merges.foldLeft(base) { (df, m) =>
+      val t1 = m.getString(1)
+      val t2 = m.getString(2)
+      df.withColumn("s", replace(col("s"),
+        lit(SymSep + t1 + SymSep + SymSep + t2 + SymSep),
+        lit(SymSep + t1 + SymJoin + t2 + SymSep)))
+    }
+    encoded
+      .select(col("doc_id"), col("n_tokens"),
+        size(split(trim(col("s"), SymSep), SymSep + SymSep)).as("n_symbols"))
+      .withColumn("merges_applied", col("n_tokens") - col("n_symbols"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOf(Catalog.documents(spark, dir))
+
+  /** Oracle: the shared chain's FINAL corpus state, accounted per doc. */
+  val bpeEncodeSql: String =
+    s"""WITH $bpeChainCtesSql
+       |SELECT r.doc_id,
+       | CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS INT)
+       |   AS n_tokens,
+       | CAST(len(string_split(trim(r.s, chr(1)), chr(1)||chr(1))) AS INT)
+       |   AS n_symbols,
+       | CAST(len(string_split_regex(lower(trim(d.text)), '\\s+'))
+       |   - len(string_split(trim(r.s, chr(1)), chr(1)||chr(1))) AS INT)
+       |   AS merges_applied
+       |FROM r$BpeMergeRounds r JOIN documents d USING (doc_id)
+       |ORDER BY r.doc_id""".stripMargin.replace('\n', ' ')
+
+  /** The r0..rN CTE chain shared by the x18 and x19 oracles: r0 renders
+    * every document as its wrapped symbol string (doc_id threaded so the
+    * encode oracle can account per document; the induction oracle just
+    * ignores it), each round re-splits, pair-counts, takes the 1-row
+    * argmax, and applies the literal replace.
     */
-  val bpeInductionSql: String = {
+  private def bpeChainCtesSql: String = {
     val w1 = "chr(1)"
     val roundCtes = (0 until BpeMergeRounds).map { i =>
       s"""tk$i AS (SELECT string_split(trim(s, $w1), $w1||$w1) AS tk FROM r$i),
@@ -542,20 +600,28 @@ object TextOps {
          |       FROM tk$i WHERE len(tk) >= 2)
          | GROUP BY 1, 2),
          |w$i AS (SELECT t1, t2, n FROM p$i ORDER BY n DESC, t1, t2 LIMIT 1),
-         |r${i + 1} AS (SELECT replace(s,
+         |r${i + 1} AS (SELECT doc_id, replace(s,
          |   $w1 || t1 || $w1 || $w1 || t2 || $w1,
          |   $w1 || t1 || chr(2) || t2 || $w1) AS s FROM r$i, w$i)"""
         .stripMargin
     }.mkString(",\n")
+    s"""r0 AS (
+       | SELECT doc_id, $w1 || array_to_string(
+       |   string_split_regex(lower(trim(text)), '\\s+'), $w1||$w1) || $w1 AS s
+       | FROM documents WHERE text IS NOT NULL),
+       |$roundCtes""".stripMargin
+  }
+
+  /** Oracle: the same rounds UNROLLED as CTEs (recursive CTEs forbid
+    * aggregates in the recursive term — the k1-oracle constraint), each
+    * round = re-split, pair count, 1-row argmax, literal replace.
+    */
+  val bpeInductionSql: String = {
     val winners = (0 until BpeMergeRounds)
       .map(i => s"SELECT ${i + 1} AS merge_rank, t1, t2," +
         s" n AS n_occurrences FROM w$i")
       .mkString(" UNION ALL ")
-    s"""WITH r0 AS (
-       | SELECT $w1 || array_to_string(
-       |   string_split_regex(lower(trim(text)), '\\s+'), $w1||$w1) || $w1 AS s
-       | FROM documents WHERE text IS NOT NULL),
-       |$roundCtes
+    s"""WITH $bpeChainCtesSql
        |SELECT * FROM ($winners) ORDER BY merge_rank"""
       .stripMargin.replace('\n', ' ')
   }
@@ -1020,6 +1086,13 @@ object TextOps {
       "corpus vocabulary: top-N token frequency/doc-frequency table via a two-level algebraic aggregate (training-data extension)"),
     Q("x12_merge_pairs", mergePairs, Some(mergePairsSql),
       "adjacent-token-pair frequencies (the BPE/WordPiece merge-selection statistic): codegen'd slice+zip pairing, one partial-aggregated shuffle of the bigram relation, TakeOrdered top-N (training-data extension)"),
+    Q("x19_bpe_encode", bpeEncode, Some(bpeEncodeSql),
+      "BPE ENCODE — apply the x18-induced merge table in rank order and " +
+        "account per-document compression (tokens in, symbols out, " +
+        "merges applied): the N replaces compose into one codegen'd " +
+        "map-only projection chain over a single corpus scan; oracle " +
+        "reads the shared chain's final corpus state (training-data " +
+        "extension)"),
     Q("x18_bpe_induction", bpeInduction, Some(bpeInductionSql),
       "iterated BPE vocabulary induction (Sennrich 2016): the merge LOOP " +
         "over x12's selection round — greedy corpus-wide merge via one " +

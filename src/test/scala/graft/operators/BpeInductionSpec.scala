@@ -62,6 +62,41 @@ class BpeInductionSpec extends SparkSuite {
     assert(got === Seq((1, "p", "q", 1L)))
   }
 
+  private def encode(rounds: Int, docs: (Long, String)*): Map[Long, (Int, Int, Int)] = {
+    import spark.implicits._
+    TextOps.bpeEncodeOf(docs.toDF("doc_id", "text"), rounds)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+  }
+
+  test("x19 encode: per-document compression accounting on a hand corpus") {
+    // "x y x y y x y": round 1 applies (x,y) three times (7 -> 4
+    // symbols), round 2 merges the first (x·y, x·y) pair (4 -> 3)
+    assert(encode(2, 1L -> "x y x y y x y") ===
+      Map(1L -> ((7, 3, 4))))
+  }
+
+  test("x19 encode: documents sharing no selected pair stay unencoded") {
+    // doc 1 drives both rounds' winners ((a,b) then (a·b, a·b)); doc 2's
+    // only pair (q,r) never wins at depth 2, so it passes through intact
+    val got = encode(2, 1L -> "a b a b a b", 2L -> "q r")
+    assert(got(1L) === ((6, 2, 4)))
+    assert(got(2L) === ((2, 2, 0)), s"untouched doc must not compress: $got")
+  }
+
+  test("x19 encode reconciles with x18's selection counts on the fixture") {
+    // greedy overlap can apply FEWER merges than the selection-time pair
+    // count ('a a a' counts (a,a)=2 but merges once), never more
+    val applied = TextOps.bpeEncode(spark, sfDir).collect()
+      .map(_.getInt(3).toLong).sum
+    val selected = TextOps.bpeInduction(spark, sfDir).collect()
+      .map(_.getLong(3)).sum
+    assert(applied > 0L, "fixture encode must apply some merges")
+    assert(applied <= selected,
+      s"applied merges $applied cannot exceed selection-time counts $selected")
+  }
+
   test("fixture run matches the gate shape: exactly BpeMergeRounds rows, " +
       "counts non-increasing is NOT required but ranks are dense") {
     val got = TextOps.bpeInduction(spark, sfDir).collect()
