@@ -193,6 +193,31 @@ class PlanInvariantsSpec extends SparkSuite {
       s"d2's plan must be an index read + sort, got:\n$plan")
   }
 
+  test("round-12 plan claims: x19 encode is map-only, c11 joins artifacts " +
+      "without rescanning its source tables") {
+    // x19: the N merge applications compose into ONE projection chain —
+    // no join anywhere, and the only Exchange is the presentation sort
+    // (the banner's map-only claim; a work shuffle here means the
+    // replaces stopped composing)
+    val x19 = SparkEntry.queries("x19_bpe_encode")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!x19.contains("Join"), s"x19 encode must be join-free:\n$x19")
+    assert("Exchange ".r.findAllIn(x19).length <= 1,
+      s"x19 grew a work shuffle beyond the presentation sort:\n$x19")
+    // c11: the discovery join reads the persisted fk_distinct artifact —
+    // any of the 7 relational source tables in the plan means the
+    // per-query distinct rebuild came back (the 3.29 s -> 0.61 s fix)
+    val c11 = SparkEntry.queries("c11_fk_discovery")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(c11.contains("fk_distinct"),
+      s"c11 must read the persisted fk_distinct artifact:\n$c11")
+    Seq("lineitem.parquet", "orders.parquet", "customer.parquet",
+      "supplier.parquet", "part.parquet").foreach { t =>
+      assert(!c11.contains(t),
+        s"c11 rescans $t instead of the persisted artifact:\n$c11")
+    }
+  }
+
   test("a7 scans events exactly once (single conditional aggregate)") {
     // round-6 verdict: the union-of-global-aggregates form scanned events
     // once per events section — one full extra scan at 100 TB
