@@ -137,7 +137,8 @@ object Bench {
           operators.Search.prewarmIndexes(spark, sfDir)
           operators.Multimodal.prewarmIndexes(spark, sfDir)
           operators.Graph.prewarmIndexes(spark, sfDir)
-          operators.Profile.prewarmIndexes(spark, sfDir) }
+          operators.Profile.prewarmIndexes(spark, sfDir)
+          operators.TextOps.prewarmIndexes(spark, sfDir) }
     catch { case _: Throwable => () }
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the
     // named queries (full run when unset — the driver contract). Unknown
@@ -176,7 +177,10 @@ object Bench {
       // min inside one session is contention, not plan cost — the plan
       // is identical across repeats. Two extra repeats let the median
       // shed the squeezed samples; the JSON names every query this
-      // fired for so the artifact is self-describing.
+      // fired for (`remeasured`) and states the extra sample count
+      // (`remeasure_extra_repeats`) — a named query's value is a
+      // median-of-5, not the headline median_of_3, and the artifact
+      // says so rather than misdescribing its own methodology.
       if (times.size == Repeats && median(times) > 3 * times.min) {
         System.err.println(f"[bench] $name median ${median(times)}%.2fs > " +
           f"3x min ${times.min}%.2fs — re-measuring")
@@ -203,7 +207,7 @@ object Bench {
     // rides in "method" (ADVICE r5: renaming the metric key breaks
     // downstream matchers silently)
     val sha = gitHead()
-    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_guard":"$loadGuard","remeasured":$remeasuredJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_guard":"$loadGuard","remeasured":$remeasuredJson,"remeasure_extra_repeats":2,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // FULL runs also persist to files (a BENCH_ONLY iteration run must
     // not clobber the round artifact with a 2-query slice):

@@ -85,6 +85,17 @@ class BpeInductionSpec extends SparkSuite {
     assert(got(2L) === ((2, 2, 0)), s"untouched doc must not compress: $got")
   }
 
+  test("x19 encode survives merge exhaustion: rounds beyond the last " +
+      "viable merge are no-ops, not row loss") {
+    // round-12 review finding: the oracle's original `FROM r_i, w_i`
+    // cross join DROPPED every document once a round's winner CTE came
+    // up empty (verified against DuckDB on this exact corpus); the
+    // chain now LEFT-joins the winner so an exhausted round passes the
+    // corpus through unchanged — matching this early-stop behavior
+    assert(encode(4, 1L -> "a b", 2L -> "a b") ===
+      Map(1L -> ((2, 1, 1)), 2L -> ((2, 1, 1))))
+  }
+
   test("x19 encode reconciles with x18's selection counts on the fixture") {
     // greedy overlap can apply FEWER merges than the selection-time pair
     // count ('a a a' counts (a,a)=2 but merges once), never more

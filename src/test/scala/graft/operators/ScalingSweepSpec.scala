@@ -70,8 +70,11 @@ class ScalingSweepSpec extends SparkSuite {
       keys: Seq[String]): Long = {
     val ka = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("na"))
     val kb = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("nb"))
+    // coalesce: an empty key intersection must report budget 0 (a clean
+    // "candidates exceed budget 0" failure), not NPE on a null sum
     ka.join(kb, keys)
-      .agg(sum(col("na") * col("nb")))
+      .agg(org.apache.spark.sql.functions.coalesce(
+        sum(col("na") * col("nb")), lit(0L)))
       .first().getLong(0)
   }
 

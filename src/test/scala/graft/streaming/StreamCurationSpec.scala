@@ -104,6 +104,13 @@ class StreamCurationSpec extends SparkSuite {
   test("curation sink steady-state micro-batch duration stays bounded " +
       "under a multi-wave load") {
     import spark.implicits._
+    // wall-clock latency assertion — meaningless on a contended box (the
+    // BENCH_r11 lesson this round encoded into graft.Bench's load guard);
+    // cancel rather than flake when the box is already squeezed
+    val load1 = try scala.io.Source.fromFile("/proc/loadavg").getLines()
+      .next().split(" ")(0).toDouble catch { case _: Throwable => 0.0 }
+    assume(load1 < 4.0, s"box contended (loadavg $load1) — latency " +
+      "measurement would test the box, not the sink")
     val tmp = Files.createTempDirectory("graft-scur-lat").toString
     val table = s"$tmp/corpus"
     val mem = MemoryStream[IngestDoc](spark)
