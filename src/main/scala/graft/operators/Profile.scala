@@ -906,6 +906,8 @@ object Profile {
     */
   def prewarmIndexes(spark: SparkSession, dir: String): Unit = {
     fkDistinctRelation(spark, dir)
+    FdCandidateCols.foreach { case (t, cs) =>
+      fdDistinctRelation(spark, dir, t, cs) }
     ()
   }
 
@@ -953,6 +955,117 @@ object Profile {
        |FROM inter i JOIN sizes s ON s.col = i.from_col
        |WHERE (1000000 * i.n_common) // s.n >= $FkThresholdPpm
        |ORDER BY from_col, to_col""".stripMargin.replace('\n', ' ')
+  }
+
+  // ---------------------------------------------------------------------
+  // C15 — FUNCTIONAL-dependency discovery: which columns determine which
+  // — the schema-inference sibling of c11 (TANE, Huhtala et al. 1999;
+  // Papenbrock's 2015 survey benchmarks the family). c11 discovers the
+  // CROSS-table joinability skeleton (A's values ⊆ B's); c15 discovers
+  // the WITHIN-table determinacy skeleton (every value of A co-occurs
+  // with exactly one value of B) — together the two answer the first
+  // questions against an inherited lake: "what joins to what" and
+  // "what is a key of what". Unary FDs only (the composite lattice is
+  // TANE's pruning problem; the unary level is what the catalog shows).
+  //
+  // The relational reduction: A → B holds over the NULL-free (A, B)
+  // rows iff |distinct A| = |distinct (A, B)| — one extra B value for
+  // any A breaks equality. Violations are counted, not just flagged:
+  // n_pairs − n_det is the number of EXTRA (det, dep) mappings, the
+  // repair-cost metric an approximate-FD review thresholds.
+  //
+  // Plan/scale: per table ONE distinct over the candidate projection,
+  // PERSISTED via Scratch (the fk_distinct pattern — the projection is
+  // bounded by the table's candidate-tuple cardinality and depends only
+  // on content); every ordered pair then computes (n_det, n_pairs)
+  // from the artifact with a two-level aggregate. The per-pair set of
+  // non-null (A, B) combinations is identical in the table and its
+  // distinct candidate projection, so the artifact loses nothing.
+  //
+  // Cost class (measured): c15 is a ~3 s query at sf0.1 — c3's class,
+  // inherent exact-NDV work: a key-heavy table's distinct projection is
+  // row-sized (lineitem: 600k rows × 12 pairs through the tagged dedup),
+  // and the counting levels are map-side-combined grouped aggregates of
+  // it. A deployment that only needs refutation (does the FD hold?) can
+  // sample-first and verify survivors exactly; the registered form is
+  // the exact full-lattice level-1 sweep.
+  // ---------------------------------------------------------------------
+
+  /** Tables with ≥ 2 candidate columns — the pair lattice's level 1. */
+  val FdCandidateCols: Seq[(String, Seq[String])] =
+    FkCandidateCols.filter(_._2.size >= 2)
+
+  private val FdDistinctVersion = "fddistinct-v1"
+
+  /** The persisted distinct candidate projection of one table. */
+  private def fdDistinctRelation(spark: SparkSession, dir: String,
+      table: String, cs: Seq[String]): DataFrame = {
+    val p = graft.Scratch.materialize(spark, s"fd_distinct_$table",
+      FdDistinctVersion + "-" + cs.mkString("_"), dir)(staging =>
+      Catalog.table(spark, dir, table).select(cs.map(col): _*).distinct()
+        .write.parquet(staging))
+    spark.read.parquet(p)
+  }
+
+  /** (table_name, det_col, dep_col, n_det, n_pairs, holds) for every
+    * ordered candidate pair within each table.
+    *
+    * ONE pass per table, not per pair: each artifact row explodes into
+    * its #pairs tagged (pair, det-value, dep-value) rows, ONE grouped
+    * dedup collapses them to the distinct pair relations of ALL pairs
+    * simultaneously, and one more aggregate emits every pair's
+    * (n_det, n_pairs). The first cut ran a distinct + aggregate job
+    * PER PAIR — 44 shuffles across 22 plan branches, 6.3 s at sf0.1;
+    * this form is 2 shuffles per table over #pairs× the artifact rows.
+    */
+  def fdDiscoveryOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
+    tables.map { case (t, df, cs) =>
+      val pairs = for { a <- cs; b <- cs if a != b } yield (a, b)
+      // integer pair tag through the heavy shuffles (an (int, long, long)
+      // row, not two strings per row — the names rebind in the final
+      // 22-row projection); dedup to the distinct mapping relation, then
+      // the two counting levels collapse on already-shrunk relations
+      val tagged = df.select(explode(array(pairs.zipWithIndex.map {
+          case ((a, b), i) =>
+            struct(lit(i).as("p"),
+              col(a).cast("long").as("va"), col(b).cast("long").as("vb"))
+        }: _*)).as("x"))
+        .select(col("x.p"), col("x.va"), col("x.vb"))
+        .filter(col("va").isNotNull && col("vb").isNotNull)
+      val mappings = tagged.dropDuplicates("p", "va", "vb")
+      val perDet = mappings.groupBy(col("p"), col("va"))
+        .agg(count(lit(1)).as("n_deps"))
+      val stats = perDet.groupBy(col("p"))
+        .agg(count(lit(1)).as("n_det"), sum(col("n_deps")).as("n_pairs"))
+      val names = pairs.zipWithIndex.foldLeft(
+        (lit(null).cast("string"), lit(null).cast("string"))) {
+        case ((da, db), ((a, b), i)) =>
+          (when(col("p") === i, lit(a)).otherwise(da),
+            when(col("p") === i, lit(b)).otherwise(db))
+      }
+      stats.select(lit(t).as("table_name"),
+        names._1.as("det_col"), names._2.as("dep_col"),
+        col("n_det"), col("n_pairs"),
+        (col("n_det") === col("n_pairs")).as("holds"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("det_col"), col("dep_col"))
+
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame =
+    fdDiscoveryOf(FdCandidateCols.map { case (t, cs) =>
+      (t, fdDistinctRelation(spark, dir, t, cs), cs) })
+
+  val fdDiscoverySql: String = {
+    val parts = FdCandidateCols.flatMap { case (t, cs) =>
+      for { a <- cs; b <- cs if a != b } yield
+        s"""SELECT '$t' AS table_name, '$a' AS det_col, '$b' AS dep_col,
+           | CAST(count(DISTINCT $a) AS BIGINT) AS n_det,
+           | CAST(count(DISTINCT ($a, $b)) AS BIGINT) AS n_pairs,
+           | count(DISTINCT $a) = count(DISTINCT ($a, $b)) AS holds
+           |FROM $t WHERE $a IS NOT NULL AND $b IS NOT NULL"""
+          .stripMargin.replace('\n', ' ')
+    }
+    parts.mkString("SELECT * FROM (", " UNION ALL ",
+      ") ORDER BY table_name, det_col, dep_col")
   }
 
   // ---------------------------------------------------------------------
@@ -1214,6 +1327,14 @@ object Profile {
         "share, and class count per categorical column — the imbalance " +
         "diagnostic guarding every stratified operation (data-QA " +
         "extension)"),
+    Q("c15_fd_discovery", fdDiscovery, Some(fdDiscoverySql),
+      "unary functional-dependency discovery (TANE family): A -> B " +
+        "holds iff |distinct A| = |distinct (A,B)| over NULL-free rows; " +
+        "per-table distinct candidate projection persisted via Scratch " +
+        "(the fk_distinct pattern), each ordered pair a two-level " +
+        "aggregate over the artifact with violation counts — the " +
+        "within-table determinacy half of the c11/c15 schema-inference " +
+        "pre-pass (training-data extension)"),
     Q("c11_fk_discovery", fkDiscovery, Some(fkDiscoverySql),
       "inclusion-dependency (FK candidate) discovery, BINDER's shape: " +
         "per-column distinct value relation + ONE value equi-join counts " +
