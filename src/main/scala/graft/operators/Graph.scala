@@ -938,7 +938,71 @@ object Graph {
       .stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // K8 — degree-distribution profile: the log2-bucketed in/out-degree
+  // histogram a graph review reads first (heavy-tail/power-law shape =
+  // n_nodes falling roughly geometrically across buckets; a hub
+  // explosion shows up as mass in high buckets). Buckets use p14's
+  // bitlength kernel (integer-exact, shared definition via the same
+  // length(bin(...)) form in both engines); degree-ZERO nodes are a
+  // first-class row (bucket 0) because dangling mass is exactly what
+  // k1's rank floor and k6's -1 truncation care about — a histogram
+  // that silently drops them misreads the graph.
+  //
+  // Plan: one groupBy per direction over the build-once edge artifact
+  // (16-byte rows), a left join back to the node set for the zeros,
+  // and a ~15-row bucket aggregate. Nothing node-count-sized ever sits
+  // on the driver.
+  // ---------------------------------------------------------------------
+  def degreeProfileOf(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    def side(dirName: String, key: String): DataFrame = {
+      val deg = edges.groupBy(col(key).as("doc_id"))
+        .agg(count(lit(1)).as("d"))
+      nodes.join(deg, Seq("doc_id"), "left")
+        .select(lit(dirName).as("direction"),
+          coalesce(col("d"), lit(0L)).as("d"))
+        .select(col("direction"),
+          when(col("d") === 0L, lit(0L))
+            .otherwise(length(bin(col("d"))).cast("long")).as("bucket"),
+          col("d"))
+        .groupBy(col("direction"), col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("total_edges"))
+    }
+    side("in", "dst").unionByName(side("out", "src"))
+      .orderBy(col("direction"), col("bucket"))
+  }
+
+  def degreeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val idx = linkGraph(spark, dir)
+    degreeProfileOf(
+      Catalog.documents(spark, dir).select(col("doc_id")),
+      spark.read.parquet(idx).select(col("src"), col("dst")))
+  }
+
+  val degreeProfileSql: String = {
+    def sideSql(dirName: String, key: String): String =
+      s"""SELECT '$dirName' AS direction,
+         | CASE WHEN d = 0 THEN 0
+         |   ELSE length(bin(CAST(d AS BIGINT))) END AS bucket,
+         | CAST(count(*) AS BIGINT) AS n_nodes,
+         | CAST(sum(d) AS BIGINT) AS total_edges
+         |FROM (SELECT n.doc_id, coalesce(g.d, 0) AS d
+         |      FROM (SELECT doc_id FROM documents) n
+         |      LEFT JOIN (SELECT $key AS doc_id, count(*) AS d
+         |                 FROM edges GROUP BY 1) g USING (doc_id))
+         |GROUP BY 1, 2""".stripMargin
+    s"""WITH $linkGraphCteSql
+       |SELECT * FROM (${sideSql("in", "dst")} UNION ALL ${sideSql("out", "src")})
+       |ORDER BY direction, bucket""".stripMargin.replace('\n', ' ')
+  }
+
   val all: Seq[Q] = Seq(
+    Q("k8_degree_profile", degreeProfile, Some(degreeProfileSql),
+      "log2-bucketed in/out-degree histogram of the link graph (p14's " +
+        "bitlength bucket kernel; degree-zero nodes are a first-class " +
+        "bucket-0 row — dangling mass is what k1's floor and k6's " +
+        "truncation care about); one aggregate per direction over the " +
+        "build-once edge artifact (training-data extension)"),
     Q("k1_pagerank", pageRank, Some(pageRankSql),
       "integer-exact damped PageRank over the content-derived link graph — " +
         "8 relational supersteps (join + map-side-combined aggregate) off a " +

@@ -1158,7 +1158,52 @@ object Pipeline {
        |FROM k ORDER BY epoch, pos""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------------------------
+  // Z17 — packing-efficiency report: the accounting a training-prep
+  // review reads over z4's sequence assignment — per shard, how many
+  // sequences the packing produced, how full they are, and how much
+  // capacity the shard's token mass implies. fill_ppm can EXCEED 1e6
+  // because z4 assigns a document to the window it STARTS in (a doc
+  // straddles into the next window — overflow is visible, not hidden),
+  // which is exactly the signal that tunes window size vs document
+  // length distribution. All-integer arithmetic (the z13/z14 accounting
+  // discipline); one aggregate over z4's per-shard relation — the
+  // corpus-sized input was already shuffled once by z4's per-bucket
+  // window, the report adds a bucket-keyed aggregate of it.
+  // ---------------------------------------------------------------------
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    sequencePack(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_seqs"),
+        col("total_tokens"),
+        (col("n_seqs") * lit(SeqWindowTokens.toLong)).as("capacity_tokens"),
+        expr(s"(1000000L * total_tokens) div (n_seqs * ${SeqWindowTokens}L)")
+          .as("fill_ppm"))
+      .orderBy(col("bucket"))
+
+  val packEfficiencySql: String =
+    s"""WITH packed AS (${sequencePackSql.stripSuffix(" ORDER BY doc_id")})
+       |SELECT bucket, count(*)::BIGINT AS n_docs,
+       | count(DISTINCT seq_id)::BIGINT AS n_seqs,
+       | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       | CAST(count(DISTINCT seq_id) * $SeqWindowTokens AS BIGINT)
+       |   AS capacity_tokens,
+       | CAST((1000000 * sum(n_tokens))
+       |   // (count(DISTINCT seq_id) * $SeqWindowTokens) AS BIGINT)
+       |   AS fill_ppm
+       |FROM packed GROUP BY bucket ORDER BY bucket"""
+      .stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
+    Q("z17_pack_efficiency", packEfficiency, Some(packEfficiencySql),
+      "packing-efficiency report over z4's sequence assignment: per " +
+        "shard the sequence count, token mass, capacity, and integer " +
+        "fill_ppm (can exceed 1e6 — start-window assignment makes " +
+        "overflow visible); one bucket-keyed aggregate over the packed " +
+        "relation (training-data extension)"),
     Q("z15_epoch_shuffle", epochShuffle, Some(epochShuffleSql),
       "deterministic epoch shuffle — the reproducible training-order " +
         "permutation: rank by hash60(epoch:doc_id), composed two-level " +

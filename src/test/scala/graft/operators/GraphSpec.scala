@@ -77,6 +77,36 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("k8 degree profile: hand graph buckets, zero-degree first-class") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val got = Graph.degreeProfileOf(nodes, edges).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // in-degrees: 0->1, 1->1, 2->2, 3->0; out: 0->2, 1->1, 2->1, 3->0
+    assert(got(("in", 0L)) === ((1L, 0L)), "node 3 must land in bucket 0")
+    assert(got(("in", 1L)) === ((2L, 2L)))
+    assert(got(("in", 2L)) === ((1L, 2L)))
+    assert(got(("out", 0L)) === ((1L, 0L)))
+    assert(got(("out", 1L)) === ((2L, 2L)))
+    assert(got(("out", 2L)) === ((1L, 2L)))
+    assert(got.size === 6)
+  }
+
+  test("k8 fixture: both directions account every node and every edge") {
+    val rows = Graph.degreeProfile(spark, sfDir).collect()
+    val docs = graft.Catalog.documents(spark, sfDir).count()
+    val edges = spark.read.parquet(Graph.linkGraph(spark, sfDir)).count()
+    for (d <- Seq("in", "out")) {
+      val side = rows.filter(_.getString(0) == d)
+      assert(side.map(_.getLong(2)).sum === docs,
+        s"$d-side histogram must cover every node exactly once")
+      assert(side.map(_.getLong(3)).sum === edges,
+        s"$d-side degree mass must equal the edge count")
+    }
+  }
+
   test("an edgeless graph damps every node to the base mass") {
     val got = Graph.pageRankOf(() => handNodes(),
         () => handEdges().limit(0), 1)

@@ -359,4 +359,30 @@ class PipelineSpec extends SparkSuite {
     Seq("quality", "language", "near_dup").foreach(v =>
       assert(verdicts.getOrElse(v, 0L) > 0L, s"no '$v' drops — vacuous fixture"))
   }
+
+  test("z17 packing efficiency reconciles exactly with z4's assignment") {
+    import org.apache.spark.sql.functions.col
+    val packed = Pipeline.sequencePack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val report = Pipeline.packEfficiency(spark, sfDir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val byBucket = packed.groupBy(_._2)
+    assert(report.keySet === byBucket.keySet, "one report row per shard")
+    byBucket.foreach { case (b, rows) =>
+      val (nDocs, nSeqs, total, capacity, fill) = report(b)
+      assert(nDocs === rows.length.toLong)
+      assert(nSeqs === rows.flatMap(_._4).distinct.length.toLong)
+      assert(total === rows.map(_._3).sum)
+      assert(capacity === nSeqs * Pipeline.SeqWindowTokens)
+      assert(fill === 1000000L * total / capacity,
+        s"shard $b fill_ppm drifted from the integer identity")
+    }
+    // the report is non-vacuous in the direction that matters: at least
+    // one shard overflows (fill > 1e6) OR underfills — a constant 1e6
+    // everywhere would mean the stat carries no signal on this corpus
+    assert(report.values.exists(_._5 != 1000000L))
+  }
 }
