@@ -711,6 +711,76 @@ object TextOps {
   // aggregate exact; the one double division (the mean) divides exact
   // integers identically under IEEE on both engines.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // X20 — TF-IDF keyword extraction: the top-K characteristic terms per
+  // document — the per-doc summary every corpus browser/labeling UI
+  // shows, and the feature b-family retrieval ranks with turned into a
+  // document-side digest. IDF in x10's exact integer bits:
+  // idf_bits = bitlength(N div df) − 1 = floor(log2(N/df)) — corpus-hot
+  // terms (df > N/2) quantize to 0 and drop, which is the stopword
+  // filter falling out of the arithmetic rather than a curated list.
+  // score = tf · idf_bits, pure integer; top-K per doc by
+  // (score desc, token asc) — total order, hash-stable.
+  //
+  // Plan/scale: tf is one (doc, token) partial-aggregated shuffle of
+  // the token relation; df/N are Heaps-bounded dimension aggregates
+  // joined on the token key (x10's dimension-vs-fact shape); the top-K
+  // window partitions BY DOCUMENT — per-partition state is one doc's
+  // vocabulary, never corpus-sized.
+  // ---------------------------------------------------------------------
+  val KeywordTopK = 3
+
+  def keywordsOf(docs: DataFrame, topK: Int = KeywordTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"),
+        (length(bin(expr("n DIV df"))) - 1).cast("long").as("idf_bits"))
+      .withColumn("score", col("tf") * col("idf_bits"))
+      .filter(col("score") > 0)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("idf_bits"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  def keywords(spark: SparkSession, dir: String): DataFrame =
+    keywordsOf(Catalog.documents(spark, dir))
+
+  val keywordsSql: String =
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       | FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       | FROM tok WHERE length(tok) > 0 GROUP BY 1, 2),
+       |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+       |scored AS (
+       | SELECT tf.doc_id, tf.tok, tf.tf,
+       |  CAST(length(bin(n // df)) - 1 AS BIGINT) AS idf_bits,
+       |  tf.tf * CAST(length(bin(n // df)) - 1 AS BIGINT) AS score
+       | FROM tf JOIN dfr USING (tok) CROSS JOIN nn),
+       |ranked AS (
+       | SELECT doc_id, tok, tf, idf_bits, score,
+       |  CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, tok) AS INT) AS rank
+       | FROM scored WHERE score > 0)
+       |SELECT doc_id, rank, tok, tf, idf_bits, score
+       |FROM ranked WHERE rank <= $KeywordTopK
+       |ORDER BY doc_id, rank""".stripMargin.replace('\n', ' ')
+
   /** Quantized-surprisal scoring core over any (doc_id, text) frame
     * (specs inject hand-built ones).
     */
@@ -1122,6 +1192,12 @@ object TextOps {
       "corpus vocabulary: top-N token frequency/doc-frequency table via a two-level algebraic aggregate (training-data extension)"),
     Q("x12_merge_pairs", mergePairs, Some(mergePairsSql),
       "adjacent-token-pair frequencies (the BPE/WordPiece merge-selection statistic): codegen'd slice+zip pairing, one partial-aggregated shuffle of the bigram relation, TakeOrdered top-N (training-data extension)"),
+    Q("x20_keywords", keywords, Some(keywordsSql),
+      "TF-IDF keyword extraction: top-K characteristic terms per doc, " +
+        "IDF in x10's exact integer bits (corpus-hot terms quantize to " +
+        "0 and drop — the stopword filter falls out of the arithmetic); " +
+        "Heaps-bounded LM relations, per-document top-K window " +
+        "(training-data extension)"),
     Q("x19_bpe_encode", bpeEncode, Some(bpeEncodeSql),
       "BPE ENCODE — apply the x18-induced merge table in rank order and " +
         "account per-document compression (tokens in, symbols out, " +
