@@ -150,7 +150,10 @@ class PlanInvariantsSpec extends SparkSuite {
       "b12_prf_expansion", "b13_forget", "k4_hits", "n14_ivfpq_recall",
       "a12_cms_counts", "b15_maxscore", "n15_pq_rerank",
       "z16_dataset_card", "c14_entropy", "z15_epoch_shuffle",
-      "b16_mrr_eval")
+      "b16_mrr_eval",
+      // x20: x10's 1-row broadcast scalar recombine (corpus doc count N
+      // joins the Heaps-bounded df dimension) — same labeled pattern
+      "x20_keywords")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
