@@ -516,7 +516,56 @@ object Lifecycle {
       |FROM events GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin.replace('\n', ' ')
 
+  // ---------------------------------------------------------------------
+  // S27 — SCHEMA-EVOLUTION read: a table whose later files carry MORE
+  // columns than its earlier ones (the additive evolution every
+  // long-lived lake table undergoes — a field added mid-stream, old
+  // files never rewritten) must read as ONE relation with NULLs where
+  // the old files have no value. The gate writes two real parquet
+  // "epochs" into one directory — epoch 1 (doc_id, lang), epoch 2 adds
+  // `source` — and reads them back with Spark's footer-schema merge;
+  // the oracle reconstructs the same relation from `documents` alone,
+  // so row identity proves both the write split and the merged read.
+  //
+  // Scale note: `mergeSchema` costs a footer read per file AT PLANNING
+  // TIME — fine for a gate, wrong as a steady-state habit at 100 TB
+  // (millions of footers per query). A deployment pins the merged
+  // schema in its catalog (or a Versioned-style manifest) and reads
+  // with an explicit schema; the RESULT is identical to this gate's —
+  // which is exactly what makes the gate the right correctness pin for
+  // either planning strategy.
+  // ---------------------------------------------------------------------
+  def schemaMergeRead(spark: SparkSession, dir: String): DataFrame = {
+    val run = graft.Scratch.freshRunDir(spark, "lifecycle_schema_merge", dir)
+    val tbl = s"$run/tbl"
+    val docs = Catalog.documents(spark, dir)
+    // epoch 1: the original narrow schema
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.parquet(tbl)
+    // epoch 2: the evolved schema (source added), appended — old files
+    // stay byte-identical, exactly how additive evolution lands
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .write.mode(SaveMode.Append).parquet(tbl)
+    spark.read.option("mergeSchema", "true").parquet(tbl)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val schemaMergeReadSql: String =
+    """SELECT doc_id, lang,
+      | CASE WHEN doc_id % 2 = 1 THEN source END AS source
+      |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   val all: Seq[graft.operators.Q] = Seq(
+    graft.operators.Q("s27_schema_merge", schemaMergeRead,
+      Some(schemaMergeReadSql),
+      "schema-evolution read: two real parquet epochs in one directory " +
+        "(the later one adds a column), merged-footer read returns one " +
+        "relation with NULLs for pre-evolution rows — additive lake " +
+        "evolution's correctness pin; a deployment pins the merged " +
+        "schema in its catalog instead of re-merging footers per query"),
     graft.operators.Q("s20_incremental_rollup", incrementalRollupPipeline,
       Some(incrementalRollupPipelineSql),
       "incremental materialized-rollup refresh: delta-only aggregation + algebraic partial merge, oracle = full recompute"),

@@ -267,4 +267,24 @@ class LifecycleSpec extends SparkSuite {
     assert(files < frag && files <= 2)
     assert(spark.read.parquet(path).orderBy("event_id").collect().sameElements(content))
   }
+
+  test("s27 schema merge: evolved column is NULL for pre-evolution rows, " +
+      "populated after, and the merged schema is the union") {
+    val merged = Lifecycle.schemaMergeRead(spark, sfDir)
+    assert(merged.columns.toSeq === Seq("doc_id", "lang", "source"),
+      "merged read must expose the evolved (union) schema")
+    val rows = merged.collect()
+    val docs = Catalog.documents(spark, sfDir).count()
+    assert(rows.length.toLong === docs, "no row lost across epochs")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0)
+        assert(r.isNullAt(2),
+          s"pre-evolution row $id must read NULL for the added column")
+    }
+    // the evolved epoch genuinely populates the column (non-vacuous):
+    // some odd doc has a non-null source in the fixture
+    assert(rows.exists(r => r.getLong(0) % 2 == 1 && !r.isNullAt(2)),
+      "evolution must be observable — no odd row carries a source")
+  }
 }
