@@ -537,15 +537,25 @@ object Lifecycle {
   // ---------------------------------------------------------------------
   def schemaMergeRead(spark: SparkSession, dir: String): DataFrame = {
     val run = graft.Scratch.freshRunDir(spark, "lifecycle_schema_merge", dir)
-    val tbl = s"$run/tbl"
-    val docs = Catalog.documents(spark, dir)
-    // epoch 1: the original narrow schema
+    schemaMergeReadOf(Catalog.documents(spark, dir), s"$run/tbl")
+  }
+
+  /** The epoch-split write + merged read over an explicit (doc_id, lang,
+    * source, ...) frame — specs feed hand corpora (incl. negative ids).
+    */
+  private[graft] def schemaMergeReadOf(docs: DataFrame,
+      tbl: String): DataFrame = {
+    val spark = docs.sparkSession
+    // epoch 1: the original narrow schema. The split is (=== 0 / =!= 0),
+    // NOT (=== 0 / === 1): a negative odd id makes `% 2` yield -1 in
+    // both engines, and the === 1 form would write such a row to
+    // NEITHER epoch — silent row loss (round-12 review)
     docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("lang"))
       .write.parquet(tbl)
     // epoch 2: the evolved schema (source added), appended — old files
     // stay byte-identical, exactly how additive evolution lands
-    docs.filter(col("doc_id") % 2 === 1)
+    docs.filter(col("doc_id") % 2 =!= 0)
       .select(col("doc_id"), col("lang"), col("source"))
       .write.mode(SaveMode.Append).parquet(tbl)
     spark.read.option("mergeSchema", "true").parquet(tbl)
@@ -555,7 +565,7 @@ object Lifecycle {
 
   val schemaMergeReadSql: String =
     """SELECT doc_id, lang,
-      | CASE WHEN doc_id % 2 = 1 THEN source END AS source
+      | CASE WHEN doc_id % 2 <> 0 THEN source END AS source
       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
   val all: Seq[graft.operators.Q] = Seq(

@@ -1020,6 +1020,20 @@ object Profile {
     */
   def fdDiscoveryOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
     tables.map { case (t, df, cs) =>
+      // integral-candidate contract, enforced (round-12 review): the
+      // tagged explode needs one common value type, and a silent
+      // cast("long") would NULL out strings (pair vanishes) or truncate
+      // fractionals (1.2 and 1.7 merge — a violated FD reads as held).
+      // FD discovery here is per type class, like c11's IND discovery;
+      // non-integral candidates are a loud error, never a wrong answer.
+      cs.foreach { c =>
+        val dt = df.schema(c).dataType
+        require(dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.IntegerType ||
+            dt == org.apache.spark.sql.types.ShortType ||
+            dt == org.apache.spark.sql.types.ByteType,
+          s"fdDiscoveryOf: candidate $t.$c has non-integral type $dt")
+      }
       val pairs = for { a <- cs; b <- cs if a != b } yield (a, b)
       // integer pair tag through the heavy shuffles (an (int, long, long)
       // row, not two strings per row — the names rebind in the final
@@ -1037,16 +1051,22 @@ object Profile {
         .agg(count(lit(1)).as("n_deps"))
       val stats = perDet.groupBy(col("p"))
         .agg(count(lit(1)).as("n_det"), sum(col("n_deps")).as("n_pairs"))
-      val names = pairs.zipWithIndex.foldLeft(
-        (lit(null).cast("string"), lit(null).cast("string"))) {
-        case ((da, db), ((a, b), i)) =>
-          (when(col("p") === i, lit(a)).otherwise(da),
-            when(col("p") === i, lit(b)).otherwise(db))
-      }
-      stats.select(lit(t).as("table_name"),
-        names._1.as("det_col"), names._2.as("dep_col"),
-        col("n_det"), col("n_pairs"),
-        (col("n_det") === col("n_pairs")).as("holds"))
+      // LEFT join from the complete pair list (round-12 review): a pair
+      // with ZERO NULL-free rows produces no group above, but the
+      // contract — and the oracle's per-pair UNION ALL — emits one row
+      // per pair regardless; vacuous pairs read (0, 0, holds=true), the
+      // standard empty-relation FD semantics
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      val allPairs = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("p", "det_col", "dep_col")
+      broadcast(allPairs).join(stats, Seq("p"), "left")
+        .select(lit(t).as("table_name"),
+          col("det_col"), col("dep_col"),
+          coalesce(col("n_det"), lit(0L)).as("n_det"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .withColumn("holds", col("n_det") === col("n_pairs"))
     }.reduce(_ unionByName _)
       .orderBy(col("table_name"), col("det_col"), col("dep_col"))
 

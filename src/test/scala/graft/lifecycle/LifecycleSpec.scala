@@ -287,4 +287,24 @@ class LifecycleSpec extends SparkSuite {
     assert(rows.exists(r => r.getLong(0) % 2 == 1 && !r.isNullAt(2)),
       "evolution must be observable — no odd row carries a source")
   }
+
+  test("s27 hand corpus: negative odd ids land in the evolved epoch, " +
+      "never in neither (the % sign trap)") {
+    import spark.implicits._
+    val docs = Seq(
+      (-3L, Option("en"), Option("site_a")),   // negative ODD: % 2 == -1
+      (-2L, Option("de"), Option("site_b")),
+      (0L, Option("fr"), Option("site_c")),
+      (5L, Option("zh"), Option("site_d")))
+      .toDF("doc_id", "lang", "source")
+    val tbl = Files.createTempDirectory("graft_s27_").toString + "/tbl"
+    val got = Lifecycle.schemaMergeReadOf(docs, tbl).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) null else r.getString(2))))
+      .toMap
+    assert(got.keySet === Set(-3L, -2L, 0L, 5L), s"row lost: ${got.keySet}")
+    assert(got(-3L) === (("en", "site_a")), "negative odd = evolved epoch")
+    assert(got(-2L) === (("de", null)) && got(0L) === (("fr", null)))
+    assert(got(5L) === (("zh", "site_d")))
+  }
 }

@@ -360,6 +360,30 @@ class ProfileSpec extends SparkSuite {
     assert(got(("v", "k")) === ((2L, 3L, false)))
   }
 
+  test("c15 emits a vacuous-true row for a pair with zero NULL-free rows, " +
+      "and rejects non-integral candidates loudly") {
+    import spark.implicits._
+    // column w is entirely NULL: both (k,w) directions have no NULL-free
+    // rows — the contract (and the oracle's per-pair UNION ALL) still
+    // emits one row per pair, as (0, 0, holds=true)
+    val t = Seq((Some(1L), None: Option[Long]), (Some(2L), None))
+      .toDF("k", "w")
+    val got = Profile.fdDiscoveryOf(Seq(("t", t, Seq("k", "w"))))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.size === 2, "one row per ordered pair, even vacuous ones")
+    assert(got(("k", "w")) === ((0L, 0L, true)))
+    assert(got(("w", "k")) === ((0L, 0L, true)))
+    // a string candidate must be a loud error, never a silently-dropped
+    // or truncated pair (the cast("long") trap)
+    val bad = Seq((1L, "x")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      Profile.fdDiscoveryOf(Seq(("bad", bad, Seq("id", "name"))))
+    }
+    assert(e.getMessage.contains("non-integral"))
+  }
+
   test("c15 fixture: key columns determine their attributes, reverses fail") {
     val got = Profile.fdDiscovery(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
