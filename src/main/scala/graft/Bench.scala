@@ -111,6 +111,60 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Per-query CLEAN reference from bench_history.jsonl: the minimum of the
+    * query's recorded medians across all full-sweep entries. Minimum, not
+    * median-of-history, because history itself contains contended sweeps
+    * (BENCH_r11 at loadavg 3.26, BENCH_r12's mid-sweep squeeze) — a
+    * contended entry can only RAISE a median, never lower it below the
+    * engine's true cost, so the fastest recorded median is the one number
+    * contention cannot have manufactured. Queries absent from history
+    * (new this round) have no reference and are never flagged. Only
+    * entries recorded at the SAME sf dir count — a history line from a
+    * smaller fixture would make every query at the round scale read as
+    * an outlier.
+    */
+  private def historyRefs(sfDir: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get("bench_history.jsonl")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val acc = scala.collection.mutable.Map.empty[String, Double]
+        scala.jdk.CollectionConverters.CollectionHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala
+          .filter(_.trim.nonEmpty).foreach { line =>
+            try {
+              val node = mapper.readTree(line)
+              val sfNode = node.get("sf")
+              val qs = node.get("queries")
+              if (sfNode != null && sfNode.asText() == sfDir &&
+                  qs != null && qs.isObject) {
+                val it = qs.fields()
+                while (it.hasNext) {
+                  val e = it.next()
+                  val v = e.getValue.asDouble(Double.NaN)
+                  if (!v.isNaN)
+                    acc.updateWith(e.getKey) {
+                      case Some(prev) => Some(math.min(prev, v))
+                      case None       => Some(v)
+                    }
+                }
+              }
+            } catch { case _: Throwable => () } // a corrupt line loses itself only
+          }
+        acc.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** History-anchored outlier threshold: flagged when the sweep median is
+    * more than [[HistoryFactor]]x the query's clean history reference AND
+    * above an absolute floor (sub-threshold queries jitter 3x on scheduler
+    * noise alone without meaning anything; the r11/r12 contamination was
+    * 1.5 s -> 54 s and 2.7 s -> 45 s, orders of magnitude past the floor).
+    */
+  val HistoryFactor = 3.0
+  val HistoryFloorSec = 0.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the guard runs BEFORE the session spins up: our own executor
@@ -153,61 +207,122 @@ object Bench {
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val remeasured = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // re-measure crashes are tracked APART from base failures: a query with
+    // 3 successful base repeats already has a reportable median — listing it
+    // in `failed` too would make the artifact name the same query as both
+    // timed and broken (ADVICE r12)
+    val remeasureFailed = scala.collection.mutable.ListBuffer.empty[String]
+    // 1-minute loadavg observed right after each query's repeats finished:
+    // the post-hoc adjudication evidence the r11/r12 contamination had to
+    // reconstruct from cross-session re-runs
+    val qLoad = scala.collection.mutable.Map.empty[String, Double]
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // only SUCCESSFUL repeats contribute timings: a fast-crashing repeat
-      // would otherwise drag the median/min toward its time-to-failure and
-      // make a broken query read as a fast one (ADVICE r5)
-      def run(n: Int): Seq[Double] = (1 to n).flatMap { _ =>
+    // only SUCCESSFUL repeats contribute timings: a fast-crashing repeat
+    // would otherwise drag the median/min toward its time-to-failure and
+    // make a broken query read as a fast one (ADVICE r5)
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, n: Int, base: Boolean): Seq[Double] =
+      (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          if (!failed.contains(name)) failed += name
+          val sink = if (base) failed else remeasureFailed
+          if (!sink.contains(name)) sink += name
           None
         }
       }
-      var times = run(Repeats)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    allQueries.foreach { case (name, fn) =>
+      var times = run(name, fn, Repeats, base = true)
       // mid-run contention defense (complements the pre-run load guard,
       // which cannot see load arriving AFTER the sweep starts — the
       // BENCH_r11 failure mode): a median 3x above the same query's own
       // min inside one session is contention, not plan cost — the plan
       // is identical across repeats. Two extra repeats let the median
       // shed the squeezed samples; the JSON names every query this
-      // fired for (`remeasured`) and states the extra sample count
-      // (`remeasure_extra_repeats`) — a named query's value is a
-      // median-of-5, not the headline median_of_3, and the artifact
-      // says so rather than misdescribing its own methodology.
+      // fired for (`remeasured`) and reports every query's sample count
+      // (`queries_n`) so a reader never has to cross-reference lists to
+      // know what a value is a median OF.
       if (times.size == Repeats && median(times) > 3 * times.min) {
         System.err.println(f"[bench] $name median ${median(times)}%.2fs > " +
           f"3x min ${times.min}%.2fs — re-measuring")
         remeasured += name
-        times = times ++ run(2)
+        times = times ++ run(name, fn, 2, base = false)
       }
-      (name, times)
+      qLoad(name) = loadavg1()
+      results(name) = times
+    }
+    // ------------------------------------------------------------------
+    // History-anchored outlier pass (round-12 verdict item #1). The two
+    // within-session defenses both miss contention that spans ALL repeats
+    // of a query (BENCH_r11: c3 38 s across 3 repeats; BENCH_r12: n7
+    // 54 s, c15 45 s). A query's own cross-session clean median is the
+    // anchor contention can't shift: any query whose sweep median lands
+    // > HistoryFactor x its bench_history reference (and above the
+    // absolute floor) re-measures SERIALLY at the very end of the sweep,
+    // after the box has had the whole run to drain. The final value is
+    // the median over ALL successful samples — extra repeats added
+    // symmetrically, never hand-picked — and `history_outliers` records
+    // initial median / reference / final median / loadavg per flagged
+    // query, so the artifact adjudicates itself instead of needing a
+    // judge to diff it against history.
+    // ------------------------------------------------------------------
+    val refs = if (only.isEmpty) historyRefs(sfDir) else Map.empty[String, Double]
+    val outlierLog = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val flagged = results.toSeq.collect {
+      case (name, ts) if ts.nonEmpty && refs.get(name).exists(r =>
+        median(ts) > HistoryFactor * r && median(ts) > HistoryFloorSec) => name
+    }
+    flagged.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val before = results(name)
+      val ref = refs(name)
+      System.err.println(f"[bench] $name median ${median(before)}%.2fs > " +
+        f"${HistoryFactor}%.0fx history ref $ref%.2fs — serial re-measure")
+      val extra = run(name, fn, Repeats, base = false)
+      val after = before ++ extra
+      results(name) = after
+      qLoad(name) = loadavg1()
+      outlierLog(name) = f"""{"median_initial":${median(before)},""" +
+        f""""history_ref":$ref,"median_final":${median(after)},""" +
+        f""""loadavg_after":${loadavg1()},"extra_repeats":${extra.size}}"""
+      if (!remeasured.contains(name)) remeasured += name
     }
     val loadAfter = loadavg()
     // queries with zero successful repeats are omitted from the per-query
     // maps entirely — they appear only in `failed`
-    val timed = results.collect { case (k, ts) if ts.nonEmpty =>
-      (k, median(ts), ts.min)
+    val timed = results.toSeq.collect { case (k, ts) if ts.nonEmpty =>
+      (k, median(ts), ts.min, ts.size)
     }
-    val qs = timed.map { case (k, med, _) => "\"" + k + "\":" + med }
+    val qs = timed.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = timed.map { case (k, _, mn) => "\"" + k + "\":" + mn }
+    val qsMin = timed.map { case (k, _, mn, _) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    // per-query sample counts (ADVICE r12): a value in `queries` is the
+    // median of exactly queries_n[name] successful repeats — re-measured
+    // queries are distinguishable in place, not via a side list
+    val qsN = timed.map { case (k, _, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val qsLoad = timed.map { case (k, _, _, _) =>
+      "\"" + k + "\":" + qLoad.getOrElse(k, Double.NaN) }
+      .mkString("{", ",", "}")
+    val outliersJson = outlierLog.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val totalMin = timed.map(_._3).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val remeasuredJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val remeasureFailedJson =
+      remeasureFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "metric":"total" is the stable consumer contract; the methodology
     // rides in "method" (ADVICE r5: renaming the metric key breaks
     // downstream matchers silently)
     val sha = gitHead()
-    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_guard":"$loadGuard","remeasured":$remeasuredJson,"remeasure_extra_repeats":2,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"queries_n":$qsN,"queries_load":$qsLoad,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_guard":"$loadGuard","remeasured":$remeasuredJson,"history_outliers":$outliersJson,"remeasure_failed":$remeasureFailedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // FULL runs also persist to files (a BENCH_ONLY iteration run must
     // not clobber the round artifact with a 2-query slice):

@@ -546,16 +546,21 @@ object Lifecycle {
   private[graft] def schemaMergeReadOf(docs: DataFrame,
       tbl: String): DataFrame = {
     val spark = docs.sparkSession
-    // epoch 1: the original narrow schema. The split is (=== 0 / =!= 0),
-    // NOT (=== 0 / === 1): a negative odd id makes `% 2` yield -1 in
-    // both engines, and the === 1 form would write such a row to
-    // NEITHER epoch — silent row loss (round-12 review)
-    docs.filter(col("doc_id") % 2 === 0)
+    // epoch 1: the original narrow schema. The split must be EXHAUSTIVE
+    // over every doc_id value: (=== 0 / =!= 0) rather than (=== 0 /
+    // === 1) because a negative odd id makes `% 2` yield -1 in both
+    // engines, and coalesce(…, 0) because a NULL doc_id makes BOTH bare
+    // predicates NULL — either gap writes the row to NEITHER epoch:
+    // silent loss the oracle (which reads `documents` whole) would
+    // catch only if the fixture happened to contain such a row
+    // (round-12 review + r12 ADVICE)
+    val epoch = coalesce(col("doc_id") % 2, lit(0L))
+    docs.filter(epoch === 0)
       .select(col("doc_id"), col("lang"))
       .write.parquet(tbl)
     // epoch 2: the evolved schema (source added), appended — old files
     // stay byte-identical, exactly how additive evolution lands
-    docs.filter(col("doc_id") % 2 =!= 0)
+    docs.filter(epoch =!= 0)
       .select(col("doc_id"), col("lang"), col("source"))
       .write.mode(SaveMode.Append).parquet(tbl)
     spark.read.option("mergeSchema", "true").parquet(tbl)
@@ -565,7 +570,7 @@ object Lifecycle {
 
   val schemaMergeReadSql: String =
     """SELECT doc_id, lang,
-      | CASE WHEN doc_id % 2 <> 0 THEN source END AS source
+      | CASE WHEN coalesce(doc_id % 2, 0) <> 0 THEN source END AS source
       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
   val all: Seq[graft.operators.Q] = Seq(

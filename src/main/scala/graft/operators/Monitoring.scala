@@ -836,8 +836,30 @@ object Monitoring {
       |FROM events GROUP BY event_type, date_trunc('hour', ts)
       |ORDER BY event_type, hour""".stripMargin.replace('\n', ' ')
 
-  def gapFill(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Catalog.events(spark, dir)
+  def gapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFillOf(Catalog.events(spark, dir))
+
+  /** W20 — the GATE-VISIBLE LOCF variant (round-12 verdict item #2): the
+    * fixture's hourly series is dense for every type, so w8's
+    * carry-forward arm had never produced a single carried row under the
+    * driver's hash — the one code path the gate never exercised. This
+    * variant sparsifies ONE type inside the query (keep only hours
+    * ≡ 0 mod [[SparseEveryHours]] for [[SparseType]]) so ~5/6 of that
+    * type's grid buckets are empty by construction and the oracle output
+    * PROVABLY contains carried rows (n_events = 0, value_filled set);
+    * the other four types stay dense and pin that sparsifying one series
+    * does not disturb its neighbors' fill.
+    */
+  private val SparseType = "view"
+  private val SparseEveryHours = 6
+
+  def gapFillSparse(spark: SparkSession, dir: String): DataFrame =
+    gapFillOf(Catalog.events(spark, dir)
+      .filter(col("event_type") =!= SparseType ||
+        hour(col("ts")) % SparseEveryHours === 0))
+
+  private def gapFillOf(events: DataFrame): DataFrame = {
+    val hourly = events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
         col("ts"), col("event_id"), col("value"))
       .groupBy(col("event_type"), col("bucket"))
@@ -856,6 +878,33 @@ object Monitoring {
         last(col("last_val"), ignoreNulls = true).over(locf).as("value_filled"))
       .orderBy(col("event_type"), col("bucket"))
   }
+
+  val gapFillSparseSql: String =
+    s"""WITH sparse AS (
+      | SELECT * FROM events
+      | WHERE event_type <> '$SparseType'
+      |    OR date_part('hour', ts) % $SparseEveryHours = 0),
+      |hourly AS (
+      | SELECT event_type, bucket, count(*) AS cnt,
+      |  max(CASE WHEN rn = 1 THEN value END) AS last_val
+      | FROM (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+      |   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |     ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM sparse) e
+      | GROUP BY event_type, bucket),
+      |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM hourly),
+      |grid AS (
+      | SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL '1 hour')) AS bucket
+      | FROM (SELECT DISTINCT event_type FROM hourly) t, bounds b)
+      |SELECT g.event_type, g.bucket,
+      | CAST(coalesce(h.cnt, 0) AS BIGINT) AS n_events,
+      | last_value(h.last_val IGNORE NULLS) OVER (
+      |  PARTITION BY g.event_type ORDER BY g.bucket
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      |FROM grid g LEFT JOIN hourly h
+      | ON h.event_type = g.event_type AND h.bucket = g.bucket
+      |ORDER BY g.event_type, g.bucket""".stripMargin.replace('\n', ' ')
 
   val gapFillSql: String =
     """WITH hourly AS (
@@ -1488,6 +1537,8 @@ object Monitoring {
       "bounded-row-frame moving average, decimal-exact frame sum"),
     Q("w8_gap_fill", gapFill, Some(gapFillSql),
       "gap-filled hourly series per event type: dense grid + last-observation-carried-forward over the aggregated buckets (chart densification)"),
+    Q("w20_gap_fill_sparse", gapFillSparse, Some(gapFillSparseSql),
+      "gap fill over an in-query-sparsified series (one type keeps only every 6th hour): the LOCF carry-forward arm w8's dense fixture never exercised now produces hashed carried rows — n_events=0 buckets with a non-NULL carried value (round-12 verdict item #2)"),
     Q("w18_rolling_actives_hll", rollingActivesApprox, Some(rollingActivesApproxSql),
       "w17's 100 TB swap deployed: per-day DataSketches HLL sketches merged over the 7-day window (|days| fixed-size sketches shuffle instead of 7x the user-day relation); the estimate's accuracy claim rides as a max(3, 10%) band boolean the oracle pins true — a broken sketch goes hash-red (the o2 discipline; user-analytics extension)"),
     Q("w17_rolling_actives", rollingActives, Some(rollingActivesSql),

@@ -1089,6 +1089,261 @@ object Profile {
   }
 
   // ---------------------------------------------------------------------
+  // C16 — c15's documented 100 TB deployment swap, DEPLOYED (round-12
+  // verdict item #3): sample-first-refute / verify-survivors-exactly.
+  // The exact level-1 sweep pays a full-NDV aggregate for EVERY pair;
+  // refutation doesn't need it — any single determinant value observed
+  // with two dependent values kills the FD. Phase 1 keeps only the
+  // determinant-value groups whose value hashes into 1/[[FdSampleMod]]
+  // of the key space (GROUPS, not rows: a violation is two rows with
+  // the SAME determinant, so a uniform row sample would miss what a
+  // group sample catches exactly) and refutes from that slice alone.
+  // Phase 2 re-checks ONLY the survivors with c15's exact counts.
+  //
+  // Soundness is one-sided by construction — a sampled violation IS a
+  // real violation (the sampled groups are a subset of the real ones) —
+  // and the gate PINS it as data (the o2/w18 discipline): the oracle's
+  // `holds` is the PLAIN EXACT equality over the full relation, while
+  // the engine's `holds` comes through the two-phase path (false for
+  // sample-refuted pairs, exact only for survivors). A false refutation
+  // would hash-diverge immediately. `exact_checked` records which pairs
+  // actually paid the exact pass — the spec pins a seeded violation
+  // that is refuted with exact_checked=false.
+  //
+  // Plan/scale: phase 1 is one filtered pass over the persisted distinct
+  // artifact (the keep predicate drops ~7/8 of tagged rows before the
+  // dedup shuffle); phase 2 touches only survivor pairs — on a lake
+  // where most candidate pairs are violated (the empirical norm,
+  // Papenbrock 2015), the expensive exact NDV runs on a small remainder.
+  // The refuted-pair id set collected to the driver is bounded by the
+  // pair count (≤ C² per table), the b-family bounded-planning-state
+  // shape, never row-sized.
+  // ---------------------------------------------------------------------
+
+  /** Determinant-group sampling: 1 in [[FdSampleMod]] of value groups,
+    * selected by the md5-backed [[TextOps.hash60]] over the value's
+    * decimal rendering — a genuinely mixed hash (a plain `value % m`
+    * residue filter would correlate with any generator that strides the
+    * key space), already exact cross-engine, so the oracle reproduces
+    * the sample bit-for-bit.
+    */
+  val FdSampleMod = 8L
+
+  private def fdSampleKeep(va: Column): Column =
+    TextOps.hash60(va.cast("string")) % FdSampleMod === 0
+
+  private def fdSampleKeepSql(a: String): String =
+    s"${TextOps.hash60Sql(s"CAST($a AS VARCHAR)")} % $FdSampleMod = 0"
+
+  /** (table_name, det_col, dep_col, n_det_sampled, n_pairs_sampled,
+    * sampled_refuted, exact_checked, holds) per ordered candidate pair.
+    */
+  def fdSampledOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
+    tables.map { case (t, df, cs) =>
+      cs.foreach { c =>
+        val dt = df.schema(c).dataType
+        require(dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.IntegerType ||
+            dt == org.apache.spark.sql.types.ShortType ||
+            dt == org.apache.spark.sql.types.ByteType,
+          s"fdSampledOf: candidate $t.$c has non-integral type $dt")
+      }
+      val pairs = for { a <- cs; b <- cs if a != b } yield (a, b)
+      val tagged = df.select(explode(array(pairs.zipWithIndex.map {
+          case ((a, b), i) =>
+            struct(lit(i).as("p"),
+              col(a).cast("long").as("va"), col(b).cast("long").as("vb"))
+        }: _*)).as("x"))
+        .select(col("x.p"), col("x.va"), col("x.vb"))
+        .filter(col("va").isNotNull && col("vb").isNotNull)
+      // phase 1 — refute from the sampled determinant groups only
+      val sampledStats = tagged.filter(fdSampleKeep(col("va")))
+        .dropDuplicates("p", "va", "vb")
+        .groupBy(col("p"), col("va")).agg(count(lit(1)).as("n_deps"))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n_det_sampled"),
+          sum(col("n_deps")).as("n_pairs_sampled"))
+      val refuted: Set[Int] = sampledStats
+        .filter(col("n_pairs_sampled") > col("n_det_sampled"))
+        .select(col("p")).collect().map(_.getInt(0)).toSet
+      // phase 2 — exact verification for SURVIVORS only
+      val survivors = pairs.indices.filterNot(refuted)
+      val exactStats =
+        if (survivors.isEmpty) null
+        else tagged.filter(col("p").isin(survivors.map(Integer.valueOf): _*))
+          .dropDuplicates("p", "va", "vb")
+          .groupBy(col("p"), col("va")).agg(count(lit(1)).as("n_deps"))
+          .groupBy(col("p"))
+          .agg(count(lit(1)).as("n_det_exact"),
+            sum(col("n_deps")).as("n_pairs_exact"))
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      val allPairs = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b, refuted.contains(i)) }
+        .toDF("p", "det_col", "dep_col", "sampled_refuted")
+      val withSample = broadcast(allPairs)
+        .join(sampledStats, Seq("p"), "left")
+      val withExact =
+        if (exactStats == null)
+          withSample.withColumn("n_det_exact", lit(null).cast("long"))
+            .withColumn("n_pairs_exact", lit(null).cast("long"))
+        else withSample.join(exactStats, Seq("p"), "left")
+      withExact.select(lit(t).as("table_name"),
+          col("det_col"), col("dep_col"),
+          coalesce(col("n_det_sampled"), lit(0L)).as("n_det_sampled"),
+          coalesce(col("n_pairs_sampled"), lit(0L)).as("n_pairs_sampled"),
+          col("sampled_refuted"),
+          (!col("sampled_refuted")).as("exact_checked"),
+          // refuted ⇒ false (sound by subset construction; the oracle
+          // computes this column EXACTLY, so an unsound refutation is a
+          // hash mismatch); survivors carry the exact verdict, vacuous
+          // pairs (no NULL-free rows) hold trivially
+          when(col("sampled_refuted"), lit(false))
+            .otherwise(coalesce(col("n_det_exact"), lit(0L)) ===
+              coalesce(col("n_pairs_exact"), lit(0L))).as("holds"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("det_col"), col("dep_col"))
+
+  def fdSampled(spark: SparkSession, dir: String): DataFrame =
+    fdSampledOf(FdCandidateCols.map { case (t, cs) =>
+      (t, fdDistinctRelation(spark, dir, t, cs), cs) })
+
+  val fdSampledSql: String = {
+    val parts = FdCandidateCols.flatMap { case (t, cs) =>
+      for { a <- cs; b <- cs if a != b } yield
+        s"""SELECT '$t' AS table_name, '$a' AS det_col, '$b' AS dep_col,
+           | CAST(coalesce(count(DISTINCT $a) FILTER (WHERE keep), 0) AS BIGINT)
+           |  AS n_det_sampled,
+           | CAST(coalesce(count(DISTINCT ($a, $b)) FILTER (WHERE keep), 0) AS BIGINT)
+           |  AS n_pairs_sampled,
+           | count(DISTINCT ($a, $b)) FILTER (WHERE keep)
+           |   > count(DISTINCT $a) FILTER (WHERE keep) AS sampled_refuted,
+           | NOT (count(DISTINCT ($a, $b)) FILTER (WHERE keep)
+           |   > count(DISTINCT $a) FILTER (WHERE keep)) AS exact_checked,
+           | count(DISTINCT $a) = count(DISTINCT ($a, $b)) AS holds
+           |FROM (SELECT $a, $b, ${fdSampleKeepSql(a)} AS keep
+           |      FROM $t WHERE $a IS NOT NULL AND $b IS NOT NULL)"""
+          .stripMargin.replace('\n', ' ')
+    }
+    parts.mkString("SELECT * FROM (", " UNION ALL ",
+      ") ORDER BY table_name, det_col, dep_col")
+  }
+
+  // ---------------------------------------------------------------------
+  // C17 — FD lattice level 2 with level-1 pruning (round-12 verdict item
+  // #5; TANE's actual contribution, Huhtala et al. 1999 §3): composite
+  // candidates (a, b) → c, with a candidate PRUNED when a → c or b → c
+  // already holds at level 1 — the composite is then trivially implied
+  // and carries no new information. What survives pruning is exactly
+  // the question a schema-inference user asks next: which column PAIRS
+  // are keys of what (the canonical discovery here: a multi-part
+  // natural key no unary column implies).
+  //
+  // Sound pruning under NULLs: level-1 a → c is checked over (a, c)
+  // NULL-free rows, a SUPERSET of the composite's (a, b, c) NULL-free
+  // rows; FDs are monotone under row subsets, so holding on the
+  // superset implies holding on the subset — pruning never hides a
+  // composite that would have failed.
+  //
+  // Plan/scale: level-1 verdicts come from c15's machinery over the
+  // same persisted artifact (pair-count-bounded collect — planning
+  // state); the surviving composites then run c15's single tagged pass,
+  // one explode + two shuffles per table, never a pass per candidate.
+  // The oracle re-derives the pruning in SQL (HAVING over exact unary
+  // subqueries), so the pruned candidate SET is itself gate-checked.
+  // ---------------------------------------------------------------------
+
+  /** Tables with ≥ 3 candidate columns — where level 2 is non-vacuous. */
+  val FdCompositeCols: Seq[(String, Seq[String])] =
+    FkCandidateCols.filter(_._2.size >= 3)
+
+  /** (table_name, det1, det2, dep_col, n_det, n_pairs, holds) for every
+    * UNPRUNED composite candidate; det1 < det2 in column-list order.
+    */
+  def fdCompositeOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
+    tables.map { case (t, df, cs) =>
+      cs.foreach { c =>
+        val dt = df.schema(c).dataType
+        require(dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.IntegerType ||
+            dt == org.apache.spark.sql.types.ShortType ||
+            dt == org.apache.spark.sql.types.ByteType,
+          s"fdCompositeOf: candidate $t.$c has non-integral type $dt")
+      }
+      // level-1 verdicts (pair-count-bounded planning state)
+      val l1: Map[(String, String), Boolean] =
+        fdDiscoveryOf(Seq((t, df, cs))).collect()
+          .map(r => (r.getString(1), r.getString(2)) -> r.getBoolean(5))
+          .toMap
+      val composites = for {
+        i <- cs.indices; j <- cs.indices if i < j
+        c <- cs if c != cs(i) && c != cs(j)
+        if !l1((cs(i), c)) && !l1((cs(j), c))
+      } yield (cs(i), cs(j), c)
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      val allComps = composites.zipWithIndex
+        .map { case ((a, b, c), i) => (i, a, b, c) }
+        .toDF("p", "det1", "det2", "dep_col")
+      if (composites.isEmpty)
+        allComps.select(lit(t).as("table_name"),
+          col("det1"), col("det2"), col("dep_col"),
+          lit(0L).as("n_det"), lit(0L).as("n_pairs"),
+          lit(true).as("holds"))
+      else {
+        val tagged = df.select(explode(array(composites.zipWithIndex.map {
+            case ((a, b, c), i) =>
+              struct(lit(i).as("p"), col(a).cast("long").as("va"),
+                col(b).cast("long").as("vb"), col(c).cast("long").as("vc"))
+          }: _*)).as("x"))
+          .select(col("x.p"), col("x.va"), col("x.vb"), col("x.vc"))
+          .filter(col("va").isNotNull && col("vb").isNotNull &&
+            col("vc").isNotNull)
+        val stats = tagged.dropDuplicates("p", "va", "vb", "vc")
+          .groupBy(col("p"), col("va"), col("vb"))
+          .agg(count(lit(1)).as("n_deps"))
+          .groupBy(col("p"))
+          .agg(count(lit(1)).as("n_det"), sum(col("n_deps")).as("n_pairs"))
+        broadcast(allComps).join(stats, Seq("p"), "left")
+          .select(lit(t).as("table_name"),
+            col("det1"), col("det2"), col("dep_col"),
+            coalesce(col("n_det"), lit(0L)).as("n_det"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+          .withColumn("holds", col("n_det") === col("n_pairs"))
+      }
+    }.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("det1"), col("det2"), col("dep_col"))
+
+  def fdComposite(spark: SparkSession, dir: String): DataFrame =
+    fdCompositeOf(FdCompositeCols.map { case (t, cs) =>
+      (t, fdDistinctRelation(spark, dir, t, cs), cs) })
+
+  val fdCompositeSql: String = {
+    val parts = FdCompositeCols.flatMap { case (t, cs) =>
+      for {
+        i <- cs.indices; j <- cs.indices if i < j
+        c <- cs if c != cs(i) && c != cs(j)
+      } yield {
+        val (a, b) = (cs(i), cs(j))
+        s"""SELECT '$t' AS table_name, '$a' AS det1, '$b' AS det2,
+           | '$c' AS dep_col,
+           | CAST(count(DISTINCT ($a, $b)) AS BIGINT) AS n_det,
+           | CAST(count(DISTINCT ($a, $b, $c)) AS BIGINT) AS n_pairs,
+           | count(DISTINCT ($a, $b)) = count(DISTINCT ($a, $b, $c)) AS holds
+           |FROM $t
+           |WHERE $a IS NOT NULL AND $b IS NOT NULL AND $c IS NOT NULL
+           |HAVING NOT (SELECT count(DISTINCT $a) = count(DISTINCT ($a, $c))
+           |            FROM $t WHERE $a IS NOT NULL AND $c IS NOT NULL)
+           |   AND NOT (SELECT count(DISTINCT $b) = count(DISTINCT ($b, $c))
+           |            FROM $t WHERE $b IS NOT NULL AND $c IS NOT NULL)"""
+          .stripMargin.replace('\n', ' ')
+      }
+    }
+    parts.mkString("SELECT * FROM (", " UNION ALL ",
+      ") ORDER BY table_name, det1, det2, dep_col")
+  }
+
+  // ---------------------------------------------------------------------
   // C12 — class-balance profile: per categorical column the Gini
   // impurity, majority share, and class count — the imbalance
   // diagnostic a training-data review runs before trusting any
@@ -1355,6 +1610,22 @@ object Profile {
         "aggregate over the artifact with violation counts — the " +
         "within-table determinacy half of the c11/c15 schema-inference " +
         "pre-pass (training-data extension)"),
+    Q("c16_fd_sampled", fdSampled, Some(fdSampledSql),
+      "c15's 100 TB deployment swap deployed: sample-first-refute (1-in-8 " +
+        "determinant-value GROUPS via exact multiplicative hashing) / " +
+        "verify-survivors-exactly; the oracle computes `holds` from the " +
+        "FULL relation while the engine routes it through the two-phase " +
+        "path, so an unsound refutation is a hash mismatch (the o2/w18 " +
+        "claim-as-data discipline); exact_checked records which pairs " +
+        "paid the exact NDV pass (training-data extension)"),
+    Q("c17_fd_composite", fdComposite, Some(fdCompositeSql),
+      "FD lattice level 2 with TANE level-1 pruning: composite (a,b) -> c " +
+        "candidates dropped when a -> c or b -> c already holds (sound " +
+        "under NULLs by row-subset monotonicity); survivors run c15's " +
+        "single tagged pass — one explode + two shuffles per table; the " +
+        "oracle re-derives the pruning via HAVING over exact unary " +
+        "subqueries so the candidate SET itself is gate-checked " +
+        "(training-data extension)"),
     Q("c11_fk_discovery", fkDiscovery, Some(fkDiscoverySql),
       "inclusion-dependency (FK candidate) discovery, BINDER's shape: " +
         "per-column distinct value relation + ONE value equi-join counts " +

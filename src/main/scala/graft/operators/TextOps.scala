@@ -464,8 +464,13 @@ object TextOps {
   // owns one), and "a a a" merges the LEFT pair only — exact BPE
   // semantics with zero interpreted lambdas. Merged symbols join with
   // chr(2), so a merged "a·b" can never collide with a literal token
-  // "ab". Assumes corpus text carries no chr(1)/chr(2) — true of any
-  // real text corpus; a production build would escape them at render.
+  // "ab". The rendering REQUIRES corpus text carry no chr(1)/chr(2) —
+  // true of any real text corpus — and [[guardedText]] enforces it: a
+  // violating row raises at render time (one cheap codegen'd contains()
+  // per row) instead of producing consistently-wrong merges the oracle
+  // could never distinguish, since both engines would corrupt
+  // identically (r12 ADVICE). A production build would escape rather
+  // than reject.
   //
   // Plan/scale: each round is ONE codegen'd corpus map (the replace) +
   // x12's partial-aggregated pair count (vocabulary-bounded shuffle) +
@@ -481,6 +486,16 @@ object TextOps {
   private val SymSep = "\u0001"
   private val SymJoin = "\u0002"
 
+  /** `text`, or a loud failure when it carries a delimiter byte the symbol
+    * rendering reserves — the silent-corruption guard the header describes.
+    */
+  private def guardedText: Column =
+    when(col("text").contains(SymSep) || col("text").contains(SymJoin),
+      raise_error(concat(lit("BPE symbol rendering: text of doc_id="),
+        col("doc_id").cast("string"),
+        lit(" contains a reserved delimiter byte (\\u0001/\\u0002)"))))
+      .otherwise(col("text"))
+
   /** The merge table: (merge_rank, t1, t2, n_occurrences) — symbols as
     * selected, in selection order; merged symbols carry the chr(2)
     * joiner.
@@ -492,7 +507,7 @@ object TextOps {
     var corpus = docs
       .filter(col("text").isNotNull)
       .select(concat(lit(SymSep),
-        array_join(tokens(col("text")), SymSep + SymSep),
+        array_join(tokens(guardedText), SymSep + SymSep),
         lit(SymSep)).as("s"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
@@ -578,7 +593,7 @@ object TextOps {
   def applyMergesOf(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val base = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), tokens(guardedText).as("tk"))
       .select(col("doc_id"), size(col("tk")).as("n_tokens"),
         concat(lit(SymSep), array_join(col("tk"), SymSep + SymSep),
           lit(SymSep)).as("s"))

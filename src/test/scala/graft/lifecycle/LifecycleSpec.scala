@@ -307,4 +307,23 @@ class LifecycleSpec extends SparkSuite {
     assert(got(-2L) === (("de", null)) && got(0L) === (("fr", null)))
     assert(got(5L) === (("zh", "site_d")))
   }
+
+  test("s27 hand corpus: a NULL doc_id lands in the narrow epoch, " +
+      "never in neither (the NULL-predicate trap, r12 ADVICE)") {
+    import spark.implicits._
+    val docs = Seq(
+      (Option.empty[Long], Option("en"), Option("site_a")), // NULL id
+      (Option(7L), Option("de"), Option("site_b")))
+      .toDF("doc_id", "lang", "source")
+    val tbl = Files.createTempDirectory("graft_s27n_").toString + "/tbl"
+    val rows = Lifecycle.schemaMergeReadOf(docs, tbl).collect()
+    assert(rows.length === 2,
+      "a NULL doc_id must not vanish from the epoch split")
+    val nullRow = rows.find(_.isNullAt(0)).getOrElse(
+      fail("NULL-id row lost across epochs"))
+    assert(nullRow.getString(1) === "en" && nullRow.isNullAt(2),
+      "NULL id routes to the narrow epoch: source reads NULL")
+    val odd = rows.find(r => !r.isNullAt(0) && r.getLong(0) == 7L).get
+    assert(odd.getString(2) === "site_b")
+  }
 }

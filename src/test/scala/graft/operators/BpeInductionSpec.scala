@@ -108,6 +108,24 @@ class BpeInductionSpec extends SparkSuite {
       s"applied merges $applied cannot exceed selection-time counts $selected")
   }
 
+  test("reserved delimiter bytes in corpus text fail LOUDLY at render " +
+      "(r12 ADVICE: silent identical corruption in both engines)") {
+    // a token carrying chr(1) would forge symbol boundaries; chr(2) would
+    // impersonate a merged symbol — either must raise, not mis-merge
+    Seq("evil\u0001token", "evil\u0002token").foreach { bad =>
+      val e = intercept[Exception](merges(s"a b $bad", 1))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("reserved delimiter byte")),
+        s"wrong failure for $bad: $e")
+    }
+    // encode renders through the same guard
+    val e2 = intercept[Exception](encode(1, 1L -> "a b c\u0001d"))
+    assert(e2.toString.contains("reserved delimiter byte") ||
+      Option(e2.getCause).exists(_.toString.contains("reserved delimiter byte")))
+  }
+
   test("fixture run matches the gate shape: exactly BpeMergeRounds rows, " +
       "counts non-increasing is NOT required but ranks are dense") {
     val got = TextOps.bpeInduction(spark, sfDir).collect()

@@ -409,6 +409,148 @@ class ProfileSpec extends SparkSuite {
     assert(got.get(("lineitem", "l_orderkey", "l_partkey")).contains(false))
   }
 
+  test("c16 seeded sample: a violated FD whose violating determinant is " +
+      "IN the sample is refuted WITHOUT the exact NDV pass; one the " +
+      "sample misses is caught by the exact survivor check") {
+    import spark.implicits._
+    // hash60('1') % 8 == 0 (sampled group); hash60('0') % 8 != 0
+    // (unsampled). k -> v is violated at BOTH determinants:
+    //   det 1 -> {10, 20}  (sampled: phase 1 refutes, phase 2 skipped)
+    // and a second table where the ONLY violation sits at det 0
+    // (unsampled: phase 1 passes, phase 2's exact check refutes).
+    val sampledViolation = Seq(
+      (Some(1L), Some(10L)), (Some(1L), Some(20L)), (Some(13L), Some(30L)))
+      .toDF("k", "v")
+    val got1 = Profile.fdSampledOf(Seq(("t", sampledViolation, Seq("k", "v"))))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6),
+          r.getBoolean(7)))).toMap
+    // k->v: sampled dets {1, 13} (both hash into the bucket), mappings
+    // {(1,10),(1,20),(13,30)} -> 2 vs 3: REFUTED from the sample alone,
+    // exact_checked=false — the no-full-NDV-pass pin
+    assert(got1(("k", "v")) === ((2L, 3L, true, false, false)),
+      s"sampled refutation must skip the exact pass: ${got1(("k", "v"))}")
+    // v->k: dets {10,20,30} — none hashes into the bucket (verified by
+    // the sampled counts being 0) — survivor; exact check holds (each v
+    // maps to one k)
+    val (nd, np, refuted, checked, holds) = got1(("v", "k"))
+    assert(nd === 0L && np === 0L && !refuted && checked && holds,
+      s"unsampled holding pair must survive to a passing exact check: " +
+        s"${got1(("v", "k"))}")
+
+    val missedViolation = Seq(
+      (Some(0L), Some(10L)), (Some(0L), Some(20L)), (Some(13L), Some(30L)))
+      .toDF("k", "v")
+    val got2 = Profile.fdSampledOf(Seq(("t", missedViolation, Seq("k", "v"))))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    // the violation at det 0 is invisible to the sample (only det 13 is
+    // sampled, and it is clean) — the exact survivor pass must catch it
+    assert(got2(("k", "v")) === ((false, true, false)),
+      s"sample-missed violation must fail the exact check: " +
+        s"${got2(("k", "v"))}")
+  }
+
+  test("c16 soundness invariant on the fixture: every sample-refuted pair " +
+      "is exactly-refuted (holds=false), and c16/c15 verdicts agree") {
+    val sampled = Profile.fdSampled(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    val exact = Profile.fdDiscovery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getBoolean(5)).toMap
+    assert(sampled.keySet === exact.keySet)
+    sampled.foreach { case (pair, (refuted, checked, holds)) =>
+      assert(checked === !refuted, s"$pair: exact_checked must complement")
+      assert(holds === exact(pair),
+        s"$pair: two-phase verdict $holds != exact c15 verdict " +
+          s"${exact(pair)} — the sample path is unsound or too eager")
+    }
+    // non-vacuous: the fixture genuinely exercises the refutation arm
+    assert(sampled.values.exists(_._1),
+      "no fixture pair was sample-refuted — the phase-1 arm is untested")
+    assert(sampled.values.exists { case (r, _, h) => !r && h } ,
+      "no fixture pair survived to a passing exact check")
+  }
+
+  test("c17 hand lattice: the composite holds where neither unary does, " +
+      "and unary-implied composites are PRUNED from the output") {
+    import spark.implicits._
+    // (a, b) is a key (composite FD (a,b) -> c holds) but a -> c and
+    // b -> c both fail; meanwhile d is constant per a (a -> d holds), so
+    // every composite with dep d and a in the determinant must be pruned
+    val t = Seq(
+      (1L, 1L, 10L, 7L),
+      (1L, 2L, 20L, 7L),
+      (2L, 1L, 30L, 8L),
+      (2L, 2L, 10L, 8L))
+      .toDF("a", "b", "c", "d")
+    val got = Profile.fdCompositeOf(Seq(("t", t, Seq("a", "b", "c", "d"))))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // (a,b) -> c: 4 distinct (a,b), 4 distinct (a,b,c) — HOLDS, and
+    // neither a -> c (a=1 -> {10,20}) nor b -> c (b=1 -> {10,30}) does
+    assert(got(("a", "b", "c")) === ((4L, 4L, true)),
+      s"composite key FD must hold: ${got.keySet}")
+    // (a,b) -> d survives pruning? NO — a -> d holds, so it's pruned
+    assert(!got.contains(("a", "b", "d")),
+      "a->d holds, so (a,b)->d is unary-implied and must be pruned")
+    // (b,c) -> d: b -> d fails (b=1 -> {7,8}), c -> d fails (c=10 ->
+    // {7,8}) — candidate survives; composite itself fails? (b,c) pairs:
+    // (1,10),(2,20),(1,30),(2,10) all distinct -> 4 = 4 with d: HOLDS
+    assert(got(("b", "c", "d")) === ((4L, 4L, true)))
+    // (a,c) -> b: a->b fails (a=1 -> {1,2}), c->b fails (c=10 -> {1,2});
+    // (a,c) distinct = 4, with b = 4 -> holds
+    assert(got(("a", "c", "b")) === ((4L, 4L, true)))
+  }
+
+  test("c17 pruning soundness under NULLs: unary holds on the (a,c) " +
+      "superset implies the composite on the (a,b,c) subset — pruning " +
+      "never hides a failing composite") {
+    import spark.implicits._
+    // a -> c holds over (a,c) NULL-free rows, INCLUDING a row whose b is
+    // NULL; the composite's row set is strictly smaller — still implied
+    val t = Seq(
+      (Some(1L), Some(1L), Some(10L)),
+      (Some(1L), None, Some(10L)),
+      (Some(2L), Some(1L), Some(20L)))
+      .toDF("a", "b", "c")
+    val got = Profile.fdCompositeOf(Seq(("t", t, Seq("a", "b", "c"))))
+      .collect()
+    // every composite with dep c is pruned (a -> c holds); remaining
+    // candidates carry dep a or dep b only
+    assert(!got.exists(r => r.getString(3) == "c"),
+      s"composites with dep c must be pruned: ${got.mkString(",")}")
+  }
+
+  test("c17 fixture: lineitem's surviving candidates carry exact counts " +
+      "and the level-1 pruning matches c15's verdicts") {
+    val l1 = Profile.fdDiscovery(spark, sfDir).collect()
+      .filter(_.getString(0) == "lineitem")
+      .map(r => (r.getString(1), r.getString(2)) -> r.getBoolean(5)).toMap
+    val got = Profile.fdComposite(spark, sfDir).collect()
+    got.foreach { r =>
+      val (d1, d2, dep) = (r.getString(1), r.getString(2), r.getString(3))
+      assert(!l1((d1, dep)) && !l1((d2, dep)),
+        s"($d1,$d2)->$dep emitted but a unary parent holds — pruning leak")
+      assert(r.getLong(4) <= r.getLong(5),
+        "n_det can never exceed n_pairs")
+    }
+    // the candidate set is exactly the unpruned lattice level 2
+    val cs = Profile.FdCompositeCols.collectFirst {
+      case ("lineitem", c) => c }.get
+    val expected = (for {
+      i <- cs.indices; j <- cs.indices if i < j
+      c <- cs if c != cs(i) && c != cs(j)
+      if !l1((cs(i), c)) && !l1((cs(j), c))
+    } yield (cs(i), cs(j), c)).toSet
+    assert(got.map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      .toSet === expected)
+  }
+
   test("c11 artifact reuse: persisted distinct relation serves repeat runs " +
       "and matches the unamortized build exactly") {
     // round-11 verdict item #4: the distinct relation is a Scratch
