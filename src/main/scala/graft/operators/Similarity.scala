@@ -254,7 +254,7 @@ object Similarity {
     (x.toDouble / 0x80000000L.toDouble - 0.5).toFloat
   }
 
-  private lazy val centroids: Seq[Seq[Float]] =
+  private[operators] lazy val centroids: Seq[Seq[Float]] =
     (0 until NCentroids).map(c => (0 until Dim).map(d => centroidComponent(c, d)))
 
   /** Top-n centroid ids by dot product, as an array column. Each dot is
@@ -271,7 +271,7 @@ object Similarity {
   }
 
   /** Argmax-dot centroid id (ties → highest id, deterministic). */
-  private def assignColumnOf(ctrs: Seq[Seq[Float]])(v: org.apache.spark.sql.Column) =
+  private[operators] def assignColumnOf(ctrs: Seq[Seq[Float]])(v: org.apache.spark.sql.Column) =
     element_at(topCentroidsOf(ctrs)(v, 1), 1)
 
   /** IVF probe join for an arbitrary coarse quantizer. Zero-norm vectors
@@ -511,6 +511,67 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
 
   // ---------------------------------------------------------------------
+  // N16 — TOMBSTONE-aware IVF serve (round-12 verdict item #6): n12
+  // covers inserts, b13 covers retrieval forget — this is the vector
+  // side of deletion. A 100 TB vector index never rewrites its inverted
+  // lists per delete; deletes accumulate as a TOMBSTONE relation that is
+  // anti-joined against list members BEFORE rerank, so deleted vectors
+  // neither occupy result slots nor shield better survivors, and the
+  // physical artifact stays immutable until the next compaction (the
+  // FAISS IDSelector / Lucene live-docs discipline).
+  //
+  // The claim, pinned as DATA (n7's accounting shape): under the frozen
+  // coarse quantizer, assignment is per-vector, so tombstone-filtering
+  // the maintained lists must EQUAL a full rebuild over the post-delete
+  // corpus — serve results identical, recall exactly 1.0, and no served
+  // vec_id in the delete set. The gate row carries (n_deleted,
+  // n_expected, n_hits, recall, no_deleted_served); the oracle
+  // recomputes the rebuilt serve from scratch in SQL (n4's CTE chain
+  // with the delete predicate inside the lists CTE) and derives
+  // no_deleted_served by exact bool_and over its own result — a serving
+  // path that leaked a tombstoned vector or dropped a survivor
+  // hash-diverges on n_hits/no_deleted_served immediately.
+  // ---------------------------------------------------------------------
+  val IvfDeleteMod = 5L
+  val IvfDeleteRes = 2L
+
+  def annIvfDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = nonZeroEmbeddings(spark, dir)
+    val tomb = emb.filter(col("vec_id") % IvfDeleteMod === IvfDeleteRes)
+      .select(col("vec_id"))
+    // queries are EXTERNAL — deletion removes stored vectors, not the
+    // right to query (serveIvf's self-exclusion handles identity hits)
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // serving path: the maintained artifact (persisted ∪ delta) with the
+    // tombstone set anti-joined before rerank — no list rewrite
+    val served = serveIvf(queries,
+      maintainedIvfLists(spark, dir).join(tomb, Seq("vec_id"), "left_anti"))
+    // evaluation arm (n7's embedded-baseline shape): a full rebuild over
+    // the post-delete corpus under the same frozen quantizer
+    val rebuilt = serveIvf(queries,
+      emb.join(tomb, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"),
+          assignColumnOf(centroids)(col("embedding")).as("centroid"),
+          col("embedding")))
+    val nDeleted = tomb.agg(count(lit(1)).as("n_deleted"))
+    val servedTomb = served.agg(coalesce(
+      max((col("vec_id") % IvfDeleteMod === IvfDeleteRes).cast("int")),
+      lit(0)).as("served_deleted"))
+    rebuilt.select(col("query_id"), col("vec_id"))
+      .join(served.select(col("query_id"), col("vec_id"),
+        lit(1).as("hit")), Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_expected"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .crossJoin(broadcast(nDeleted))
+      .crossJoin(broadcast(servedTomb))
+      .select(col("n_deleted"), col("n_expected"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_expected"), 6)
+          .as("recall"),
+        (col("served_deleted") === 0).as("no_deleted_served"))
+  }
+
+  // ---------------------------------------------------------------------
   // N13 — the REFIT TRIGGER n12 defers to: is the arrival batch drawn
   // from the same coarse-quantizer distribution as the existing corpus?
   // A frozen quantizer stays healthy only while arrivals fill the
@@ -679,6 +740,46 @@ object Similarity {
   val annIvfKmeansSql: String =
     ("WITH " + (kmeansFitCtesSql :+ ivfProbeCtes(s"ct$KmeansIters"))
       .mkString(", ") + ", " + scoredTailSql).replace('\n', ' ')
+
+  /** n4's probe CTEs with the tombstone predicate inside the lists CTE —
+    * the oracle's from-scratch rebuild over the post-delete corpus.
+    */
+  private def ivfProbeCtesDeleted(ct: String): String =
+    s"""dq AS (SELECT e.vec_id, ct.c,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_inner_product(e.emb, ct.v) DESC, ct.c DESC) AS rk
+       | FROM e, $ct ct),
+       |lists AS (SELECT vec_id, c AS centroid FROM dq
+       |  WHERE rk = 1 AND vec_id % $IvfDeleteMod <> $IvfDeleteRes),
+       |probes AS (SELECT vec_id AS query_id, c AS centroid FROM dq
+       |  WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |pairs AS (
+       | SELECT DISTINCT p.query_id, l.vec_id
+       | FROM probes p JOIN lists l ON p.centroid = l.centroid
+       | WHERE l.vec_id <> p.query_id)""".stripMargin
+
+  val annIvfDeletesSql: String =
+    s"""WITH ${centroidLcgCteSql("ctrs")},
+       |$embCte,
+       |${ivfProbeCtesDeleted("ctrs")},
+       |scored AS (
+       | SELECT p.query_id, p.vec_id,
+       |  row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY round(list_cosine_similarity(qe.emb, ce.emb), 6) DESC,
+       |      p.vec_id) AS rank
+       | FROM pairs p JOIN e qe ON qe.vec_id = p.query_id
+       |   JOIN e ce ON ce.vec_id = p.vec_id),
+       |serve AS (SELECT query_id, vec_id FROM scored WHERE rank <= $TopK)
+       |SELECT
+       | CAST((SELECT count(*) FROM e
+       |   WHERE vec_id % $IvfDeleteMod = $IvfDeleteRes) AS BIGINT)
+       |  AS n_deleted,
+       | CAST(count(*) AS BIGINT) AS n_expected,
+       | CAST(count(*) AS BIGINT) AS n_hits,
+       | round(count(*)::DOUBLE / count(*), 6) AS recall,
+       | bool_and(vec_id % $IvfDeleteMod <> $IvfDeleteRes)
+       |  AS no_deleted_served
+       |FROM serve""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
   // D14 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -1394,6 +1495,13 @@ object Similarity {
   val all: Seq[Q] = Seq(
     Q("n13_ivf_drift", ivfDrift, Some(ivfDriftSql),
       "n12's refit trigger: c4's integer-exact chi-square over the maintained index's centroid x epoch cells — quantizer-distribution drift of the arrival batch as one accounting row (training-data extension)"),
+    Q("n16_ivf_deletes", annIvfDeletes, Some(annIvfDeletesSql),
+      "tombstone-aware IVF serve (the FAISS IDSelector / Lucene live-docs " +
+        "discipline): deletes anti-joined against the maintained lists " +
+        "BEFORE rerank, no list rewrite; under the frozen quantizer the " +
+        "result must equal a post-delete full rebuild — recall 1.0 and " +
+        "no_deleted_served pinned as data by an oracle that rebuilds " +
+        "from scratch in SQL (training-data extension)"),
     Q("n12_incremental_ivf", annIvfIncremental, Some(annIvfSql),
       "O(delta) IVF maintenance (b8's pattern for vectors): persisted inverted lists + frozen-quantizer assignment of the arrival slice only; the maintained view serves n4's probe and the oracle is the full rebuild (training-data extension)"),
     Q("n11_filtered_ann", annFiltered, Some(annFilteredSql),

@@ -324,6 +324,34 @@ object Streams {
       .agg(graft.expressions.SketchFunctions
         .cms_build(col("h"), width, divisors).as("cms"))
 
+  /** Streaming a10 — the Misra-Gries heavy-hitters sketch maintained
+    * ONLINE (complete mode): the identical
+    * [[graft.expressions.HeavyHitters]] aggregate over the live stream,
+    * so a "trending keys right now" panel reads ≤ k (key, est) pairs of
+    * state at any moment regardless of key cardinality — the frequency
+    * companion to [[streamingCms]]'s point lookups and a9's distincts.
+    * Across micro-batches the state store merges each batch's partial
+    * sketch via the subtract-merge (combine counts, subtract the
+    * (k+1)-th largest, drop non-positives).
+    *
+    * Twin discipline, calibrated to the math (StreamHeavyHittersSpec):
+    * unlike the CMS matrix, the MG STATE is not merge-order canonical —
+    * only its GUARANTEE is merge-invariant (Agarwal et al. 2013,
+    * mergeable summaries): after any micro-batch split, every key with
+    * exact count > n/(k+1) is present, and every estimate sits in
+    * [exact − n/(k+1), exact]. The spec pins that guarantee across
+    * splits, pins that the subtract-merge genuinely fired (more
+    * distinct keys than state slots forces drops), and pins EXACT
+    * split-equality with the one-shot batch build in the ≤ k-distinct
+    * regime where no decrement can ever fire and MG degenerates to
+    * exact counts.
+    */
+  def streamingHeavyHitters(events: DataFrame, k: Int): DataFrame =
+    events
+      .filter(col("event_type").isNotNull)
+      .agg(graft.expressions.SketchFunctions
+        .heavy_hitters(col("event_type"), k).as("hh"))
+
   /** Streaming c14 — the categorical value-count state maintained ONLINE
     * (complete mode): grouped (v, c) counts over the live event-type
     * stream — dimension-sized state by c12's categorical assumption, and

@@ -153,7 +153,16 @@ class PlanInvariantsSpec extends SparkSuite {
       "b16_mrr_eval",
       // x20: x10's 1-row broadcast scalar recombine (corpus doc count N
       // joins the Heaps-bounded df dimension) — same labeled pattern
-      "x20_keywords")
+      "x20_keywords",
+      // w20: w8's grid constructor verbatim over the sparsified input —
+      // the same ONE-row (lo, hi) bounds crossJoin onto distinct types
+      "w20_gap_fill_sparse",
+      // n16: n7's evaluation shape — embeds the post-delete full-rebuild
+      // baseline it measures the tombstoned serve against, and the two
+      // 1-row accounting scalars (n_deleted, served_deleted) recombine
+      // as 1-row broadcast crossJoins (c1's shape); the serving joins
+      // themselves are centroid/vec_id equi-joins
+      "n16_ivf_deletes")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
