@@ -111,17 +111,37 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  /** Per-query CLEAN reference from bench_history.jsonl: the minimum of the
-    * query's recorded medians across all full-sweep entries. Minimum, not
-    * median-of-history, because history itself contains contended sweeps
-    * (BENCH_r11 at loadavg 3.26, BENCH_r12's mid-sweep squeeze) — a
-    * contended entry can only RAISE a median, never lower it below the
-    * engine's true cost, so the fastest recorded median is the one number
-    * contention cannot have manufactured. Queries absent from history
-    * (new this round) have no reference and are never flagged. Only
-    * entries recorded at the SAME sf dir count — a history line from a
-    * smaller fixture would make every query at the round scale read as
-    * an outlier.
+  /** Canonical form for sf-dir comparison: absolute, normalized, no
+    * trailing slash — `/root/testdata/sf0.1/` and a relative spelling of
+    * the same dir must match the recorded history entries, or the anchor
+    * silently never engages (the exact silent-cap failure this pass
+    * exists to prevent).
+    */
+  private def canonSf(s: String): String =
+    try java.nio.file.Paths.get(s).toAbsolutePath.normalize.toString
+    catch { case _: Throwable => s.stripSuffix("/") }
+
+  /** How many most-recent same-sf history entries the reference spans.
+    * Bounded lookback, not all-time: an all-time min can never rise, so a
+    * legitimate plan change that slows a query would be flagged (and pay
+    * serial re-measures) on every future sweep forever. Ten entries spans
+    * several sessions — enough that box-local contention can't own the
+    * whole window — while letting the reference follow real plan changes
+    * after the window turns over.
+    */
+  val HistoryLookback = 10
+
+  /** Per-query CLEAN reference from bench_history.jsonl: the minimum of
+    * the query's recorded medians across the last [[HistoryLookback]]
+    * same-sf full-sweep entries. Minimum, not median-of-history, because
+    * history itself contains contended sweeps (BENCH_r11 at loadavg 3.26,
+    * BENCH_r12's mid-sweep squeeze) — a contended entry can only RAISE a
+    * median, never lower it below the engine's true cost, so the fastest
+    * recorded median is the one number contention cannot have
+    * manufactured. Queries absent from history (new this round) have no
+    * reference and are never flagged. Only entries recorded at the SAME
+    * sf dir count — a history line from a smaller fixture would make
+    * every query at the round scale read as an outlier.
     */
   private def historyRefs(sfDir: String): Map[String, Double] =
     try {
@@ -129,32 +149,43 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val acc = scala.collection.mutable.Map.empty[String, Double]
-        scala.jdk.CollectionConverters.CollectionHasAsScala(
+        val sfCanon = canonSf(sfDir)
+        val sameSf = scala.jdk.CollectionConverters.CollectionHasAsScala(
           java.nio.file.Files.readAllLines(p)).asScala
-          .filter(_.trim.nonEmpty).foreach { line =>
+          .filter(_.trim.nonEmpty).flatMap { line =>
             try {
               val node = mapper.readTree(line)
               val sfNode = node.get("sf")
               val qs = node.get("queries")
-              if (sfNode != null && sfNode.asText() == sfDir &&
-                  qs != null && qs.isObject) {
-                val it = qs.fields()
-                while (it.hasNext) {
-                  val e = it.next()
-                  val v = e.getValue.asDouble(Double.NaN)
-                  if (!v.isNaN)
-                    acc.updateWith(e.getKey) {
-                      case Some(prev) => Some(math.min(prev, v))
-                      case None       => Some(v)
-                    }
-                }
+              if (sfNode != null && canonSf(sfNode.asText()) == sfCanon &&
+                  qs != null && qs.isObject) Some(qs)
+              else None
+            } catch { case _: Throwable => None } // a corrupt line loses itself only
+          }.toSeq
+        val acc = scala.collection.mutable.Map.empty[String, Double]
+        sameSf.takeRight(HistoryLookback).foreach { qs =>
+          val it = qs.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val v = e.getValue.asDouble(Double.NaN)
+            if (!v.isNaN)
+              acc.updateWith(e.getKey) {
+                case Some(prev) => Some(math.min(prev, v))
+                case None       => Some(v)
               }
-            } catch { case _: Throwable => () } // a corrupt line loses itself only
           }
+        }
         acc.toMap
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** NaN-safe JSON number rendering: a raw Double.NaN interpolation is
+    * not legal JSON — it would invalidate the round artifact AND make
+    * historyRefs' per-line parse discard the whole history entry on every
+    * future run. NaN (loadavg unreadable) renders as null.
+    */
+  private def jsonNum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else d.toString
 
   /** History-anchored outlier threshold: flagged when the sweep median is
     * more than [[HistoryFactor]]x the query's clean history reference AND
@@ -272,6 +303,17 @@ object Bench {
     // judge to diff it against history.
     // ------------------------------------------------------------------
     val refs = if (only.isEmpty) historyRefs(sfDir) else Map.empty[String, Double]
+    // the anchor must be distinguishable from "never engaged": a full run
+    // with history on disk but zero usable refs is a configuration bug
+    // (sf-dir spelling, corrupt file), not a clean bill of health
+    if (only.isEmpty) {
+      System.err.println(s"[bench] history anchor: ${refs.size} query refs " +
+        s"loaded for $sfDir")
+      if (refs.isEmpty &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get("bench_history.jsonl")))
+        System.err.println("[bench] WARNING: bench_history.jsonl exists but " +
+          "yielded no same-sf refs — the history anchor is NOT engaged")
+    }
     val outlierLog = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val flagged = results.toSeq.collect {
       case (name, ts) if ts.nonEmpty && refs.get(name).exists(r =>
@@ -286,10 +328,11 @@ object Bench {
       val extra = run(name, fn, Repeats, base = false)
       val after = before ++ extra
       results(name) = after
-      qLoad(name) = loadavg1()
+      val loadNow = loadavg1() // ONE reading for both records — the two
+      qLoad(name) = loadNow    // fields must never contradict each other
       outlierLog(name) = f"""{"median_initial":${median(before)},""" +
         f""""history_ref":$ref,"median_final":${median(after)},""" +
-        f""""loadavg_after":${loadavg1()},"extra_repeats":${extra.size}}"""
+        s""""loadavg_after":${jsonNum(loadNow)},"extra_repeats":${extra.size}}"""
       if (!remeasured.contains(name)) remeasured += name
     }
     val loadAfter = loadavg()
@@ -308,7 +351,7 @@ object Bench {
     val qsN = timed.map { case (k, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val qsLoad = timed.map { case (k, _, _, _) =>
-      "\"" + k + "\":" + qLoad.getOrElse(k, Double.NaN) }
+      "\"" + k + "\":" + jsonNum(qLoad.getOrElse(k, Double.NaN)) }
       .mkString("{", ",", "}")
     val outliersJson = outlierLog.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1018,39 +1018,55 @@ object Profile {
     * PER PAIR — 44 shuffles across 22 plan branches, 6.3 s at sf0.1;
     * this form is 2 shuffles per table over #pairs× the artifact rows.
     */
+  /** Integral-candidate contract shared by the WHOLE FD family (c15/c16/
+    * c17) — enforced once (round-12 review): the tagged explode needs one
+    * common value type, and a silent cast("long") would NULL out strings
+    * (pair vanishes) or truncate fractionals (1.2 and 1.7 merge — a
+    * violated FD reads as held). FD discovery here is per type class,
+    * like c11's IND discovery; non-integral candidates are a loud error,
+    * never a wrong answer.
+    */
+  private def requireIntegralCandidates(who: String, t: String,
+      df: DataFrame, cs: Seq[String]): Unit =
+    cs.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType ||
+          dt == org.apache.spark.sql.types.ShortType ||
+          dt == org.apache.spark.sql.types.ByteType,
+        s"$who: candidate $t.$c has non-integral type $dt")
+    }
+
+  /** The FD family's ONE tagged relation: (p, va, vb) exploded from every
+    * ordered pair, integer pair tag through the heavy shuffles (an
+    * (int, long, long) row, not two strings per row — names rebind in the
+    * final pair-count-sized projection), NULL-free rows only.
+    */
+  private def taggedPairsOf(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame =
+    df.select(explode(array(pairs.zipWithIndex.map {
+        case ((a, b), i) =>
+          struct(lit(i).as("p"),
+            col(a).cast("long").as("va"), col(b).cast("long").as("vb"))
+      }: _*)).as("x"))
+      .select(col("x.p"), col("x.va"), col("x.vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+
+  /** The FD family's ONE counting tail over a tagged relation: dedup to
+    * the distinct mapping relation, then two counting levels that
+    * collapse on already-shrunk relations → (p, n_det, n_pairs).
+    */
+  private def pairStatsOf(tagged: DataFrame): DataFrame =
+    tagged.dropDuplicates("p", "va", "vb")
+      .groupBy(col("p"), col("va")).agg(count(lit(1)).as("n_deps"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_det"), sum(col("n_deps")).as("n_pairs"))
+
   def fdDiscoveryOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
     tables.map { case (t, df, cs) =>
-      // integral-candidate contract, enforced (round-12 review): the
-      // tagged explode needs one common value type, and a silent
-      // cast("long") would NULL out strings (pair vanishes) or truncate
-      // fractionals (1.2 and 1.7 merge — a violated FD reads as held).
-      // FD discovery here is per type class, like c11's IND discovery;
-      // non-integral candidates are a loud error, never a wrong answer.
-      cs.foreach { c =>
-        val dt = df.schema(c).dataType
-        require(dt == org.apache.spark.sql.types.LongType ||
-            dt == org.apache.spark.sql.types.IntegerType ||
-            dt == org.apache.spark.sql.types.ShortType ||
-            dt == org.apache.spark.sql.types.ByteType,
-          s"fdDiscoveryOf: candidate $t.$c has non-integral type $dt")
-      }
+      requireIntegralCandidates("fdDiscoveryOf", t, df, cs)
       val pairs = for { a <- cs; b <- cs if a != b } yield (a, b)
-      // integer pair tag through the heavy shuffles (an (int, long, long)
-      // row, not two strings per row — the names rebind in the final
-      // 22-row projection); dedup to the distinct mapping relation, then
-      // the two counting levels collapse on already-shrunk relations
-      val tagged = df.select(explode(array(pairs.zipWithIndex.map {
-          case ((a, b), i) =>
-            struct(lit(i).as("p"),
-              col(a).cast("long").as("va"), col(b).cast("long").as("vb"))
-        }: _*)).as("x"))
-        .select(col("x.p"), col("x.va"), col("x.vb"))
-        .filter(col("va").isNotNull && col("vb").isNotNull)
-      val mappings = tagged.dropDuplicates("p", "va", "vb")
-      val perDet = mappings.groupBy(col("p"), col("va"))
-        .agg(count(lit(1)).as("n_deps"))
-      val stats = perDet.groupBy(col("p"))
-        .agg(count(lit(1)).as("n_det"), sum(col("n_deps")).as("n_pairs"))
+      val stats = pairStatsOf(taggedPairsOf(df, pairs))
       // LEFT join from the complete pair list (round-12 review): a pair
       // with ZERO NULL-free rows produces no group above, but the
       // contract — and the oracle's per-pair UNION ALL — emits one row
@@ -1140,29 +1156,13 @@ object Profile {
     */
   def fdSampledOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
     tables.map { case (t, df, cs) =>
-      cs.foreach { c =>
-        val dt = df.schema(c).dataType
-        require(dt == org.apache.spark.sql.types.LongType ||
-            dt == org.apache.spark.sql.types.IntegerType ||
-            dt == org.apache.spark.sql.types.ShortType ||
-            dt == org.apache.spark.sql.types.ByteType,
-          s"fdSampledOf: candidate $t.$c has non-integral type $dt")
-      }
+      requireIntegralCandidates("fdSampledOf", t, df, cs)
       val pairs = for { a <- cs; b <- cs if a != b } yield (a, b)
-      val tagged = df.select(explode(array(pairs.zipWithIndex.map {
-          case ((a, b), i) =>
-            struct(lit(i).as("p"),
-              col(a).cast("long").as("va"), col(b).cast("long").as("vb"))
-        }: _*)).as("x"))
-        .select(col("x.p"), col("x.va"), col("x.vb"))
-        .filter(col("va").isNotNull && col("vb").isNotNull)
+      val tagged = taggedPairsOf(df, pairs)
       // phase 1 — refute from the sampled determinant groups only
-      val sampledStats = tagged.filter(fdSampleKeep(col("va")))
-        .dropDuplicates("p", "va", "vb")
-        .groupBy(col("p"), col("va")).agg(count(lit(1)).as("n_deps"))
-        .groupBy(col("p"))
-        .agg(count(lit(1)).as("n_det_sampled"),
-          sum(col("n_deps")).as("n_pairs_sampled"))
+      val sampledStats = pairStatsOf(tagged.filter(fdSampleKeep(col("va"))))
+        .withColumnRenamed("n_det", "n_det_sampled")
+        .withColumnRenamed("n_pairs", "n_pairs_sampled")
       val refuted: Set[Int] = sampledStats
         .filter(col("n_pairs_sampled") > col("n_det_sampled"))
         .select(col("p")).collect().map(_.getInt(0)).toSet
@@ -1170,12 +1170,10 @@ object Profile {
       val survivors = pairs.indices.filterNot(refuted)
       val exactStats =
         if (survivors.isEmpty) null
-        else tagged.filter(col("p").isin(survivors.map(Integer.valueOf): _*))
-          .dropDuplicates("p", "va", "vb")
-          .groupBy(col("p"), col("va")).agg(count(lit(1)).as("n_deps"))
-          .groupBy(col("p"))
-          .agg(count(lit(1)).as("n_det_exact"),
-            sum(col("n_deps")).as("n_pairs_exact"))
+        else pairStatsOf(
+          tagged.filter(col("p").isin(survivors.map(Integer.valueOf): _*)))
+          .withColumnRenamed("n_det", "n_det_exact")
+          .withColumnRenamed("n_pairs", "n_pairs_exact")
       val spark0 = df.sparkSession
       import spark0.implicits._
       val allPairs = pairs.zipWithIndex
@@ -1262,14 +1260,7 @@ object Profile {
     */
   def fdCompositeOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
     tables.map { case (t, df, cs) =>
-      cs.foreach { c =>
-        val dt = df.schema(c).dataType
-        require(dt == org.apache.spark.sql.types.LongType ||
-            dt == org.apache.spark.sql.types.IntegerType ||
-            dt == org.apache.spark.sql.types.ShortType ||
-            dt == org.apache.spark.sql.types.ByteType,
-          s"fdCompositeOf: candidate $t.$c has non-integral type $dt")
-      }
+      requireIntegralCandidates("fdCompositeOf", t, df, cs)
       // level-1 verdicts (pair-count-bounded planning state)
       val l1: Map[(String, String), Boolean] =
         fdDiscoveryOf(Seq((t, df, cs))).collect()

@@ -558,15 +558,20 @@ object Similarity {
     val servedTomb = served.agg(coalesce(
       max((col("vec_id") % IvfDeleteMod === IvfDeleteRes).cast("int")),
       lit(0)).as("served_deleted"))
+    // empty-serve edge defined EXHAUSTIVELY (the c15/s27 latent-divergence
+    // class): zero expected pairs reads (0, 0, recall 1.0 — vacuously
+    // complete, true) in BOTH engines, never NULL sums or 0/0 divisions
     rebuilt.select(col("query_id"), col("vec_id"))
       .join(served.select(col("query_id"), col("vec_id"),
         lit(1).as("hit")), Seq("query_id", "vec_id"), "left")
       .agg(count(lit(1)).as("n_expected"),
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        coalesce(sum(coalesce(col("hit"), lit(0))), lit(0L)).cast("long")
+          .as("n_hits"))
       .crossJoin(broadcast(nDeleted))
       .crossJoin(broadcast(servedTomb))
       .select(col("n_deleted"), col("n_expected"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_expected"), 6)
+        when(col("n_expected") === 0, lit(1.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_expected"), 6))
           .as("recall"),
         (col("served_deleted") === 0).as("no_deleted_served"))
   }
@@ -776,8 +781,9 @@ object Similarity {
        |  AS n_deleted,
        | CAST(count(*) AS BIGINT) AS n_expected,
        | CAST(count(*) AS BIGINT) AS n_hits,
-       | round(count(*)::DOUBLE / count(*), 6) AS recall,
-       | bool_and(vec_id % $IvfDeleteMod <> $IvfDeleteRes)
+       | CASE WHEN count(*) = 0 THEN CAST(1.0 AS DOUBLE)
+       |  ELSE round(count(*)::DOUBLE / count(*), 6) END AS recall,
+       | coalesce(bool_and(vec_id % $IvfDeleteMod <> $IvfDeleteRes), TRUE)
        |  AS no_deleted_served
        |FROM serve""".stripMargin.replace('\n', ' ')
 

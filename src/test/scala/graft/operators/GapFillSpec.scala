@@ -63,16 +63,32 @@ class GapFillSpec extends SparkSuite {
     // are carried; sanity-bound it rather than pin the fixture count
     assert(carried.length > rows.count(_.getString(0) == "view") / 2,
       s"only ${carried.length} carried rows — sparsification too weak")
-    // non-sparsified types are untouched relative to w8: dense fill,
-    // same (type, bucket) -> n_events relation
+    // non-sparsified types are untouched relative to w8 WITHIN the shared
+    // grid span: same (type, bucket) -> n_events mapping. Compared as a
+    // submap, not set equality — if a future fixture's global min/max
+    // hour happened to be owned exclusively by a 'view' event at an hour
+    // not = 0 mod 6, sparsification would legitimately shrink the shared
+    // [lo, hi] grid (both engines agree, the gate stays green), and a
+    // bound-coupled equality here would be a false red
     val dense = Monitoring.gapFill(spark, sfDir).collect()
       .filter(_.getString(0) != "view")
-      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
     val sparseOthers = rows.filter(_.getString(0) != "view")
-      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
-    assert(sparseOthers === dense,
-      "sparsifying one type must not disturb the other series")
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    sparseOthers.foreach { case (key, n) =>
+      assert(dense.get(key).contains(n),
+        s"sparsifying one type disturbed $key: $n vs ${dense.get(key)}")
+    }
+    assert(sparseOthers.nonEmpty &&
+      sparseOthers.size >= dense.size - SparseEveryHoursSlack,
+      "dense types lost more grid coverage than a bounds shift can explain")
   }
+
+  /** A bounds shift can trim at most a handful of edge buckets per dense
+    * type; anything larger means the sparse variant corrupted its
+    * neighbors. 4 types x 6 hours of possible edge trim.
+    */
+  private val SparseEveryHoursSlack = 24
 
   // ---------------------------------------------------------------------
   // w14 — hourly percentile bands
