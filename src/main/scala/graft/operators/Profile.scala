@@ -1044,8 +1044,16 @@ object Profile {
     */
   private def taggedPairsOf(df: DataFrame,
       pairs: Seq[(String, String)]): DataFrame =
-    df.select(explode(array(pairs.zipWithIndex.map {
-        case ((a, b), i) =>
+    taggedPairsAt(df, pairs.zipWithIndex.map { case (p, i) => (i, p) })
+
+  /** [[taggedPairsOf]] with caller-assigned pair ids — lets a two-phase
+    * caller explode ONLY the pairs a phase touches while keeping ids
+    * stable across phases.
+    */
+  private def taggedPairsAt(df: DataFrame,
+      pairs: Seq[(Int, (String, String))]): DataFrame =
+    df.select(explode(array(pairs.map {
+        case (i, (a, b)) =>
           struct(lit(i).as("p"),
             col(a).cast("long").as("va"), col(b).cast("long").as("vb"))
       }: _*)).as("x"))
@@ -1153,54 +1161,80 @@ object Profile {
 
   /** (table_name, det_col, dep_col, n_det_sampled, n_pairs_sampled,
     * sampled_refuted, exact_checked, holds) per ordered candidate pair.
+    *
+    * GLOBAL two-phase plan, not per-table: pair tags are offset per
+    * table into one id space, every table's tagged relation unions into
+    * ONE phase-1 job and (after the single pair-count-bounded refuted-id
+    * collect) ONE phase-2 job — a per-table structure would serialize
+    * 2 × #tables driver barriers (the first cut measured 10.5 s at
+    * sf0.1 against this form's two jobs; at a 100-table lake the
+    * difference is 200 sequential barriers vs 2).
     */
-  def fdSampledOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
-    tables.map { case (t, df, cs) =>
-      requireIntegralCandidates("fdSampledOf", t, df, cs)
-      val pairs = for { a <- cs; b <- cs if a != b } yield (a, b)
-      val tagged = taggedPairsOf(df, pairs)
-      // phase 1 — refute from the sampled determinant groups only
-      val sampledStats = pairStatsOf(tagged.filter(fdSampleKeep(col("va"))))
-        .withColumnRenamed("n_det", "n_det_sampled")
-        .withColumnRenamed("n_pairs", "n_pairs_sampled")
-      val refuted: Set[Int] = sampledStats
-        .filter(col("n_pairs_sampled") > col("n_det_sampled"))
-        .select(col("p")).collect().map(_.getInt(0)).toSet
-      // phase 2 — exact verification for SURVIVORS only
-      val survivors = pairs.indices.filterNot(refuted)
-      val exactStats =
-        if (survivors.isEmpty) null
-        else pairStatsOf(
-          tagged.filter(col("p").isin(survivors.map(Integer.valueOf): _*)))
-          .withColumnRenamed("n_det", "n_det_exact")
-          .withColumnRenamed("n_pairs", "n_pairs_exact")
-      val spark0 = df.sparkSession
-      import spark0.implicits._
-      val allPairs = pairs.zipWithIndex
-        .map { case ((a, b), i) => (i, a, b, refuted.contains(i)) }
-        .toDF("p", "det_col", "dep_col", "sampled_refuted")
-      val withSample = broadcast(allPairs)
-        .join(sampledStats, Seq("p"), "left")
-      val withExact =
-        if (exactStats == null)
-          withSample.withColumn("n_det_exact", lit(null).cast("long"))
-            .withColumn("n_pairs_exact", lit(null).cast("long"))
-        else withSample.join(exactStats, Seq("p"), "left")
-      withExact.select(lit(t).as("table_name"),
-          col("det_col"), col("dep_col"),
-          coalesce(col("n_det_sampled"), lit(0L)).as("n_det_sampled"),
-          coalesce(col("n_pairs_sampled"), lit(0L)).as("n_pairs_sampled"),
-          col("sampled_refuted"),
-          (!col("sampled_refuted")).as("exact_checked"),
-          // refuted ⇒ false (sound by subset construction; the oracle
-          // computes this column EXACTLY, so an unsound refutation is a
-          // hash mismatch); survivors carry the exact verdict, vacuous
-          // pairs (no NULL-free rows) hold trivially
-          when(col("sampled_refuted"), lit(false))
-            .otherwise(coalesce(col("n_det_exact"), lit(0L)) ===
-              coalesce(col("n_pairs_exact"), lit(0L))).as("holds"))
-    }.reduce(_ unionByName _)
+  def fdSampledOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    tables.foreach { case (t, df, cs) =>
+      requireIntegralCandidates("fdSampledOf", t, df, cs) }
+    // one global pair-id space: (global id, table, det, dep)
+    val catalog: Seq[(Int, String, String, String)] = {
+      var next = 0
+      tables.flatMap { case (t, _, cs) =>
+        (for { a <- cs; b <- cs if a != b } yield (a, b)).map { case (a, b) =>
+          val id = next; next += 1; (id, t, a, b)
+        }
+      }
+    }
+    val byTable: Map[String, Seq[(Int, (String, String))]] =
+      catalog.groupBy(_._2).view
+        .mapValues(_.map { case (i, _, a, b) => (i, (a, b)) }).toMap
+    def taggedFor(ids: Set[Int]): DataFrame =
+      tables.flatMap { case (t, df, _) =>
+        val mine = byTable(t).filter(p => ids(p._1))
+        if (mine.isEmpty) None else Some(taggedPairsAt(df, mine))
+      }.reduce(_ unionByName _)
+    // phase 1 — ONE job refutes from the sampled determinant groups of
+    // every table simultaneously
+    val sampledStats = pairStatsOf(
+      taggedFor(catalog.map(_._1).toSet).filter(fdSampleKeep(col("va"))))
+      .withColumnRenamed("n_det", "n_det_sampled")
+      .withColumnRenamed("n_pairs", "n_pairs_sampled")
+    val refuted: Set[Int] = sampledStats
+      .filter(col("n_pairs_sampled") > col("n_det_sampled"))
+      .select(col("p")).collect().map(_.getInt(0)).toSet
+    // phase 2 — ONE job verifies every surviving pair exactly; only the
+    // survivor pairs are exploded at all (a post-explode filter would
+    // still pay the full map-side fan-out for refuted pairs)
+    val survivors = catalog.map(_._1).filterNot(refuted).toSet
+    val exactStats =
+      if (survivors.isEmpty) null
+      else pairStatsOf(taggedFor(survivors))
+        .withColumnRenamed("n_det", "n_det_exact")
+        .withColumnRenamed("n_pairs", "n_pairs_exact")
+    val spark0 = tables.head._2.sparkSession
+    import spark0.implicits._
+    val allPairs = catalog
+      .map { case (i, t, a, b) => (i, t, a, b, refuted.contains(i)) }
+      .toDF("p", "table_name", "det_col", "dep_col", "sampled_refuted")
+    val withSample = broadcast(allPairs)
+      .join(sampledStats, Seq("p"), "left")
+    val withExact =
+      if (exactStats == null)
+        withSample.withColumn("n_det_exact", lit(null).cast("long"))
+          .withColumn("n_pairs_exact", lit(null).cast("long"))
+      else withSample.join(exactStats, Seq("p"), "left")
+    withExact.select(col("table_name"),
+        col("det_col"), col("dep_col"),
+        coalesce(col("n_det_sampled"), lit(0L)).as("n_det_sampled"),
+        coalesce(col("n_pairs_sampled"), lit(0L)).as("n_pairs_sampled"),
+        col("sampled_refuted"),
+        (!col("sampled_refuted")).as("exact_checked"),
+        // refuted ⇒ false (sound by subset construction; the oracle
+        // computes this column EXACTLY, so an unsound refutation is a
+        // hash mismatch); survivors carry the exact verdict, vacuous
+        // pairs (no NULL-free rows) hold trivially
+        when(col("sampled_refuted"), lit(false))
+          .otherwise(coalesce(col("n_det_exact"), lit(0L)) ===
+            coalesce(col("n_pairs_exact"), lit(0L))).as("holds"))
       .orderBy(col("table_name"), col("det_col"), col("dep_col"))
+  }
 
   def fdSampled(spark: SparkSession, dir: String): DataFrame =
     fdSampledOf(FdCandidateCols.map { case (t, cs) =>
