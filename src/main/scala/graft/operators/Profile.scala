@@ -908,6 +908,8 @@ object Profile {
     fkDistinctRelation(spark, dir)
     FdCandidateCols.foreach { case (t, cs) =>
       fdDistinctRelation(spark, dir, t, cs) }
+    FdCompositeCols.foreach { case (t, cs) =>
+      fdLevel1Indexed(spark, dir, t, cs) }
     ()
   }
 
@@ -1289,15 +1291,37 @@ object Profile {
   val FdCompositeCols: Seq[(String, Seq[String])] =
     FkCandidateCols.filter(_._2.size >= 3)
 
+  /** Level-1 verdicts PERSISTED per table (the c11/fd_distinct Scratch
+    * pattern): the pruning input is content-determined and 2·C(cols,2)
+    * rows — recomputing it per c17 run re-paid a full exact-NDV pass
+    * over the artifact (~1.5 s of c17's 4.9 s at sf0.1) for a relation
+    * that never changes between corpus versions.
+    */
+  private val FdLevel1Version = "fdlevel1-v1"
+
+  private def fdLevel1Indexed(spark: SparkSession, dir: String,
+      table: String, cs: Seq[String]): DataFrame = {
+    val p = graft.Scratch.materialize(spark, s"fd_l1_$table",
+      FdLevel1Version + "-" + cs.mkString("_"), dir)(staging =>
+      fdDiscoveryOf(Seq((table, fdDistinctRelation(spark, dir, table, cs), cs)))
+        .write.parquet(staging))
+    spark.read.parquet(p)
+  }
+
   /** (table_name, det1, det2, dep_col, n_det, n_pairs, holds) for every
     * UNPRUNED composite candidate; det1 < det2 in column-list order.
+    * `l1Of`, when given, supplies a table's level-1 verdicts from a
+    * persisted artifact; otherwise they compute inline (the spec path
+    * over hand tables).
     */
-  def fdCompositeOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
+  def fdCompositeOf(tables: Seq[(String, DataFrame, Seq[String])],
+      l1Of: Option[String => DataFrame] = None): DataFrame =
     tables.map { case (t, df, cs) =>
       requireIntegralCandidates("fdCompositeOf", t, df, cs)
       // level-1 verdicts (pair-count-bounded planning state)
       val l1: Map[(String, String), Boolean] =
-        fdDiscoveryOf(Seq((t, df, cs))).collect()
+        l1Of.map(_(t)).getOrElse(fdDiscoveryOf(Seq((t, df, cs))))
+          .collect()
           .map(r => (r.getString(1), r.getString(2)) -> r.getBoolean(5))
           .toMap
       val composites = for {
@@ -1339,9 +1363,13 @@ object Profile {
     }.reduce(_ unionByName _)
       .orderBy(col("table_name"), col("det1"), col("det2"), col("dep_col"))
 
-  def fdComposite(spark: SparkSession, dir: String): DataFrame =
-    fdCompositeOf(FdCompositeCols.map { case (t, cs) =>
-      (t, fdDistinctRelation(spark, dir, t, cs), cs) })
+  def fdComposite(spark: SparkSession, dir: String): DataFrame = {
+    val colsOf = FdCompositeCols.toMap
+    fdCompositeOf(
+      FdCompositeCols.map { case (t, cs) =>
+        (t, fdDistinctRelation(spark, dir, t, cs), cs) },
+      l1Of = Some(t => fdLevel1Indexed(spark, dir, t, colsOf(t))))
+  }
 
   val fdCompositeSql: String = {
     val parts = FdCompositeCols.flatMap { case (t, cs) =>
