@@ -1264,6 +1264,97 @@ object Profile {
   }
 
   // ---------------------------------------------------------------------
+  // C18 — approximate-FD REPAIR COST: Huhtala et al.'s g3, the standard
+  // approximate-FD measure — the minimum number of ROWS to remove so
+  // A → B holds exactly (g3 = n − Σ_a max_b count(a, b)). c15/c16
+  // measure mapping DIVERSITY on the distinct relation (one noisy row
+  // and a million-row conflict both count as "one extra mapping"); g3
+  // weights by row mass, which is the number a data-cleaning review
+  // actually budgets: "how many rows do I quarantine to enforce this
+  // constraint". Needs multiplicities, so it scans the BASE tables —
+  // the one FD-family member the distinct artifact cannot serve.
+  //
+  // Reported as a MEASUREMENT (c13's discipline — no arbitrary epsilon
+  // boolean; the fixture's violations are bimodal so any fixed
+  // threshold would gate vacuously): n_rows, g3_remove, integer
+  // g3_ppm, and holds (g3 = 0 ⟺ the exact FD — cross-checked against
+  // c15's verdicts in the spec).
+  //
+  // Plan/scale: one global tagged explode over the base tables (c16's
+  // one-id-space discipline — one job, not one per table), ONE
+  // map-side-combined (p, va, vb) count — the shuffle carries distinct
+  // triple counts, not rows — then two dimension-sized aggregate
+  // levels (per-det max+sum, per-pair sums). 2 shuffles total.
+  // ---------------------------------------------------------------------
+
+  /** (table_name, det_col, dep_col, n_rows, g3_remove, g3_ppm, holds)
+    * per ordered candidate pair over explicit base tables.
+    */
+  def fdG3Of(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    tables.foreach { case (t, df, cs) =>
+      requireIntegralCandidates("fdG3Of", t, df, cs) }
+    val catalog: Seq[(Int, String, String, String)] = {
+      var next = 0
+      tables.flatMap { case (t, _, cs) =>
+        (for { a <- cs; b <- cs if a != b } yield (a, b)).map { case (a, b) =>
+          val id = next; next += 1; (id, t, a, b)
+        }
+      }
+    }
+    val byTable = catalog.groupBy(_._2).view
+      .mapValues(_.map { case (i, _, a, b) => (i, (a, b)) }).toMap
+    val tagged = tables.map { case (t, df, _) =>
+      taggedPairsAt(df, byTable(t)) }.reduce(_ unionByName _)
+    val perDet = tagged
+      .groupBy(col("p"), col("va"), col("vb"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("p"), col("va"))
+      .agg(sum(col("cnt")).as("c"), max(col("cnt")).as("m"))
+    val stats = perDet.groupBy(col("p"))
+      .agg(sum(col("c")).as("n_rows"),
+        (sum(col("c")) - sum(col("m"))).as("g3_remove"))
+    val spark0 = tables.head._2.sparkSession
+    import spark0.implicits._
+    val allPairs = catalog.map { case (i, t, a, b) => (i, t, a, b) }
+      .toDF("p", "table_name", "det_col", "dep_col")
+    broadcast(allPairs).join(stats, Seq("p"), "left")
+      .select(col("table_name"), col("det_col"), col("dep_col"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("g3_remove"), lit(0L)).as("g3_remove"))
+      .withColumn("g3_ppm",
+        when(col("n_rows") > 0,
+          expr("(g3_remove * 1000000L) div n_rows"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("holds", col("g3_remove") === 0L)
+      .orderBy(col("table_name"), col("det_col"), col("dep_col"))
+  }
+
+  def fdG3(spark: SparkSession, dir: String): DataFrame =
+    fdG3Of(FdCandidateCols.map { case (t, cs) =>
+      (t, Catalog.table(spark, dir, t), cs) })
+
+  val fdG3Sql: String = {
+    val parts = FdCandidateCols.flatMap { case (t, cs) =>
+      for { a <- cs; b <- cs if a != b } yield
+        s"""SELECT '$t' AS table_name, '$a' AS det_col, '$b' AS dep_col,
+           | CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+           | CAST(coalesce(sum(c) - sum(m), 0) AS BIGINT) AS g3_remove,
+           | CAST(CASE WHEN coalesce(sum(c), 0) > 0
+           |  THEN ((sum(c) - sum(m)) * 1000000) // sum(c)
+           |  ELSE 0 END AS BIGINT) AS g3_ppm,
+           | coalesce(sum(c) - sum(m), 0) = 0 AS holds
+           |FROM (
+           | SELECT va, sum(cnt) AS c, max(cnt) AS m FROM (
+           |  SELECT $a AS va, $b AS vb, count(*) AS cnt FROM $t
+           |  WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2) g
+           | GROUP BY va) d"""
+          .stripMargin.replace('\n', ' ')
+    }
+    parts.mkString("SELECT * FROM (", " UNION ALL ",
+      ") ORDER BY table_name, det_col, dep_col")
+  }
+
+  // ---------------------------------------------------------------------
   // C17 — FD lattice level 2 with level-1 pruning (round-12 verdict item
   // #5; TANE's actual contribution, Huhtala et al. 1999 §3): composite
   // candidates (a, b) → c, with a candidate PRUNED when a → c or b → c
@@ -1663,6 +1754,13 @@ object Profile {
         "aggregate over the artifact with violation counts — the " +
         "within-table determinacy half of the c11/c15 schema-inference " +
         "pre-pass (training-data extension)"),
+    Q("c18_fd_g3", fdG3, Some(fdG3Sql),
+      "approximate-FD repair cost (Huhtala g3): minimum ROWS to remove " +
+        "so A -> B holds exactly — row-mass weighted where c15 counts " +
+        "mapping diversity, the quarantine budget a cleaning review " +
+        "reads; base-table scan with one map-side-combined triple count " +
+        "+ two dimension-sized levels, 2 shuffles; a measurement, no " +
+        "arbitrary epsilon (training-data extension)"),
     Q("c16_fd_sampled", fdSampled, Some(fdSampledSql),
       "c15's 100 TB deployment swap deployed: sample-first-refute (1-in-8 " +
         "determinant-value GROUPS via exact multiplicative hashing) / " +

@@ -475,6 +475,59 @@ class ProfileSpec extends SparkSuite {
       "no fixture pair survived to a passing exact check")
   }
 
+  test("c18 g3 repair cost: row-mass weighting distinguishes it from " +
+      "c15's mapping diversity, and empty pairs are vacuous zeros") {
+    import spark.implicits._
+    // det 1 maps to 10 (x99 rows) and 20 (x1 row): ONE noisy row.
+    //   g3 = 1 of 100 rows -> 10,000 ppm (quarantine one row);
+    //   c15's diversity measure reads the same pair as 2 mappings vs
+    //   1 determinant — a 50%-class violation. Same FD, two different
+    //   questions; the spec pins both numbers.
+    val rows = Seq.fill(99)((Option(1L), Option(10L))) ++
+      Seq((Option(1L), Option(20L)), (Option(2L), Option(30L)),
+        (Option(3L), None: Option[Long]))
+    val t = rows.toDF("k", "v")
+    val g3 = Profile.fdG3Of(Seq(("t", t, Seq("k", "v")))).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // k->v: 101 NULL-free rows, remove 1 -> 9900 ppm (101 rows: 99+1+1)
+    assert(g3(("k", "v")) === ((101L, 1L, 1000000L / 101L, false)),
+      s"g3 must count ROWS to remove: ${g3(("k", "v"))}")
+    // v->k holds exactly: every v maps to one k
+    assert(g3(("v", "k")) === ((101L, 0L, 0L, true)))
+    val c15 = Profile.fdDiscoveryOf(Seq(("t", t, Seq("k", "v"))))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // the SAME pair under the diversity measure: dets {1, 2} (k=3's v
+    // is NULL, so the pair excludes it), mappings {(1,10),(1,20),(2,30)}
+    // — one extra mapping regardless of the 99:1 row skew
+    assert(c15(("k", "v")) === ((2L, 3L)))
+    // all-NULL column: vacuous (0, 0, 0, true) in both directions
+    val empty = Seq((Option(1L), Option.empty[Long])).toDF("k", "w")
+    val g3e = Profile.fdG3Of(Seq(("t", empty, Seq("k", "w")))).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(g3e(("k", "w")) === ((0L, 0L, 0L, true)))
+    assert(g3e(("w", "k")) === ((0L, 0L, 0L, true)))
+  }
+
+  test("c18 fixture: g3 holds agrees with c15's exact verdicts pair for " +
+      "pair (g3 = 0 iff the FD holds)") {
+    val g3 = Profile.fdG3(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getBoolean(6)).toMap
+    val exact = Profile.fdDiscovery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getBoolean(5)).toMap
+    assert(g3.keySet === exact.keySet)
+    g3.foreach { case (pair, h) =>
+      assert(h === exact(pair), s"$pair: g3 and exact verdicts diverge")
+    }
+    // non-vacuous: the fixture exercises both verdicts
+    assert(g3.values.exists(identity) && g3.values.exists(!_))
+  }
+
   test("c17 hand lattice: the composite holds where neither unary does, " +
       "and unary-implied composites are PRUNED from the output") {
     import spark.implicits._
