@@ -604,6 +604,24 @@ class ProfileSpec extends SparkSuite {
       .toSet === expected)
   }
 
+  test("c15 artifact reuse: the gate serves the persisted level-1 relation " +
+      "and it equals the from-scratch discovery exactly") {
+    val served = Profile.fdDiscovery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val fresh = Profile.fdDiscoveryOf(Profile.FdCandidateCols.map {
+        case (t, cs) => (t, graft.Catalog.table(spark, sfDir, t), cs) })
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(served === fresh,
+      "artifact-served c15 must equal the from-scratch discovery")
+    // and repeat calls serve the same persisted files (no rebuild)
+    val a = Profile.fdDiscovery(spark, sfDir).inputFiles.toSet
+    val b = Profile.fdDiscovery(spark, sfDir).inputFiles.toSet
+    assert(a.nonEmpty && a === b)
+  }
+
   test("c11 artifact reuse: persisted distinct relation serves repeat runs " +
       "and matches the unamortized build exactly") {
     // round-11 verdict item #4: the distinct relation is a Scratch
