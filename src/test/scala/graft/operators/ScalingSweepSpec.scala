@@ -172,6 +172,31 @@ class ScalingSweepSpec extends SparkSuite {
       s"d16 candidates $d16CandHi within 10x of all (ordered) pairs")
   }
 
+  test("c16 sample mass: hash60 determinant-group sampling keeps ~1/8 of " +
+      "the groups at BOTH scales (the phase-1 work-reduction claim as a " +
+      "measured number)") {
+    requireSweepFixtures()
+    // measured at pin time: 8,871 / 70,780 = 0.1253 (sf0.01) and
+    // 88,972 / 705,858 = 0.1260 (sf0.1) against the nominal 1/8 = 0.125
+    // — the md5 bucket neither correlates with the generators' key
+    // strides nor drifts with scale. A broken sampler (residue-class
+    // correlation, off-by-one bucket test) lands outside the band.
+    for (dir <- Seq(LoDir, HiDir)) {
+      val sampled = Profile.fdSampled(spark, dir)
+        .agg(org.apache.spark.sql.functions.sum(col("n_det_sampled")))
+        .head().getLong(0)
+      val exact = Profile.fdDiscovery(spark, dir)
+        .agg(org.apache.spark.sql.functions.sum(col("n_det")))
+        .head().getLong(0)
+      val ratio = sampled.toDouble / exact
+      info(f"$dir: sampled $sampled of $exact determinant groups " +
+        f"(ratio $ratio%.4f, nominal ${1.0 / Profile.FdSampleMod}%.4f)")
+      assert(ratio > 0.115 && ratio < 0.135,
+        f"sample mass $ratio%.4f strayed from the 1/8 nominal — the " +
+          "group sampler is biased or disengaged")
+    }
+  }
+
   test("pigeonhole banding (m7/m9): all-pairs fraction does not grow " +
       "across the 10x step and candidates respect the per-cell budget") {
     requireSweepFixtures()
