@@ -196,6 +196,43 @@ object Bench {
   val HistoryFactor = 3.0
   val HistoryFloorSec = 0.5
 
+  /** Box-calibration probe (round-13 verdict item #1): three rounds of
+    * headline totals (128.3 → 110.1 → 180.6 s) moved mostly with the BOX,
+    * not the code — per-query adjudication is anchored to history, but
+    * cross-round TOTALS had no normalizer. This is a fixed synthetic
+    * CPU+shuffle micro-workload with ZERO fixture dependence (a range
+    * scan hashed per row, one grouped shuffle, one global re-aggregate —
+    * the codegen + exchange + aggregate path every real query exercises),
+    * so its wall time measures the box, never the engine. It runs before
+    * AND after the sweep; the JSON stamps both plus
+    * `box_calibration_sec` = the MIN of the two (contention can only
+    * inflate a probe, so the faster reading is the box's true speed this
+    * session). Cross-round comparison: total_r14/cal_r14 vs
+    * total_r13/cal_r13 — the calibrated ratio the README trail records.
+    */
+  val CalibrationRows = 16000000L
+  val CalibrationKeys = 100000L
+
+  private def calibrationOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: xxhash64 spans the full Long range and summing
+    // it overflows under ANSI mode; xor still forces every hash compute
+    spark.range(0L, CalibrationRows, 1L, 32)
+      .selectExpr(s"id % $CalibrationKeys AS k", "xxhash64(id) AS h")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.expr("bit_xor(h) AS s"),
+        org.apache.spark.sql.functions.expr("count(1) AS c"))
+      .selectExpr("bit_xor(s)", "sum(c)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Median of 3 probe runs after one discarded codegen-warm pass. */
+  private[graft] def calibrationProbe(spark: org.apache.spark.sql.SparkSession): Double = {
+    calibrationOnce(spark) // codegen/JIT warm for the probe's own shape
+    median(Seq(calibrationOnce(spark), calibrationOnce(spark),
+      calibrationOnce(spark)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the guard runs BEFORE the session spins up: our own executor
@@ -236,6 +273,10 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
+    // pre-sweep box probe (full runs only — a BENCH_ONLY iteration loop
+    // should stay ~1 min and writes no round artifact anyway)
+    val isFull = only.isEmpty
+    val calBefore = if (isFull) calibrationProbe(spark) else Double.NaN
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val remeasured = scala.collection.mutable.ListBuffer.empty[String]
     // re-measure crashes are tracked APART from base failures: a query with
@@ -335,6 +376,12 @@ object Bench {
         s""""loadavg_after":${jsonNum(loadNow)},"extra_repeats":${extra.size}}"""
       if (!remeasured.contains(name)) remeasured += name
     }
+    // post-sweep box probe: the min of the two probes is the session's
+    // box speed (contention can only inflate a probe reading)
+    val calAfter = if (isFull) calibrationProbe(spark) else Double.NaN
+    val boxCal =
+      if (calBefore.isNaN || calAfter.isNaN) Double.NaN
+      else math.min(calBefore, calAfter)
     val loadAfter = loadavg()
     // queries with zero successful repeats are omitted from the per-query
     // maps entirely — they appear only in `failed`
@@ -365,7 +412,11 @@ object Bench {
     // rides in "method" (ADVICE r5: renaming the metric key breaks
     // downstream matchers silently)
     val sha = gitHead()
-    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"queries_n":$qsN,"queries_load":$qsLoad,"total_min":$totalMin,"repeats":$Repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_guard":"$loadGuard","remeasured":$remeasuredJson,"history_outliers":$outliersJson,"remeasure_failed":$remeasureFailedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // "remeasure_extra_repeats" is DEPRECATED (ADVICE r13: the r13
+    // artifact dropped it silently): superseded by the per-query
+    // `queries_n` map, re-emitted for one round so any matcher still
+    // reading it keeps working — remove after r14
+    val json = s"""{"metric":"total","method":"median_of_$Repeats","value":$total,"unit":"sec","commit":"$sha","queries":$qs,"queries_min":$qsMin,"queries_n":$qsN,"queries_load":$qsLoad,"total_min":$totalMin,"repeats":$Repeats,"remeasure_extra_repeats":2,"calibration_before_sec":${jsonNum(calBefore)},"calibration_after_sec":${jsonNum(calAfter)},"box_calibration_sec":${jsonNum(boxCal)},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_guard":"$loadGuard","remeasured":$remeasuredJson,"history_outliers":$outliersJson,"remeasure_failed":$remeasureFailedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // FULL runs also persist to files (a BENCH_ONLY iteration run must
     // not clobber the round artifact with a 2-query slice):

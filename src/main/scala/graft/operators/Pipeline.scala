@@ -550,7 +550,12 @@ object Pipeline {
       .agg(sum(col("toks")).as("total"),
         sum(col("n_seqs")).as("seqs")).head()
     if (row.isNullAt(1) || row.getLong(1) == 0L) 0L
-    else 1000000L * row.getLong(0) / (row.getLong(1) * window)
+    // BigInt, not Long products (ADVICE r13): at multi-trillion-token
+    // corpus scale 1e6·total_tokens (and n_seqs·window) exceed Long and
+    // would return a silently-negative fill_ppm; the quotient itself is
+    // ≤ 1e6 so the narrowing back to Long is always exact
+    else (BigInt(row.getLong(0)) * 1000000 /
+      (BigInt(row.getLong(1)) * window)).toLong
   }
 
   // ---------------------------------------------------------------------

@@ -1184,7 +1184,16 @@ object Profile {
     */
   def fdSampledOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
     tables.foreach { case (t, df, cs) =>
-      requireIntegralCandidates("fdSampledOf", t, df, cs) }
+      requireIntegralCandidates("fdSampledOf", t, df, cs)
+      // loud contract, not a bare NoSuchElementException from byTable or
+      // an empty-union reduce (ADVICE r13): a <2-column table has zero
+      // ordered pairs — the caller filtered its catalog wrong
+      require(cs.size >= 2,
+        s"fdSampledOf: table $t has ${cs.size} candidate column(s) — " +
+          "the pair lattice needs >= 2 (filter the catalog like " +
+          "FdCandidateCols does)")
+    }
+    require(tables.nonEmpty, "fdSampledOf: empty table catalog")
     // one global pair-id space: (global id, table, det, dep)
     val catalog: Seq[(Int, String, String, String)] = {
       var next = 0

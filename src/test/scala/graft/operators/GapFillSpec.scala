@@ -84,11 +84,14 @@ class GapFillSpec extends SparkSuite {
       "dense types lost more grid coverage than a bounds shift can explain")
   }
 
-  /** A bounds shift can trim at most a handful of edge buckets per dense
-    * type; anything larger means the sparse variant corrupted its
-    * neighbors. 4 types x 6 hours of possible edge trim.
+  /** A bounds shift can trim at most the edge buckets per dense type;
+    * anything larger means the sparse variant corrupted its neighbors.
+    * Sparsifying 'view' to hours ≡ 0 mod 6 can move EACH global bound by
+    * up to 5 hours, i.e. up to 10 trimmed buckets per dense type —
+    * 4 types × 10 buckets (ADVICE r13: the previous 24 assumed ≤ 6 per
+    * type and a future fixture could false-fail it).
     */
-  private val SparseEveryHoursSlack = 24
+  private val SparseEveryHoursSlack = 40
 
   // ---------------------------------------------------------------------
   // w14 — hourly percentile bands
