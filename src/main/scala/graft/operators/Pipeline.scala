@@ -538,6 +538,90 @@ object Pipeline {
       window: Long = SeqWindowTokens.toLong): DataFrame =
     packBinsOf(tokenizedShards(spark, dir), decreasing = false, window)
 
+  // ---------------------------------------------------------------------
+  // Z18 — the FFD packing GATE (round-13 verdict item #2): packBinsFfd
+  // was the one r13 operator with no driver-hashed row. The kernel is an
+  // imperative per-shard greedy scan the oracle cannot replay, but its
+  // INVARIANTS are SQL-expressible — so the gate emits per-bucket
+  // accounting the oracle recomputes EXACTLY from the raw documents
+  // (n_docs, total token mass, oversized-doc count) plus the o2/w18
+  // claim-as-data booleans the oracle pins true:
+  //   mass_ok              FFD output carries z4's exact per-bucket
+  //                        (doc count, token mass) — packing permutes,
+  //                        never drops;
+  //   ffd_le_nextfit       Johnson 1973: first-fit-decreasing never uses
+  //                        more bins than the naive next-fit walk;
+  //   no_multidoc_overflow no bin holding >1 doc exceeds the window;
+  //   bins_lower_bound_ok  n_bins ≥ oversized + ceil(small_mass/window)
+  //                        (each oversized doc sits alone; the rest
+  //                        cannot beat the volume bound).
+  // `n_oversized` is the strongest single check: Spark derives it from
+  // the KERNEL's output (count of over-window BINS), the oracle from the
+  // DATA (count of over-window DOCS) — equal only if every oversized doc
+  // sits alone AND no multi-doc bin overflowed. A broken kernel goes
+  // hash-red on a NUMBER, not just a boolean.
+  //
+  // Window = [[PackGateWindowTokens]], inside the fixture's 10-99-token
+  // band: at z4's 2048 every bucket is one under-full bin under ANY
+  // algorithm and the gate would be vacuous (PackFfdSpec's measured
+  // note). Scale shape: two per-shard kernels + three grouped aggregates
+  // over the tokenized projection; output is bucket-count-sized.
+  // ---------------------------------------------------------------------
+  val PackGateWindowTokens = 128L
+
+  def packFfdGate(spark: SparkSession, dir: String): DataFrame = {
+    val W = PackGateWindowTokens
+    val docs = tokenizedShards(spark, dir)
+    val base = docs.groupBy(col("bucket")).agg(
+      count(lit(1)).as("base_docs"),
+      sum(col("n_tokens")).as("base_mass"),
+      sum((col("n_tokens") > W).cast("long")).as("base_oversized"),
+      sum(when(col("n_tokens") <= W, col("n_tokens")).otherwise(0L))
+        .as("small_mass"))
+    val ffdBins = packBinsOf(docs, decreasing = true, W)
+      .groupBy(col("bucket"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("load"), count(lit(1)).as("n_in_bin"))
+    val ffdAcc = ffdBins.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n_seqs_ffd"),
+      sum(col("load")).as("ffd_mass"),
+      sum(col("n_in_bin")).as("ffd_docs"),
+      coalesce(max(when(col("n_in_bin") > 1, col("load"))), lit(0L))
+        .as("max_multidoc_load"),
+      sum((col("load") > W).cast("long")).as("n_over_bins"))
+    val nfAcc = packBinsOf(docs, decreasing = false, W)
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs_nf"))
+    base.join(ffdAcc, Seq("bucket")).join(nfAcc, Seq("bucket"))
+      .select(col("bucket"),
+        col("base_docs").as("n_docs"),
+        col("base_mass").as("total_tokens"),
+        col("n_over_bins").as("n_oversized"),
+        (col("ffd_mass") === col("base_mass") &&
+          col("ffd_docs") === col("base_docs")).as("mass_ok"),
+        (col("n_seqs_ffd") <= col("n_seqs_nf")).as("ffd_le_nextfit"),
+        (col("max_multidoc_load") <= W).as("no_multidoc_overflow"),
+        // `div`, not `/`: Long./ is true division (double) in Spark SQL
+        (col("n_seqs_ffd") >= col("base_oversized") +
+          expr(s"(small_mass + ${W - 1}) div $W")).as("bins_lower_bound_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  val packFfdGateSql: String = {
+    val b = TextOps.shardBucketSql("doc_id")
+    val W = PackGateWindowTokens
+    s"""WITH toks AS (
+       | SELECT doc_id, $b::INT AS bucket,
+       |  len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
+       | FROM documents)
+       |SELECT bucket, count(*)::BIGINT AS n_docs,
+       | sum(n_tokens)::BIGINT AS total_tokens,
+       | (count(*) FILTER (WHERE n_tokens > $W))::BIGINT AS n_oversized,
+       | true AS mass_ok, true AS ffd_le_nextfit,
+       | true AS no_multidoc_overflow, true AS bins_lower_bound_ok
+       |FROM toks GROUP BY bucket ORDER BY bucket""".stripMargin
+      .replace('\n', ' ')
+  }
+
   /** z17's fill read over any packed (bucket, n_tokens, seq_id) relation
     * — factored so the FFD/next-fit comparison and z17's gate read the
     * SAME arithmetic.
@@ -1364,6 +1448,13 @@ object Pipeline {
       "embedding-space near-dup dedup via deterministic LSH candidates + exact-cosine verify, greedy keep-smallest (training-data extension)"),
     Q("z3_cc_dedup", ccDedup, Some(ccDedupSql),
       "connected-component survivor selection over the near-dup pair graph, iterative min-label propagation vs recursive-CTE oracle (training-data extension)"),
+    Q("z18_pack_ffd", packFfdGate, Some(packFfdGateSql),
+      "FFD no-split packing gate (round-13 verdict item #2): per-bucket " +
+        "accounting the oracle recomputes exactly (n_docs, token mass, " +
+        "oversized count — Spark derives it from the KERNEL's bins, the " +
+        "oracle from the docs) + claim-as-data booleans (mass ≡ z4, " +
+        "n_seqs(FFD) ≤ n_seqs(next-fit), no multi-doc bin over the " +
+        "window, volume lower bound) — a broken kernel goes hash-red"),
     Q("z4_sequence_pack", sequencePack, Some(sequencePackSql),
       "fixed-token-window sequence packing within hash shards — sharded cumulative sum, no global window (training-data extension)"),
     Q("z13_token_mix", tokenMixSample, Some(tokenMixSampleSql),
