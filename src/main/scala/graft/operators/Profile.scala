@@ -1527,6 +1527,161 @@ object Profile {
   }
 
   // ---------------------------------------------------------------------
+  // C19 — candidate-KEY discovery (round-13 verdict item #3): which
+  // minimal column combinations are UNIQUE — TANE's key-pruning output
+  // (Huhtala et al. 1999 §4; unique column combinations, the HyUCC
+  // problem). c15/c16/c17 answer "which FDs hold"; this answers the
+  // catalog question right after it — "what is a key of what" — the
+  // levelwise lattice discipline applied to uniqueness.
+  //
+  // Semantics: X is unique ⟺ no two rows agree on X, with NULLs
+  // grouping AS VALUES (GROUP BY semantics, identical in both engines)
+  // — so the check is max(count) over GROUP BY X ≤ 1, never
+  // count(DISTINCT (a,b)) (Spark's countDistinct drops any-NULL rows
+  // where DuckDB's struct-DISTINCT keeps them — a latent cross-engine
+  // divergence this formulation never enters). Uniqueness needs row
+  // MULTIPLICITY, so like c18 it scans the BASE tables — the distinct
+  // artifact collapses exact-duplicate candidate tuples and would hide
+  // a duplicated key.
+  //
+  // Minimality by construction: a unique {a} prunes every superset
+  // (subset-pruning, Huhtala §4), so level 2 enumerates only pairs with
+  // BOTH unaries non-unique — every level-2 unique is therefore a
+  // minimal key, and a pruned superset is never counted at all. The
+  // oracle re-derives the pruned candidate SET via HAVING over exact
+  // unary subqueries (c17's discipline), so the pruning itself is
+  // gate-checked.
+  //
+  // Plan/scale: ONE global tagged job per lattice level (c16's one-id-
+  // space discipline — 2 cluster jobs total, never per-table barriers);
+  // level-1 verdicts come back in a column-count-bounded collect and
+  // the level-1 output rows are rebuilt driver-side from that same
+  // collect (re-reading the level-1 DataFrame for output would re-run
+  // its corpus-sized explode — the c18 two-consumers lesson). The
+  // shuffles carry grouped counts, map-side combined, never raw rows.
+  // ---------------------------------------------------------------------
+
+  /** (table_name, col1, col2, lvl, n_groups, max_group_rows, is_key)
+    * — level-1 rows for every candidate column (col2 = ''), level-2
+    * rows for every UNPRUNED pair (col1 < col2 in column-list order).
+    * Empty tables read (0, 0, true): vacuously unique, both engines.
+    */
+  def keyDiscoveryOf(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    require(tables.nonEmpty, "keyDiscoveryOf: empty table catalog")
+    tables.foreach { case (t, df, cs) =>
+      requireIntegralCandidates("keyDiscoveryOf", t, df, cs)
+      require(cs.nonEmpty, s"keyDiscoveryOf: table $t has no candidate columns")
+    }
+    val spark0 = tables.head._2.sparkSession
+    import spark0.implicits._
+    // global unary id space
+    val l1Catalog: Seq[(Int, String, String)] = {
+      var next = 0
+      tables.flatMap { case (t, _, cs) =>
+        cs.map { c => val id = next; next += 1; (id, t, c) }
+      }
+    }
+    val l1ByTable = l1Catalog.groupBy(_._2).view
+      .mapValues(_.map { case (i, _, c) => (i, c) }).toMap
+    // level 1 — ONE job over every table's candidate columns; NULLs kept
+    // (they group as values)
+    val l1Tagged = tables.map { case (t, df, _) =>
+      df.select(explode(array(l1ByTable(t).map { case (i, c) =>
+          struct(lit(i).as("p"), col(c).cast("long").as("va"))
+        }: _*)).as("x"))
+        .select(col("x.p"), col("x.va"))
+    }.reduce(_ unionByName _)
+    val l1Stats: Map[Int, (Long, Long)] = l1Tagged
+      .groupBy(col("p"), col("va")).agg(count(lit(1)).as("c"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_groups"), max(col("c")).as("max_rows"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val l1Rows = l1Catalog.map { case (i, t, c) =>
+      val (ng, mx) = l1Stats.getOrElse(i, (0L, 0L))
+      (t, c, "", 1, ng, mx, mx <= 1L)
+    }.toDF("table_name", "col1", "col2", "lvl", "n_groups",
+      "max_group_rows", "is_key")
+    val unary: Map[(String, String), Boolean] = l1Catalog.map {
+      case (i, t, c) => (t, c) -> (l1Stats.getOrElse(i, (0L, 0L))._2 <= 1L)
+    }.toMap
+    // level 2 — pairs with BOTH unaries non-unique (subset pruning)
+    val l2Catalog: Seq[(Int, String, String, String)] = {
+      var next = 0
+      tables.flatMap { case (t, _, cs) =>
+        (for {
+          i <- cs.indices; j <- cs.indices if i < j
+          if !unary((t, cs(i))) && !unary((t, cs(j)))
+        } yield (cs(i), cs(j))).map { case (a, b) =>
+          val id = next; next += 1; (id, t, a, b)
+        }
+      }
+    }
+    if (l2Catalog.isEmpty)
+      l1Rows.orderBy(col("table_name"), col("lvl"), col("col1"), col("col2"))
+    else {
+      val l2ByTable = l2Catalog.groupBy(_._2).view
+        .mapValues(_.map { case (i, _, a, b) => (i, a, b) }).toMap
+      val l2Tagged = tables.flatMap { case (t, df, _) =>
+        l2ByTable.get(t).map { mine =>
+          df.select(explode(array(mine.map { case (i, a, b) =>
+              struct(lit(i).as("p"), col(a).cast("long").as("va"),
+                col(b).cast("long").as("vb"))
+            }: _*)).as("x"))
+            .select(col("x.p"), col("x.va"), col("x.vb"))
+        }
+      }.reduce(_ unionByName _)
+      val l2Stats = l2Tagged
+        .groupBy(col("p"), col("va"), col("vb")).agg(count(lit(1)).as("c"))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n_groups"), max(col("c")).as("max_rows"))
+      val allL2 = l2Catalog.map { case (i, t, a, b) => (i, t, a, b) }
+        .toDF("p", "table_name", "col1", "col2")
+      val l2Rows = broadcast(allL2).join(l2Stats, Seq("p"), "left")
+        .select(col("table_name"), col("col1"), col("col2"),
+          lit(2).as("lvl"),
+          coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+          coalesce(col("max_rows"), lit(0L)).as("max_group_rows"),
+          (coalesce(col("max_rows"), lit(0L)) <= 1L).as("is_key"))
+      l1Rows.unionByName(l2Rows)
+        .orderBy(col("table_name"), col("lvl"), col("col1"), col("col2"))
+    }
+  }
+
+  def keyDiscovery(spark: SparkSession, dir: String): DataFrame =
+    keyDiscoveryOf(FkCandidateCols.map { case (t, cs) =>
+      (t, Catalog.table(spark, dir, t), cs) })
+
+  val keyDiscoverySql: String = {
+    val l1Parts = FkCandidateCols.flatMap { case (t, cs) =>
+      cs.map { c =>
+        s"""SELECT '$t' AS table_name, '$c' AS col1, '' AS col2,
+           | 1 AS lvl, count(*)::BIGINT AS n_groups,
+           | coalesce(max(c), 0)::BIGINT AS max_group_rows,
+           | coalesce(max(c), 0) <= 1 AS is_key
+           |FROM (SELECT count(*) AS c FROM $t GROUP BY $c)"""
+          .stripMargin.replace('\n', ' ')
+      }
+    }
+    val l2Parts = FkCandidateCols.flatMap { case (t, cs) =>
+      for { i <- cs.indices; j <- cs.indices if i < j } yield {
+        val (a, b) = (cs(i), cs(j))
+        s"""SELECT '$t' AS table_name, '$a' AS col1, '$b' AS col2,
+           | 2 AS lvl, count(*)::BIGINT AS n_groups,
+           | coalesce(max(c), 0)::BIGINT AS max_group_rows,
+           | coalesce(max(c), 0) <= 1 AS is_key
+           |FROM (SELECT count(*) AS c FROM $t GROUP BY $a, $b)
+           |HAVING NOT (SELECT coalesce(max(c), 0) <= 1
+           |            FROM (SELECT count(*) AS c FROM $t GROUP BY $a))
+           |   AND NOT (SELECT coalesce(max(c), 0) <= 1
+           |            FROM (SELECT count(*) AS c FROM $t GROUP BY $b))"""
+          .stripMargin.replace('\n', ' ')
+      }
+    }
+    (l1Parts ++ l2Parts).mkString("SELECT * FROM (", " UNION ALL ",
+      ") ORDER BY table_name, lvl, col1, col2")
+  }
+
+  // ---------------------------------------------------------------------
   // C12 — class-balance profile: per categorical column the Gini
   // impurity, majority share, and class count — the imbalance
   // diagnostic a training-data review runs before trusting any
@@ -1815,6 +1970,14 @@ object Profile {
         "single tagged pass — one explode + two shuffles per table; the " +
         "oracle re-derives the pruning via HAVING over exact unary " +
         "subqueries so the candidate SET itself is gate-checked " +
+        "(training-data extension)"),
+    Q("c19_key_discovery", keyDiscovery, Some(keyDiscoverySql),
+      "candidate-KEY discovery (TANE key pruning / unique column " +
+        "combinations): minimal unique combinations via the levelwise " +
+        "lattice — max(count) over GROUP BY, NULLs grouping as values, " +
+        "base-table multiplicities; a unique unary prunes every superset " +
+        "and the oracle re-derives the pruned set via HAVING, so every " +
+        "level-2 unique is a minimal key by construction " +
         "(training-data extension)"),
     Q("c11_fk_discovery", fkDiscovery, Some(fkDiscoverySql),
       "inclusion-dependency (FK candidate) discovery, BINDER's shape: " +

@@ -641,4 +641,72 @@ class ProfileSpec extends SparkSuite {
     assert(amortized === fresh,
       "artifact-served c11 must equal the unamortized build")
   }
+
+  test("c19 hand lattice: a 2-column key exists where no unary key does, " +
+      "and supersets of a unique unary are NEVER counted") {
+    import spark.implicits._
+    // a, b each repeat (no unary key); k is unique; (a, b) is a key
+    val t = Seq(
+      (1L, 1L, 100L),
+      (1L, 2L, 101L),
+      (2L, 1L, 102L),
+      (2L, 2L, 103L))
+      .toDF("a", "b", "k")
+    val rows = Profile.keyDiscoveryOf(Seq(("t", t, Seq("a", "b", "k"))))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getInt(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(rows(("a", "")) === ((1, 2L, 2L, false)))
+    assert(rows(("b", "")) === ((1, 2L, 2L, false)))
+    assert(rows(("k", "")) === ((1, 4L, 1L, true)), "k is a unary key")
+    // the ONE unpruned level-2 candidate: both a and b are non-unique
+    assert(rows(("a", "b")) === ((2, 4L, 1L, true)),
+      "(a, b) is a minimal 2-column key")
+    // supersets of the unique k are pruned — never counted, absent
+    assert(!rows.contains(("a", "k")) && !rows.contains(("b", "k")),
+      s"pruned supersets of the unary key leaked into the output: " +
+        s"${rows.keySet}")
+    assert(rows.size === 4, s"exactly 3 unary + 1 composite rows: $rows")
+  }
+
+  test("c19 semantics: NULLs group as values and duplicate ROWS break a " +
+      "key the distinct projection would hide") {
+    import spark.implicits._
+    // two NULLs agree on x -> x is not unique; rows 3 and 4 are exact
+    // duplicates, so (x, y) is not a key despite a fully-distinct
+    // PROJECTION of the table
+    val t = Seq(
+      (None: Option[Long], 1L),
+      (None: Option[Long], 2L),
+      (Some(7L), 3L),
+      (Some(7L), 3L))
+      .toDF("x", "y")
+    val rows = Profile.keyDiscoveryOf(Seq(("t", t, Seq("x", "y"))))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(rows(("x", "")) === ((2L, 2L, false)),
+      "NULL = NULL under GROUP BY: two NULL rows share a group")
+    assert(rows(("y", "")) === ((3L, 2L, false)))
+    assert(rows(("x", "y")) === ((3L, 2L, false)),
+      "the duplicated (7, 3) row must break the composite key")
+  }
+
+  test("c19 fixture: the TPC-H primary keys surface as unary keys and " +
+      "no level-2 row contains a unique unary column") {
+    val rows = Profile.keyDiscovery(spark, sfDir).collect()
+    val unaryKeys = rows.filter(r => r.getInt(3) == 1 && r.getBoolean(6))
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    Seq(("region", "r_regionkey"), ("nation", "n_nationkey"),
+      ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+      ("part", "p_partkey"), ("orders", "o_orderkey")).foreach { k =>
+      assert(unaryKeys.contains(k), s"expected unary key $k missing")
+    }
+    rows.filter(_.getInt(3) == 2).foreach { r =>
+      val t = r.getString(0)
+      assert(!unaryKeys.contains((t, r.getString(1))) &&
+        !unaryKeys.contains((t, r.getString(2))),
+        s"level-2 row $r contains a unique unary — pruning failed")
+    }
+  }
 }
