@@ -1527,6 +1527,188 @@ object Profile {
   }
 
   // ---------------------------------------------------------------------
+  // C20 — SAMPLED composite-FD refutation (round-13 verdict item #4):
+  // c16's two-phase economics composed onto c17's lattice. Level 2 is
+  // where the candidate space explodes (C(cols,2)·(cols−2) per table),
+  // so at 100 TB it is exactly where paying a full exact-NDV aggregate
+  // per candidate hurts most — and where refutation-first wins biggest
+  // on the Papenbrock empirical norm (most candidates are violated).
+  //
+  // Phase 1 samples determinant-PAIR groups — hash60 of the (va, vb)
+  // pair's "va:vb" rendering, 1 in [[FdSampleMod]] of the composite key
+  // space; GROUPS, not rows, for the same reason as c16 (a violation is
+  // two rows with the SAME determinant pair). A composite refuted from
+  // the slice is refuted, period (subset soundness); survivors pay
+  // c17's exact pass. Candidates are c17's unpruned set, served from
+  // the SAME persisted level-1 artifacts — pruning and sampling
+  // compose, they don't interact (pruning is exact, sampling only
+  // decides who pays the exact composite check).
+  //
+  // Gate discipline (the c16 shape): the oracle recomputes the sampled
+  // counts bit-for-bit (the hash is md5-backed, exact cross-engine),
+  // re-derives the pruned candidate set via HAVING, and computes
+  // `holds` as the PLAIN exact equality over the full relation — an
+  // unsound refutation hash-diverges immediately.
+  //
+  // Plan/scale: ONE global phase-1 job over every table's unpruned
+  // composites (one id space, c16's discipline), one pair-count-bounded
+  // refuted-id collect, ONE phase-2 job exploding only survivors.
+  // ---------------------------------------------------------------------
+
+  private def fdSampleKeepPair(va: Column, vb: Column): Column =
+    TextOps.hash60(concat(va.cast("string"), lit(":"), vb.cast("string"))) %
+      FdSampleMod === 0
+
+  private def fdSampleKeepPairSql(a: String, b: String): String =
+    s"${TextOps.hash60Sql(s"CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR)")} " +
+      s"% $FdSampleMod = 0"
+
+  /** Tagged composite relation at caller-assigned ids: (p, va, vb, vc)
+    * exploded from every listed (det1, det2, dep), NULL-free rows only —
+    * the 3-ary sibling of [[taggedPairsAt]].
+    */
+  private def taggedCompositesAt(df: DataFrame,
+      comps: Seq[(Int, (String, String, String))]): DataFrame =
+    df.select(explode(array(comps.map { case (i, (a, b, c)) =>
+        struct(lit(i).as("p"), col(a).cast("long").as("va"),
+          col(b).cast("long").as("vb"), col(c).cast("long").as("vc"))
+      }: _*)).as("x"))
+      .select(col("x.p"), col("x.va"), col("x.vb"), col("x.vc"))
+      .filter(col("va").isNotNull && col("vb").isNotNull &&
+        col("vc").isNotNull)
+
+  /** The composite counting tail: distinct mappings, then (p, n_det,
+    * n_pairs) — [[pairStatsOf]] one determinant column wider.
+    */
+  private def compositeStatsOf(tagged: DataFrame): DataFrame =
+    tagged.dropDuplicates("p", "va", "vb", "vc")
+      .groupBy(col("p"), col("va"), col("vb")).agg(count(lit(1)).as("n_deps"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_det"), sum(col("n_deps")).as("n_pairs"))
+
+  /** (table_name, det1, det2, dep_col, n_det_sampled, n_pairs_sampled,
+    * sampled_refuted, exact_checked, holds) per UNPRUNED composite.
+    */
+  def fdCompositeSampledOf(tables: Seq[(String, DataFrame, Seq[String])],
+      l1Of: Option[String => DataFrame] = None): DataFrame = {
+    require(tables.nonEmpty, "fdCompositeSampledOf: empty table catalog")
+    tables.foreach { case (t, df, cs) =>
+      requireIntegralCandidates("fdCompositeSampledOf", t, df, cs)
+      require(cs.size >= 3,
+        s"fdCompositeSampledOf: table $t has ${cs.size} candidate " +
+          "column(s) — level 2 needs >= 3 (filter like FdCompositeCols)")
+    }
+    // one global composite-id space over every table's UNPRUNED
+    // candidates (level-1 verdicts are pair-count-bounded planning state)
+    val catalog: Seq[(Int, String, (String, String, String))] = {
+      var next = 0
+      tables.flatMap { case (t, df, cs) =>
+        val l1: Map[(String, String), Boolean] =
+          l1Of.map(_(t)).getOrElse(fdDiscoveryOf(Seq((t, df, cs))))
+            .collect()
+            .map(r => (r.getString(1), r.getString(2)) -> r.getBoolean(5))
+            .toMap
+        for {
+          i <- cs.indices; j <- cs.indices if i < j
+          c <- cs if c != cs(i) && c != cs(j)
+          if !l1((cs(i), c)) && !l1((cs(j), c))
+        } yield { val id = next; next += 1; (id, t, (cs(i), cs(j), c)) }
+      }
+    }
+    val byTable = catalog.groupBy(_._2).view
+      .mapValues(_.map { case (i, _, comp) => (i, comp) }).toMap
+    def taggedFor(ids: Set[Int]): DataFrame =
+      tables.flatMap { case (t, df, _) =>
+        val mine = byTable.getOrElse(t, Seq.empty).filter(p => ids(p._1))
+        if (mine.isEmpty) None else Some(taggedCompositesAt(df, mine))
+      }.reduce(_ unionByName _)
+    val spark0 = tables.head._2.sparkSession
+    import spark0.implicits._
+    val allComps = catalog
+      .map { case (i, t, (a, b, c)) => (i, t, a, b, c) }
+      .toDF("p", "table_name", "det1", "det2", "dep_col")
+    if (catalog.isEmpty)
+      return allComps.select(col("table_name"), col("det1"), col("det2"),
+        col("dep_col"), lit(0L).as("n_det_sampled"),
+        lit(0L).as("n_pairs_sampled"), lit(false).as("sampled_refuted"),
+        lit(true).as("exact_checked"), lit(true).as("holds"))
+    // phase 1 — ONE job refutes from the sampled determinant-pair groups
+    val sampledStats = compositeStatsOf(
+      taggedFor(catalog.map(_._1).toSet)
+        .filter(fdSampleKeepPair(col("va"), col("vb"))))
+      .withColumnRenamed("n_det", "n_det_sampled")
+      .withColumnRenamed("n_pairs", "n_pairs_sampled")
+    val refuted: Set[Int] = sampledStats
+      .filter(col("n_pairs_sampled") > col("n_det_sampled"))
+      .select(col("p")).collect().map(_.getInt(0)).toSet
+    // phase 2 — ONE job verifies survivors exactly (only they explode)
+    val survivors = catalog.map(_._1).filterNot(refuted).toSet
+    val exactStats =
+      if (survivors.isEmpty) null
+      else compositeStatsOf(taggedFor(survivors))
+        .withColumnRenamed("n_det", "n_det_exact")
+        .withColumnRenamed("n_pairs", "n_pairs_exact")
+    val withSample = broadcast(allComps
+        .withColumn("sampled_refuted", col("p").isin(refuted.toSeq: _*)))
+      .join(sampledStats, Seq("p"), "left")
+    val withExact =
+      if (exactStats == null)
+        withSample.withColumn("n_det_exact", lit(null).cast("long"))
+          .withColumn("n_pairs_exact", lit(null).cast("long"))
+      else withSample.join(exactStats, Seq("p"), "left")
+    withExact.select(col("table_name"), col("det1"), col("det2"),
+        col("dep_col"),
+        coalesce(col("n_det_sampled"), lit(0L)).as("n_det_sampled"),
+        coalesce(col("n_pairs_sampled"), lit(0L)).as("n_pairs_sampled"),
+        col("sampled_refuted"),
+        (!col("sampled_refuted")).as("exact_checked"),
+        when(col("sampled_refuted"), lit(false))
+          .otherwise(coalesce(col("n_det_exact"), lit(0L)) ===
+            coalesce(col("n_pairs_exact"), lit(0L))).as("holds"))
+      .orderBy(col("table_name"), col("det1"), col("det2"), col("dep_col"))
+  }
+
+  def fdCompositeSampled(spark: SparkSession, dir: String): DataFrame = {
+    val colsOf = FdCompositeCols.toMap
+    fdCompositeSampledOf(
+      FdCompositeCols.map { case (t, cs) =>
+        (t, fdDistinctRelation(spark, dir, t, cs), cs) },
+      l1Of = Some(t => fdLevel1Indexed(spark, dir, t, colsOf(t))))
+  }
+
+  val fdCompositeSampledSql: String = {
+    val parts = FdCompositeCols.flatMap { case (t, cs) =>
+      for {
+        i <- cs.indices; j <- cs.indices if i < j
+        c <- cs if c != cs(i) && c != cs(j)
+      } yield {
+        val (a, b) = (cs(i), cs(j))
+        s"""SELECT '$t' AS table_name, '$a' AS det1, '$b' AS det2,
+           | '$c' AS dep_col,
+           | CAST(coalesce(count(DISTINCT ($a, $b)) FILTER (WHERE keep), 0)
+           |  AS BIGINT) AS n_det_sampled,
+           | CAST(coalesce(count(DISTINCT ($a, $b, $c)) FILTER (WHERE keep), 0)
+           |  AS BIGINT) AS n_pairs_sampled,
+           | count(DISTINCT ($a, $b, $c)) FILTER (WHERE keep)
+           |   > count(DISTINCT ($a, $b)) FILTER (WHERE keep) AS sampled_refuted,
+           | NOT (count(DISTINCT ($a, $b, $c)) FILTER (WHERE keep)
+           |   > count(DISTINCT ($a, $b)) FILTER (WHERE keep)) AS exact_checked,
+           | count(DISTINCT ($a, $b)) = count(DISTINCT ($a, $b, $c)) AS holds
+           |FROM (SELECT $a, $b, $c, ${fdSampleKeepPairSql(a, b)} AS keep
+           |      FROM $t
+           |      WHERE $a IS NOT NULL AND $b IS NOT NULL AND $c IS NOT NULL)
+           |HAVING NOT (SELECT count(DISTINCT $a) = count(DISTINCT ($a, $c))
+           |            FROM $t WHERE $a IS NOT NULL AND $c IS NOT NULL)
+           |   AND NOT (SELECT count(DISTINCT $b) = count(DISTINCT ($b, $c))
+           |            FROM $t WHERE $b IS NOT NULL AND $c IS NOT NULL)"""
+          .stripMargin.replace('\n', ' ')
+      }
+    }
+    parts.mkString("SELECT * FROM (", " UNION ALL ",
+      ") ORDER BY table_name, det1, det2, dep_col")
+  }
+
+  // ---------------------------------------------------------------------
   // C19 — candidate-KEY discovery (round-13 verdict item #3): which
   // minimal column combinations are UNIQUE — TANE's key-pruning output
   // (Huhtala et al. 1999 §4; unique column combinations, the HyUCC
@@ -1970,6 +2152,15 @@ object Profile {
         "single tagged pass — one explode + two shuffles per table; the " +
         "oracle re-derives the pruning via HAVING over exact unary " +
         "subqueries so the candidate SET itself is gate-checked " +
+        "(training-data extension)"),
+    Q("c20_fd_composite_sampled", fdCompositeSampled,
+      Some(fdCompositeSampledSql),
+      "c16 x c17 composed: two-phase sampled refutation over the UNPRUNED " +
+        "level-2 composite candidates — phase 1 refutes from hash-sampled " +
+        "determinant-PAIR groups (1 in 8 of the composite key space), " +
+        "phase 2 pays the exact pass only for survivors; the oracle " +
+        "recomputes the sample bit-for-bit, re-derives the pruning via " +
+        "HAVING, and pins holds to the plain exact equality " +
         "(training-data extension)"),
     Q("c19_key_discovery", keyDiscovery, Some(keyDiscoverySql),
       "candidate-KEY discovery (TANE key pruning / unique column " +

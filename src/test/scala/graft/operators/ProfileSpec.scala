@@ -642,6 +642,61 @@ class ProfileSpec extends SparkSuite {
       "artifact-served c11 must equal the unamortized build")
   }
 
+  test("c20 seeded composite: a violation at a SAMPLED determinant pair " +
+      "is refuted without the exact pass; one the sample misses is " +
+      "caught by the exact survivor check") {
+    import spark.implicits._
+    // hash60('1:2') % 8 == 0 (sampled pair); '0:0' and '13:5' are not.
+    // In both tables a -> b and b -> a hold (constant per det), so
+    // (a,c) -> b and (b,c) -> a are level-1-pruned and the ONLY
+    // candidate is (a,b) -> c — violated at one determinant pair.
+    val sampledViolation = Seq(
+      (1L, 2L, 10L), (1L, 2L, 20L), (13L, 5L, 30L))
+      .toDF("a", "b", "c")
+    val got1 = Profile.fdCompositeSampledOf(
+        Seq(("t", sampledViolation, Seq("a", "b", "c")))).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8)))).toMap
+    assert(got1.keySet === Set(("a", "b", "c")),
+      s"level-1 pruning must leave exactly one candidate: ${got1.keySet}")
+    // sampled slice sees only pair (1,2): 1 det group, 2 mappings —
+    // refuted from the sample alone, exact pass skipped
+    assert(got1(("a", "b", "c")) === ((1L, 2L, true, false, false)),
+      s"sampled composite refutation must skip the exact pass: $got1")
+
+    val missedViolation = Seq(
+      (0L, 0L, 10L), (0L, 0L, 20L), (13L, 5L, 30L))
+      .toDF("a", "b", "c")
+    val got2 = Profile.fdCompositeSampledOf(
+        Seq(("t", missedViolation, Seq("a", "b", "c")))).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8)))).toMap
+    // neither (0,0) nor (13,5) hashes into the bucket: the sample is
+    // EMPTY, the candidate survives, and the exact pass refutes it
+    assert(got2(("a", "b", "c")) === ((0L, 0L, false, true, false)),
+      s"sample-missed composite violation must fail the exact check: $got2")
+  }
+
+  test("c20 soundness on the fixture: two-phase composite verdicts agree " +
+      "with c17's exact lattice candidate for candidate") {
+    val sampled = Profile.fdCompositeSampled(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)) ->
+        ((r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    val exact = Profile.fdComposite(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)) -> r.getBoolean(6)).toMap
+    assert(sampled.keySet === exact.keySet,
+      "the two operators must enumerate the SAME unpruned candidate set")
+    sampled.foreach { case (comp, (refuted, checked, holds)) =>
+      assert(checked === !refuted, s"$comp: exact_checked must complement")
+      assert(holds === exact(comp),
+        s"$comp: two-phase verdict $holds != c17 exact ${exact(comp)}")
+    }
+  }
+
   test("c19 hand lattice: a 2-column key exists where no unary key does, " +
       "and supersets of a unique unary are NEVER counted") {
     import spark.implicits._
