@@ -425,6 +425,7 @@ object Similarity {
     fittedCentroids(spark, dir)
     embPairsIndexed(spark, dir, Pipeline.Z2Bands, Pipeline.Z2PlanesPerBand)
     ivfListsIndexed(spark, dir)
+    ivfListsCompacted(spark, dir)
     ()
   }
 
@@ -574,6 +575,117 @@ object Similarity {
           .otherwise(round(col("n_hits").cast("double") / col("n_expected"), 6))
           .as("recall"),
         (col("served_deleted") === 0).as("no_deleted_served"))
+  }
+
+  // ---------------------------------------------------------------------
+  // N17 — threshold-triggered TOMBSTONE COMPACTION (round-13 verdict item
+  // #5): n16 serves correctly under deletes but its tombstone relation
+  // grows forever — every serve pays the anti-join against an ever-larger
+  // delete set, and list space is never reclaimed. The lifecycle fix is
+  // the FAISS merge / Lucene segment-merge discipline: when the
+  // tombstoned fraction crosses [[IvfCompactTriggerPpm]], rewrite the
+  // lists ONCE dropping tombstoned members (persisted via Scratch — a new
+  // artifact generation) and reset the tombstone relation to empty; below
+  // the threshold, keep serving tombstone-filtered (n16's path) — the
+  // rewrite amortizes over the serves it cheapens.
+  //
+  // The claim, pinned as DATA: compaction must be INVISIBLE to serving —
+  // serve(maintained ∖ tombstones) ≡ serve(compacted artifact), row for
+  // row (`serve_identical`), and the compacted serve still equals the
+  // from-scratch post-delete rebuild (n16's recall/no-deleted-served
+  // shape, here measured against the COMPACTED artifact). `n_after` is
+  // the z18 discipline — the engine counts the ARTIFACT the rewrite
+  // actually produced, the oracle computes n_before − n_deleted from the
+  // raw data, so a rewrite that dropped a survivor or kept a tombstone
+  // hash-diverges on a NUMBER. The trigger decision itself is recomputed
+  // by the oracle from exact counts (`compaction_triggered`).
+  //
+  // Plan/scale: the trigger reads two bounded counts (planning state);
+  // the rewrite is one anti-join + write over the lists (O(index), paid
+  // once per threshold crossing, never per serve); serving joins stay
+  // centroid-equi. At 100 TB the rewrite would land per-partition
+  // (lists bucket by centroid), not as one job — the partition-pruned
+  // upsert discipline documented at Lifecycle.upsertPartitioned.
+  // ---------------------------------------------------------------------
+  val IvfCompactTriggerPpm = 100000L
+
+  /** The compacted inverted-list artifact: the maintained view rewritten
+    * without tombstoned members — one generation, persisted.
+    */
+  private[operators] def ivfListsCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.Scratch.materialize(spark, "ivf_lists_compacted",
+      s"lcg-k$NCentroids-dim$Dim-mod$IvfDeltaMod-" +
+        s"del${IvfDeleteMod}r$IvfDeleteRes-v1", dir) { staging =>
+      maintainedIvfLists(spark, dir)
+        .join(nonZeroEmbeddings(spark, dir)
+            .filter(col("vec_id") % IvfDeleteMod === IvfDeleteRes)
+            .select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .write.parquet(staging)
+    }
+    spark.read.parquet(p)
+  }
+
+  def annIvfCompact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = nonZeroEmbeddings(spark, dir)
+    val tomb = emb.filter(col("vec_id") % IvfDeleteMod === IvfDeleteRes)
+      .select(col("vec_id"))
+    val maintained = maintainedIvfLists(spark, dir)
+    // threshold trigger — two bounded counts, the planning state that
+    // decides whether an artifact generation is written at all
+    val nBefore = maintained.count()
+    val nDeleted = tomb.count()
+    val tombPpm =
+      if (nBefore == 0L) 0L
+      else (BigInt(nDeleted) * 1000000 / nBefore).toLong
+    val triggered = tombPpm >= IvfCompactTriggerPpm
+    // pre-compact serving view (n16's path) vs the post-compact artifact;
+    // an untriggered run serves the filtered view on both sides and the
+    // identity is trivially true — the row says so via its own fields
+    val preView = maintained.join(tomb, Seq("vec_id"), "left_anti")
+    val postView = if (triggered) ivfListsCompacted(spark, dir) else preView
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val servedPre = serveIvf(queries, preView)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    val servedPost = serveIvf(queries, postView)
+    val postIds = servedPost.select(col("query_id"), col("vec_id"), col("rank"))
+    // serve identity across the compaction: |pre| = |post| = |pre ∩ post|
+    val cPre = servedPre.agg(count(lit(1)).as("c_pre"))
+    val cPost = postIds.agg(count(lit(1)).as("c_post"))
+    val cBoth = servedPre.join(postIds, Seq("query_id", "vec_id", "rank"))
+      .agg(count(lit(1)).as("c_both"))
+    // evaluation arm: the from-scratch post-delete rebuild (n16's shape)
+    val rebuilt = serveIvf(queries,
+      emb.join(tomb, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"),
+          assignColumnOf(centroids)(col("embedding")).as("centroid"),
+          col("embedding")))
+    val nAfter = postView.agg(count(lit(1)).as("n_after"))
+    val servedTomb = servedPost.agg(coalesce(
+      max((col("vec_id") % IvfDeleteMod === IvfDeleteRes).cast("int")),
+      lit(0)).as("served_deleted"))
+    rebuilt.select(col("query_id"), col("vec_id"))
+      .join(servedPost.select(col("query_id"), col("vec_id"),
+        lit(1).as("hit")), Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_expected"),
+        coalesce(sum(coalesce(col("hit"), lit(0))), lit(0L)).cast("long")
+          .as("n_hits"))
+      .crossJoin(broadcast(nAfter))
+      .crossJoin(broadcast(servedTomb))
+      .crossJoin(broadcast(cPre))
+      .crossJoin(broadcast(cPost))
+      .crossJoin(broadcast(cBoth))
+      .select(lit(nBefore).as("n_before"), lit(nDeleted).as("n_deleted"),
+        lit(tombPpm).as("tombstone_ppm"),
+        lit(triggered).as("compaction_triggered"),
+        col("n_after"), col("n_expected"), col("n_hits"),
+        when(col("n_expected") === 0, lit(1.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_expected"), 6))
+          .as("recall"),
+        (col("served_deleted") === 0).as("no_deleted_served"),
+        (col("c_pre") === col("c_post") && col("c_both") === col("c_pre"))
+          .as("serve_identical"))
   }
 
   // ---------------------------------------------------------------------
@@ -786,6 +898,42 @@ object Similarity {
        | coalesce(bool_and(vec_id % $IvfDeleteMod <> $IvfDeleteRes), TRUE)
        |  AS no_deleted_served
        |FROM serve""".stripMargin.replace('\n', ' ')
+
+  /** N17 oracle: the SAME post-delete rebuild serve as n16's, plus the
+    * compaction accounting recomputed from raw counts (n_after as
+    * n_before − n_deleted — the engine counts the actual artifact) and
+    * the serve-identity claim pinned true.
+    */
+  val annIvfCompactSql: String =
+    s"""WITH ${centroidLcgCteSql("ctrs")},
+       |$embCte,
+       |${ivfProbeCtesDeleted("ctrs")},
+       |scored AS (
+       | SELECT p.query_id, p.vec_id,
+       |  row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY round(list_cosine_similarity(qe.emb, ce.emb), 6) DESC,
+       |      p.vec_id) AS rank
+       | FROM pairs p JOIN e qe ON qe.vec_id = p.query_id
+       |   JOIN e ce ON ce.vec_id = p.vec_id),
+       |serve AS (SELECT query_id, vec_id FROM scored WHERE rank <= $TopK),
+       |acct AS (SELECT count(*)::BIGINT AS nb,
+       |  (count(*) FILTER (WHERE vec_id % $IvfDeleteMod = $IvfDeleteRes))::BIGINT AS nd
+       | FROM e)
+       |SELECT nb AS n_before, nd AS n_deleted,
+       | CAST(CASE WHEN nb = 0 THEN 0 ELSE (nd * 1000000) // nb END AS BIGINT)
+       |  AS tombstone_ppm,
+       | (CASE WHEN nb = 0 THEN 0 ELSE (nd * 1000000) // nb END)
+       |  >= $IvfCompactTriggerPpm AS compaction_triggered,
+       | (nb - nd) AS n_after,
+       | (SELECT count(*) FROM serve)::BIGINT AS n_expected,
+       | (SELECT count(*) FROM serve)::BIGINT AS n_hits,
+       | CASE WHEN (SELECT count(*) FROM serve) = 0 THEN CAST(1.0 AS DOUBLE)
+       |  ELSE round((SELECT count(*) FROM serve)::DOUBLE
+       |    / (SELECT count(*) FROM serve), 6) END AS recall,
+       | (SELECT coalesce(bool_and(vec_id % $IvfDeleteMod <> $IvfDeleteRes), TRUE)
+       |  FROM serve) AS no_deleted_served,
+       | true AS serve_identical
+       |FROM acct""".stripMargin.replace('\n', ' ')
 
   // ---------------------------------------------------------------------
   // D14 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -1501,6 +1649,15 @@ object Similarity {
   val all: Seq[Q] = Seq(
     Q("n13_ivf_drift", ivfDrift, Some(ivfDriftSql),
       "n12's refit trigger: c4's integer-exact chi-square over the maintained index's centroid x epoch cells — quantizer-distribution drift of the arrival batch as one accounting row (training-data extension)"),
+    Q("n17_ivf_compact", annIvfCompact, Some(annIvfCompactSql),
+      "threshold-triggered tombstone COMPACTION (the FAISS merge / " +
+        "Lucene segment-merge lifecycle n16 defers to): past the " +
+        "tombstone-fraction trigger the lists rewrite once without " +
+        "deleted members (persisted artifact generation) and the delete " +
+        "set resets; serve identity across the compaction, recall vs the " +
+        "post-delete rebuild, and n_after (engine counts the ARTIFACT, " +
+        "oracle computes n_before - n_deleted) pinned as data " +
+        "(training-data extension)"),
     Q("n16_ivf_deletes", annIvfDeletes, Some(annIvfDeletesSql),
       "tombstone-aware IVF serve (the FAISS IDSelector / Lucene live-docs " +
         "discipline): deletes anti-joined against the maintained lists " +

@@ -55,4 +55,43 @@ class TombstoneIvfSpec extends SparkSuite {
     assert(row.getDouble(3) === 1.0)
     assert(row.getBoolean(4), "a tombstoned vector was served")
   }
+
+  test("n17: the compacted artifact holds exactly the non-tombstoned " +
+      "members, repeat calls serve the same persisted generation") {
+    val compacted = Similarity.ivfListsCompacted(spark, sfDir)
+    val ids = compacted.select(col("vec_id")).collect().map(_.getLong(0))
+    assert(ids.nonEmpty && !ids.exists(isDeleted),
+      "a tombstoned vector survived the compaction rewrite")
+    val expected = Similarity.maintainedIvfLists(spark, sfDir)
+      .filter(col("vec_id") % Similarity.IvfDeleteMod =!=
+        Similarity.IvfDeleteRes)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.toSet === expected,
+      "compaction dropped a survivor or duplicated a member")
+    assert(ids.length === ids.toSet.size, "compaction duplicated rows")
+    val a = Similarity.ivfListsCompacted(spark, sfDir).inputFiles.toSet
+    val b = Similarity.ivfListsCompacted(spark, sfDir).inputFiles.toSet
+    assert(a.nonEmpty && a === b,
+      "repeat calls must serve the same persisted artifact generation")
+  }
+
+  test("n17 accounting: the fixture crosses the trigger, the artifact " +
+      "count reconciles with n_before - n_deleted, and serving is " +
+      "identical across the compaction") {
+    val r = Similarity.annIvfCompact(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nBefore, nDeleted, ppm) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nDeleted > 0L && ppm >= Similarity.IvfCompactTriggerPpm &&
+      row.getBoolean(3), s"fixture must trigger compaction: $row")
+    assert(row.getLong(4) === nBefore - nDeleted,
+      s"artifact count ${row.getLong(4)} != $nBefore - $nDeleted")
+    assert(row.getLong(5) > 0L && row.getLong(5) === row.getLong(6) &&
+      row.getDouble(7) === 1.0,
+      s"compacted serve must equal the post-delete rebuild: $row")
+    assert(row.getBoolean(8), "a tombstoned vector was served post-compact")
+    assert(row.getBoolean(9),
+      "serving changed across the compaction — the rewrite is visible")
+  }
 }
