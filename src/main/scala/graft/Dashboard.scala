@@ -128,6 +128,28 @@ object Dashboard {
       filters: Seq[Column], page: Int = 0, pageSize: Int = 10): DataFrame =
     Relational.gridQuery(filters, page, pageSize)(spark, dir)
 
+  /** SCHEMA-HEALTH section (round-13 verdict item #8): the catalog page
+    * the round-13/14 profile family answers — per within-table candidate
+    * pair, whether the FD holds exactly (c15's verdict), its mapping
+    * diversity (n_det/n_pairs), and the g3 repair bill (c18's rows-to-
+    * quarantine + ppm). READS, never recomputes: both inputs are
+    * persisted content-determined artifacts ([[operators.Profile]]'s
+    * level-1 relations and the fd_g3 relation), so a page load costs two
+    * pair-count-sized parquet reads and a broadcast join — the
+    * amortization discipline every other dashboard section follows.
+    */
+  def schemaHealth(spark: SparkSession, dir: String): DataFrame = {
+    import operators.Profile
+    val verdicts = Profile.fdDiscovery(spark, dir)
+      .select(col("table_name"), col("det_col"), col("dep_col"),
+        col("n_det"), col("n_pairs"), col("holds"))
+    val bill = Profile.fdG3Indexed(spark, dir)
+      .select(col("table_name"), col("det_col"), col("dep_col"),
+        col("n_rows"), col("g3_remove"), col("g3_ppm"))
+    verdicts.join(bill, Seq("table_name", "det_col", "dep_col"))
+      .orderBy(col("table_name"), col("det_col"), col("dep_col"))
+  }
+
   /** Alert/threshold flags (reference myapp/views.py:622-637 vs the
     * template constants — inconsistent layers, so thresholds are config;
     * SURVEY.md §6). Appends boolean status columns to a metric row set.

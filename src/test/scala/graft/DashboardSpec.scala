@@ -113,6 +113,36 @@ class DashboardSpec extends SparkSuite {
     assert(custom.filter(col("gauge_band") =!= "red").count() == 0)
   }
 
+  test("schema-health section equals the artifact-served c15 x c18 join " +
+      "and is served from persisted files, not recomputed") {
+    import graft.operators.Profile
+    val section = Dashboard.schemaHealth(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6),
+          r.getLong(7), r.getLong(8)))).toMap
+    val verdicts = Profile.fdDiscovery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val bill = Profile.fdG3(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(section.keySet === verdicts.keySet &&
+      section.keySet === bill.keySet,
+      "the section must cover exactly the candidate-pair catalog")
+    section.foreach { case (k, (nd, np, holds, nRows, g3, ppm)) =>
+      assert(verdicts(k) === ((nd, np, holds)), s"$k verdict diverged")
+      assert(bill(k) === ((nRows, g3, ppm)), s"$k repair bill diverged")
+      // internal consistency: the two artifacts agree on what holding
+      // means (g3 = 0 ⟺ the exact FD)
+      assert(holds === (g3 == 0L), s"$k: c15 and c18 verdicts contradict")
+    }
+    // reads, not recomputes: repeat calls serve the SAME persisted files
+    val a = Dashboard.schemaHealth(spark, sfDir).inputFiles.toSet
+    val b = Dashboard.schemaHealth(spark, sfDir).inputFiles.toSet
+    assert(a.nonEmpty && a === b,
+      "the section must be served from persisted artifact files")
+  }
+
   test("indexResource payload is lazy; correlation probe works on demand") {
     val p = Dashboard.indexResource(spark, sfDir)
     val expected = graft.operators.Monitoring

@@ -642,6 +642,22 @@ class ProfileSpec extends SparkSuite {
       "artifact-served c11 must equal the unamortized build")
   }
 
+  test("c18 artifact reuse: the gate serves the persisted g3 relation and " +
+      "it equals the from-scratch computation exactly") {
+    val served = Profile.fdG3(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val fresh = Profile.fdG3Of(Profile.FdCandidateCols.map { case (t, cs) =>
+        (t, graft.Catalog.table(spark, sfDir, t), cs) }).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(served === fresh,
+      "artifact-served c18 must equal the from-scratch g3 computation")
+    val a = Profile.fdG3(spark, sfDir).inputFiles.toSet
+    val b = Profile.fdG3(spark, sfDir).inputFiles.toSet
+    assert(a.nonEmpty && a === b)
+  }
+
   test("c20 seeded composite: a violation at a SAMPLED determinant pair " +
       "is refuted without the exact pass; one the sample misses is " +
       "caught by the exact survivor check") {
