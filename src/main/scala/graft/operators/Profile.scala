@@ -910,6 +910,7 @@ object Profile {
       fdDistinctRelation(spark, dir, t, cs)
       fdLevel1Indexed(spark, dir, t, cs) }
     fdG3Indexed(spark, dir)
+    keyDiscoveryIndexed(spark, dir)
     ()
   }
 
@@ -1849,9 +1850,27 @@ object Profile {
     }
   }
 
+  /** The key-discovery relation PERSISTED (the c15/c18 amortization
+    * precedent): content-determined, column-count-sized, read per
+    * catalog-page view. The gate serves the artifact (the oracle still
+    * hashes its content); [[keyDiscoveryOf]] stays the from-scratch
+    * builder and ProfileSpec pins artifact ≡ fresh.
+    */
+  private val KeyDiscoveryVersion = "keydisc-v1"
+
+  private def keyDiscoveryIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.Scratch.materialize(spark, "key_discovery",
+      KeyDiscoveryVersion + "-" + FkCandidateCols.map { case (t, cs) =>
+        t + ":" + cs.mkString("_") }.mkString("|"), dir)(staging =>
+      keyDiscoveryOf(FkCandidateCols.map { case (t, cs) =>
+        (t, Catalog.table(spark, dir, t), cs) })
+        .write.parquet(staging))
+    spark.read.parquet(p)
+  }
+
   def keyDiscovery(spark: SparkSession, dir: String): DataFrame =
-    keyDiscoveryOf(FkCandidateCols.map { case (t, cs) =>
-      (t, Catalog.table(spark, dir, t), cs) })
+    keyDiscoveryIndexed(spark, dir)
+      .orderBy(col("table_name"), col("lvl"), col("col1"), col("col2"))
 
   val keyDiscoverySql: String = {
     val l1Parts = FkCandidateCols.flatMap { case (t, cs) =>

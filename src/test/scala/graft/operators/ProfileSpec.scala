@@ -763,6 +763,23 @@ class ProfileSpec extends SparkSuite {
       "the duplicated (7, 3) row must break the composite key")
   }
 
+  test("c19 artifact reuse: the gate serves the persisted key relation " +
+      "and it equals the from-scratch discovery exactly") {
+    val served = Profile.keyDiscovery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getInt(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val fresh = Profile.keyDiscoveryOf(Profile.FkCandidateCols.map {
+        case (t, cs) => (t, graft.Catalog.table(spark, sfDir, t), cs) })
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getInt(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(served === fresh,
+      "artifact-served c19 must equal the from-scratch discovery")
+    val a = Profile.keyDiscovery(spark, sfDir).inputFiles.toSet
+    val b = Profile.keyDiscovery(spark, sfDir).inputFiles.toSet
+    assert(a.nonEmpty && a === b)
+  }
+
   test("c19 fixture: the TPC-H primary keys surface as unary keys and " +
       "no level-2 row contains a unique unary column") {
     val rows = Profile.keyDiscovery(spark, sfDir).collect()
