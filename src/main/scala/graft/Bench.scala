@@ -376,13 +376,16 @@ object Bench {
         s""""loadavg_after":${jsonNum(loadNow)},"extra_repeats":${extra.size}}"""
       if (!remeasured.contains(name)) remeasured += name
     }
+    // loadavg_after is adjudication evidence for the SWEEP — capture it
+    // BEFORE the post-sweep probe, whose own 32-way burst would inflate
+    // the 1-min EMA by ~1.6 against a 1.5 guard scale (round-14 review)
+    val loadAfter = loadavg()
     // post-sweep box probe: the min of the two probes is the session's
     // box speed (contention can only inflate a probe reading)
     val calAfter = if (isFull) calibrationProbe(spark) else Double.NaN
     val boxCal =
       if (calBefore.isNaN || calAfter.isNaN) Double.NaN
       else math.min(calBefore, calAfter)
-    val loadAfter = loadavg()
     // queries with zero successful repeats are omitted from the per-query
     // maps entirely — they appear only in `failed`
     val timed = results.toSeq.collect { case (k, ts) if ts.nonEmpty =>

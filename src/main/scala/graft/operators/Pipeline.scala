@@ -476,7 +476,7 @@ object Pipeline {
     * size, scan ALL bins first-fit) vs next-fit (arrival order, check
     * only the LAST bin — the naive baseline).
     */
-  private def packBinsOf(docs: DataFrame, decreasing: Boolean,
+  private[operators] def packBinsOf(docs: DataFrame, decreasing: Boolean,
       window: Long = SeqWindowTokens.toLong): DataFrame = {
     val spark0 = docs.sparkSession
     import spark0.implicits._
@@ -549,12 +549,22 @@ object Pipeline {
   //   mass_ok              FFD output carries z4's exact per-bucket
   //                        (doc count, token mass) — packing permutes,
   //                        never drops;
-  //   ffd_le_nextfit       Johnson 1973: first-fit-decreasing never uses
-  //                        more bins than the naive next-fit walk;
   //   no_multidoc_overflow no bin holding >1 doc exceeds the window;
   //   bins_lower_bound_ok  n_bins ≥ oversized + ceil(small_mass/window)
   //                        (each oversized doc sits alone; the rest
-  //                        cannot beat the volume bound).
+  //                        cannot beat the volume bound);
+  //   half_full_bound_ok   n_bins ≤ oversized + ceil(2·small_mass/window)
+  //                        + 1 — the first-fit theorem that AT MOST ONE
+  //                        bin ends ≤ half full (a second one's contents
+  //                        would have fit the first), so the small-doc
+  //                        bin count is mass-bounded above.
+  // The round-14 review killed a fifth boolean here, ffd_le_nextfit:
+  // "FFD never uses more bins than next-fit" is NOT a theorem (only
+  // FFD ≤ 11/9·OPT + 6/9 is) — a lucky arrival order lets next-fit
+  // BEAT FFD (sizes 64,64,52,38,38,52,38,38 at window 128: NF packs 3
+  // bins, FFD 4), so the pinned claim could go red on a correct kernel
+  // under a future fixture. The fixture-measured FFD-vs-next-fit fill
+  // delta lives in PackFfdSpec, where it belongs.
   // `n_oversized` is the strongest single check: Spark derives it from
   // the KERNEL's output (count of over-window BINS), the oracle from the
   // DATA (count of over-window DOCS) — equal only if every oversized doc
@@ -564,47 +574,50 @@ object Pipeline {
   // Window = [[PackGateWindowTokens]], inside the fixture's 10-99-token
   // band: at z4's 2048 every bucket is one under-full bin under ANY
   // algorithm and the gate would be vacuous (PackFfdSpec's measured
-  // note). Scale shape: two per-shard kernels + three grouped aggregates
+  // note). Scale shape: one per-shard kernel + two grouped aggregates
   // over the tokenized projection; output is bucket-count-sized.
   // ---------------------------------------------------------------------
   val PackGateWindowTokens = 128L
 
-  def packFfdGate(spark: SparkSession, dir: String): DataFrame = {
-    val W = PackGateWindowTokens
-    val docs = tokenizedShards(spark, dir)
+  /** The gate's accounting over an EXPLICIT tokenized relation — factored
+    * so PackFfdSpec can drive hand shards (including oversized docs the
+    * fixture lacks at the gate window) through the REAL accounting.
+    */
+  private[operators] def packFfdGateOf(docs: DataFrame, W: Long): DataFrame = {
     val base = docs.groupBy(col("bucket")).agg(
       count(lit(1)).as("base_docs"),
       sum(col("n_tokens")).as("base_mass"),
-      sum((col("n_tokens") > W).cast("long")).as("base_oversized"),
       sum(when(col("n_tokens") <= W, col("n_tokens")).otherwise(0L))
         .as("small_mass"))
-    val ffdBins = packBinsOf(docs, decreasing = true, W)
+    val ffdAcc = packBinsOf(docs, decreasing = true, W)
       .groupBy(col("bucket"), col("seq_id"))
       .agg(sum(col("n_tokens")).as("load"), count(lit(1)).as("n_in_bin"))
-    val ffdAcc = ffdBins.groupBy(col("bucket")).agg(
-      count(lit(1)).as("n_seqs_ffd"),
-      sum(col("load")).as("ffd_mass"),
-      sum(col("n_in_bin")).as("ffd_docs"),
-      coalesce(max(when(col("n_in_bin") > 1, col("load"))), lit(0L))
-        .as("max_multidoc_load"),
-      sum((col("load") > W).cast("long")).as("n_over_bins"))
-    val nfAcc = packBinsOf(docs, decreasing = false, W)
-      .groupBy(col("bucket"))
-      .agg(countDistinct(col("seq_id")).as("n_seqs_nf"))
-    base.join(ffdAcc, Seq("bucket")).join(nfAcc, Seq("bucket"))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_seqs_ffd"),
+        sum(col("load")).as("ffd_mass"),
+        sum(col("n_in_bin")).as("ffd_docs"),
+        coalesce(max(when(col("n_in_bin") > 1, col("load"))), lit(0L))
+          .as("max_multidoc_load"),
+        sum((col("load") > W).cast("long")).as("n_over_bins"))
+    base.join(ffdAcc, Seq("bucket"))
       .select(col("bucket"),
         col("base_docs").as("n_docs"),
         col("base_mass").as("total_tokens"),
         col("n_over_bins").as("n_oversized"),
         (col("ffd_mass") === col("base_mass") &&
           col("ffd_docs") === col("base_docs")).as("mass_ok"),
-        (col("n_seqs_ffd") <= col("n_seqs_nf")).as("ffd_le_nextfit"),
         (col("max_multidoc_load") <= W).as("no_multidoc_overflow"),
         // `div`, not `/`: Long./ is true division (double) in Spark SQL
-        (col("n_seqs_ffd") >= col("base_oversized") +
-          expr(s"(small_mass + ${W - 1}) div $W")).as("bins_lower_bound_ok"))
+        (col("n_seqs_ffd") >= col("n_over_bins") +
+          expr(s"(small_mass + ${W - 1}) div $W")).as("bins_lower_bound_ok"),
+        (col("n_seqs_ffd") <= col("n_over_bins") +
+          expr(s"(2 * small_mass + ${W - 1}) div $W") + 1)
+          .as("half_full_bound_ok"))
       .orderBy(col("bucket"))
   }
+
+  def packFfdGate(spark: SparkSession, dir: String): DataFrame =
+    packFfdGateOf(tokenizedShards(spark, dir), PackGateWindowTokens)
 
   val packFfdGateSql: String = {
     val b = TextOps.shardBucketSql("doc_id")
@@ -616,8 +629,8 @@ object Pipeline {
        |SELECT bucket, count(*)::BIGINT AS n_docs,
        | sum(n_tokens)::BIGINT AS total_tokens,
        | (count(*) FILTER (WHERE n_tokens > $W))::BIGINT AS n_oversized,
-       | true AS mass_ok, true AS ffd_le_nextfit,
-       | true AS no_multidoc_overflow, true AS bins_lower_bound_ok
+       | true AS mass_ok, true AS no_multidoc_overflow,
+       | true AS bins_lower_bound_ok, true AS half_full_bound_ok
        |FROM toks GROUP BY bucket ORDER BY bucket""".stripMargin
       .replace('\n', ' ')
   }
@@ -1452,9 +1465,9 @@ object Pipeline {
       "FFD no-split packing gate (round-13 verdict item #2): per-bucket " +
         "accounting the oracle recomputes exactly (n_docs, token mass, " +
         "oversized count — Spark derives it from the KERNEL's bins, the " +
-        "oracle from the docs) + claim-as-data booleans (mass ≡ z4, " +
-        "n_seqs(FFD) ≤ n_seqs(next-fit), no multi-doc bin over the " +
-        "window, volume lower bound) — a broken kernel goes hash-red"),
+        "oracle from the docs) + claim-as-data booleans (mass ≡ z4, no " +
+        "multi-doc bin over the window, volume lower bound, first-fit " +
+        "half-full upper bound) — a broken kernel goes hash-red"),
     Q("z4_sequence_pack", sequencePack, Some(sequencePackSql),
       "fixed-token-window sequence packing within hash shards — sharded cumulative sum, no global window (training-data extension)"),
     Q("z13_token_mix", tokenMixSample, Some(tokenMixSampleSql),

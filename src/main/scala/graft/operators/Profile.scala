@@ -1214,14 +1214,17 @@ object Profile {
         if (mine.isEmpty) None else Some(taggedPairsAt(df, mine))
       }.reduce(_ unionByName _)
     // phase 1 — ONE job refutes from the sampled determinant groups of
-    // every table simultaneously
-    val sampledStats = pairStatsOf(
+    // every table simultaneously. The stats are COLLECTED whole
+    // (pair-count-bounded) rather than re-joined lazily: a lazy
+    // reference in the output plan would re-execute the entire phase-1
+    // explode at the gate's final collect (round-14 review) — the exact
+    // cost the two-phase design exists to cut.
+    val sampledRows: Map[Int, (Long, Long)] = pairStatsOf(
       taggedFor(catalog.map(_._1).toSet).filter(fdSampleKeep(col("va"))))
-      .withColumnRenamed("n_det", "n_det_sampled")
-      .withColumnRenamed("n_pairs", "n_pairs_sampled")
-    val refuted: Set[Int] = sampledStats
-      .filter(col("n_pairs_sampled") > col("n_det_sampled"))
-      .select(col("p")).collect().map(_.getInt(0)).toSet
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val refuted: Set[Int] =
+      sampledRows.collect { case (p, (nd, np)) if np > nd => p }.toSet
     // phase 2 — ONE job verifies every surviving pair exactly; only the
     // survivor pairs are exploded at all (a post-explode filter would
     // still pay the full map-side fan-out for refuted pairs)
@@ -1233,20 +1236,23 @@ object Profile {
         .withColumnRenamed("n_pairs", "n_pairs_exact")
     val spark0 = tables.head._2.sparkSession
     import spark0.implicits._
+    // phase-1 results ride IN the driver-built pair rows (no lazy join
+    // back to the phase-1 plan, no pair-count-sized In expression)
     val allPairs = catalog
-      .map { case (i, t, a, b) => (i, t, a, b, refuted.contains(i)) }
-      .toDF("p", "table_name", "det_col", "dep_col", "sampled_refuted")
-    val withSample = broadcast(allPairs)
-      .join(sampledStats, Seq("p"), "left")
+      .map { case (i, t, a, b) =>
+        val (nd, np) = sampledRows.getOrElse(i, (0L, 0L))
+        (i, t, a, b, nd, np, refuted.contains(i))
+      }
+      .toDF("p", "table_name", "det_col", "dep_col",
+        "n_det_sampled", "n_pairs_sampled", "sampled_refuted")
     val withExact =
       if (exactStats == null)
-        withSample.withColumn("n_det_exact", lit(null).cast("long"))
+        allPairs.withColumn("n_det_exact", lit(null).cast("long"))
           .withColumn("n_pairs_exact", lit(null).cast("long"))
-      else withSample.join(exactStats, Seq("p"), "left")
+      else broadcast(allPairs).join(exactStats, Seq("p"), "left")
     withExact.select(col("table_name"),
         col("det_col"), col("dep_col"),
-        coalesce(col("n_det_sampled"), lit(0L)).as("n_det_sampled"),
-        coalesce(col("n_pairs_sampled"), lit(0L)).as("n_pairs_sampled"),
+        col("n_det_sampled"), col("n_pairs_sampled"),
         col("sampled_refuted"),
         (!col("sampled_refuted")).as("exact_checked"),
         // refuted ⇒ false (sound by subset construction; the oracle
@@ -1491,19 +1497,11 @@ object Profile {
           lit(0L).as("n_det"), lit(0L).as("n_pairs"),
           lit(true).as("holds"))
       else {
-        val tagged = df.select(explode(array(composites.zipWithIndex.map {
-            case ((a, b, c), i) =>
-              struct(lit(i).as("p"), col(a).cast("long").as("va"),
-                col(b).cast("long").as("vb"), col(c).cast("long").as("vc"))
-          }: _*)).as("x"))
-          .select(col("x.p"), col("x.va"), col("x.vb"), col("x.vc"))
-          .filter(col("va").isNotNull && col("vb").isNotNull &&
-            col("vc").isNotNull)
-        val stats = tagged.dropDuplicates("p", "va", "vb", "vc")
-          .groupBy(col("p"), col("va"), col("vb"))
-          .agg(count(lit(1)).as("n_deps"))
-          .groupBy(col("p"))
-          .agg(count(lit(1)).as("n_det"), sum(col("n_deps")).as("n_pairs"))
+        // the ONE composite explode + counting tail, shared with c20
+        // (round-14 review: two inline copies could drift and silently
+        // break the c20-vs-c17 agreement contract ProfileSpec pins)
+        val stats = compositeStatsOf(taggedCompositesAt(df,
+          composites.zipWithIndex.map { case (comp, i) => (i, comp) }))
         broadcast(allComps).join(stats, Seq("p"), "left")
           .select(lit(t).as("table_name"),
             col("det1"), col("det2"), col("dep_col"),
@@ -1653,15 +1651,19 @@ object Profile {
         col("dep_col"), lit(0L).as("n_det_sampled"),
         lit(0L).as("n_pairs_sampled"), lit(false).as("sampled_refuted"),
         lit(true).as("exact_checked"), lit(true).as("holds"))
-    // phase 1 — ONE job refutes from the sampled determinant-pair groups
-    val sampledStats = compositeStatsOf(
+    // phase 1 — ONE job refutes from the sampled determinant-pair
+    // groups; stats COLLECTED whole (candidate-count-bounded) so the
+    // output plan never re-executes the phase-1 explode, and the
+    // refuted flags ride in the driver-built rows rather than a
+    // candidate-count-sized In expression (round-14 review, the c16
+    // discipline applied at the level where candidates explode)
+    val sampledRows: Map[Int, (Long, Long)] = compositeStatsOf(
       taggedFor(catalog.map(_._1).toSet)
         .filter(fdSampleKeepPair(col("va"), col("vb"))))
-      .withColumnRenamed("n_det", "n_det_sampled")
-      .withColumnRenamed("n_pairs", "n_pairs_sampled")
-    val refuted: Set[Int] = sampledStats
-      .filter(col("n_pairs_sampled") > col("n_det_sampled"))
-      .select(col("p")).collect().map(_.getInt(0)).toSet
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val refuted: Set[Int] =
+      sampledRows.collect { case (p, (nd, np)) if np > nd => p }.toSet
     // phase 2 — ONE job verifies survivors exactly (only they explode)
     val survivors = catalog.map(_._1).filterNot(refuted).toSet
     val exactStats =
@@ -1669,18 +1671,21 @@ object Profile {
       else compositeStatsOf(taggedFor(survivors))
         .withColumnRenamed("n_det", "n_det_exact")
         .withColumnRenamed("n_pairs", "n_pairs_exact")
-    val withSample = broadcast(allComps
-        .withColumn("sampled_refuted", col("p").isin(refuted.toSeq: _*)))
-      .join(sampledStats, Seq("p"), "left")
+    val withSample = catalog
+      .map { case (i, t, (a, b, c)) =>
+        val (nd, np) = sampledRows.getOrElse(i, (0L, 0L))
+        (i, t, a, b, c, nd, np, refuted.contains(i))
+      }
+      .toDF("p", "table_name", "det1", "det2", "dep_col",
+        "n_det_sampled", "n_pairs_sampled", "sampled_refuted")
     val withExact =
       if (exactStats == null)
         withSample.withColumn("n_det_exact", lit(null).cast("long"))
           .withColumn("n_pairs_exact", lit(null).cast("long"))
-      else withSample.join(exactStats, Seq("p"), "left")
+      else broadcast(withSample).join(exactStats, Seq("p"), "left")
     withExact.select(col("table_name"), col("det1"), col("det2"),
         col("dep_col"),
-        coalesce(col("n_det_sampled"), lit(0L)).as("n_det_sampled"),
-        coalesce(col("n_pairs_sampled"), lit(0L)).as("n_pairs_sampled"),
+        col("n_det_sampled"), col("n_pairs_sampled"),
         col("sampled_refuted"),
         (!col("sampled_refuted")).as("exact_checked"),
         when(col("sampled_refuted"), lit(false))

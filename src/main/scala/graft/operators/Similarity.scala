@@ -627,6 +627,7 @@ object Similarity {
   }
 
   def annIvfCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = nonZeroEmbeddings(spark, dir)
     val tomb = emb.filter(col("vec_id") % IvfDeleteMod === IvfDeleteRes)
       .select(col("vec_id"))
@@ -639,53 +640,46 @@ object Similarity {
       if (nBefore == 0L) 0L
       else (BigInt(nDeleted) * 1000000 / nBefore).toLong
     val triggered = tombPpm >= IvfCompactTriggerPpm
-    // pre-compact serving view (n16's path) vs the post-compact artifact;
-    // an untriggered run serves the filtered view on both sides and the
-    // identity is trivially true — the row says so via its own fields
+    // pre-compact serving view (n16's path) vs the post-compact artifact
     val preView = maintained.join(tomb, Seq("vec_id"), "left_anti")
     val postView = if (triggered) ivfListsCompacted(spark, dir) else preView
     val queries = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val servedPre = serveIvf(queries, preView)
-      .select(col("query_id"), col("vec_id"), col("rank"))
-    val servedPost = serveIvf(queries, postView)
-    val postIds = servedPost.select(col("query_id"), col("vec_id"), col("rank"))
-    // serve identity across the compaction: |pre| = |post| = |pre ∩ post|
-    val cPre = servedPre.agg(count(lit(1)).as("c_pre"))
-    val cPost = postIds.agg(count(lit(1)).as("c_post"))
-    val cBoth = servedPre.join(postIds, Seq("query_id", "vec_id", "rank"))
-      .agg(count(lit(1)).as("c_both"))
-    // evaluation arm: the from-scratch post-delete rebuild (n16's shape)
-    val rebuilt = serveIvf(queries,
+    // every serve result is (queries × k)-bounded — collect each ONCE
+    // and assemble the accounting driver-side. The first cut joined the
+    // lazy serve plans into one output row and re-planned the serve
+    // subtree six times per gate collect (round-14 review); this form
+    // runs each serve exactly once, and the untriggered arm skips the
+    // pre-compact serve entirely (the identity is definitionally true
+    // when both sides are the same relation).
+    def servedSet(lists: DataFrame): Set[(Long, Long, Int)] =
+      serveIvf(queries, lists)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val post = servedSet(postView)
+    val pre = if (triggered) servedSet(preView) else post
+    val rebuilt = servedSet(
       emb.join(tomb, Seq("vec_id"), "left_anti")
         .select(col("vec_id"),
           assignColumnOf(centroids)(col("embedding")).as("centroid"),
           col("embedding")))
-    val nAfter = postView.agg(count(lit(1)).as("n_after"))
-    val servedTomb = servedPost.agg(coalesce(
-      max((col("vec_id") % IvfDeleteMod === IvfDeleteRes).cast("int")),
-      lit(0)).as("served_deleted"))
-    rebuilt.select(col("query_id"), col("vec_id"))
-      .join(servedPost.select(col("query_id"), col("vec_id"),
-        lit(1).as("hit")), Seq("query_id", "vec_id"), "left")
-      .agg(count(lit(1)).as("n_expected"),
-        coalesce(sum(coalesce(col("hit"), lit(0))), lit(0L)).cast("long")
-          .as("n_hits"))
-      .crossJoin(broadcast(nAfter))
-      .crossJoin(broadcast(servedTomb))
-      .crossJoin(broadcast(cPre))
-      .crossJoin(broadcast(cPost))
-      .crossJoin(broadcast(cBoth))
-      .select(lit(nBefore).as("n_before"), lit(nDeleted).as("n_deleted"),
-        lit(tombPpm).as("tombstone_ppm"),
-        lit(triggered).as("compaction_triggered"),
-        col("n_after"), col("n_expected"), col("n_hits"),
-        when(col("n_expected") === 0, lit(1.0))
-          .otherwise(round(col("n_hits").cast("double") / col("n_expected"), 6))
-          .as("recall"),
-        (col("served_deleted") === 0).as("no_deleted_served"),
-        (col("c_pre") === col("c_post") && col("c_both") === col("c_pre"))
-          .as("serve_identical"))
+    val nAfter = postView.count()
+    val postPairs = post.map(t => (t._1, t._2))
+    val nExpected = rebuilt.size.toLong
+    val nHits = rebuilt.map(t => (t._1, t._2)).intersect(postPairs)
+      .size.toLong
+    // 6-dp half-up, the same edge rule as Spark's round / the oracle's
+    val recall =
+      if (nExpected == 0L) 1.0
+      else BigDecimal(nHits.toDouble / nExpected)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val noDeletedServed =
+      !postPairs.exists(_._2 % IvfDeleteMod == IvfDeleteRes)
+    Seq((nBefore, nDeleted, tombPpm, triggered, nAfter, nExpected, nHits,
+        recall, noDeletedServed, pre == post))
+      .toDF("n_before", "n_deleted", "tombstone_ppm",
+        "compaction_triggered", "n_after", "n_expected", "n_hits",
+        "recall", "no_deleted_served", "serve_identical")
   }
 
   // ---------------------------------------------------------------------

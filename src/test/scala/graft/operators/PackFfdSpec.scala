@@ -64,6 +64,52 @@ class PackFfdSpec extends SparkSuite {
       s"small docs must co-pack: $byBin")
   }
 
+  test("z18 gate accounting on hand shards: oversized docs drive the " +
+      "engine-vs-oracle n_oversized cross-check non-degenerately, and " +
+      "every claim boolean holds") {
+    import spark.implicits._
+    // bucket 0: two oversized docs (the fixture has none at the gate
+    // window, so the gate's sharpest check is 0==0 there — round-14
+    // review) + small docs; bucket 1: small docs only
+    val docs = Seq(
+      (1L, 0, 200L), (2L, 0, 150L), (3L, 0, 60L), (4L, 0, 60L),
+      (5L, 0, 30L),
+      (6L, 1, 64L), (7L, 1, 64L), (8L, 1, 52L))
+      .toDF("doc_id", "bucket", "n_tokens")
+    val got = Pipeline.packFfdGateOf(docs, 128L).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7)))).toMap
+    // bucket 0: 5 docs, 500 tokens, 2 oversized BINS (the kernel isolated
+    // each over-window doc) — engine-side n_oversized equals the
+    // data-side doc count the oracle would emit
+    assert(got(0) === ((5L, 500L, 2L, true, true, true, true)), s"$got")
+    assert(got(1) === ((3L, 180L, 0L, true, true, true, true)), s"$got")
+  }
+
+  test("ffd_le_nextfit is NOT a theorem (why the gate doesn't pin it): a " +
+      "lucky arrival order lets next-fit beat FFD") {
+    import spark.implicits._
+    // round-14 review counterexample, window 128, doc_id order:
+    // NF packs {64,64},{52,38,38},{52,38,38} = 3 bins;
+    // FFD (sorted 64,64,52,52,38,38,38,38) packs
+    // {64,64},{52,52},{38,38,38},{38} = 4 bins
+    val docs = Seq(
+      (1L, 0, 64L), (2L, 0, 64L), (3L, 0, 52L), (4L, 0, 38L),
+      (5L, 0, 38L), (6L, 0, 52L), (7L, 0, 38L), (8L, 0, 38L))
+      .toDF("doc_id", "bucket", "n_tokens")
+    def bins(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("seq_id")).distinct().count()
+    val nf = bins(Pipeline.packBinsOf(docs, decreasing = false, 128L))
+    val ffd = bins(Pipeline.packBinsOf(docs, decreasing = true, 128L))
+    assert(nf === 3L && ffd === 4L,
+      s"the counterexample must reproduce: nf=$nf ffd=$ffd")
+    // ...and the SOUND bounds still hold on it: 2 <= ffd <= 7
+    val row = Pipeline.packFfdGateOf(docs, 128L).collect().head
+    assert(row.getBoolean(6) && row.getBoolean(7),
+      s"volume/half-full bounds must hold on the counterexample: $row")
+  }
+
   test("fixture: measured fill — FFD improves on the next-fit no-split " +
       "baseline, and neither regime's accounting drops a token") {
     // the fixture's documents run 10-99 tokens, so the no-split regime

@@ -162,12 +162,7 @@ class PlanInvariantsSpec extends SparkSuite {
       // 1-row accounting scalars (n_deleted, served_deleted) recombine
       // as 1-row broadcast crossJoins (c1's shape); the serving joins
       // themselves are centroid/vec_id equi-joins
-      "n16_ivf_deletes",
-      // n17: n16's evaluation shape plus the serve-identity check — six
-      // 1-row accounting scalars (n_after, served_deleted, c_pre/c_post/
-      // c_both, the hits row) recombine as 1-row broadcast crossJoins;
-      // the serving joins themselves stay centroid/vec_id equi-joins
-      "n17_ivf_compact")
+      "n16_ivf_deletes")
 
   test("no registered query plans a cartesian/nested-loop join (beyond labeled baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
