@@ -1908,6 +1908,155 @@ object Profile {
   }
 
   // ---------------------------------------------------------------------
+  // C21 — SAMPLED key refutation (c19 × c16): uniqueness over 100 TB is
+  // the same economics as FD checking — refuting a key needs only ONE
+  // duplicated group, and a hash-sample of value GROUPS (1 in 8 of the
+  // key space) catches it without the full max-count aggregate; only
+  // survivors pay the exact pass. Both lattice levels refute in ONE
+  // phase-1 job (unary candidates ride with vb pinned to 0, composite
+  // determinants hash as 'va:vb' — one id space across levels, the c16
+  // discipline extended), and level-2 candidates come pre-pruned from
+  // c19's persisted artifact (a unique unary prunes every superset).
+  //
+  // NULL groups are never sampled (hash of NULL is NULL in both
+  // engines, so the keep predicate drops them identically) — a
+  // duplicated-NULL refutation can only come from the exact survivor
+  // pass, which keeps NULL groups (c19's GROUP BY semantics). Sound
+  // either way: sampling can only MISS violations, never invent them,
+  // and `is_key` is pinned to the plain exact verdict by the oracle.
+  // ---------------------------------------------------------------------
+
+  /** (table_name, col1, col2, lvl, n_groups_sampled,
+    * max_group_rows_sampled, sampled_refuted, exact_checked, is_key) for
+    * every unary candidate and every UNPRUNED pair. `l1KeyOf` supplies a
+    * table's exact unary verdicts (the persisted c19 artifact in the
+    * gate; computed inline on hand tables).
+    */
+  def keySampledOf(tables: Seq[(String, DataFrame, Seq[String])],
+      l1KeyOf: Option[String => Map[String, Boolean]] = None): DataFrame = {
+    require(tables.nonEmpty, "keySampledOf: empty table catalog")
+    tables.foreach { case (t, df, cs) =>
+      requireIntegralCandidates("keySampledOf", t, df, cs)
+      require(cs.nonEmpty, s"keySampledOf: table $t has no candidate columns")
+    }
+    val spark0 = tables.head._2.sparkSession
+    import spark0.implicits._
+    // one global candidate id space across BOTH lattice levels
+    val catalog: Seq[(Int, String, String, String, Int)] = {
+      var next = 0
+      tables.flatMap { case (t, df, cs) =>
+        val unaryKey: Map[String, Boolean] = l1KeyOf.map(_(t)).getOrElse(
+          keyDiscoveryOf(Seq((t, df, cs))).collect()
+            .filter(_.getInt(3) == 1)
+            .map(r => r.getString(1) -> r.getBoolean(6)).toMap)
+        val unary = cs.map { c => val id = next; next += 1; (id, t, c, "", 1) }
+        val pairs = for {
+          i <- cs.indices; j <- cs.indices if i < j
+          if !unaryKey(cs(i)) && !unaryKey(cs(j))
+        } yield { val id = next; next += 1; (id, t, cs(i), cs(j), 2) }
+        unary ++ pairs
+      }
+    }
+    val byTable = catalog.groupBy(_._2).view
+      .mapValues(_.map { case (i, _, a, b, lvl) => (i, a, b, lvl) }).toMap
+    // tagged relation across both levels: unary candidates pin vb to a
+    // constant (grouping by (va, const) ≡ grouping by va) and carry the
+    // unary keep hash; pairs carry the 'va:vb' pair hash
+    def taggedFor(ids: Set[Int], withKeep: Boolean): DataFrame =
+      tables.flatMap { case (t, df, _) =>
+        val mine = byTable.getOrElse(t, Seq.empty).filter(p => ids(p._1))
+        if (mine.isEmpty) None
+        else Some(df.select(explode(array(mine.map { case (i, a, b, lvl) =>
+            val va = col(a).cast("long")
+            val vb = if (lvl == 1) lit(0L) else col(b).cast("long")
+            val keep =
+              if (!withKeep) lit(true)
+              else if (lvl == 1) fdSampleKeep(va)
+              else fdSampleKeepPair(va, vb)
+            struct(lit(i).as("p"), va.as("va"), vb.as("vb"),
+              keep.as("keep"))
+          }: _*)).as("x"))
+          .select(col("x.p"), col("x.va"), col("x.vb"), col("x.keep")))
+      }.reduce(_ unionByName _)
+    def statsOf(tagged: DataFrame): Map[Int, (Long, Long)] = tagged
+      .groupBy(col("p"), col("va"), col("vb")).agg(count(lit(1)).as("c"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_groups"), max(col("c")).as("max_rows"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // phase 1 — ONE job over both levels' sampled groups
+    val sampled = statsOf(
+      taggedFor(catalog.map(_._1).toSet, withKeep = true)
+        .filter(col("keep")))
+    val refuted: Set[Int] =
+      sampled.collect { case (p, (_, mx)) if mx > 1L => p }.toSet
+    // phase 2 — ONE job, exact max-count for survivors only (NULL
+    // groups included: no keep filter)
+    val survivors = catalog.map(_._1).filterNot(refuted).toSet
+    val exact: Map[Int, (Long, Long)] =
+      if (survivors.isEmpty) Map.empty
+      else statsOf(taggedFor(survivors, withKeep = false))
+    catalog.map { case (i, t, a, b, lvl) =>
+      val (ng, mx) = sampled.getOrElse(i, (0L, 0L))
+      val isRefuted = refuted.contains(i)
+      val isKey = !isRefuted && exact.getOrElse(i, (0L, 0L))._2 <= 1L
+      (t, a, b, lvl, ng, mx, isRefuted, !isRefuted, isKey)
+    }.toDF("table_name", "col1", "col2", "lvl", "n_groups_sampled",
+        "max_group_rows_sampled", "sampled_refuted", "exact_checked",
+        "is_key")
+      .orderBy(col("table_name"), col("lvl"), col("col1"), col("col2"))
+  }
+
+  def keySampled(spark: SparkSession, dir: String): DataFrame = {
+    // level-2 pruning served from c19's persisted artifact — the same
+    // composition c17/c20 run on fdLevel1Indexed
+    def l1KeyOf(t: String): Map[String, Boolean] =
+      keyDiscoveryIndexed(spark, dir)
+        .filter(col("table_name") === t && col("lvl") === 1)
+        .collect().map(r => r.getString(1) -> r.getBoolean(6)).toMap
+    keySampledOf(FkCandidateCols.map { case (t, cs) =>
+      (t, Catalog.table(spark, dir, t), cs) }, Some(l1KeyOf))
+  }
+
+  val keySampledSql: String = {
+    val l1Parts = FkCandidateCols.flatMap { case (t, cs) =>
+      cs.map { c =>
+        val keep = s"${TextOps.hash60Sql(s"CAST($c AS VARCHAR)")} % $FdSampleMod = 0"
+        s"""SELECT '$t' AS table_name, '$c' AS col1, '' AS col2, 1 AS lvl,
+           | CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_groups_sampled,
+           | CAST(coalesce(max(c) FILTER (WHERE keep), 0) AS BIGINT)
+           |  AS max_group_rows_sampled,
+           | coalesce(max(c) FILTER (WHERE keep), 0) > 1 AS sampled_refuted,
+           | NOT (coalesce(max(c) FILTER (WHERE keep), 0) > 1) AS exact_checked,
+           | coalesce(max(c), 0) <= 1 AS is_key
+           |FROM (SELECT count(*) AS c, $keep AS keep FROM $t GROUP BY $c)"""
+          .stripMargin.replace('\n', ' ')
+      }
+    }
+    val l2Parts = FkCandidateCols.flatMap { case (t, cs) =>
+      for { i <- cs.indices; j <- cs.indices if i < j } yield {
+        val (a, b) = (cs(i), cs(j))
+        s"""SELECT '$t' AS table_name, '$a' AS col1, '$b' AS col2, 2 AS lvl,
+           | CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_groups_sampled,
+           | CAST(coalesce(max(c) FILTER (WHERE keep), 0) AS BIGINT)
+           |  AS max_group_rows_sampled,
+           | coalesce(max(c) FILTER (WHERE keep), 0) > 1 AS sampled_refuted,
+           | NOT (coalesce(max(c) FILTER (WHERE keep), 0) > 1) AS exact_checked,
+           | coalesce(max(c), 0) <= 1 AS is_key
+           |FROM (SELECT count(*) AS c, ${fdSampleKeepPairSql(a, b)} AS keep
+           |      FROM $t GROUP BY $a, $b)
+           |HAVING NOT (SELECT coalesce(max(c), 0) <= 1
+           |            FROM (SELECT count(*) AS c FROM $t GROUP BY $a))
+           |   AND NOT (SELECT coalesce(max(c), 0) <= 1
+           |            FROM (SELECT count(*) AS c FROM $t GROUP BY $b))"""
+          .stripMargin.replace('\n', ' ')
+      }
+    }
+    (l1Parts ++ l2Parts).mkString("SELECT * FROM (", " UNION ALL ",
+      ") ORDER BY table_name, lvl, col1, col2")
+  }
+
+  // ---------------------------------------------------------------------
   // C12 — class-balance profile: per categorical column the Gini
   // impurity, majority share, and class count — the imbalance
   // diagnostic a training-data review runs before trusting any
@@ -2205,6 +2354,14 @@ object Profile {
         "phase 2 pays the exact pass only for survivors; the oracle " +
         "recomputes the sample bit-for-bit, re-derives the pruning via " +
         "HAVING, and pins holds to the plain exact equality " +
+        "(training-data extension)"),
+    Q("c21_key_sampled", keySampled, Some(keySampledSql),
+      "c19 x c16: two-phase sampled KEY refutation — one duplicated " +
+        "value group in the 1-in-8 hash sample refutes uniqueness, only " +
+        "survivors pay the exact max-count pass; BOTH lattice levels " +
+        "refute in one phase-1 job (one id space), level-2 candidates " +
+        "pre-pruned from c19's persisted artifact, NULL groups exact-" +
+        "pass-only (their hash never samples, identically cross-engine) " +
         "(training-data extension)"),
     Q("c19_key_discovery", keyDiscovery, Some(keyDiscoverySql),
       "candidate-KEY discovery (TANE key pruning / unique column " +

@@ -713,6 +713,71 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("c21 seeded sample: a duplicated value in a SAMPLED group refutes " +
+      "uniqueness without the exact pass; one the sample misses is " +
+      "caught by the exact survivor check") {
+    import spark.implicits._
+    // hash60('1') % 8 == 0 (sampled group); hash60('0') % 8 != 0.
+    // k duplicates value 1 (sampled -> phase-1 refutes); v is unique.
+    val sampledDup = Seq((1L, 10L), (1L, 20L), (13L, 30L)).toDF("k", "v")
+    val got1 = Profile.keySampledOf(Seq(("t", sampledDup, Seq("k", "v"))))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8))))
+      .toMap
+    val (mx, refuted, checked, key) = got1(("k", ""))
+    assert(mx === 2L && refuted && !checked && !key,
+      s"sampled duplicate must refute without the exact pass: $got1")
+    val (_, refV, chkV, keyV) = got1(("v", ""))
+    assert(!refV && chkV && keyV, s"v must survive to a passing exact: $got1")
+    // no unary key pruning gap: k refuted, v unique -> (k, v) pruned
+    assert(!got1.contains(("k", "v")),
+      s"supersets of the unique v must be pruned: ${got1.keySet}")
+
+    // the duplicate sits at value 0 (unsampled) -> phase 1 passes, the
+    // exact survivor check refutes
+    val missedDup = Seq((0L, 10L), (0L, 20L), (13L, 30L)).toDF("k", "v")
+    val got2 = Profile.keySampledOf(Seq(("t", missedDup, Seq("k", "v"))))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    assert(got2(("k", "")) === ((false, true, false)),
+      s"sample-missed duplicate must fail the exact check: $got2")
+
+    // duplicated NULLs refute ONLY via the exact pass (NULL never
+    // samples) — the c19 NULL-groups-as-values semantics preserved
+    val nullDup = Seq((None: Option[Long], 1L), (None: Option[Long], 2L),
+      (Some(13L), 3L)).toDF("k", "v")
+    val got3 = Profile.keySampledOf(Seq(("t", nullDup, Seq("k", "v"))))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    assert(got3(("k", "")) === ((false, true, false)),
+      s"NULL-group duplicate must be exact-caught, never sampled: $got3")
+  }
+
+  test("c21 soundness on the fixture: two-phase key verdicts agree with " +
+      "c19's exact lattice candidate for candidate, and both phases " +
+      "are non-vacuously exercised") {
+    val sampled = Profile.keySampled(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    val exact = Profile.keyDiscovery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getBoolean(6)).toMap
+    assert(sampled.keySet === exact.keySet,
+      "the two operators must enumerate the SAME candidate set")
+    sampled.foreach { case (cand, (refuted, checked, isKey)) =>
+      assert(checked === !refuted, s"$cand: exact_checked must complement")
+      assert(isKey === exact(cand),
+        s"$cand: two-phase verdict $isKey != c19 exact ${exact(cand)}")
+    }
+    assert(sampled.values.exists(_._1),
+      "no fixture candidate was sample-refuted — phase 1 untested")
+    assert(sampled.values.exists { case (r, _, k) => !r && k },
+      "no fixture candidate survived to a passing exact check")
+  }
+
   test("c19 hand lattice: a 2-column key exists where no unary key does, " +
       "and supersets of a unique unary are NEVER counted") {
     import spark.implicits._
