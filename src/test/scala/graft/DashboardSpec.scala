@@ -141,6 +141,11 @@ class DashboardSpec extends SparkSuite {
     val b = Dashboard.schemaHealth(spark, sfDir).inputFiles.toSet
     assert(a.nonEmpty && a === b,
       "the section must be served from persisted artifact files")
+    // the key-catalog companion serves c19's artifact the same way
+    val k1 = Dashboard.keyCatalog(spark, sfDir).inputFiles.toSet
+    val k2 = Dashboard.keyCatalog(spark, sfDir).inputFiles.toSet
+    assert(k1.nonEmpty && k1 === k2)
+    assert(Dashboard.keyCatalog(spark, sfDir).collect().nonEmpty)
   }
 
   test("indexResource payload is lazy; correlation probe works on demand") {
