@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shims
@@ -17,6 +17,28 @@ object Hash {
   // kernels must split on the identical set or \x0B-bearing documents
   // shingle/count differently between the engines.
   private val Ws = java.util.regex.Pattern.compile("[ \t\n\f\r]+")
+
+  /** One lowbias32-shaped round over a non-negative 31-bit value —
+    * xor-shift-multiply twice, final xor-shift. NON-linear (an LCG is
+    * affine in v, so strided key generators land in periodic sample
+    * buckets); every op exact in DuckDB BIGINT arithmetic.
+    */
+  private def keyMix31(v: Long): Long = {
+    var h = v ^ (v >> 16)
+    h = (h * 73244475L) % 2147483648L
+    h ^= (h >> 16)
+    h = (h * 73244475L) % 2147483648L
+    h ^ (h >> 16)
+  }
+
+  /** c21's sampling bucket: mix va's low 31 bits; for pair determinants
+    * chain a second round over (mix(va) + vb's low bits) mod 2³¹.
+    */
+  def keySampleBucket(va: Long, vb: Long, pair: Boolean): Long = {
+    var h = keyMix31(va & 2147483647L)
+    if (pair) h = keyMix31((h + (vb & 2147483647L)) % 2147483648L)
+    h
+  }
 
   /** Distinct 60-bit hashes of the k-word shingles of a text, in one pass:
     * tokenize (trim → lower → split \s+, matching Spark's
@@ -706,7 +728,41 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "repetition_stats"
 }
 
+/** `key_sample_bucket(va, vb): bigint` — c21's group-sampling bucket: a
+  * lowbias32-shaped integer xor-shift mix over the low 31 bits, one
+  * (pair = one chained second round over va's mix + vb) value per row.
+  * A Catalyst expression rather than a Column tree because Column
+  * composition has NO subexpression sharing: the nested pair form
+  * `mix(mix(va) + vb)` duplicated the inner mix ~8× per round and the
+  * whole filter condition evaluated hundreds of nodes per row (measured
+  * 29 s vs 0.5 s for the same explode at sf0.1); as one codegen'd
+  * kernel it is ~15 integer ops. Exactly mirrored by the DuckDB oracle's
+  * staged nested SELECTs ([[graft.operators.Profile]] keyMixSqlStages).
+  */
+case class KeySampleBucket(left: Expression, right: Expression,
+    pair: Boolean) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BIGINT, BIGINT), got $other")
+    }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Hash.keySampleBucket(l.asInstanceOf[Long], r.asInstanceOf[Long], pair)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.expressions.Hash.keySampleBucket($l, $r, $pair)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): KeySampleBucket =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "key_sample_bucket"
+}
+
 object HashFunctions {
+  def key_sample_bucket(va: Column, vb: Column, pair: Boolean): Column =
+    Shims.column(KeySampleBucket(Shims.expression(va), Shims.expression(vb),
+      pair))
   def simhash60(c: Column): Column = Shims.column(SimHash60(Shims.expression(c)))
   def shingle_hash60(c: Column, k: Int): Column =
     Shims.column(ShingleHash60(Shims.expression(c), k))

@@ -1863,7 +1863,7 @@ object Profile {
     */
   private val KeyDiscoveryVersion = "keydisc-v1"
 
-  private def keyDiscoveryIndexed(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def keyDiscoveryIndexed(spark: SparkSession, dir: String): DataFrame = {
     val p = graft.Scratch.materialize(spark, "key_discovery",
       KeyDiscoveryVersion + "-" + FkCandidateCols.map { case (t, cs) =>
         t + ":" + cs.mkString("_") }.mkString("|"), dir)(staging =>
@@ -1924,7 +1924,49 @@ object Profile {
   // pass, which keeps NULL groups (c19's GROUP BY semantics). Sound
   // either way: sampling can only MISS violations, never invent them,
   // and `is_key` is pinned to the plain exact verdict by the oracle.
+  //
+  // Sampling hash: an integer XORSHIFT mix (lowbias32's shape — two
+  // xor-shift-multiply rounds over the value's low 31 bits), NOT the
+  // family's md5 hash60. c16/c20 hash the pair-count-sized DISTINCT
+  // artifact, where md5's cost is invisible; c21's phase 1 hashes every
+  // (row × candidate) of the BASE tables, and per-row md5 measured 11.6 s
+  // at sf0.1 vs ~4 s for the whole exact lattice — the sampling was
+  // costing more than what it saved. The mix must be NON-linear (an LCG
+  // is affine in the value, so strided generators land in periodic keep
+  // patterns — exactly c16's objection to raw residues); xor-shift
+  // breaks linearity with three integer ops per round, measured flat at
+  // ~1/8 keep across strides 1..4096, and is exact in both engines
+  // (bitwise AND/XOR/shift + BIGINT arithmetic, no floats, no strings).
   // ---------------------------------------------------------------------
+  private val KeyMixMul = 73244475L
+  private val KeyMask = 2147483647L
+  private val KeyMod = 2147483648L
+
+  /** The mix as ONE codegen'd kernel ([[graft.expressions.Hash
+    * .keySampleBucket]]), never a Column tree: Column composition has no
+    * subexpression sharing, so the nested pair form duplicated the inner
+    * mix ~64× and the filter ran interpreted-slow (29 s vs 0.5 s for the
+    * bare explode at sf0.1 — measured round 14).
+    */
+  private def keySampleKeep(va: Column): Column =
+    graft.expressions.HashFunctions
+      .key_sample_bucket(va, lit(0L), pair = false) % FdSampleMod === 0
+
+  private def keySampleKeepPair(va: Column, vb: Column): Column =
+    graft.expressions.HashFunctions
+      .key_sample_bucket(va, vb, pair = true) % FdSampleMod === 0
+
+  /** DuckDB staging of [[keyMix]] as nested SELECTs (inlining the mix as
+    * one expression would duplicate `src` 8× per round): mixes `src`
+    * into `dst`, carrying `carry` columns through.
+    */
+  private def keyMixSqlStages(inner: String, src: String, dst: String,
+      carry: Seq[String]): String = {
+    val cs = carry.map(_ + ", ").mkString
+    val s1 = s"SELECT $cs(xor($src, ($src) >> 16) * $KeyMixMul) % $KeyMod AS __m1 FROM ($inner)"
+    val s2 = s"SELECT $cs(xor(__m1, (__m1) >> 16) * $KeyMixMul) % $KeyMod AS __m2 FROM ($s1)"
+    s"SELECT $cs xor(__m2, (__m2) >> 16) AS $dst FROM ($s2)"
+  }
 
   /** (table_name, col1, col2, lvl, n_groups_sampled,
     * max_group_rows_sampled, sampled_refuted, exact_checked, is_key) for
@@ -1960,23 +2002,22 @@ object Profile {
     val byTable = catalog.groupBy(_._2).view
       .mapValues(_.map { case (i, _, a, b, lvl) => (i, a, b, lvl) }).toMap
     // tagged relation across both levels: unary candidates pin vb to a
-    // constant (grouping by (va, const) ≡ grouping by va) and carry the
-    // unary keep hash; pairs carry the 'va:vb' pair hash
-    def taggedFor(ids: Set[Int], withKeep: Boolean): DataFrame =
+    // constant (grouping by (va, const) ≡ grouping by va) and carry
+    // lvl so the keep predicate can be ONE post-explode expression —
+    // inlining a per-candidate keep inside the struct array put ~10×
+    // the mix's node count into one projection and knocked the stage
+    // out of whole-stage codegen (measured 26 s vs 2 s at sf0.1)
+    def taggedFor(ids: Set[Int]): DataFrame =
       tables.flatMap { case (t, df, _) =>
         val mine = byTable.getOrElse(t, Seq.empty).filter(p => ids(p._1))
         if (mine.isEmpty) None
         else Some(df.select(explode(array(mine.map { case (i, a, b, lvl) =>
             val va = col(a).cast("long")
             val vb = if (lvl == 1) lit(0L) else col(b).cast("long")
-            val keep =
-              if (!withKeep) lit(true)
-              else if (lvl == 1) fdSampleKeep(va)
-              else fdSampleKeepPair(va, vb)
             struct(lit(i).as("p"), va.as("va"), vb.as("vb"),
-              keep.as("keep"))
+              lit(lvl).as("lvl"))
           }: _*)).as("x"))
-          .select(col("x.p"), col("x.va"), col("x.vb"), col("x.keep")))
+          .select(col("x.p"), col("x.va"), col("x.vb"), col("x.lvl")))
       }.reduce(_ unionByName _)
     def statsOf(tagged: DataFrame): Map[Int, (Long, Long)] = tagged
       .groupBy(col("p"), col("va"), col("vb")).agg(count(lit(1)).as("c"))
@@ -1986,8 +2027,9 @@ object Profile {
       .toMap
     // phase 1 — ONE job over both levels' sampled groups
     val sampled = statsOf(
-      taggedFor(catalog.map(_._1).toSet, withKeep = true)
-        .filter(col("keep")))
+      taggedFor(catalog.map(_._1).toSet)
+        .filter(when(col("lvl") === 1, keySampleKeep(col("va")))
+          .otherwise(keySampleKeepPair(col("va"), col("vb")))))
     val refuted: Set[Int] =
       sampled.collect { case (p, (_, mx)) if mx > 1L => p }.toSet
     // phase 2 — ONE job, exact max-count for survivors only (NULL
@@ -1995,7 +2037,7 @@ object Profile {
     val survivors = catalog.map(_._1).filterNot(refuted).toSet
     val exact: Map[Int, (Long, Long)] =
       if (survivors.isEmpty) Map.empty
-      else statsOf(taggedFor(survivors, withKeep = false))
+      else statsOf(taggedFor(survivors))
     catalog.map { case (i, t, a, b, lvl) =>
       val (ng, mx) = sampled.getOrElse(i, (0L, 0L))
       val isRefuted = refuted.contains(i)
@@ -2019,32 +2061,36 @@ object Profile {
   }
 
   val keySampledSql: String = {
+    val selectTail = (t: String, a: String, b: String, lvl: Int) =>
+      s"""SELECT '$t' AS table_name, '$a' AS col1, '$b' AS col2, $lvl AS lvl,
+         | CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_groups_sampled,
+         | CAST(coalesce(max(c) FILTER (WHERE keep), 0) AS BIGINT)
+         |  AS max_group_rows_sampled,
+         | coalesce(max(c) FILTER (WHERE keep), 0) > 1 AS sampled_refuted,
+         | NOT (coalesce(max(c) FILTER (WHERE keep), 0) > 1) AS exact_checked,
+         | coalesce(max(c), 0) <= 1 AS is_key""".stripMargin
     val l1Parts = FkCandidateCols.flatMap { case (t, cs) =>
       cs.map { c =>
-        val keep = s"${TextOps.hash60Sql(s"CAST($c AS VARCHAR)")} % $FdSampleMod = 0"
-        s"""SELECT '$t' AS table_name, '$c' AS col1, '' AS col2, 1 AS lvl,
-           | CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_groups_sampled,
-           | CAST(coalesce(max(c) FILTER (WHERE keep), 0) AS BIGINT)
-           |  AS max_group_rows_sampled,
-           | coalesce(max(c) FILTER (WHERE keep), 0) > 1 AS sampled_refuted,
-           | NOT (coalesce(max(c) FILTER (WHERE keep), 0) > 1) AS exact_checked,
-           | coalesce(max(c), 0) <= 1 AS is_key
-           |FROM (SELECT count(*) AS c, $keep AS keep FROM $t GROUP BY $c)"""
+        // ::BIGINT, or an INT32 candidate column overflows the mix's
+        // multiply in DuckDB (Spark's tagged explode already casts long)
+        val inner = s"SELECT count(*) AS c, " +
+          s"($c & $KeyMask)::BIGINT AS h0 FROM $t GROUP BY $c"
+        val staged = keyMixSqlStages(inner, "h0", "mx", Seq("c"))
+        s"""${selectTail(t, c, "", 1)}
+           |FROM (SELECT c, mx % $FdSampleMod = 0 AS keep FROM ($staged))"""
           .stripMargin.replace('\n', ' ')
       }
     }
     val l2Parts = FkCandidateCols.flatMap { case (t, cs) =>
       for { i <- cs.indices; j <- cs.indices if i < j } yield {
         val (a, b) = (cs(i), cs(j))
-        s"""SELECT '$t' AS table_name, '$a' AS col1, '$b' AS col2, 2 AS lvl,
-           | CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_groups_sampled,
-           | CAST(coalesce(max(c) FILTER (WHERE keep), 0) AS BIGINT)
-           |  AS max_group_rows_sampled,
-           | coalesce(max(c) FILTER (WHERE keep), 0) > 1 AS sampled_refuted,
-           | NOT (coalesce(max(c) FILTER (WHERE keep), 0) > 1) AS exact_checked,
-           | coalesce(max(c), 0) <= 1 AS is_key
-           |FROM (SELECT count(*) AS c, ${fdSampleKeepPairSql(a, b)} AS keep
-           |      FROM $t GROUP BY $a, $b)
+        val inner = s"SELECT count(*) AS c, ($a & $KeyMask)::BIGINT AS g0, " +
+          s"($b & $KeyMask)::BIGINT AS bb FROM $t GROUP BY $a, $b"
+        val mixA = keyMixSqlStages(inner, "g0", "ga", Seq("c", "bb"))
+        val summed = s"SELECT c, (ga + bb) % $KeyMod AS h0 FROM ($mixA)"
+        val staged = keyMixSqlStages(summed, "h0", "mx", Seq("c"))
+        s"""${selectTail(t, a, b, 2)}
+           |FROM (SELECT c, mx % $FdSampleMod = 0 AS keep FROM ($staged))
            |HAVING NOT (SELECT coalesce(max(c), 0) <= 1
            |            FROM (SELECT count(*) AS c FROM $t GROUP BY $a))
            |   AND NOT (SELECT coalesce(max(c), 0) <= 1

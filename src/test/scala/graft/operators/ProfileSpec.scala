@@ -717,9 +717,10 @@ class ProfileSpec extends SparkSuite {
       "uniqueness without the exact pass; one the sample misses is " +
       "caught by the exact survivor check") {
     import spark.implicits._
-    // hash60('1') % 8 == 0 (sampled group); hash60('0') % 8 != 0.
-    // k duplicates value 1 (sampled -> phase-1 refutes); v is unique.
-    val sampledDup = Seq((1L, 10L), (1L, 20L), (13L, 30L)).toDF("k", "v")
+    // under c21's xorshift keep: value 2 samples, values 1 and 13 do not
+    // (verified against the mix in Python and pinned here).
+    // k duplicates value 2 (sampled -> phase-1 refutes); v is unique.
+    val sampledDup = Seq((2L, 10L), (2L, 20L), (13L, 30L)).toDF("k", "v")
     val got1 = Profile.keySampledOf(Seq(("t", sampledDup, Seq("k", "v"))))
       .collect()
       .map(r => (r.getString(1), r.getString(2)) ->
@@ -734,9 +735,9 @@ class ProfileSpec extends SparkSuite {
     assert(!got1.contains(("k", "v")),
       s"supersets of the unique v must be pruned: ${got1.keySet}")
 
-    // the duplicate sits at value 0 (unsampled) -> phase 1 passes, the
+    // the duplicate sits at value 1 (unsampled) -> phase 1 passes, the
     // exact survivor check refutes
-    val missedDup = Seq((0L, 10L), (0L, 20L), (13L, 30L)).toDF("k", "v")
+    val missedDup = Seq((1L, 10L), (1L, 20L), (13L, 30L)).toDF("k", "v")
     val got2 = Profile.keySampledOf(Seq(("t", missedDup, Seq("k", "v"))))
       .collect()
       .map(r => (r.getString(1), r.getString(2)) ->
