@@ -107,9 +107,14 @@ class StreamCurationSpec extends SparkSuite {
     // wall-clock latency assertion — meaningless on a contended box (the
     // BENCH_r11 lesson this round encoded into graft.Bench's load guard);
     // cancel rather than flake when the box is already squeezed
-    val load1 = try scala.io.Source.fromFile("/proc/loadavg").getLines()
-      .next().split(" ")(0).toDouble catch { case _: Throwable => 0.0 }
-    assume(load1 < 4.0, s"box contended (loadavg $load1) — latency " +
+    def load1(): Double = try scala.io.Source.fromFile("/proc/loadavg")
+      .getLines().next().split(" ")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    // 2.5, not the old 4.0: a concurrently-running full suite holds the
+    // 1-min loadavg in the 2.5-5 band and inflated the median past the
+    // budget once in a round-14 full run (the test passed alone minutes
+    // later) — at that load the measurement tests the box, not the sink
+    assume(load1() < 2.5, s"box contended (loadavg ${load1()}) — latency " +
       "measurement would test the box, not the sink")
     val tmp = Files.createTempDirectory("graft-scur-lat").toString
     val table = s"$tmp/corpus"
@@ -137,6 +142,9 @@ class StreamCurationSpec extends SparkSuite {
       // batch 0 pays plan/codegen warm-up + table bootstrap
       val steady = dataBatches.drop(1).map(_._3).sorted
       val median = steady(steady.size / 2)
+      // load can ARRIVE mid-test after the entry guard passed (the
+      // BENCH_r11 mid-sweep pattern) — re-check before judging
+      assume(load1() < 2.5, s"load arrived mid-test (loadavg ${load1()})")
       assert(median < 2500L,
         s"steady-state median curation batch ${median} ms breaches the " +
           s"2.5 s budget (batches: $dataBatches)")
