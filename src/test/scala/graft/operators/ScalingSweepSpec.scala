@@ -197,6 +197,35 @@ class ScalingSweepSpec extends SparkSuite {
     }
   }
 
+  test("c21 sample mass: the xorshift group sampler keeps ~1/8 of the " +
+      "value groups at BOTH scales (the kernel swap preserved the " +
+      "phase-1 work-reduction claim)") {
+    requireSweepFixtures()
+    // c21 samples with the integer xor-shift kernel (key_sample_bucket),
+    // not the family's md5 — this pin is the evidence the cheaper hash
+    // still buckets uniformly on REAL key distributions at both scales
+    // (an affine mix measured 0 sampled groups among small consecutive
+    // keys before the non-linear fix; a biased one lands outside the
+    // band). Ratio over c19's exact group counts, matched candidate for
+    // candidate.
+    for (dir <- Seq(LoDir, HiDir)) {
+      val sampled = Profile.keySampled(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getLong(4)).toMap
+      val exact = Profile.keyDiscovery(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getLong(4)).toMap
+      assert(sampled.keySet === exact.keySet)
+      val (s, e) = (sampled.values.sum, exact.values.sum)
+      val ratio = s.toDouble / e
+      info(f"$dir: sampled $s of $e value groups " +
+        f"(ratio $ratio%.4f, nominal ${1.0 / Profile.FdSampleMod}%.4f)")
+      assert(ratio > 0.11 && ratio < 0.14,
+        f"sample mass $ratio%.4f strayed from the 1/8 nominal — the " +
+          "xorshift group sampler is biased or disengaged")
+    }
+  }
+
   test("pigeonhole banding (m7/m9): all-pairs fraction does not grow " +
       "across the 10x step and candidates respect the per-cell budget") {
     requireSweepFixtures()
