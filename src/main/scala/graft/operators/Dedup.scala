@@ -80,7 +80,11 @@ object Dedup {
     */
   private def jaccardForCandidatesHs(
       hs: DataFrame, candidates: DataFrame): DataFrame = {
-    candidates
+    // per-candidate cost is an array_intersect over full shingle sets —
+    // compute-dense, byte-light — so pin the verify's parallelism
+    // (Q.spreadBy) instead of letting AQE's byte-proxy coalescing fold
+    // it into one task
+    Q.spreadBy(candidates, col("da"))
       .join(hs.select(col("doc_id").as("da"), col("hs").as("hsa")), "da")
       .join(hs.select(col("doc_id").as("db"), col("hs").as("hsb")), "db")
       .select(col("da"), col("db"),
@@ -193,7 +197,14 @@ object Dedup {
       dedup: Boolean): DataFrame = {
     val overlapUb = lit(1) +
       least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
-    val pairs = pref.as("a").join(pref.as("b"), col("a.h") === col("b.h") &&
+    // pin the bucket self-join's parallelism (Q.spreadBy): its per-row
+    // cost is the posting-list pair fan-out, not its bytes, and AQE's
+    // byte-proxy coalescing folded the whole verify into ONE task
+    // (measured 1.45 s task over a 1.06 MB shuffle on d4 at sf0.1). The
+    // df cap bounds per-key fan-out, so the pinned hash partitioning
+    // cannot skew-explode. Both aliases share the exchange (ReuseExchange).
+    val prefS = Q.spreadBy(pref, col("h"))
+    val pairs = prefS.as("a").join(prefS.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("b.n") >= ceil(col("a.n") * t) &&
         col("a.n") >= ceil(col("b.n") * t) &&
@@ -268,7 +279,9 @@ object Dedup {
     */
   private def containmentForCandidatesHs(
       hs: DataFrame, candidates: DataFrame): DataFrame =
-    candidates
+    // same compute-dense verify shape as jaccardForCandidatesHs — pin
+    // its parallelism (Q.spreadBy) against AQE byte-proxy coalescing
+    Q.spreadBy(candidates, col("da"))
       .join(hs.select(col("doc_id").as("da"), col("hs").as("hsa")), "da")
       .join(hs.select(col("doc_id").as("db"), col("hs").as("hsb")), "db")
       .select(col("da"), col("db"),
@@ -303,7 +316,9 @@ object Dedup {
 
   private[operators] def containmentCandidates(spark: SparkSession, dir: String): DataFrame = {
     val (prefA, exB) = containmentCandidateSides(spark, dir)
-    prefA.join(exB, "h")
+    // pin the token-bucket join's parallelism (same rationale as
+    // joinPrefixPostings): per-key pair fan-out is the cost, not bytes
+    Q.spreadBy(prefA, col("h")).join(exB, "h")
       .filter(col("da") =!= col("db"))
       .select(col("da"), col("db"))
       .distinct()

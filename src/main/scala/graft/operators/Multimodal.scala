@@ -912,7 +912,14 @@ object Multimodal {
       threshold: Long): (DataFrame, DataFrame) = {
     val nBands = FeatureBins / 2
     val bandWidth = math.max(threshold / nBands, 1L)
-    val sig = micro.select(col("doc_id"), col("m"),
+    // the probe side's per-row cost is the 3×3 cell fan-out times the
+    // build-side bucket occupancy — quadratic in dense cells — and the
+    // feature relation arrives as one small artifact file (one scan task);
+    // Q.spread floors the probe's parallelism at the session default so
+    // the candidate verify uses the whole box (no-op once the input's own
+    // splits exceed it). Build side stays narrow: it broadcasts whole.
+    val spreadMicro = Q.spread(micro)
+    val sig = spreadMicro.select(col("doc_id"), col("m"),
       explode(array((0 until nBands).map(b => struct(
         lit(b).as("band"),
         expr(s"m[${2 * b}] div $bandWidth").as("ca"),

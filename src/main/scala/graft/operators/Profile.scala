@@ -1167,8 +1167,25 @@ object Profile {
     */
   val FdSampleMod = 8L
 
+  /** Hex digits d of the 15th md5 nibble with d % FdSampleMod == 0: since
+    * hash60 is the first 15 md5 hex digits read as a base-16 number and
+    * 16 ≡ 0 (mod FdSampleMod | 16), hash60(s) % FdSampleMod depends ONLY
+    * on that last included nibble — the keep predicate is a 1-char
+    * substring membership test, mathematically identical to the full
+    * base-16 conversion it replaces. Phase 1 evaluates this per tagged
+    * row (~9M rows at sf0.1); `conv()`'s per-row 15-digit string→long
+    * parse was the dominant cost of the c16 sampling pass (guide §1.2:
+    * per-task work, measured 19.2 s of task time in the phase-1 stage).
+    */
+  private val FdKeepDigits: Seq[String] = {
+    require(16 % FdSampleMod == 0,
+      s"FdSampleMod=$FdSampleMod must divide 16 for the nibble-residue " +
+        "keep rewrite to stay exact")
+    (0 until 16).filter(_ % FdSampleMod == 0).map(_.toHexString)
+  }
+
   private def fdSampleKeep(va: Column): Column =
-    TextOps.hash60(va.cast("string")) % FdSampleMod === 0
+    substring(md5(va.cast("string")), 15, 1).isin(FdKeepDigits: _*)
 
   private def fdSampleKeepSql(a: String): String =
     s"${TextOps.hash60Sql(s"CAST($a AS VARCHAR)")} % $FdSampleMod = 0"
@@ -1458,9 +1475,18 @@ object Profile {
 
   private def fdLevel1Indexed(spark: SparkSession, dir: String,
       table: String, cs: Seq[String]): DataFrame = {
+    // materialize the distinct artifact BEFORE entering this artifact's
+    // build lambda (the Dedup.prefixPostings rule): Scratch.materialize
+    // memoizes through computeIfAbsent, and a build that re-enters
+    // materialize updates the memo map from inside its own mapping
+    // function — ConcurrentHashMap throws "Recursive update" whenever the
+    // two dest keys share a bin (content-key-dependent, so it fired only
+    // on a cold scratch for some fixture generations — found by Smoke on
+    // fresh /tmp this round)
+    val d = fdDistinctRelation(spark, dir, table, cs)
     val p = graft.Scratch.materialize(spark, s"fd_l1_$table",
       FdLevel1Version + "-" + cs.mkString("_"), dir)(staging =>
-      fdDiscoveryOf(Seq((table, fdDistinctRelation(spark, dir, table, cs), cs)))
+      fdDiscoveryOf(Seq((table, d, cs)))
         .write.parquet(staging))
     spark.read.parquet(p)
   }
@@ -1575,8 +1601,11 @@ object Profile {
   // ---------------------------------------------------------------------
 
   private def fdSampleKeepPair(va: Column, vb: Column): Column =
-    TextOps.hash60(concat(va.cast("string"), lit(":"), vb.cast("string"))) %
-      FdSampleMod === 0
+    // same nibble-residue rewrite as [[fdSampleKeep]] (hash60 % 8 is the
+    // 15th md5 hex digit's residue) — exact, and skips conv()'s per-row
+    // base-16 parse on the ~7M tagged composite rows of c20's phase 1
+    substring(md5(concat(va.cast("string"), lit(":"), vb.cast("string"))),
+      15, 1).isin(FdKeepDigits: _*)
 
   private def fdSampleKeepPairSql(a: String, b: String): String =
     s"${TextOps.hash60Sql(s"CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR)")} " +

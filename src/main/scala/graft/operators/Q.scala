@@ -37,6 +37,60 @@ object Q {
       cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
 
+  /** Scale-adaptive parallelism floor for a COMPUTE-HEAVY stage rooted at a
+    * small scan. Parquet scan parallelism follows file splits
+    * (`maxPartitionBytes`), so a kernel whose per-row cost is quadratic or
+    * codec-bound (a block-nested similarity join, a banded candidate join)
+    * inherits ONE task when its input is a single small file — measured on
+    * m9: a 5.8 s single-task stage on a 32-core box, 31 cores idle. This
+    * helper round-robins the input up to the session's default parallelism
+    * ONLY when the plan is narrower than that; at production scale the
+    * input's natural splits already exceed it and the call is a no-op plan
+    * pass-through — the partitioning adapts to input size instead of
+    * pinning a constant (optimization guide §2.5/§2.6).
+    *
+    * Use on the SMALL pre-fan-out relation (cheap shuffle, rows ≤ corpus
+    * keys), never on a post-explode or payload-bearing relation.
+    *
+    * CONTRACT: the input plan must be exchange-free (a scan/filter/project
+    * over a table or artifact). The partition probe goes through
+    * `df.rdd`, and under AQE that materializes every query stage of a
+    * plan that contains exchanges — measured on the IVF maintained-lists
+    * path as a full duplicate execution (n12 0.56 s → 1.26 s before this
+    * rule). Exchange-free plans have no query stages to materialize, so
+    * the probe is plan-only. Also do NOT hang it on a shared root
+    * relation consumed by many cheap operators: each use inserts a
+    * repartition exchange, and for kernels that were already sub-100 ms
+    * the extra stage is pure loss (measured: n3 0.70 s → 1.27 s with a
+    * spread embeddings root, reverted).
+    */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** Key-partitioned sibling of [[spread]] for COMPUTE-DENSE JOIN inputs.
+    * AQE coalesces post-shuffle partitions by BYTES, and bytes are a poor
+    * compute proxy for this engine's candidate joins (narrow key rows
+    * driving quadratic pair fan-out / array-intersection kernels) — the
+    * d4 verify join measured 1.45 s of task time in ONE task over a
+    * 1.06 MB shuffle. Repartitioning by the join key with an explicit
+    * partition count is exactly what AQE leaves alone; using
+    * max(defaultParallelism, spark.sql.shuffle.partitions) keeps it the
+    * session's own scale knob rather than a local constant (at cluster
+    * scale the same expression yields the cluster's parallelism). Trade
+    * documented: pinning opts this exchange out of AQE skew splitting —
+    * use only where per-key fan-out is already bounded (df-capped
+    * postings, banded buckets).
+    */
+  def spreadBy(df: org.apache.spark.sql.DataFrame,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val target = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "0").toInt)
+    df.repartition(target, cols: _*)
+  }
+
   /** Pinned as-of instant mid-way through the events horizon — stands in for
     * `now()` in the reference's activity queries (reference
     * `myapp/views.py:402,405,414,419`); SURVEY.md §7.4 determinism rule.

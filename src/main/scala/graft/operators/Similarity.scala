@@ -110,8 +110,13 @@ object Similarity {
     val e = nonZeroEmbeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         block_norms(col("embedding"), PruneBlocks).as("bn"))
-    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-      col("bn").as("bna"))
+    // the left side drives the O(n²/2) kernel loop and the embeddings
+    // fixture is one small file (one scan task → one core doing the whole
+    // quadratic verify, measured 3.1 s single-task at sf0.1); Q.spread
+    // floors its parallelism at the session default — a no-op once the
+    // corpus scan has that many natural splits. The right side broadcasts.
+    val a = Q.spread(e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("bn").as("bna")))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
       col("bn").as("bnb"))
     // tinySort, not orderBy: a range sort's boundary-sampling pass would
