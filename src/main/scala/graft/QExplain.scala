@@ -6,6 +6,7 @@ package graft
 object QExplain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(defaultCpus = 32, logLevel = "WARN")
-    SparkEntry.queries(args(1))(spark, args(0)).explain("formatted")
+    val mode = if (args.length > 2) args(2) else "formatted"
+    SparkEntry.queries(args(1))(spark, args(0)).explain(mode)
   }
 }
