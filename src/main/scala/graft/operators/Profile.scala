@@ -1000,15 +1000,22 @@ object Profile {
 
   private val FdDistinctVersion = "fddistinct-v1"
 
-  /** The persisted distinct candidate projection of one table. */
-  private def fdDistinctRelation(spark: SparkSession, dir: String,
-      table: String, cs: Seq[String]): DataFrame = {
-    val p = graft.Scratch.materialize(spark, s"fd_distinct_$table",
+  /** Materialized path of the distinct candidate projection of one table
+    * (no DataFrame creation — callers that only need the artifact to EXIST,
+    * like [[fdLevel1Indexed]]'s pre-hoist, skip the per-call driver cost of
+    * a parquet read's listing/footer pass).
+    */
+  private def fdDistinctPath(spark: SparkSession, dir: String,
+      table: String, cs: Seq[String]): String =
+    graft.Scratch.materialize(spark, s"fd_distinct_$table",
       FdDistinctVersion + "-" + cs.mkString("_"), dir)(staging =>
       Catalog.table(spark, dir, table).select(cs.map(col): _*).distinct()
         .write.parquet(staging))
-    spark.read.parquet(p)
-  }
+
+  /** The persisted distinct candidate projection of one table. */
+  private def fdDistinctRelation(spark: SparkSession, dir: String,
+      table: String, cs: Seq[String]): DataFrame =
+    spark.read.parquet(fdDistinctPath(spark, dir, table, cs))
 
   /** (table_name, det_col, dep_col, n_det, n_pairs, holds) for every
     * ordered candidate pair within each table.
@@ -1482,11 +1489,13 @@ object Profile {
     // function — ConcurrentHashMap throws "Recursive update" whenever the
     // two dest keys share a bin (content-key-dependent, so it fired only
     // on a cold scratch for some fixture generations — found by Smoke on
-    // fresh /tmp this round)
-    val d = fdDistinctRelation(spark, dir, table, cs)
+    // fresh /tmp this round). Path-only: the DataFrame (a per-call
+    // listing/footer pass on the driver) is created inside the build
+    // lambda, so the steady state pays nothing for the hoist.
+    val dp = fdDistinctPath(spark, dir, table, cs)
     val p = graft.Scratch.materialize(spark, s"fd_l1_$table",
       FdLevel1Version + "-" + cs.mkString("_"), dir)(staging =>
-      fdDiscoveryOf(Seq((table, d, cs)))
+      fdDiscoveryOf(Seq((table, spark.read.parquet(dp), cs)))
         .write.parquet(staging))
     spark.read.parquet(p)
   }

@@ -63,6 +63,15 @@ object Q {
     * repartition exchange, and for kernels that were already sub-100 ms
     * the extra stage is pure loss (measured: n3 0.70 s → 1.27 s with a
     * spread embeddings root, reverted).
+    *
+    * And spread ONLY when the downstream per-row work clearly dominates
+    * the spread's own cost: the single-file decode still runs in one
+    * task (c3: a 0.94 s single-task aggregate became a 0.69 s
+    * single-task repartition map — wall unchanged, reverted), and a
+    * shuffle-row-fed Generate+partial-aggregate measured ~3× the task
+    * time of its scan-rooted form (c17 16.2 s → 45.9 s, reverted). The
+    * surviving uses are stages whose kernels ran seconds on one core
+    * (m9 5.8 s, n2 3.1 s, the d-family candidate verifies).
     */
   def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
