@@ -47,7 +47,7 @@ object Dedup {
   private[operators] def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.Scratch.materialize(spark, "shingle_idx",
       ShingleIndexVersion, dir)(staging => buildShingleIndex(spark, dir, staging))
-    spark.read.parquet(idx)
+    graft.Catalog.readStable(spark, idx)
   }
 
   /** DuckDB mirror of [[docShingleHashes]] as a WITH-clause body. */
@@ -202,9 +202,12 @@ object Dedup {
     // byte-proxy coalescing folded the whole verify into ONE task
     // (measured 1.45 s task over a 1.06 MB shuffle on d4 at sf0.1). The
     // df cap bounds per-key fan-out, so the pinned hash partitioning
-    // cannot skew-explode. Both aliases share the exchange (ReuseExchange).
-    val prefS = Q.spreadBy(pref, col("h"))
-    val pairs = prefS.as("a").join(prefS.as("b"), col("a.h") === col("b.h") &&
+    // cannot skew-explode. Only alias `a` is pinned (round-16, VERDICT
+    // r15 item #6): when `b` broadcasts, a pinned exchange under its
+    // BroadcastExchange is dead weight; when it doesn't, the planner
+    // gives `b` the matching hash partitioning anyway.
+    val prefA = Q.spreadBy(pref, col("h"))
+    val pairs = prefA.as("a").join(pref.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("b.n") >= ceil(col("a.n") * t) &&
         col("a.n") >= ceil(col("b.n") * t) &&
@@ -237,7 +240,7 @@ object Dedup {
     val idx = graft.Scratch.materialize(spark, "prefix_idx", version, dir)(
       staging => buildPrefixPostings(hs, JaccardThreshold, DocFreqCap)
         .write.parquet(staging))
-    spark.read.parquet(idx)
+    graft.Catalog.readStable(spark, idx)
   }
 
   /** Default-parameter prefix-filter candidates over the persisted
@@ -596,7 +599,7 @@ object Dedup {
     val idx = graft.Scratch.materialize(spark, "neardup_pairs",
       neardupPairsVersion, dir)(staging =>
       minhashLshPairsCapped(DocFreqCap)(spark, dir).write.parquet(staging))
-    spark.read.parquet(idx)
+    graft.Catalog.readStable(spark, idx)
   }
 
   /** [[minhashLshPairs]] with an explicit df cap on the prefix arm (specs
@@ -734,7 +737,7 @@ object Dedup {
           .filter(col("jaccard_raw") >= JaccardThreshold)
           .select(col("da"), col("db"), col("jaccard"))
           .write.parquet(staging))
-    spark.read.parquet(idx)
+    graft.Catalog.readStable(spark, idx)
   }
 
   /** Gate entry: d4's relation SERVED from persisted artifacts end to end.
@@ -918,7 +921,7 @@ object Dedup {
           graft.expressions.HashFunctions.winnow_fingerprints(
             col("text"), WinnowK, WinnowW).as("fps"))
         .write.parquet(staging))
-    spark.read.parquet(idx)
+    graft.Catalog.readStable(spark, idx)
   }
 
   /** d5 with an explicit posting-list df cap. Candidates come off the

@@ -868,7 +868,7 @@ object Multimodal {
     val idx = graft.Scratch.materialize(spark, "media_micro",
       s"bins$FeatureBins-residue-micro-v1", dir)(staging =>
       microFeaturesOf(mediaTable(spark, dir)).write.parquet(staging))
-    spark.read.parquet(idx)
+    graft.Catalog.readStable(spark, idx)
   }
 
   /** Bench-warmup hook (the media sibling of the other index prewarms). */
@@ -917,15 +917,17 @@ object Multimodal {
     // feature relation arrives as one small artifact file (one scan task);
     // Q.spread floors the probe's parallelism at the session default so
     // the candidate verify uses the whole box (no-op once the input's own
-    // splits exceed it). Build side stays narrow: it broadcasts whole.
-    val spreadMicro = Q.spread(micro)
-    val sig = spreadMicro.select(col("doc_id"), col("m"),
+    // splits exceed it). ONLY the probe branch is spread (round-16,
+    // ADVICE r15 items #1/#2): the build side broadcasts whole, so a
+    // spread there is a dead exchange under the BroadcastExchange.
+    def sigOf(src: DataFrame): DataFrame = src.select(col("doc_id"), col("m"),
       explode(array((0 until nBands).map(b => struct(
         lit(b).as("band"),
         expr(s"m[${2 * b}] div $bandWidth").as("ca"),
         expr(s"m[${2 * b + 1}] div $bandWidth").as("cb"))): _*)).as("s"))
       .select(col("doc_id"), col("m"),
         col("s.band").as("band"), col("s.ca").as("ca"), col("s.cb").as("cb"))
+    val sig = sigOf(Q.spread(micro))
     // probe side fans out to the 3×3 neighbor cells -> pure equi-join
     val offsets = for { i <- -1 to 1; j <- -1 to 1 } yield (i, j)
     val probe = sig.select(col("doc_id").as("da"), col("m").as("ma"),
@@ -935,7 +937,7 @@ object Multimodal {
         }: _*)).as("c"))
       .select(col("da"), col("ma"), col("band"),
         col("c.ca").as("ca"), col("c.cb").as("cb"))
-    val build = sig.select(col("doc_id").as("db"), col("m").as("mb"),
+    val build = sigOf(micro).select(col("doc_id").as("db"), col("m").as("mb"),
       col("band"), col("ca"), col("cb"))
     (probe, build)
   }

@@ -898,7 +898,7 @@ object Profile {
         (t, Catalog.table(spark, dir, t), cs) })
         .write.parquet(staging)
     }
-    spark.read.parquet(path)
+    graft.Catalog.readStable(spark, path)
   }
 
   /** Bench warmup hook (the Dedup.prewarmIndexes precedent): force-build
@@ -1015,7 +1015,7 @@ object Profile {
   /** The persisted distinct candidate projection of one table. */
   private def fdDistinctRelation(spark: SparkSession, dir: String,
       table: String, cs: Seq[String]): DataFrame =
-    spark.read.parquet(fdDistinctPath(spark, dir, table, cs))
+    graft.Catalog.readStable(spark, fdDistinctPath(spark, dir, table, cs))
 
   /** (table_name, det_col, dep_col, n_det, n_pairs, holds) for every
     * ordered candidate pair within each table.
@@ -1416,7 +1416,7 @@ object Profile {
       fdG3Of(FdCandidateCols.map { case (t, cs) =>
         (t, Catalog.table(spark, dir, t), cs) })
         .write.parquet(staging))
-    spark.read.parquet(p)
+    graft.Catalog.readStable(spark, p)
   }
 
   def fdG3(spark: SparkSession, dir: String): DataFrame =
@@ -1495,9 +1495,9 @@ object Profile {
     val dp = fdDistinctPath(spark, dir, table, cs)
     val p = graft.Scratch.materialize(spark, s"fd_l1_$table",
       FdLevel1Version + "-" + cs.mkString("_"), dir)(staging =>
-      fdDiscoveryOf(Seq((table, spark.read.parquet(dp), cs)))
+      fdDiscoveryOf(Seq((table, graft.Catalog.readStable(spark, dp), cs)))
         .write.parquet(staging))
-    spark.read.parquet(p)
+    graft.Catalog.readStable(spark, p)
   }
 
   /** (table_name, det1, det2, dep_col, n_det, n_pairs, holds) for every
@@ -1908,7 +1908,7 @@ object Profile {
       keyDiscoveryOf(FkCandidateCols.map { case (t, cs) =>
         (t, Catalog.table(spark, dir, t), cs) })
         .write.parquet(staging))
-    spark.read.parquet(p)
+    graft.Catalog.readStable(spark, p)
   }
 
   def keyDiscovery(spark: SparkSession, dir: String): DataFrame =

@@ -52,17 +52,22 @@ object Q {
     * Use on the SMALL pre-fan-out relation (cheap shuffle, rows ≤ corpus
     * keys), never on a post-explode or payload-bearing relation.
     *
-    * CONTRACT: the input plan must be exchange-free (a scan/filter/project
-    * over a table or artifact). The partition probe goes through
-    * `df.rdd`, and under AQE that materializes every query stage of a
-    * plan that contains exchanges — measured on the IVF maintained-lists
-    * path as a full duplicate execution (n12 0.56 s → 1.26 s before this
-    * rule). Exchange-free plans have no query stages to materialize, so
-    * the probe is plan-only. Also do NOT hang it on a shared root
-    * relation consumed by many cheap operators: each use inserts a
-    * repartition exchange, and for kernels that were already sub-100 ms
-    * the extra stage is pure loss (measured: n3 0.70 s → 1.27 s with a
-    * spread embeddings root, reverted).
+    * The width probe is PLAN-AWARE (round-16, ADVICE r15 item #1): for an
+    * exchange-free plan (a scan/filter/project over a table or artifact)
+    * the probe goes through `df.rdd`, which composes narrow RDDs without
+    * running anything; for a plan that CONTAINS exchanges that same probe
+    * would, under AQE, materialize every query stage — a full duplicate
+    * execution (measured on the IVF maintained-lists path: n12
+    * 0.56 s → 1.26 s; and m10's survivor pipeline executed twice per run
+    * through r15). So exchange-bearing plans skip the probe and
+    * repartition unconditionally: their runtime width is AQE's
+    * byte-proxy coalescing, which is exactly the wrong answer for the
+    * compute-dense kernels this helper feeds (the spreadBy rationale).
+    * Do NOT hang it on a shared root relation consumed by many cheap
+    * operators: each use inserts a repartition exchange, and for kernels
+    * that were already sub-100 ms the extra stage is pure loss
+    * (measured: n3 0.70 s → 1.27 s with a spread embeddings root,
+    * reverted).
     *
     * And spread ONLY when the downstream per-row work clearly dominates
     * the spread's own cost: the single-file decode still runs in one
@@ -75,7 +80,11 @@ object Q {
     */
   def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val hasExchange = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (hasExchange) df.repartition(target)
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   /** Key-partitioned sibling of [[spread]] for COMPUTE-DENSE JOIN inputs.

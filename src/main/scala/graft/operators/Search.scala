@@ -131,7 +131,7 @@ object Search {
           .sortWithinPartitions(col("tok"))
           .write.parquet(staging)
     }
-    spark.read.parquet(p)
+    graft.Catalog.readStable(spark, p)
   }
 
   private[operators] def statsIndex(spark: SparkSession, dir: String): DataFrame = {
@@ -139,7 +139,7 @@ object Search {
       staging =>
         statsOf(withDl(Catalog.documents(spark, dir))).write.parquet(staging)
     }
-    spark.read.parquet(p)
+    graft.Catalog.readStable(spark, p)
   }
 
   /** Bench warmup hook: build the postings + stats artifacts so steady-
@@ -363,7 +363,7 @@ object Search {
         .sortWithinPartitions(col("tok"))
         .write.parquet(staging)
     }
-    spark.read.parquet(p)
+    graft.Catalog.readStable(spark, p)
   }
 
   /** The MaxScore candidate set over explicit scoring atoms
@@ -772,13 +772,21 @@ object Search {
     val nz = emb.filter(dot_product(col("embedding"), col("embedding")) > 0)
     val qv = broadcast(nz.filter(col("vec_id") === queryVec)
       .select(col("embedding").as("qv")))
+    // top-`depth` FIRST (orderBy+limit = TakeOrderedAndProject: per-
+    // partition top-k + driver merge), THEN rank the k survivors — the
+    // rank is only consumed as a ≤ depth cut over a TOTAL order
+    // (doc_id tiebreak), so ranking after the cut is value-identical
+    // while the r15 form ran `row_number` over an UNPARTITIONED window
+    // spanning the whole embedding corpus: a single-partition sort of a
+    // corpus-cardinality relation (guide §2; `WindowExec: No Partition
+    // Defined`), the one scale-killer the b-family still carried.
     val sem = nz.filter(col("vec_id") =!= queryVec)
       .crossJoin(qv)
       .select(col("vec_id").as("doc_id"),
         round(cosine_sim(col("qv"), col("embedding")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(depth)
       .withColumn("sem_rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
-      .filter(col("sem_rank") <= depth)
       .select(col("doc_id"), col("sem_rank"))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("n_arms",

@@ -557,7 +557,7 @@ object TextOps {
     val p = graft.Scratch.materialize(spark, "bpe_merges",
       BpeMergesVersion, dir)(staging =>
       bpeInductionOf(Catalog.documents(spark, dir)).write.parquet(staging))
-    spark.read.parquet(p)
+    graft.Catalog.readStable(spark, p)
   }
 
   /** Bench warmup hook (the Dedup.prewarmIndexes precedent). */
