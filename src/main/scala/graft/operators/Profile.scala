@@ -1073,9 +1073,24 @@ object Profile {
   /** The FD family's ONE counting tail over a tagged relation: dedup to
     * the distinct mapping relation, then two counting levels that
     * collapse on already-shrunk relations → (p, n_det, n_pairs).
+    *
+    * ONE heavy exchange, not two (round-16, guide §2.4): hash-partition
+    * once by (p, va) — a PREFIX of the dedup keys, so rows equal on
+    * (p, va, vb) are already co-located and BOTH the dedup aggregate and
+    * the per-determinant count run exchange-free in the same stage
+    * (HashPartitioning on a subset of the clustering keys satisfies the
+    * ClusteredDistribution). The naive form shuffled the tagged relation
+    * TWICE (dedup keys, then determinant keys) and its map-side partial
+    * dedup reduced nothing: the input is an exploded DISTINCT artifact,
+    * so rows are already near-unique per tag (measured on c17: 7.2 M
+    * rows in → 7.2 M rows out of the partial, 125 MB + 98 MB exchanges;
+    * this form shuffles the 125 MB once and drops a full-relation
+    * aggregate pass). Skew posture unchanged: the old SECOND exchange
+    * was keyed (p, va) too.
     */
   private def pairStatsOf(tagged: DataFrame): DataFrame =
-    tagged.dropDuplicates("p", "va", "vb")
+    tagged.repartition(col("p"), col("va"))
+      .dropDuplicates("p", "va", "vb")
       .groupBy(col("p"), col("va")).agg(count(lit(1)).as("n_deps"))
       .groupBy(col("p"))
       .agg(count(lit(1)).as("n_det"), sum(col("n_deps")).as("n_pairs"))
@@ -1635,10 +1650,12 @@ object Profile {
         col("vc").isNotNull)
 
   /** The composite counting tail: distinct mappings, then (p, n_det,
-    * n_pairs) — [[pairStatsOf]] one determinant column wider.
+    * n_pairs) — [[pairStatsOf]] one determinant column wider, with the
+    * same single-exchange prefix partitioning (see pairStatsOf).
     */
   private def compositeStatsOf(tagged: DataFrame): DataFrame =
-    tagged.dropDuplicates("p", "va", "vb", "vc")
+    tagged.repartition(col("p"), col("va"), col("vb"))
+      .dropDuplicates("p", "va", "vb", "vc")
       .groupBy(col("p"), col("va"), col("vb")).agg(count(lit(1)).as("n_deps"))
       .groupBy(col("p"))
       .agg(count(lit(1)).as("n_det"), sum(col("n_deps")).as("n_pairs"))
@@ -2057,7 +2074,12 @@ object Profile {
           }: _*)).as("x"))
           .select(col("x.p"), col("x.va"), col("x.vb"), col("x.lvl")))
       }.reduce(_ unionByName _)
+    // single heavy exchange (the pairStatsOf prefix-partitioning trick):
+    // hash by (p, va) once, so the group count runs exchange-free in the
+    // same stage — the map-side partial count it replaces reduced almost
+    // nothing (key candidates are near-unique by construction)
     def statsOf(tagged: DataFrame): Map[Int, (Long, Long)] = tagged
+      .repartition(col("p"), col("va"))
       .groupBy(col("p"), col("va"), col("vb")).agg(count(lit(1)).as("c"))
       .groupBy(col("p"))
       .agg(count(lit(1)).as("n_groups"), max(col("c")).as("max_rows"))
@@ -2089,13 +2111,21 @@ object Profile {
 
   def keySampled(spark: SparkSession, dir: String): DataFrame = {
     // level-2 pruning served from c19's persisted artifact — the same
-    // composition c17/c20 run on fdLevel1Indexed
-    def l1KeyOf(t: String): Map[String, Boolean] =
+    // composition c17/c20 run on fdLevel1Indexed. ONE collect for every
+    // table's unary verdicts (round-16): the per-table filter+collect
+    // form ran 8 separate driver jobs over the same tiny artifact
+    // (~25-40 ms + a scheduling gap each — pure job-count overhead).
+    val l1: Map[String, Map[String, Boolean]] =
       keyDiscoveryIndexed(spark, dir)
-        .filter(col("table_name") === t && col("lvl") === 1)
-        .collect().map(r => r.getString(1) -> r.getBoolean(6)).toMap
+        .filter(col("lvl") === 1)
+        .select(col("table_name"), col("col1"), col("is_key"))
+        .collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(r => r.getString(1) -> r.getBoolean(2)).toMap)
+        .toMap
     keySampledOf(FkCandidateCols.map { case (t, cs) =>
-      (t, Catalog.table(spark, dir, t), cs) }, Some(l1KeyOf))
+      (t, Catalog.table(spark, dir, t), cs) },
+      Some(t => l1.getOrElse(t, Map.empty)))
   }
 
   val keySampledSql: String = {
