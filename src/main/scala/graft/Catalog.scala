@@ -69,6 +69,42 @@ object Catalog {
     spark.read.schema(s).parquet(p)
   }
 
+  /** [[readStable]]'s sibling for ENGINE-WRITTEN (mutable) flat tables —
+    * the lifecycle pipelines re-read their run-dir tables after every
+    * mutation step, paying the same footer-inference job each time (s15
+    * measured ~9 zero-record "parquet at" jobs of 20-80 ms each). Here
+    * the schema CAN change mid-run (archive adds a column), so the memo
+    * is keyed by the table dir's MODIFICATION TIME: every write path
+    * (staged-swap rename, append's new part file, overwrite's dir
+    * re-create) creates or renames entries in the dir and bumps its
+    * mtime, invalidating the entry — schema evolution is picked up,
+    * back-to-back reads of an unchanged table skip the job. Any stat
+    * failure falls back to the bare read so error behavior (missing
+    * path etc.) is unchanged. Not for partitioned dirs (partition-column
+    * inference has its own rules) — their read sites stay bare.
+    */
+  private val mutableSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
+
+  private[graft] def readCurrent(spark: SparkSession, p: String): DataFrame = {
+    val mtime =
+      try fsFor(p, spark)
+        .getFileStatus(new org.apache.hadoop.fs.Path(p)).getModificationTime
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    if (mtime < 0) spark.read.parquet(p)
+    else {
+      val cached = mutableSchemaMemo.get(p)
+      val s =
+        if (cached != null && cached._1 == mtime) cached._2
+        else {
+          val inferred = spark.read.parquet(p).schema
+          mutableSchemaMemo.put(p, (mtime, inferred))
+          inferred
+        }
+      spark.read.schema(s).parquet(p)
+    }
+  }
+
   /** The events (metric stream) table.
     *
     * Fixture generations have stored `ts` under different physical parquet

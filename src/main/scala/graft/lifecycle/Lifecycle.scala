@@ -33,7 +33,7 @@ object Lifecycle {
     */
   def upsert(existingPath: String, delta: DataFrame, keys: Seq[String])(
       implicit spark: SparkSession): Unit = {
-    val existing = spark.read.parquet(existingPath)
+    val existing = Catalog.readCurrent(spark, existingPath)
     val fresh = delta.join(existing.select(keys.map(col): _*), keys, "left_anti")
     fresh.write.mode(SaveMode.Append).parquet(existingPath)
   }
@@ -85,7 +85,7 @@ object Lifecycle {
     */
   def archive(livePath: String, archivePath: String, asOf: String)(
       implicit spark: SparkSession): Unit = {
-    val live = spark.read.parquet(livePath)
+    val live = Catalog.readCurrent(spark, livePath)
     live.withColumn("archive_ts", lit(asOf).cast("timestamp"))
       .write.mode(SaveMode.Append).parquet(archivePath)
     truncate(livePath)
@@ -96,7 +96,7 @@ object Lifecycle {
     */
   def restoreOlderThan(livePath: String, archivePath: String, cutoff: String)(
       implicit spark: SparkSession): Unit = {
-    val arch = spark.read.parquet(archivePath)
+    val arch = Catalog.readCurrent(spark, archivePath)
     val toRestore = arch.filter(col("archive_ts") < lit(cutoff).cast("timestamp"))
     toRestore.drop("archive_ts")
       .write.mode(SaveMode.Append).parquet(livePath)
@@ -144,7 +144,7 @@ object Lifecycle {
     val sfx = scratchSuffix()
     val staged = path.stripSuffix("/") + ".staged" + sfx
     val backup = path.stripSuffix("/") + ".bak" + sfx
-    f(spark.read.parquet(path)).write.mode(SaveMode.Overwrite).parquet(staged)
+    f(Catalog.readCurrent(spark, path)).write.mode(SaveMode.Overwrite).parquet(staged)
     val fs = Catalog.fsFor(path, spark)
     val dst = new org.apache.hadoop.fs.Path(path)
     val stagedP = new org.apache.hadoop.fs.Path(staged)
@@ -312,7 +312,7 @@ object Lifecycle {
     delete(events, col("event_type") === "click")
     // S11: zero the value of view events
     update(events, "value", lit(0.0), col("event_type") === "view")
-    spark.read.parquet(events)
+    Catalog.readCurrent(spark, events)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
   }
@@ -342,7 +342,7 @@ object Lifecycle {
     // S16 on the emptied live table is a no-op; compact the archive
     compact(arch, 4)
     restoreOlderThan(live, arch, "2024-03-01 00:00:00")
-    spark.read.parquet(live)
+    Catalog.readCurrent(spark, live)
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
   }
@@ -504,7 +504,7 @@ object Lifecycle {
     val ev = Catalog.events(spark, dir)
     dayTypeRollupFor(ev.filter(col("ts") < cutover)).write.parquet(rollup)
     refreshRollup(rollup, ev.filter(col("ts") >= cutover))
-    spark.read.parquet(rollup)
+    Catalog.readCurrent(spark, rollup)
       .select(col("day"), col("event_type"), col("n"),
         col("sum_value_dec").cast("double").as("sum_value"))
       .orderBy(col("day"), col("event_type"))

@@ -51,7 +51,7 @@ object Stats {
     */
   def analyze(spark: SparkSession, tablePath: String,
       withHotKeys: Boolean = true): DataFrame = {
-    val df = spark.read.parquet(tablePath)
+    val df = graft.Catalog.readCurrent(spark, tablePath)
     val cols = df.schema.fields.filter(f => isAtomic(f.dataType)).map(_.name)
     val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c =>
       Seq(
@@ -60,8 +60,16 @@ object Stats {
         approx_count_distinct(col(c)).as(s"${c}__ndv"),
         count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"))
     }.toSeq
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val rows = row.getLong(0)
+    // the min/max/NDV pass and the hot-key pass are INDEPENDENT scans of
+    // the same table — submit both from futures so the second job's tasks
+    // back-fill the first job's tail instead of waiting behind it
+    // (optimization guide §2.6 "overlap independent jobs"); ANALYZE's
+    // wall cost drops to ~max of the two passes. Job submission from
+    // driver threads is exactly what the Spark scheduler supports.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rowF = Future { df.agg(aggs.head, aggs.tail: _*).collect()(0) }
     // per-column hot-key mass (rows of the single most frequent non-NULL
     // value) — what sizes a salted join's fan-out (Relational.saltsFor).
     // ONE unpivoted two-level aggregation for ALL columns, not a groupBy
@@ -72,11 +80,12 @@ object Stats {
     // JOIN key no matter how many rows carry them.
     // NULL (not 0) when the pass is skipped: 0 means "no non-NULL value
     // occurs twice" and would size salting to R=1; NULL means "unknown"
-    // and consumers fall back to their default
-    val hotCounts: Map[String, Long] =
-      if (cols.isEmpty || rows == 0L) Map.empty
-      else if (!withHotKeys) Map.empty
-      else {
+    // and consumers fall back to their default. (An empty table needs no
+    // guard: the grouped aggregate over zero rows collects an empty map,
+    // exactly what the old rows == 0 branch returned.)
+    val hotF: Future[Map[String, Long]] =
+      if (cols.isEmpty || !withHotKeys) Future.successful(Map.empty)
+      else Future {
         // names reach SQL as both a string literal and an identifier —
         // escape each notation's own metacharacters (analyze takes
         // arbitrary parquet; an unescaped backslash would mangle the
@@ -94,6 +103,9 @@ object Stats {
           .groupBy(col("sc")).agg(max(col("n")).as("hot"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
+    val row = Await.result(rowF, Duration.Inf)
+    val rows = row.getLong(0)
+    val hotCounts: Map[String, Long] = Await.result(hotF, Duration.Inf)
     val fs = graft.Catalog.fsFor(tablePath, spark)
     val sizeBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(tablePath)).getLength
@@ -145,7 +157,7 @@ object Stats {
     try {
       val fs = graft.Catalog.fsFor(tablePath, spark)
       if (fs.exists(new org.apache.hadoop.fs.Path(statsPath(tablePath))))
-        Some(spark.read.parquet(statsPath(tablePath)))
+        Some(graft.Catalog.readCurrent(spark, statsPath(tablePath)))
       else None
     } catch { case _: Exception => None }
 
