@@ -40,12 +40,14 @@ object Prof {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val m = i.taskMetrics
-        stages += St(i.stageId, i.name.takeWhile(_ != '\n'),
-          i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
-          m.executorRunTime,
-          m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead,
-          m.shuffleReadMetrics.totalBytesRead / 1e6,
-          m.shuffleWriteMetrics.bytesWritten / 1e6)
+        stages.synchronized {
+          stages += St(i.stageId, i.name.takeWhile(_ != '\n'),
+            i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+            m.executorRunTime,
+            m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead,
+            m.shuffleReadMetrics.totalBytesRead / 1e6,
+            m.shuffleWriteMetrics.bytesWritten / 1e6)
+        }
       }
     })
     val fn = SparkEntry.queries(name)
@@ -60,12 +62,15 @@ object Prof {
       operators.TextOps.prewarmIndexes(spark, sfDir)
     } catch { case _: Throwable => () }
     (1 to repeats).foreach { i =>
-      stages.clear()
+      stages.synchronized(stages.clear())
       jobs.synchronized(jobs.clear())
       val t0 = System.nanoTime()
       val wall0 = System.currentTimeMillis()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
+      // let the async listener bus drain so late stage/job events land in
+      // THIS run's snapshot instead of the next repeat's buffer
+      Thread.sleep(200)
       if (i == repeats) jobs.synchronized {
         var prevEnd = wall0
         println(f"${"job"}%5s ${"gap_ms"}%7s ${"run_ms"}%7s")
@@ -76,8 +81,8 @@ object Prof {
         }
         println(f"tail_gap ${System.currentTimeMillis() - prevEnd}%d ms")
       }
-      println(f"== run $i: $s%.3f s, ${stages.size} stages ==")
-      if (i == repeats) {
+      println(f"== run $i: $s%.3f s, ${stages.synchronized(stages.size)} stages ==")
+      if (i == repeats) stages.synchronized {
         println(f"${"stage"}%5s ${"wall_ms"}%8s ${"task_ms"}%8s " +
           f"${"records"}%12s ${"shufR_MB"}%9s ${"shufW_MB"}%9s  name")
         stages.sortBy(-_.wallMs).take(30).foreach { st =>
