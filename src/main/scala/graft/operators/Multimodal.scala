@@ -1024,7 +1024,8 @@ object Multimodal {
   // (delta-shrunk input), and two left joins back onto the full row set.
   // Same cost class as running m5 + m7 — the audit rides along.
   // ---------------------------------------------------------------------
-  def mediaAuditOf(media: DataFrame): DataFrame = {
+  def mediaAuditOf(media: DataFrame,
+      microIndexed: Option[DataFrame] = None): DataFrame = {
     val base = media.select(col("doc_id"),
       (if (media.columns.contains("source")) col("source")
        else lit(null).cast("string")).as("source"),
@@ -1034,13 +1035,33 @@ object Multimodal {
     val fps = withPayload.select(col("doc_id"),
       TextOps.hash60(hex(expr(s"substring(media, ${HeaderBytes + 1})")))
         .as("fp"))
+    // EAGER cut (the d12 mined-pairs pattern): exact feeds THREE
+    // consumers (the final left join, and the survivor semi-joins on the
+    // candidate join's probe AND build sides) whose pruned subtrees
+    // canonicalize differently, so without the checkpoint the payload
+    // fingerprint hash + fp-keyed exchange execute three times per run.
+    // (doc_id, gmin) is two longs per media row — far cheaper to hold
+    // than to recompute the hash of every payload twice more at scale.
     val exact = fps
       .join(fps.groupBy(col("fp")).agg(min(col("doc_id")).as("gmin")), "fp")
       .select(col("doc_id"), col("gmin"))
+      .localCheckpoint(true)
     val survivors = exact.filter(col("doc_id") === col("gmin"))
       .select(col("doc_id"))
-    val pairs = neardupPairsOf(microFeaturesOf(
-      withPayload.join(survivors, Seq("doc_id"), "left_semi")))
+    // mining features: when the caller has the persisted micro artifact
+    // (the dir form — mediaMicroIndexed = microFeaturesOf(mediaTable),
+    // row-wise over (doc_id, media) with the IDENTICAL length>10 gate
+    // HeaderBytes encodes), restricting the artifact to survivors is
+    // value-identical to re-extracting over the survivor slice — and the
+    // candidate join's probe AND build sides then root at one small
+    // artifact scan instead of each re-running the per-blob extract
+    // mapPartitions (at 100 TB: the model-inference pass, twice).
+    val survivorMicro = microIndexed match {
+      case Some(mi) => mi.join(survivors, Seq("doc_id"), "left_semi")
+      case None => microFeaturesOf(
+        withPayload.join(survivors, Seq("doc_id"), "left_semi"))
+    }
+    val pairs = neardupPairsOf(survivorMicro)
     // doc_a < doc_b by construction, so doc_a IS the smaller partner
     val nearDrop = pairs
       .select(col("doc_b").as("doc_id"), col("doc_a").as("partner"))
@@ -1059,7 +1080,7 @@ object Multimodal {
   }
 
   def mediaAudit(spark: SparkSession, dir: String): DataFrame =
-    mediaAuditOf(mediaTable(spark, dir))
+    mediaAuditOf(mediaTable(spark, dir), Some(mediaMicroIndexed(spark, dir)))
 
   /** Oracle: m5's fingerprint grouping + m7's all-pairs form restricted
     * to the exact survivors, composed into the first-fail CASE.

@@ -1416,13 +1416,26 @@ object Similarity {
         round(cosine_sim(col("qv"), col("recon")), 6).as("adc"))
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= ShortlistL)
+    // both top-k arms filter REFINED (the 1:1 vec_id join keeps every
+    // shortlist row and its adc_rank, so filtering refined by adc_rank is
+    // value-identical to filtering shortlist). Without the eager
+    // checkpoint the two consumers re-run the whole ADC pass each —
+    // column pruning gives their exchanges different outputs (the adcTop
+    // arm drops the rrank window entirely), so ReuseExchange cannot
+    // dedup them; the NQueries·L-row (tiny at any corpus size) refined
+    // relation is the natural cut point (§2.1; the d12 mined-pairs
+    // pattern — EAGER, so concurrent consumers can't race the DAG).
+    // Measured: two serial ~380 ms stages of 2000 reconstructions each
+    // → one.
     val refined = shortlist
       .join(e.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
       .withColumn("exact", round(cosine_sim(col("qv"), col("cv")), 6))
       .withColumn("rrank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("exact").desc, col("vec_id"))))
-    val adcTop = shortlist.filter(col("adc_rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("adc_rank"), col("rrank"))
+      .localCheckpoint(true)
+    val adcTop = refined.filter(col("adc_rank") <= TopK)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit_adc"))
     val refTop = refined.filter(col("rrank") <= TopK)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit_ref"))
